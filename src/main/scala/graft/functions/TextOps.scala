@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for the LLM-data-pipeline surface:
+  * tokenization, shingling, language-ID heuristics, quality features,
+  * fingerprinting. Pure `org.apache.spark.sql.functions` compositions —
+  * everything stays inside whole-stage codegen, no UDFs.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A BPE-ish regex tokenization: words, numbers, or single non-space
+    * symbols — the token-counting flavor an LLM-data pipeline uses when a
+    * real tokenizer is too expensive for a first pass.
+    */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= "" && t =!= " ")
+
+  /** Contiguous word n-gram shingles (joined with single spaces). For a
+    * text shorter than n tokens the whole text is the single shingle —
+    * same clipping the oracle's list-slice does.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Character n-grams starting at every position (clipped at the tail). */
+  def charNGrams(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substring2(text, i, n))
+
+  /** Number of vowels in the text. */
+  def vowelCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[aeiou]", ""))
+
+  /** Vowel ratio — the 1-feature n-gram-class language heuristic used by
+    * `langId`. On real corpora this would be a char-trigram profile score;
+    * the decision structure (featurize → threshold buckets) is the same.
+    */
+  def vowelRatio(text: Column): Column =
+    vowelCount(text).cast("double") / length(text)
+
+  /** Heuristic language ID over vowel-ratio buckets (deterministic). */
+  def langId(text: Column): Column = {
+    val vr = vowelRatio(text)
+    when(vr < 0.20, "zh").when(vr < 0.26, "de").when(vr < 0.31, "en").otherwise("es")
+  }
+
+  /** Whole-document fingerprint (content hash). */
+  def docFingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Robust-to-local-edit fingerprint: the lexicographic minimum of the
+    * md5s of all 8-char shingles (a 1-permutation MinHash over character
+    * 8-grams).
+    */
+  def minShingleFingerprint(text: Column, n: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => md5(substring2(text, i, n))))
+
+  /** substring with a Column start (the built-in only takes Int literals in
+    * its Scala signature; the SQL form accepts expressions).
+    */
+  private def substring2(text: Column, start: Column, len: Int): Column =
+    text.substr(start, lit(len))
+
+  /** MinHash signature of a shingle array: k independent hash slots via
+    * seed-prefixed xxhash64 — deterministic across runs and executors,
+    * unlike rand()-parameterized permutations.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, sh => xxhash64(lit(i), sh)))
+    }: _*)
+
+  /** 64-bit SimHash of a token array: per bit, sign of the sum of ±1 votes
+    * from each token's xxhash64 bit.
+    */
+  def simHash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

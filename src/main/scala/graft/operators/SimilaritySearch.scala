@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — a single scan with a 1-row
+  *    broadcast of the query vector; the correctness baseline.
+  *  - `lshTopK`: random-hyperplane LSH buckets prune the scan, then exact
+  *    cosine reranks inside the probed buckets — the 100 TB path (bucket
+  *    column can be partition/bucket key of the stored table so probes
+  *    become partition pruning).
+  */
+object SimilaritySearch {
+
+  /** Seed-fixed random hyperplanes (deterministic across runs). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact cosine top-k of `queryId`'s vector against all other vectors. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.where(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    df.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qv")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: signature match on `probePlanes` of the hyperplane
+    * bits selects candidate rows; exact cosine reranks them. Recall is
+    * tunable via number of planes (fewer planes = bigger buckets).
+    */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val signed = df.withColumn("bucket",
+      VectorOps.hyperplaneSignature(col(vecCol), planes))
+    val q = signed.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("bucket").as("qbucket"))
+    signed.where(col(idCol) =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qv")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (broadcast), producing a clustering column to partition or
+    * bucket the stored table by — queries then scan only the probed cells.
+    */
+  def assignToCentroids(df: DataFrame, vecCol: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val assignments = centroids.map { case (cid, c) =>
+      struct(VectorOps.sqDist(col(vecCol), array(c.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }
+    df.withColumn("cell", array_min(array(assignments: _*)).getField("cid"))
+  }
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Aggregations, metrics and window/ranking queries — SURVEY.md §2.4-2.5.
+  *
+  * Metric semantics follow the reference's *intended* definitions; its
+  * implementation bugs (X3 count/n², X5 "mse"-that-is-MAE) are documented in
+  * graft.functions.Metrics and not reproduced here. The MAPE denominator
+  * quirk (X4: denominator = prediction) IS reproduced, since it defines the
+  * competition score.
+  */
+object AggregateQueries {
+
+  /** target/prediction emulation on lineitem: the "prediction" is the
+    * discounted price, the "target" the extended price — gives a stable
+    * nonzero APE distribution on synthetic TPC-H-ish data.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_extendedprice").as("target"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("pred"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — per-column distinct-value union across datasets (utils.py:69-90):
+    // the dictionary build, one pass over several columns.
+    "a1_vocab" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      l.select(lit("l_returnflag").as("col_name"), col("l_returnflag").as("value"))
+        .union(l.select(lit("l_linestatus"), col("l_linestatus")))
+        .union(o.select(lit("o_orderstatus"), col("o_orderstatus")))
+        .distinct()
+    }),
+
+    // A2 — z-score normalization with sample stddev (data.py:107-113; pandas
+    // ddof=1 ⇒ stddev_samp). The 1-row stats aggregate is broadcast-joined,
+    // never a window over the full table — the scalable shape.
+    "a2_zscore" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val stats = l.agg(
+        avg(col("l_quantity")).as("m"), stddev_samp(col("l_quantity")).as("sd"))
+      l.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round((col("l_quantity") - col("m")) / col("sd"), 4).as("q_z"))
+    }),
+
+    // A3 — min-max normalization (data.py:114-119).
+    "a3_minmax" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val stats = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(stats))
+        .select(col("o_orderkey"),
+          round((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")), 4).as("p_mm"))
+    }),
+
+    // A4 — normalize ∘ denormalize round-trip (evaluate.py:72-83): stats are
+    // computed once and reused for the inverse transform.
+    "a4_denorm" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val stats = l.agg(
+        avg(col("l_quantity")).as("m"), stddev_samp(col("l_quantity")).as("sd"))
+      l.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(((col("l_quantity") - col("m")) / col("sd")) * col("sd") + col("m"), 4)
+            .as("q_roundtrip"))
+    }),
+
+    // A5 — MAPE with the reference's prediction-denominator (quirk X4,
+    // evaluate.py:39-42).
+    "a5_mape" -> ((s, dir) => {
+      scored(s, dir).groupBy(col("l_returnflag"))
+        .agg(round(avg(abs(col("target") - col("pred")) / col("pred")), 4).as("mape"))
+    }),
+
+    // A6 — competition score 0.2·(1−MAPE) + 0.8·P(ape ≤ 0.05)
+    // (evaluate.py:17-24, intended semantics; bug X3 not reproduced).
+    "a6_score" -> ((s, dir) => {
+      scored(s, dir)
+        .withColumn("ape", abs(col("target") - col("pred")) / col("pred"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(
+          lit(0.2) * (lit(1) - avg(col("ape"))) +
+          lit(0.8) * avg((col("ape") <= 0.05).cast("double")), 4).as("score"))
+    }),
+
+    // A7 — MAE (evaluate.py:43-44 — named cal_mse there; quirk X5, named
+    // honestly here).
+    "a7_mae" -> ((s, dir) => {
+      scored(s, dir).groupBy(col("l_returnflag"))
+        .agg(round(avg(abs(col("target") - col("pred"))), 4).as("mae"))
+    }),
+
+    // A8 — Pearson correlation (evaluate.py:198-201) via the built-in corr agg.
+    "a8_pearson" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("pearson"))
+    }),
+
+    // A9 — macro-F1 from a confusion matrix (evaluate.py:262-264): label is
+    // l_returnflag, the "classifier" a deterministic tax rule. Built from
+    // three tiny aggregates joined on class — no per-class scans.
+    "a9_macro_f1" -> ((s, dir) => {
+      val scoredCls = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("label"),
+        when(col("l_tax") < 0.03, "A").when(col("l_tax") < 0.06, "N")
+          .otherwise("R").as("pred"))
+      val classes = scoredCls.select(col("label").as("cls"))
+        .union(scoredCls.select(col("pred"))).distinct()
+      val tp = scoredCls.where(col("label") === col("pred"))
+        .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
+      val predCnt = scoredCls.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("pp"))
+      val labelCnt = scoredCls.groupBy(col("label").as("cls")).agg(count(lit(1)).as("ll"))
+      classes
+        .join(tp, Seq("cls"), "left").join(predCnt, Seq("cls"), "left")
+        .join(labelCnt, Seq("cls"), "left")
+        .na.fill(0, Seq("tp", "pp", "ll"))
+        .select(
+          when(col("pp") > 0, col("tp") / col("pp")).otherwise(0.0).as("precision"),
+          when(col("ll") > 0, col("tp") / col("ll")).otherwise(0.0).as("recall"))
+        .select(when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(0.0).as("f1"))
+        .agg(round(avg(col("f1")), 4).as("macro_f1"))
+    }),
+
+    // A10 — MRR + Hits@k over per-group rankings (evaluate.py:111-191, W1):
+    // the "true" candidate is linenumber 1; candidates are that order's
+    // lines ranked by revenue.
+    "a10_mrr" -> ((s, dir) => {
+      val l = scored(s, dir)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("pred").desc, col("l_linenumber").asc)
+      l.withColumn("rnk", row_number().over(w))
+        .where(col("l_linenumber") === 1)
+        .agg(
+          round(avg(lit(1.0) / col("rnk")), 4).as("mrr"),
+          round(avg((col("rnk") <= 1).cast("double")), 4).as("hits1"),
+          round(avg((col("rnk") <= 3).cast("double")), 4).as("hits3"),
+          count(lit(1)).as("n_queries"))
+    }),
+
+    // A11 — grouped degree count + 1/degree edge norm (graph.py:30-43).
+    "a11_degree_norm" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("degree"))
+        .withColumn("edge_norm", round(lit(1.0) / col("degree"), 4))
+    }),
+
+    // A12 — fixed 40-bin histogram (preprocess.py:120-160): min/max in one
+    // broadcast aggregate, bucket ids by pure arithmetic.
+    "a12_histogram" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val stats = l.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      l.crossJoin(broadcast(stats))
+        .select(least(floor((col("x") - col("lo")) * 40 / (col("hi") - col("lo"))), lit(39))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // W1 — per-group ranking, top-2 (evaluate.py:105-109).
+    "w1_rank" -> ((s, dir) => {
+      val l = scored(s, dir)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("pred").desc, col("l_linenumber").asc)
+      l.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
+    }),
+
+    // W2 — argmax over a group (evaluate.py:237-247): the event type with the
+    // highest value per user, deterministic tie-break on event_id.
+    "w2_argmax" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      e.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_vocab" ->
+      """SELECT DISTINCT col_name, value FROM (
+           SELECT 'l_returnflag' AS col_name, l_returnflag AS value FROM lineitem
+           UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders)""",
+    "a2_zscore" ->
+      """SELECT l_orderkey, l_linenumber, round((l_quantity - m) / sd, 4) AS q_z
+         FROM lineitem CROSS JOIN
+           (SELECT avg(l_quantity) AS m, stddev_samp(l_quantity) AS sd FROM lineitem)""",
+    "a3_minmax" ->
+      """SELECT o_orderkey, round((o_totalprice - lo) / (hi - lo), 4) AS p_mm
+         FROM orders CROSS JOIN
+           (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)""",
+    "a4_denorm" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(((l_quantity - m) / sd) * sd + m, 4) AS q_roundtrip
+         FROM lineitem CROSS JOIN
+           (SELECT avg(l_quantity) AS m, stddev_samp(l_quantity) AS sd FROM lineitem)""",
+    "a5_mape" ->
+      """SELECT l_returnflag,
+           round(avg(abs(l_extendedprice - l_extendedprice*(1-l_discount))
+                     / (l_extendedprice*(1-l_discount))), 4) AS mape
+         FROM lineitem GROUP BY l_returnflag""",
+    "a6_score" ->
+      """SELECT l_returnflag,
+           round(0.2 * (1 - avg(ape)) + 0.8 * avg(CASE WHEN ape <= 0.05 THEN 1.0 ELSE 0.0 END), 4) AS score
+         FROM (SELECT l_returnflag,
+                 abs(l_extendedprice - l_extendedprice*(1-l_discount))
+                 / (l_extendedprice*(1-l_discount)) AS ape FROM lineitem)
+         GROUP BY l_returnflag""",
+    "a7_mae" ->
+      """SELECT l_returnflag,
+           round(avg(abs(l_extendedprice - l_extendedprice*(1-l_discount))), 4) AS mae
+         FROM lineitem GROUP BY l_returnflag""",
+    "a8_pearson" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS pearson
+         FROM lineitem GROUP BY l_returnflag""",
+    "a9_macro_f1" ->
+      """WITH scored AS (
+           SELECT l_returnflag AS label,
+                  CASE WHEN l_tax < 0.03 THEN 'A' WHEN l_tax < 0.06 THEN 'N' ELSE 'R' END AS pred
+           FROM lineitem),
+         classes AS (SELECT DISTINCT label AS cls FROM scored
+                     UNION SELECT DISTINCT pred FROM scored),
+         tp AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS tp FROM scored WHERE label = pred GROUP BY 1),
+         pc AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS pp FROM scored GROUP BY 1),
+         lc AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS ll FROM scored GROUP BY 1),
+         prf AS (SELECT
+             CASE WHEN coalesce(pp,0) > 0 THEN coalesce(tp,0) * 1.0 / pp ELSE 0.0 END AS precision_,
+             CASE WHEN coalesce(ll,0) > 0 THEN coalesce(tp,0) * 1.0 / ll ELSE 0.0 END AS recall_
+           FROM classes LEFT JOIN tp USING (cls) LEFT JOIN pc USING (cls) LEFT JOIN lc USING (cls))
+         SELECT round(avg(CASE WHEN precision_ + recall_ > 0
+                          THEN 2 * precision_ * recall_ / (precision_ + recall_)
+                          ELSE 0.0 END), 4) AS macro_f1 FROM prf""",
+    "a10_mrr" ->
+      """WITH ranked AS (
+           SELECT l_linenumber,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice*(1-l_discount) DESC, l_linenumber ASC) AS rnk
+           FROM lineitem)
+         SELECT round(avg(1.0 / rnk), 4) AS mrr,
+                round(avg(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END), 4) AS hits1,
+                round(avg(CASE WHEN rnk <= 3 THEN 1.0 ELSE 0.0 END), 4) AS hits3,
+                CAST(count(*) AS BIGINT) AS n_queries
+         FROM ranked WHERE l_linenumber = 1""",
+    "a11_degree_norm" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS degree,
+              round(1.0 / count(*), 4) AS edge_norm
+         FROM events GROUP BY user_id, event_type""",
+    "a12_histogram" ->
+      """WITH stats AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+         SELECT CAST(least(floor((l_extendedprice - lo) * 40 / (hi - lo)), 39) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem CROSS JOIN stats GROUP BY 1""",
+    "w1_rank" ->
+      """SELECT l_orderkey, l_linenumber, rnk FROM (
+           SELECT l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice*(1-l_discount) DESC, l_linenumber ASC) AS rnk
+           FROM lineitem) WHERE rnk <= 2""",
+    "w2_argmax" ->
+      """SELECT user_id, event_type, value FROM (
+           SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id ASC) AS rnk
+           FROM events) WHERE rnk = 1"""
+  )
+}

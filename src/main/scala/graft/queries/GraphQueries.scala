@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Knowledge-graph construction and sampling — SURVEY.md §2.9-2.10.
+  *
+  * The reference builds its KG with per-row Python loops and a driver-side
+  * set (utils.py:132-209); here each row's attributes become an array of
+  * (name, value) structs exploded twice — the blow-up (rows × k²) is
+  * distributed instead of accumulated on one machine, the dedup is a
+  * shuffle hash-aggregate. Sampling queries are deterministic but not
+  * SQL-expressible, so they carry no oracle (rows-only check).
+  */
+object GraphQueries {
+
+  /** (name, value) attribute array per customer row — the reference's
+    * "each discrete column is an entity class" model (utils.py:144-153).
+    */
+  private def attrCols = array(
+    struct(lit("c_nationkey").as("name"), col("c_nationkey").cast("string").as("value")),
+    struct(lit("c_mktsegment").as("name"), col("c_mktsegment").as("value")),
+    struct(lit("acct_bucket").as("name"),
+      floor(col("c_acctbal") / 1000).cast("long").cast("string").as("value")))
+
+  private def attrs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("row_id"), explode(attrCols).as("a"))
+      .select(col("row_id"), col("a.name").as("name"), col("a.value").as("value"))
+
+  /** Edge table stand-in: supplier→part supply edges from lineitem. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"),
+        lit("supplies").as("rel"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1 — entity vocabulary with dense ids (utils.py:144-153): global
+    // row_number over a vocabulary-sized distinct set. (For a 100 TB build
+    // the id assignment would switch to zipWithIndex / monotonic id +
+    // dense_rank per partition-range; vocab tables are small by nature.)
+    "g1_vocab_entities" -> ((s, dir) => {
+      val w = Window.orderBy(col("name"), col("value"))
+      attrs(s, dir).select(col("name"), col("value")).distinct()
+        .withColumn("entity_id", row_number().over(w).cast("long") - 1)
+    }),
+
+    // G2 — row → triplet expansion, all ordered pairs i≠j (utils.py:163-182).
+    "g2_triplets" -> ((s, dir) => {
+      val a = attrs(s, dir)
+      val b = a.select(col("row_id"), col("name").as("t_name"), col("value").as("t_value"))
+      a.join(b, Seq("row_id"))
+        .where(col("name") =!= col("t_name"))
+        .select(
+          concat(col("name"), lit(":"), col("value")).as("head_entity"),
+          col("t_name").as("relation"),
+          concat(col("t_name"), lit(":"), col("t_value")).as("tail_entity"))
+        .distinct()
+    }),
+
+    // G3 — dev-side variant: only upper-triangle pairs (utils.py:184-202,
+    // quirk X2 — kept as a separate operator exactly like the reference).
+    "g3_triplets_upper" -> ((s, dir) => {
+      val a = attrs(s, dir)
+      val b = a.select(col("row_id"), col("name").as("t_name"), col("value").as("t_value"))
+      a.join(b, Seq("row_id"))
+        .where(col("name") < col("t_name"))
+        .select(
+          concat(col("name"), lit(":"), col("value")).as("head_entity"),
+          col("t_name").as("relation"),
+          concat(col("t_name"), lit(":"), col("t_value")).as("tail_entity"))
+        .distinct()
+    }),
+
+    // R6 — bidirectional edge expansion (samples.py:62-64, graph.py:51-53).
+    "r6_bidirectional" -> ((s, dir) => {
+      val e = edges(s, dir)
+      e.select(col("src"), col("dst"), col("rel"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("rel")))
+    }),
+
+    // R1 — seeded shuffled 70/30 split (utils.py:210-219). Deterministic for
+    // a fixed seed+partitioning but not SQL-expressible → rows-only.
+    "r1_split_train" -> ((s, dir) => {
+      Tables.orders(s, dir).randomSplit(Array(0.7, 0.3), seed = 42)(0)
+    }),
+
+    // R3 — uniform edge sample w/o replacement (samples.py:15-18) → rows-only.
+    "r3_edge_sample" -> ((s, dir) => {
+      edges(s, dir).sample(withReplacement = false, fraction = 0.1, seed = 42)
+    }),
+
+    // R4 — negative sampling by entity corruption (samples.py:19-32), made
+    // deterministic: the corrupt tail is picked by hashing the positive
+    // triplet into the entity vocabulary instead of rand() — same
+    // distribution class, reproducible across runs and executors.
+    "r4_negsample" -> ((s, dir) => {
+      val w = Window.orderBy(col("name"), col("value"))
+      val vocab = attrs(s, dir).select(col("name"), col("value")).distinct()
+        .withColumn("entity_id", row_number().over(w).cast("long") - 1)
+        .select(col("entity_id"),
+          concat(col("name"), lit(":"), col("value")).as("entity"))
+      val vocabSize = vocab.count()
+      val a = attrs(s, dir)
+      val b = a.select(col("row_id"), col("name").as("t_name"), col("value").as("t_value"))
+      val pos = a.join(b, Seq("row_id"))
+        .where(col("name") =!= col("t_name"))
+        .select(
+          concat(col("name"), lit(":"), col("value")).as("head_entity"),
+          col("t_name").as("relation"),
+          concat(col("t_name"), lit(":"), col("t_value")).as("tail_entity"))
+        .distinct()
+      val corruptId = pmod(
+        xxhash64(col("head_entity"), col("relation"), col("tail_entity")),
+        lit(vocabSize)).as("corrupt_id")
+      val neg = pos.withColumn("corrupt_id", corruptId)
+        .join(broadcast(vocab), col("corrupt_id") === col("entity_id"))
+        .select(col("head_entity"), col("relation"),
+          col("entity").as("tail_entity"))
+      pos.withColumn("label", lit(1L))
+        .unionByName(neg.withColumn("label", lit(0L)))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "g1_vocab_entities" ->
+      """WITH a AS (
+           SELECT 'c_nationkey' AS name, CAST(c_nationkey AS VARCHAR) AS value FROM customer
+           UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+           UNION ALL SELECT 'acct_bucket', CAST(CAST(floor(c_acctbal/1000) AS BIGINT) AS VARCHAR) FROM customer),
+         d AS (SELECT DISTINCT name, value FROM a)
+         SELECT name, value,
+                CAST(row_number() OVER (ORDER BY name, value) AS BIGINT) - 1 AS entity_id
+         FROM d""",
+    "g2_triplets" ->
+      """WITH a AS (
+           SELECT c_custkey AS row_id, 'c_nationkey' AS name, CAST(c_nationkey AS VARCHAR) AS value FROM customer
+           UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer
+           UNION ALL SELECT c_custkey, 'acct_bucket', CAST(CAST(floor(c_acctbal/1000) AS BIGINT) AS VARCHAR) FROM customer)
+         SELECT DISTINCT concat(a.name, ':', a.value) AS head_entity,
+                b.name AS relation,
+                concat(b.name, ':', b.value) AS tail_entity
+         FROM a JOIN a b ON a.row_id = b.row_id AND a.name <> b.name""",
+    "g3_triplets_upper" ->
+      """WITH a AS (
+           SELECT c_custkey AS row_id, 'c_nationkey' AS name, CAST(c_nationkey AS VARCHAR) AS value FROM customer
+           UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer
+           UNION ALL SELECT c_custkey, 'acct_bucket', CAST(CAST(floor(c_acctbal/1000) AS BIGINT) AS VARCHAR) FROM customer)
+         SELECT DISTINCT concat(a.name, ':', a.value) AS head_entity,
+                b.name AS relation,
+                concat(b.name, ':', b.value) AS tail_entity
+         FROM a JOIN a b ON a.row_id = b.row_id AND a.name < b.name""",
+    "r6_bidirectional" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
+         SELECT src, dst, rel FROM e
+         UNION ALL SELECT dst AS src, src AS dst, rel FROM e"""
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scan / projection / filter / join / set-op queries covering SURVEY.md §2.1-2.3,
+  * §2.7 over the driver TESTDATA tables.
+  *
+  * Conventions shared by every query in this package (driver hash-compare):
+  *  - computed integers are cast to long (BIGINT in the oracle SQL);
+  *  - computed floating-point values are rounded to 4 decimals on both sides;
+  *  - raw columns pass through bit-exact from parquet.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — scan with projection + predicate pushdown (utils.py:30-49 analog:
+    // schema-on-read scan; here the filter and 2-column ReadSchema reach the
+    // parquet reader).
+    "s1_scan" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") < to_timestamp(lit("1995-06-01")))
+        .select(col("l_orderkey"), col("l_quantity"))
+    }),
+
+    // P2 — projection-by-drop (utils.py:239,251-254).
+    "p2_drop" -> ((s, dir) => {
+      Tables.orders(s, dir).drop("o_orderpriority", "o_totalprice")
+    }),
+
+    // P3 — derived column (utils.py:250,308; data.py:99-102).
+    "p3_derive" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // P5 — sentinel null repair (utils.py:92-131). TESTDATA has no nulls, so
+    // nulls are manufactured with nullif first, then repaired with na.fill —
+    // the operator under test is the fill map.
+    "p5_nullrepair" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")).as("status_n"),
+          when(col("o_totalprice") > 200000.0, lit(null)).otherwise(col("o_totalprice")).as("price_n"))
+        .na.fill(Map("status_n" -> "-1", "price_n" -> 0.0))
+    }),
+
+    // P6/P7 — equality + null-test predicates (utils.py:244,275-276).
+    "p7_filter_null" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", col("o_orderdate")).as("deal_date"))
+        .where(col("deal_date").isNotNull)
+        .select(col("o_orderkey"))
+    }),
+
+    // P8 — deterministic positional slice (utils.py:214-215): global sort + limit.
+    "p8_slice" -> ((s, dir) => {
+      Tables.orders(s, dir).orderBy(col("o_orderkey")).limit(100)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // J1 — inner equi-join + derived binary label (utils.py:233-262): the
+    // reference's 10^4-iteration nested-loop join as a broadcast-hash join.
+    "j1_join_label" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+          (col("o_orderstatus") === "F").cast("long").as("deal_label"))
+    }),
+
+    // J2 — join restricted to "sold" rows (utils.py:263-290).
+    "j2_join_sold" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+      val c = broadcast(Tables.customer(s, dir))
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+    }),
+
+    // J4 — dictionary lookup as broadcast join against a small vocabulary
+    // (data.py:21-23): nation is the vocab table.
+    "j4_dict_lookup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "inner")
+        .select(col("c_custkey"), col("n_name"))
+    }),
+
+    // U1 — vertical union (utils.py:248,279).
+    "u1_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        .unionByName(o.where(col("o_orderstatus") === "O").select(col("o_orderkey")))
+    }),
+
+    // U2 — set-union of value sets (utils.py:79).
+    "u2_union_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(col("l_returnflag").as("v"))
+        .union(Tables.orders(s, dir).select(col("o_orderstatus").as("v")))
+        .distinct()
+    }),
+
+    // U3 — exact dedup (utils.py:161-162 set-dedup): groupBy-min keeps a
+    // deterministic representative, unlike dropDuplicates.
+    "u3_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+        .select(col("doc_id"), col("dup_count"))
+    }),
+
+    // U4 — set-difference as left-anti join (evaluate.py:133-136):
+    // customers with no high-value order.
+    "u4_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).where(col("o_totalprice") > 150000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'",
+    "p2_drop" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate FROM orders",
+    "p3_derive" ->
+      "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 4) AS revenue FROM lineitem",
+    "p5_nullrepair" ->
+      """SELECT o_orderkey,
+         coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END, '-1') AS status_n,
+         coalesce(CASE WHEN o_totalprice > 200000.0 THEN NULL ELSE o_totalprice END, 0.0) AS price_n
+         FROM orders""",
+    "p7_filter_null" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
+    "p8_slice" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "j1_join_label" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment,
+         CAST(o_orderstatus = 'F' AS BIGINT) AS deal_label
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "j2_join_sold" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'F'""",
+    "j4_dict_lookup" ->
+      "SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+    "u1_union" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'""",
+    "u2_union_distinct" ->
+      "SELECT DISTINCT v FROM (SELECT l_returnflag AS v FROM lineitem UNION ALL SELECT o_orderstatus AS v FROM orders)",
+    "u3_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY text",
+    "u4_anti_join" ->
+      """SELECT c_custkey FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)"""
+  )
+}

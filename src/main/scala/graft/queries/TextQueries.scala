@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Text-analysis + dedup queries over the `documents` table — the
+  * LLM-data-pipeline extension surface (BASELINE.json north star).
+  * MinHash/SimHash signatures are engine-specific hashes, so those two
+  * queries carry no DuckDB oracle (rows-only); the exact shingle-Jaccard
+  * query is their oracle-checked ground truth.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokenizer).
+    "text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"))
+    }),
+
+    // Quality scoring: token stats + stopword ratio + a length-capped score.
+    "text_quality" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+      toks.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("t").isin("the", "a").cast("long")).as("n_stop"),
+          round(avg(length(col("t"))), 4).as("avg_token_len"))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+        .withColumn("quality_score",
+          round(least(lit(1.0), col("n_tokens") / lit(100.0))
+            * (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+    }),
+
+    // Language ID: deterministic vowel-ratio heuristic (stand-in for a
+    // char-trigram profile — same featurize→bucket decision shape).
+    "text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        round(TextOps.vowelRatio(col("text")), 4).as("vowel_ratio"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Document fingerprinting: whole-doc md5 + min-8-gram-md5 (a
+    // 1-permutation character MinHash, robust to local edits).
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.docFingerprint(col("text")).as("doc_md5"),
+        TextOps.minShingleFingerprint(col("text"), 8).as("min_shingle_md5"))
+    }),
+
+    // Exact 5-word-shingle Jaccard near-dup pairs (inverted-index join,
+    // no n² cross product) — ground truth for the MinHash variant.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.shingleJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+    }),
+
+    // MinHash+LSH near-dup (banded signature join → exact verify).
+    // Deterministic, not SQL-expressible → rows-only.
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashLshPairs(Tables.documents(s, dir), "text", "doc_id")
+    }),
+
+    // SimHash near-dup (4×16-bit segment join, Hamming ≤ 3) → rows-only.
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables.documents(s, dir), "text", "doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_computed
+         FROM documents""",
+    "text_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN t IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                   round(avg(length(t)), 4) AS avg_token_len
+                 FROM toks GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_stop, avg_token_len,
+                round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+                round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS quality_score
+         FROM agg""",
+    "text_langid" ->
+      """WITH f AS (SELECT doc_id, lang,
+             (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 1.0
+               / length(text) AS vr FROM documents)
+         SELECT doc_id, lang, round(vr, 4) AS vowel_ratio,
+                CASE WHEN vr < 0.20 THEN 'zh' WHEN vr < 0.26 THEN 'de'
+                     WHEN vr < 0.31 THEN 'en' ELSE 'es' END AS lang_pred
+         FROM f""",
+    "text_fingerprint" ->
+      """WITH pos AS (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+           FROM documents)
+         SELECT doc_id, md5(any_value(text)) AS doc_md5,
+                min(md5(substr(text, CAST(i AS INT), 8))) AS min_shingle_md5
+         FROM pos GROUP BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+         FROM pairs JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.sources.Tables
+
+/** Similarity-search / embedding queries over the `embeddings` table
+  * (`vec_id long, embedding array<float>, label int`).
+  *
+  * Oracle SQL computes the same double-precision math through unnested
+  * elements (DuckDB's list_cosine_similarity works in float32 and would
+  * diverge in the 4th decimal). The LSH query's bucketing hash is
+  * engine-specific → rows-only.
+  */
+object VectorQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-10 for the vector with vec_id = 0 — the
+    // ANN correctness baseline: one scan + 1-row broadcast, no shuffle.
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      SimilaritySearch.bruteForceTopK(
+        Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10)
+    }),
+
+    // Vector stats per label: mean L2 norm + count (the sanity aggregate a
+    // pipeline runs before/after normalizing embeddings).
+    "vec_norm_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          VectorOps.l2Norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(round(avg(col("nrm")), 4).as("avg_norm"), count(lit(1)).as("n"))
+    }),
+
+    // Embedding near-dup pairs: exact cosine ≥ 0.4 blocked by label
+    // (per-block pair space, not global n²).
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(
+        Tables.embeddings(s, dir), "embedding", "vec_id", "label", minCosine = 0.4)
+    }),
+
+    // LSH-bucketed ANN (random-hyperplane signature prune + exact rerank).
+    // Deterministic, hash not SQL-expressible → rows-only.
+    "sim_lsh_topk" -> ((s, dir) => {
+      SimilaritySearch.lshTopK(
+        Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10,
+        nPlanes = 6, dim = 64)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         dots AS (SELECT vec_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY vec_id)
+         SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "vec_norm_stats" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  unnest(embedding) AS x FROM embeddings),
+         norms AS (SELECT vec_id, any_value(label) AS label,
+                  sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+                FROM ex GROUP BY vec_id)
+         SELECT label, round(avg(nrm), 4) AS avg_norm, CAST(count(*) AS BIGINT) AS n
+         FROM norms GROUP BY label""",
+    "dedup_embedding_cosine" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         ex AS (SELECT id_a, id_b, va, vb,
+                  unnest(generate_series(1, len(va))) AS i FROM pairs),
+         dots AS (SELECT id_a, id_b,
+                  sum(CAST(va[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(va[CAST(i AS INT)] AS DOUBLE) * CAST(va[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(vb[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY id_a, id_b)
+         SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4"""
+  )
+}
