@@ -1,0 +1,51 @@
+package graft.car
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A1/G1/J4 — dictionary (vocabulary) construction and application
+  * (reference utils.py:69-90, data.py:131-182).
+  *
+  * The reference's `Dictionary` is a driver-side hash map "col:value" ↔
+  * dense int id shared across columns. Here the vocabulary is itself a
+  * DataFrame `(col_name, value, id)` built in one distributed pass
+  * (unpivot → distinct) and applied by broadcast join — no driver-side
+  * state, so it works at any number of columns × distinct values.
+  */
+object Vocab {
+
+  /** Build one global vocabulary over `columns` of all `datasets`
+    * (reference: set(train[col]) ∪ set(dev[col]) per column,
+    * utils.py:69-90). Ids are dense, deterministic (ordered by
+    * (col_name, value)), 0-based.
+    */
+  def build(datasets: Seq[DataFrame], columns: Seq[String]): DataFrame = {
+    require(datasets.nonEmpty && columns.nonEmpty)
+    val unpivoted = datasets.map { df =>
+      val pairs = columns.filter(df.columns.contains).map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))
+      }
+      df.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_name"), col("p.value"))
+    }.reduce(_ union _)
+    val distinctVals = unpivoted.where(col("value").isNotNull).distinct()
+    // Vocabularies are small by construction (Σ distinct per column);
+    // a single-partition row_number is fine. For vocabularies that
+    // exceed one partition, swap for zipWithIndex on the sorted RDD.
+    val w = Window.orderBy(col("col_name"), col("value"))
+    distinctVals.withColumn("id", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Encode `columns` of `df` to their vocabulary ids via broadcast joins,
+    * producing `<col>Id` columns (reference data.py:21-23's per-cell hash
+    * probe → codegen'd broadcast-hash joins).
+    */
+  def encode(df: DataFrame, vocab: DataFrame, columns: Seq[String]): DataFrame =
+    columns.foldLeft(df) { (acc, c) =>
+      val v = vocab.where(col("col_name") === c)
+        .select(col("value").as(s"__${c}_val"), col("id").as(s"${c}Id"))
+      acc.join(broadcast(v), acc(c).cast("string") === col(s"__${c}_val"), "left")
+        .drop(s"__${c}_val")
+    }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Library-level dedup invariants on constructed near-duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base.replace("today", "tomorrow")),      // near dup of 1
+      (4L, "completely different words about spark engines and shuffles here now"),
+      (5L, "another unrelated document with its own tokens entirely for tests")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id representative with counts") {
+    val d = Dedup.exact(docs, "text", "doc_id")
+    assert(d.count() == 4)
+    assert(d.where(col("dup_count") === 2).select("doc_id").head().getLong(0) == 1L)
+  }
+
+  test("shingle Jaccard finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id", 5, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0) // identical
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("MinHash LSH candidates ⊆ verified pairs and contain exact dups") {
+    val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("SimHash: identical docs at Hamming 0; near dups within 3") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding cosine pairs respect the block and threshold") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.01f)), // near-identical, same block
+      (3L, 0, Seq(0.0f, 1.0f)),                            // orthogonal
+      (4L, 1, Seq(1.0f, 0.0f))                             // other block — never paired
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(e, "embedding", "vec_id", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("VectorOps dot/norm/cosine in double precision") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.l2Norm(col("a")).as("na"),
+      VectorOps.cosine(col("a"), col("b")).as("c")).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("brute-force top-k on real embeddings: k rows, sorted, query excluded") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val top = SimilaritySearch.bruteForceTopK(e, "embedding", "vec_id", 0L, 10)
+      .collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH top-k results are a subset of brute-force ordering universe") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val brute = SimilaritySearch.bruteForceTopK(e, "embedding", "vec_id", 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = SimilaritySearch.lshTopK(e, "embedding", "vec_id", 0L, 10, nPlanes = 6)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit carries the same exact cosine the brute-force scan found
+    lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("centroid assignment picks the nearest cell") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.9f, 0.0f)), (2L, Seq(0.0f, 1.1f))).toDF("id", "v")
+    val cells = SimilaritySearch.assignToCentroids(df, "v",
+      Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0)))
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(1L -> 0, 2L -> 1))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class Ev(event_time: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** The streaming transforms must produce the same result as their batch
+  * form on a finite input — that equivalence is what lets StreamQueries
+  * expose the batch form to the DuckDB oracle.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private def evs = Seq(
+    Ev(Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0, 1L),
+    Ev(Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0, 2L),
+    Ev(Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0, 1L),
+    Ev(Timestamp.valueOf("2024-01-01 10:30:00"), "buy", 8.0, 3L))
+
+  test("hourly aggregation: stream ≡ batch on finite input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStreams.hourlyAggregation(evs.toDF())
+      .orderBy("hour_start", "event_type").collect().toSeq
+
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .orderBy("hour_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      // sanity: the 10:00 window aggregated click events across users
+      val h10click = batch.find(r => r.getAs[Timestamp]("hour_start").toString
+        .startsWith("2024-01-01 10") && r.getAs[String]("event_type") == "click").get
+      assert(h10click.getAs[Long]("n_events") == 2)
+      assert(h10click.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("withEventTime converts ns longs exactly") {
+    import spark.implicits._
+    val df = Seq(1704103500000000123L).toDF("ts_ns") // 2024-01-01 10:05:00.000000123
+    val t = EventStreams.withEventTime(df).select(col("event_time").cast("string"))
+      .head().getString(0)
+    assert(t == "2024-01-01 10:05:00") // truncated to µs, no double rounding
+  }
+
+  test("user rollup state is keyed per user") {
+    import spark.implicits._
+    val r = EventStreams.userRollup(evs.toDF()).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("n_events")).toMap
+    assert(r == Map(1L -> 2, 2L -> 1, 3L -> 1))
+  }
+}
