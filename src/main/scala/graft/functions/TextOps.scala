@@ -81,17 +81,15 @@ object TextOps {
       array_min(transform(shingles, sh => xxhash64(lit(i), sh)))
     }: _*)
 
-  /** 64-bit SimHash of a token array: per bit, sign of the sum of ±1 votes
-    * from each token's xxhash64 bit.
+  /** 64-bit SimHash of a token array: per bit, sign of the sum of ±1
+    * votes from each token's hash bit. One compiled pass per row
+    * (graft.functions.expressions.SimHash64) — the functions-only
+    * formulation (64 interpreted `aggregate` folds) is ~100× slower.
     */
   def simHash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      graft.functions.expressions.SimHash64(ColumnShim.expression(toks)))
   }
 
   /** Hamming distance between two 64-bit signatures. */

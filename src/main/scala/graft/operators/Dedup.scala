@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.VectorOps
+import graft.functions.expressions.SimHash64
 
 /** Deduplication operators for large text/embedding corpora.
   *
@@ -10,13 +12,19 @@ import graft.functions.{TextOps, VectorOps}
   * key-equality join (shuffle on a small key, never an n² cross join):
   *  - exact:     group by content (or content hash at scale);
   *  - shingle:   inverted index on shingles → pairs sharing a shingle;
-  *  - MinHash:   LSH bands → pairs sharing a band bucket;
+  *  - MinHash:   LSH bands → pairs sharing a band bucket, exact-verified
+  *               on the candidates only;
   *  - SimHash:   16-bit segments → pairs sharing a segment (≤3-bit
   *               Hamming neighbors always share one of four 16-bit
   *               segments — pigeonhole);
-  *  - embedding: exact cosine within blocking keys.
+  *  - embedding: exact cosine within blocking keys, norms precomputed
+  *               per row and dot products codegen'd (VecDot).
   * All hashes are seed-fixed xxhash64 — deterministic across runs,
   * executors and retries (rand()-based signatures are not).
+  *
+  * Shingle generation is a typed flatMap with per-document local dedup
+  * (a Set built inside the executor) — compiled Scala, no interpreted
+  * higher-order lambdas, and no global distinct shuffle.
   */
 object Dedup {
 
@@ -29,14 +37,31 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** (doc, g) rows: distinct word shingles per document. */
+  private def shingleRows(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          val out = scala.collection.mutable.Set.empty[String]
+          if (toks.length <= n) out += toks.mkString(" ")
+          else toks.sliding(n).foreach(w => out += w.mkString(" "))
+          out.iterator.map(g => (id, g))
+        }
+    pairs.toDF("doc", "g")
+  }
+
   /** Exact word-shingle Jaccard near-dup pairs via an inverted shingle
     * index. `minJaccard` filters after an exact |A∩B| / |A∪B| computation;
     * only pairs sharing ≥1 shingle are ever materialized.
     */
   def shingleJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int, minJaccard: Double): DataFrame = {
-    val shingles = df.select(col(idCol).as("doc"),
-        explode(array_distinct(TextOps.wordShingles(col(textCol), shingleLen))).as("g"))
+    val shingles = shingleRows(df, textCol, idCol, shingleLen)
     val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = shingles.join(shingles.select(col("doc").as("doc2"), col("g")), Seq("g"))
       .where(col("doc") < col("doc2"))
@@ -50,36 +75,46 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
-    * numHashes = bands × rowsPerBand. Candidate pairs are those agreeing on
-    * at least one full band — the standard S-curve trade-off; verification
-    * then computes exact Jaccard only on candidates.
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard on the
+    * candidates only. numHashes = bands × rowsPerBand. Signatures come
+    * from one grouped aggregation of builtin (codegen'd) xxhash64 mins —
+    * one shuffle keyed by doc, any corpus size.
     */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val docs = df.select(col(idCol).as("doc"),
-      array_distinct(TextOps.wordShingles(col(textCol), shingleLen)).as("shingles"))
-    val sigs = docs.select(col("doc"), col("shingles"),
-      TextOps.minHashSignature(col("shingles"), k).as("sig"))
-    val banded = sigs.select(col("doc"), col("shingles"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("doc"), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val candidates = banded.alias("x")
-      .join(banded.alias("y"), Seq("band", "bucket"))
-      .where(col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("x.shingles").as("sh_a"),
-        col("y.doc").as("doc_b"), col("y.shingles").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    candidates
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+    val shingles = shingleRows(df, textCol, idCol, shingleLen)
+    // k min-hash slots in one aggregation pass
+    val sigs = shingles.groupBy(col("doc")).agg(
+      min(xxhash64(lit(0), col("g"))).as("h0"),
+      (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i")): _*)
+    // band buckets: hash of each band's slots
+    val banded = sigs.select(col("doc") +: (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+        .as(s"b$b")
+    }: _*)
+    val bandRows = banded.select(col("doc"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"), col(s"b$b").as("bucket"))
+    }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    val candidates = bandRows
+      .join(bandRows.select(col("doc").as("doc2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("doc") < col("doc2"))
+      .select(col("doc").as("doc_a"), col("doc2").as("doc_b"))
+      .distinct()
+    // exact verification restricted to candidate pairs: shingle join on
+    // (doc_a) then (g, doc_b)
+    val interCand = candidates
+      .join(shingles.select(col("doc").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(shingles.select(col("doc").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    interCand
+      .join(card.select(col("doc").as("doc_a"), col("n")), Seq("doc_a"))
+      .join(card.select(col("doc").as("doc_b"), col("n").as("n2")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter") / (col("n") + col("n2") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -87,11 +122,13 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with
     * the default 4 × 16-bit segments guarantees no false negatives by
     * pigeonhole). Candidates share a (segment index, segment value) key.
+    * The 64-bit signature is one compiled pass per document (SimHash64).
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"),
-      TextOps.simHash(TextOps.tokens(col(textCol))).as("sig"))
+    val sig = ColumnShim.column(SimHash64(
+      ColumnShim.expression(split(col(textCol), " "))))
+    val sigs = df.select(col(idCol).cast("long").as("doc"), sig.as("sig"))
     val segments = sigs.select(col("doc"), col("sig"),
         explode(array((0 until 4).map { seg =>
           struct(lit(seg).as("seg"),
@@ -101,23 +138,26 @@ object Dedup {
     segments.alias("x").join(segments.alias("y"), Seq("seg", "segval"))
       .where(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
-        TextOps.hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup pairs: exact cosine ≥ minCosine within a blocking
     * key (e.g. a cluster/label id or an LSH bucket) so the pair space is
-    * per-block, not global n².
+    * per-block, not global n². Norms are computed once per row BEFORE the
+    * pair join; the per-pair work is a single codegen'd dot product.
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
-    val e = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
+    val e = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("v"), VectorOps.l2Norm(col(vecCol)).as("nrm"))
     e.alias("x")
       .join(e.alias("y"), Seq("block"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        VectorOps.cosine(col("x.v"), col("y.v")).as("cos"))
+        VectorOps.cosineWithNorms(col("x.v"), col("y.v"),
+          col("x.nrm"), col("y.nrm")).as("cos"))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
   }

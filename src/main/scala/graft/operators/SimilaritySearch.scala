@@ -21,14 +21,19 @@ object SimilaritySearch {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Exact cosine top-k of `queryId`'s vector against all other vectors. */
+  /** Exact cosine top-k of `queryId`'s vector against all other vectors.
+    * The query's norm rides along in the broadcast row; each data row
+    * computes its own norm + one dot, all codegen'd.
+    */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int): DataFrame = {
-    val q = df.where(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
     df.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(VectorOps.cosine(col(vecCol), col("qv")), 4).as("cosine"))
+        round(VectorOps.cosineWithNorms(col(vecCol), col("qv"),
+          VectorOps.l2Norm(col(vecCol)), col("qn")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
