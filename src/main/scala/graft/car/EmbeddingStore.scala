@@ -1,0 +1,63 @@
+package graft.car
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S8/G5/G6 — the embedding boundary (SURVEY.md §2.10, §7 hard-part d).
+  *
+  * The reference trains RGCN embeddings in torch and round-trips them
+  * through .npz files (reference preprocess.py:75-85). The graph NN
+  * itself is outside DataFrame algebra; the engine's contract is the
+  * *data* side: a persistent `(entity_id, vector)` table, one
+  * message-passing aggregation step expressed relationally, and the
+  * triplet scoring function — so any trainer (MLlib, external) plugs in
+  * by reading/writing this table.
+  */
+object EmbeddingStore {
+
+  /** Persist an `(entity_id, vector)` table (replaces embedding.npz). */
+  def save(embeddings: DataFrame, path: String): Unit =
+    embeddings.select(col("entity_id").cast("long"), col("vector"))
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** G5 — one RGCN-style mean-aggregation step as dataflow (reference
+    * rgcn.py:45-125's MessagePassing with aggr='mean', minus the learned
+    * weights): each node's next vector = elementwise mean of its
+    * in-neighbors' vectors scaled by edge_norm. Shuffles once on dst;
+    * the per-edge work is codegen-friendly array arithmetic.
+    */
+  def meanAggregationStep(edges: DataFrame, embeddings: DataFrame): DataFrame = {
+    val msgs = edges
+      .join(embeddings.select(col("entity_id").as("head_id"), col("vector")), Seq("head_id"))
+      .select(col("tail_id").as("entity_id"),
+        transform(col("vector"), x => x * col("edge_norm")).as("msg"))
+    msgs.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n"), array_agg(col("msg")).as("msgs"))
+      .select(col("entity_id"),
+        expr("transform(sequence(0, size(msgs[0]) - 1), " +
+          "i -> aggregate(msgs, 0D, (acc, m) -> acc + m[i]) / n)").as("vector"))
+  }
+
+  /** G6 — the reference's "distmult"-named score, which actually computes
+    * the additive sum(s + r − o) (reference rgcn.py:31-37; name quirk
+    * preserved in the doc, semantics preserved in code). Decomposes to
+    * sum(s) + sum(r) − sum(o), so each vector is reduced ONCE and the
+    * per-triplet work is three scalar lookups — no per-triplet array
+    * math at all.
+    */
+  def scoreTriplets(triplets: DataFrame, entityEmb: DataFrame, relationEmb: DataFrame): DataFrame = {
+    def sums(df: DataFrame, idCol: String, out: String) =
+      df.select(col(idCol), explode(col("vector")).as("x"))
+        .groupBy(col(idCol)).agg(sum(col("x").cast("double")).as(out))
+    val entSums = sums(entityEmb, "entity_id", "s")
+    val relSums = sums(relationEmb, "relation_id", "r")
+    triplets
+      .join(entSums.select(col("entity_id").as("head_id"), col("s").as("head_sum")), Seq("head_id"))
+      .join(relSums.select(col("relation_id"), col("r").as("rel_sum")), Seq("relation_id"))
+      .join(entSums.select(col("entity_id").as("tail_id"), col("s").as("tail_sum")), Seq("tail_id"))
+      .withColumn("score", col("head_sum") + col("rel_sum") - col("tail_sum"))
+  }
+}

@@ -47,6 +47,26 @@ object VectorQueries {
       SimilaritySearch.lshTopK(
         Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10,
         nPlanes = 6, dim = 64)
+    }),
+
+    // G6 — additive triplet scoring sum(s + r − o) (reference
+    // rgcn.py:31-37, its "distmult"-named quirk): decomposed to
+    // sum(s)+sum(r)−sum(o) so each vector reduces once; triplets are
+    // (i, i+1 mod n, i+2 mod n) over the embedding ids.
+    "g6_triplet_score" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      val sums = e.select(col("vec_id"), explode(col("embedding")).as("x"))
+        .groupBy(col("vec_id")).agg(sum(col("x").cast("double")).as("vsum"))
+      val triplets = e.select(col("vec_id").as("head_id"),
+        pmod(col("vec_id") + 1, lit(n)).as("relation_id"),
+        pmod(col("vec_id") + 2, lit(n)).as("tail_id"))
+      triplets
+        .join(sums.select(col("vec_id").as("head_id"), col("vsum").as("hs")), Seq("head_id"))
+        .join(sums.select(col("vec_id").as("relation_id"), col("vsum").as("rs")), Seq("relation_id"))
+        .join(sums.select(col("vec_id").as("tail_id"), col("vsum").as("ts")), Seq("tail_id"))
+        .select(col("head_id"), col("relation_id"), col("tail_id"),
+          round(col("hs") + col("rs") - col("ts"), 4).as("score"))
     })
   )
 
@@ -85,6 +105,20 @@ object VectorQueries {
                   sum(CAST(vb[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE)) AS nb
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
-         FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4"""
+         FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    "g6_triplet_score" ->
+      """WITH n AS (SELECT count(*) AS n FROM embeddings),
+         sums AS (SELECT vec_id, sum(CAST(x AS DOUBLE)) AS vsum
+                  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+                  GROUP BY vec_id),
+         t AS (SELECT e.vec_id AS head_id,
+                      (e.vec_id + 1) % n.n AS relation_id,
+                      (e.vec_id + 2) % n.n AS tail_id
+               FROM embeddings e CROSS JOIN n)
+         SELECT head_id, relation_id, tail_id,
+                round(h.vsum + r.vsum - o.vsum, 4) AS score
+         FROM t JOIN sums h ON t.head_id = h.vec_id
+                JOIN sums r ON t.relation_id = r.vec_id
+                JOIN sums o ON t.tail_id = o.vec_id"""
   )
 }
