@@ -164,6 +164,24 @@ object AggregateQueries {
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // A13 — training-loss reductions as dataflow (first.py:54,
+    // tabnet.py:277-289): MSE, L1, and the combined λ·CE + (1−λ)·MSE
+    // shape with a deterministic pseudo-probability.
+    "a13_loss" -> ((s, dir) => {
+      val lambda = 0.2
+      scored(s, dir)
+        .withColumn("sq", pow(col("target") - col("pred"), 2))
+        .withColumn("prob",
+          lit(1.0) / (lit(1.0) + exp(-(col("pred") / col("target") - lit(1.0)))))
+        .withColumn("ce", -log(col("prob")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(avg(col("sq")), 4).as("mse"),
+          round(avg(abs(col("target") - col("pred"))), 4).as("l1"),
+          round(lit(lambda) * avg(col("ce")) + lit(1 - lambda) * avg(col("sq")), 4)
+            .as("combined_loss"))
+    }),
+
     // W1 — per-group ranking, top-2 (evaluate.py:105-109).
     "w1_rank" -> ((s, dir) => {
       val l = scored(s, dir)
@@ -261,6 +279,17 @@ object AggregateQueries {
          SELECT CAST(least(floor((l_extendedprice - lo) * 40 / (hi - lo)), 39) AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM lineitem CROSS JOIN stats GROUP BY 1""",
+    "a13_loss" ->
+      """WITH s AS (SELECT l_returnflag,
+             l_extendedprice AS target,
+             l_extendedprice * (1 - l_discount) AS pred FROM lineitem),
+         e AS (SELECT l_returnflag,
+             power(target - pred, 2) AS sq,
+             abs(target - pred) AS l1,
+             -ln(1.0 / (1.0 + exp(-(pred / target - 1.0)))) AS ce FROM s)
+         SELECT l_returnflag, round(avg(sq), 4) AS mse, round(avg(l1), 4) AS l1,
+                round(0.2 * avg(ce) + 0.8 * avg(sq), 4) AS combined_loss
+         FROM e GROUP BY l_returnflag""",
     "w1_rank" ->
       """SELECT l_orderkey, l_linenumber, rnk FROM (
            SELECT l_orderkey, l_linenumber,
