@@ -106,6 +106,8 @@ object GraphQueries {
       val vocabSize = vocab.count()
       val a = attrs(s, dir)
       val b = a.select(col("row_id"), col("name").as("t_name"), col("value").as("t_value"))
+      // cached: both union branches (positives + corrupted negatives)
+      // consume this frame within the same action
       val pos = a.join(b, Seq("row_id"))
         .where(col("name") =!= col("t_name"))
         .select(
@@ -113,6 +115,7 @@ object GraphQueries {
           col("t_name").as("relation"),
           concat(col("t_name"), lit(":"), col("t_value")).as("tail_entity"))
         .distinct()
+        .cache()
       val corruptId = pmod(
         xxhash64(col("head_entity"), col("relation"), col("tail_entity")),
         lit(vocabSize)).as("corrupt_id")

@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Mutable per-user session state for EventStreams.sessionize. Top-level
+  * (not nested/private) so the state encoder's generated code can reach
+  * its accessors.
+  */
+final case class SessionState(start_ms: Long, last_ms: Long,
+    n_events: Long, total_value: Double)
 
 /** Structured Streaming slice over the `events` schema (SURVEY.md §2.11 —
   * extension, not reference parity: the reference is batch-only).
@@ -42,4 +50,62 @@ object EventStreams {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
         max(col("event_time")).as("last_seen"))
+
+  /** Input row for sessionization (event_time in epoch millis — keeps
+    * the state encoder primitive-only).
+    */
+  final case class SessionEvent(user_id: Long, event_ms: Long, value: Double)
+
+  /** A closed session: gap-based, per user. */
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): events for a user
+    * belong to one session while gaps stay under `gapMs`; a longer gap
+    * closes the session and emits it. State per key is one small case
+    * class — bounded by #active users, not #events. The same function
+    * body serves batch (sorted groups) and streaming (timeout-driven)
+    * runs; the spec feeds both a batch Dataset and a MemoryStream.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val sorted = rows.toSeq.sortBy(_.event_ms)
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.event_ms - s.last_ms <= gapMs =>
+                cur = Some(SessionState(s.start_ms, e.event_ms,
+                  s.n_events + 1, s.total_value + e.value))
+              case Some(s) =>
+                closed += Session(userId, s.start_ms, s.last_ms, s.n_events, s.total_value)
+                cur = Some(SessionState(e.event_ms, e.event_ms, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(e.event_ms, e.event_ms, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Flush still-open sessions (batch epilogue / final trigger). */
+  def openSessions(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(_.event_ms)
+      var s: SessionState = null
+      sorted.foreach { e =>
+        s = if (s == null || e.event_ms - s.last_ms > gapMs)
+          SessionState(e.event_ms, e.event_ms, 1L, e.value)
+        else SessionState(s.start_ms, e.event_ms, s.n_events + 1, s.total_value + e.value)
+      }
+      Session(userId, s.start_ms, s.last_ms, s.n_events, s.total_value)
+    }
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.car.{Normalize, Triplets, Vocab}
+
+/** Property-based invariants (SURVEY.md §5) over seeded ScalaCheck
+  * generators: normalize∘denormalize ≈ id, triplet-dedup idempotence,
+  * vocabulary encode totality, negative-sampling label balance.
+  * (Raw Gen + fixed seeds — each case runs Spark jobs, so a handful of
+  * deterministic samples beats hundreds of random ones.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i =>
+      gen.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+
+  test("normalize ∘ denormalize ≈ id for both methods") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1e4, 1e4)).suchThat(_.length >= 2)
+    samples(gen, 5).foreach { xs =>
+      val df = xs.toDF("x")
+      Seq(Normalize.ZScore, Normalize.MinMax).foreach { m =>
+        val (norm, stats) = Normalize.fitTransform(df, Seq("x"), m)
+        val back = stats.denormalize(norm, Seq("x"))
+          .select("x").collect().map(_.getDouble(0)).sorted
+        back.zip(xs.sorted).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+            s"method=$m xs=$xs")
+        }
+      }
+    }
+  }
+
+  test("triplet expansion is idempotent under duplication and bounded by k(k-1)·rows") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
+    samples(gen, 4).foreach { rows =>
+      val df = rows.toDF("a", "b", "c")
+      val once = Triplets.fromRows(df, Seq("a", "b", "c")).collect().toSet
+      val twice = Triplets.fromRows(df.union(df), Seq("a", "b", "c")).collect().toSet
+      assert(once == twice)
+      assert(once.size <= rows.distinct.size * 6)
+    }
+  }
+
+  test("vocabulary encode is total over its build inputs") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.choose(0L, 20L)), 4).foreach { vs =>
+      val df = vs.toDF("v")
+      val vocab = Vocab.build(Seq(df), Seq("v"))
+      val encoded = Vocab.encode(df, vocab, Seq("v"))
+      assert(encoded.where(col("vId").isNull).count() == 0)
+      assert(vocab.count() == vs.distinct.size)
+    }
+  }
+
+  test("negative sampling: rate·|pos| negatives, ids within vocabulary") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 2L), Gen.choose(0L, 9L)))
+    samples(gen.flatMap(e => Gen.choose(1, 4).map(e -> _)), 4)
+      .foreach { case (edges, rate) =>
+        val df = edges.distinct.toDF("head_id", "relation_id", "tail_id")
+        val out = Triplets.negativeSample(df, numEntities = 10, rate = rate)
+        assert(out.where(col("label") === 1).count() == edges.distinct.size)
+        assert(out.where(col("label") === 0).count() == edges.distinct.size.toLong * rate)
+        val ids = out.select("head_id").union(out.select("tail_id"))
+          .collect().map(_.getLong(0))
+        assert(ids.forall(id => id >= 0 && id < 10))
+      }
+  }
+}

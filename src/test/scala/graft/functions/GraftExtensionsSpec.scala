@@ -1,0 +1,26 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.GraftExtensions
+
+/** The native expressions must be reachable from SQL once registered
+  * (SparkSessionExtensions / FunctionRegistry path).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("vec_dot and simhash64 are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "simhash64(array('a', 'b')) AS h").head()
+    assert(r.getDouble(0) == 11.0)
+    // deterministic signature, stable across calls
+    val again = spark.sql("SELECT simhash64(array('a', 'b'))").head().getLong(0)
+    assert(r.getLong(1) == again)
+    // matches the Column API result
+    import org.apache.spark.sql.functions._
+    val viaColumn = spark.range(1)
+      .select(TextOps.simHash(array(lit("a"), lit("b")))).head().getLong(0)
+    assert(again == viaColumn)
+  }
+}

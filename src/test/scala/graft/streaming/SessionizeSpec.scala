@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import EventStreams.{Session, SessionEvent}
+
+class SessionizeSpec extends SparkSpec {
+
+  // user 1: two sessions separated by a 10-min gap; user 2: one session
+  private val evs = Seq(
+    SessionEvent(1L, 0L, 1.0),
+    SessionEvent(1L, 60_000L, 2.0),
+    SessionEvent(1L, 700_000L, 4.0),   // > 5-min gap → new session
+    SessionEvent(2L, 100_000L, 8.0))
+  private val gap = 300_000L
+
+  test("stateful sessionization closes sessions on gap (streaming run)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // only user 1's FIRST session is closed; the rest are open state
+      val closed = spark.table("sessions").as[Session].collect()
+      assert(closed.toSeq == Seq(Session(1L, 0L, 60_000L, 2L, 3.0)))
+
+      // a later batch far in the future closes user 1's second session
+      mem.addData(SessionEvent(1L, 2_000_000L, 0.5))
+      q.processAllAvailable()
+      val after = spark.table("sessions").as[Session].collect().toSet
+      assert(after.contains(Session(1L, 700_000L, 700_000L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("batch epilogue flushes open sessions with the same math") {
+    import spark.implicits._
+    val open = EventStreams.openSessions(evs.toDS(), gap).collect().toSet
+    assert(open.contains(Session(2L, 100_000L, 100_000L, 1L, 8.0)))
+    // user 1's LAST session per batch semantics
+    assert(open.contains(Session(1L, 700_000L, 700_000L, 1L, 4.0)))
+  }
+}
