@@ -82,6 +82,25 @@ object GraphQueries {
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("rel")))
     }),
 
+    // R2 — sequential split by an ordering column (samples.py:96-117,
+    // the fixed form — quirk X1's overlap lives in Splits as a flag).
+    "r2_seq_split" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 1000)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // R5 — entity relabel to dense local ids (samples.py:45-47:
+    // np.unique(return_inverse) as dense_rank over distinct node ids).
+    "r5_relabel" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val nodes = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+      val w = Window.orderBy(col("node"))
+      nodes.withColumn("local_id", dense_rank().over(w).cast("long") - 1)
+    }),
+
     // R1 — seeded shuffled 70/30 split (utils.py:210-219). Deterministic for
     // a fixed seed+partitioning but not SQL-expressible → rows-only.
     "r1_split_train" -> ((s, dir) => {
@@ -156,6 +175,17 @@ object GraphQueries {
                 b.name AS relation,
                 concat(b.name, ':', b.value) AS tail_entity
          FROM a JOIN a b ON a.row_id = b.row_id AND a.name < b.name""",
+    "r2_seq_split" ->
+      """SELECT o_orderkey, o_custkey FROM (
+           SELECT o_orderkey, o_custkey,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         WHERE rn <= 1000""",
+    "r5_relabel" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+         SELECT node, CAST(dense_rank() OVER (ORDER BY node) AS BIGINT) - 1 AS local_id
+         FROM nodes""",
     "r6_bidirectional" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
          SELECT src, dst, rel FROM e

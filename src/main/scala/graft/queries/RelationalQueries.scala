@@ -47,6 +47,21 @@ object RelationalQueries {
         .na.fill(Map("status_n" -> "-1", "price_n" -> 0.0))
     }),
 
+    // P4 — column select by role list (data.py:9-11): the "continuous"
+    // role columns of lineitem, driven by a config list not literals.
+    "p4_role_select" -> ((s, dir) => {
+      val continuousRoles = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Tables.lineitem(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber") ++ continuousRoles).map(col): _*)
+    }),
+
+    // P6 — equality-predicate row filter (utils.py:244), standalone form.
+    "p6_filter_eq" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
     // P6/P7 — equality + null-test predicates (utils.py:244,275-276).
     "p7_filter_null" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -133,6 +148,10 @@ object RelationalQueries {
          coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END, '-1') AS status_n,
          coalesce(CASE WHEN o_totalprice > 200000.0 THEN NULL ELSE o_totalprice END, 0.0) AS price_n
          FROM orders""",
+    "p4_role_select" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem",
+    "p6_filter_eq" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
     "p7_filter_null" ->
       "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
     "p8_slice" ->
