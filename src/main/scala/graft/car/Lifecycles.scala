@@ -1,0 +1,89 @@
+package graft.car
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metrics.Scores
+
+/** The reference's three batch entry points (SURVEY.md §3) as callable
+  * lifecycles — a user of the reference runs `python preprocess.py /
+  * first.py / second.py`; here the same dataflow is three functions over
+  * a SparkSession. Neural stages are MLlib models (capability parity,
+  * not weight parity); intermediates are parquet, not xlsx.
+  */
+object Lifecycles {
+
+  final case class PreprocessOut(
+      repaired: DataFrame, train: DataFrame, dev: DataFrame,
+      vocab: DataFrame, triplets: DataFrame)
+
+  /** §3.1 preprocess.py: ingest → repair → split → dictionary → KG
+    * triplets (reference preprocess.py:92-119; RGCN pretraining is the
+    * pluggable EmbeddingStore boundary).
+    */
+  def preprocess(spark: SparkSession, carPath: String,
+      discreteCols: Seq[String] = Seq("brand", "serial", "model", "color",
+        "cityId", "country", "oiltype"),
+      seed: Long = 42L): PreprocessOut = {
+    val raw = CarSources.readCarTest(spark, carPath)
+    val repaired = Repair.repair(raw)
+    val (train, dev) = Splits.shuffledSplit(repaired, 0.7, seed)
+    val vocab = Vocab.build(Seq(train, dev), discreteCols)
+    val triplets = Triplets.fromRows(train, discreteCols)
+      .unionByName(Triplets.fromRows(dev, discreteCols, upperTriangleOnly = true))
+      .dropDuplicates("head_entity", "relation", "tail_entity")
+    PreprocessOut(repaired, train, dev, vocab, triplets)
+  }
+
+  /** §3.2 first.py: featurize → normalize → train → predict →
+    * denormalize → submission frame (reference first.py:21-128,
+    * evaluate.py:69-95). Returns (submission, metricsReport).
+    */
+  def first(spark: SparkSession, trainDf: DataFrame, scoreDf: DataFrame,
+      labelCol: String = "newprice"): (DataFrame, DataFrame) = {
+    def featurize(df: DataFrame): DataFrame =
+      CarFeatures.withDateComponents(
+        CarFeatures.withDimensionFeatures(df), "tradeTime", "trade")
+    val vocabCols = Seq("brand", "color", "oiltype")
+    val vocab = Vocab.build(Seq(trainDf, scoreDf), vocabCols)
+    def encode(df: DataFrame) = Vocab.encode(featurize(df), vocab, vocabCols)
+    val train0 = encode(trainDf)
+    // normalize the label like the reference normalizes price (A2), and
+    // invert predictions with the SAME stats (A4)
+    val stats = Normalize.fit(train0, Seq(labelCol), Normalize.ZScore)
+    val train = Normalize.transform(train0, stats, Seq(labelCol))
+    val model = Pipelines.priceRegression(train, labelCol, useGbt = false)
+    val scored0 = model.transform(encode(scoreDf))
+      .withColumn(labelCol, col("prediction"))
+    val scored = stats.denormalize(scored0, Seq(labelCol))
+      .withColumn("predicted_price", col(labelCol))
+    val submission = scored.select(col("carid"), col("predicted_price").as("price"))
+    val report = Scores.regressionReport(
+      model.transform(train).withColumnRenamed("prediction", "pred_z"),
+      labelCol, "pred_z")
+    (submission, report)
+  }
+
+  /** §3.3 second.py: transaction join + deal label → classifier;
+    * sold-cars join + final-price parse → date/price heads
+    * (reference second.py:118-151). Returns the two scored frames.
+    */
+  def second(spark: SparkSession, carDf: DataFrame, txnDf: DataFrame): (DataFrame, DataFrame) = {
+    def featurize(df: DataFrame): DataFrame =
+      CarFeatures.withDateComponents(
+        CarFeatures.withDimensionFeatures(df), "tradeTime", "trade")
+    val labeled = featurize(CarJoins.carWithTransactions(carDf, txnDf))
+    val clf = Pipelines.dealClassifier(labeled)
+    val dealScored = clf.transform(labeled)
+      .select(col("carid"), col("dealResult"), col("prediction").as("deal_pred"))
+
+    val sold = CarFeatures.withDateComponents(
+      featurize(CarFeatures.withFinalPrice(CarJoins.soldCars(carDf, txnDf))),
+      "withdrawDate", "deal")
+    val (ym, mm, dm, pm) = Pipelines.dealDateAndPrice(sold)
+    val datePrice = pm.transform(dm.transform(mm.transform(ym.transform(sold))))
+      .select(col("carid"),
+        col("dealYearPred"), col("dealMonthPred"), col("dealDayPred"),
+        col("dealPricePred"))
+    (dealScored, datePrice)
+  }
+}

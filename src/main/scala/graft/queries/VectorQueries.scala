@@ -49,6 +49,28 @@ object VectorQueries {
         nPlanes = 6, dim = 64)
     }),
 
+    // IVF-style ANN: coarse-quantize to deterministic centroids (the
+    // first 8 vectors), then search only the query's cell with exact
+    // cosine — the partition-pruning scale path. Centroid assignment is
+    // engine arithmetic over literals → rows-only.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e.where(col("vec_id") < 8)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getAs[Int]("label") ->
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+        .zipWithIndex.map { case ((_, v), i) => i -> v.toSeq }.toSeq
+      val cells = SimilaritySearch.assignToCentroids(e, "embedding", centroids)
+      val q = cells.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("cell").as("qcell"))
+      cells.join(broadcast(q), col("cell") === col("qcell"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G6 — additive triplet scoring sum(s + r − o) (reference
     // rgcn.py:31-37, its "distmult"-named quirk): decomposed to
     // sum(s)+sum(r)−sum(o) so each vector reduces once; triplets are

@@ -1,0 +1,62 @@
+package graft.car
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** §3 lifecycles end-to-end on the REAL reference data (附件2 drives both
+  * the preprocess pipeline and, with newprice as the stand-in label, the
+  * first.py regression; 附件4 drives second.py). Skipped if the
+  * reference tree is absent.
+  */
+class LifecyclesSpec extends SparkSpec {
+
+  private val testPath = "/root/reference/data/附件2：估价验证数据.txt"
+  private val txnPath = "/root/reference/data/附件4：门店交易训练数据.txt"
+  private def exists(p: String) = new java.io.File(p).isFile
+
+  test("preprocess lifecycle: repair → split → vocab → triplets on 附件2") {
+    assume(exists(testPath))
+    val out = Lifecycles.preprocess(spark, testPath)
+    assert(out.repaired.count() == 5000)
+    assert(out.train.count() + out.dev.count() == 5000)
+    assert(out.vocab.count() > 0)
+    assert(out.vocab.select("col_name").distinct().count() == 7)
+    val t = out.triplets
+    assert(t.count() > 0)
+    assert(t.select("relation").distinct().count() <= 7)
+    // triplet set is deduplicated
+    assert(t.count() == t.dropDuplicates("head_entity", "relation", "tail_entity").count())
+  }
+
+  test("first lifecycle: train on 70% of 附件2, score the rest, emit submission") {
+    assume(exists(testPath))
+    val repaired = Repair.repair(CarSources.readCarTest(spark, testPath))
+    val (train, dev) = Splits.shuffledSplit(repaired, 0.7)
+    val (submission, report) = Lifecycles.first(spark, train, dev)
+    assert(submission.columns.toSeq == Seq("carid", "price"))
+    assert(submission.count() == dev.count())
+    assert(submission.where(col("price").isNull || isnan(col("price"))).count() == 0)
+    val r = report.head()
+    assert(r.getAs[Long]("n") == train.count())
+  }
+
+  test("second lifecycle: deal classifier + date/price heads on real transactions") {
+    assume(exists(txnPath))
+    val txn = CarSources.readStoreTxn(spark, txnPath)
+    // 附件4's carids reference the repo-stripped 附件1 (zero overlap with
+    // 附件2 — verified), so the car side is a facsimile keyed by the real
+    // transaction ids.
+    val txnIds = txn.select("carid").distinct().limit(300)
+      .collect().map(_.getLong(0))
+    val lines = txnIds.zipWithIndex.map { case (id, i) =>
+      CarFixtures.trainLine(id, 5.0 + i * 0.2, withNulls = i % 7 == 0)
+    }
+    val car = Repair.repair(
+      CarSources.readCarTrain(spark, CarFixtures.writeTsv(lines.toSeq)))
+    val (dealScored, datePrice) = Lifecycles.second(spark, car, txn)
+    assert(dealScored.count() > 0)
+    assert(dealScored.select("deal_pred").distinct().count() <= 2)
+    assert(datePrice.count() > 0)
+    assert(datePrice.where(col("dealPricePred").isNull).count() == 0)
+  }
+}

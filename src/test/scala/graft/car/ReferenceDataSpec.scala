@@ -41,13 +41,18 @@ class ReferenceDataSpec extends SparkSpec {
     assert(priced.where(col("dealPrice").isNull && col("pushPrice").isNotNull).count() == 0)
   }
 
-  test("J1 on real data: every store transaction with a matching car joins") {
-    assume(exists(testPath) && exists(txnPath))
-    val car = Repair.repair(CarSources.readCarTest(spark, testPath))
-      .withColumn("price", lit(null).cast("double")) // 附件2 has no price col
+  test("J1 on real transactions: join count matches the semi-join ground truth") {
+    assume(exists(txnPath))
     val txn = CarSources.readStoreTxn(spark, txnPath)
+    // car side: facsimile keyed by half the real transaction ids (附件4
+    // references the repo-stripped 附件1, so no real car table overlaps it)
+    val ids = txn.select("carid").distinct().limit(200).collect().map(_.getLong(0))
+    val half = ids.take(100)
+    val car = Repair.repair(CarSources.readCarTrain(spark,
+      CarFixtures.writeTsv(half.map(id => CarFixtures.trainLine(id, 9.9)).toSeq)))
     val joined = CarJoins.carWithTransactions(car, txn)
     val expected = txn.join(car.select("carid"), Seq("carid")).count()
     assert(joined.count() == expected)
+    assert(expected >= 100) // at least one txn per matched car
   }
 }
