@@ -62,8 +62,12 @@ object SimilaritySearch {
     * bucket the stored table by — queries then scan only the probed cells.
     */
   def assignToCentroids(df: DataFrame, vecCol: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    // argmin ||v−c||² = argmin (||c||² − 2·v·c): the row's own norm is
+    // common to every cell, so each centroid costs ONE codegen'd dot
+    // (||c||² folds to a literal at plan time).
     val assignments = centroids.map { case (cid, c) =>
-      struct(VectorOps.sqDist(col(vecCol), array(c.map(lit): _*)).as("d"),
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * VectorOps.dot(col(vecCol), array(c.map(lit): _*))).as("d"),
         lit(cid).as("cid"))
     }
     df.withColumn("cell", array_min(array(assignments: _*)).getField("cid"))
