@@ -13,10 +13,13 @@ object CarFeatures {
     * (non-physical, preserved for parity).
     */
   def withDimensionFeatures(df: DataFrame, dimCol: String = "anonymousFeature12"): DataFrame = {
+    // try_element_at: ANSI mode throws on out-of-bounds, and a malformed
+    // dimension string (fewer than 3 '*'-parts) must yield nulls like the
+    // reference's split does, not kill the job.
     val p = split(col(dimCol), "\\*")
-    val l = element_at(p, 1).cast("double")
-    val w = element_at(p, 2).cast("double")
-    val h = element_at(p, 3).cast("double")
+    val l = try_element_at(p, lit(1)).cast("double")
+    val w = try_element_at(p, lit(2)).cast("double")
+    val h = try_element_at(p, lit(3)).cast("double")
     df.withColumn("carLength", l)
       .withColumn("carWidth", w)
       .withColumn("carHeight", h)

@@ -16,17 +16,23 @@ object Splits {
 
   /** R2 — sequential split by an ordering column. The reference slices
     * `.loc[:n]` / `.loc[n:]`, which puts row n in BOTH halves (quirk X1);
-    * `overlapBoundary = true` reproduces that, the default fixes it.
+    * `overlapBoundary = true` reproduces that, the default gives an exact
+    * trainLen/rest cut. Indexing is a range-partitioned sort +
+    * zipWithIndex (DenseId) — no single-partition Window — and the
+    * indexed frame is cached so the row count and both halves come from
+    * one materialization.
     */
   def sequentialSplit(df: DataFrame, orderCol: String, trainFraction: Double,
       overlapBoundary: Boolean = false): (DataFrame, DataFrame) = {
-    val n = df.count()
+    val indexed =
+      graft.operators.DenseId.withOrderedId(df, "__idx", orderCol).cache()
+    val n = indexed.count()
     val trainLen = (trainFraction * n).toLong
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    val indexed = df.withColumn("__idx", row_number().over(w).cast("long") - 1)
-    val train = indexed.where(col("__idx") <= trainLen).drop("__idx")
-    val devFrom = if (overlapBoundary) trainLen else trainLen + 1
-    val dev = indexed.where(col("__idx") >= devFrom).drop("__idx")
+    // X1 (`.loc[:n]`) includes boundary row n in train AND dev; the fixed
+    // form puts exactly trainLen rows in train.
+    val trainEnd = if (overlapBoundary) trainLen + 1 else trainLen
+    val train = indexed.where(col("__idx") < trainEnd).drop("__idx")
+    val dev = indexed.where(col("__idx") >= trainLen).drop("__idx")
     (train, dev)
   }
 }

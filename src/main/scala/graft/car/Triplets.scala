@@ -83,7 +83,12 @@ object Triplets {
   def negativeSample(edges: DataFrame, numEntities: Long, rate: Int): DataFrame = {
     val tiled = edges.withColumn("rep", explode(array((0 until rate).map(lit): _*)))
     val h = xxhash64(col("head_id"), col("relation_id"), col("tail_id"), col("rep"))
-    val corruptEntity = pmod(h, lit(numEntities))
+    // Decorrelated draws: taking both the head/tail coin AND the entity
+    // from the same hash would tie their parities whenever numEntities is
+    // even (corrupted heads only ever even ids, tails only odd) — rehash
+    // for the entity so the two draws are independent like the
+    // reference's separate rand() calls.
+    val corruptEntity = pmod(xxhash64(h, lit(1)), lit(numEntities))
     val corruptHead = pmod(h, lit(2)) === 0
     tiled.select(
       when(corruptHead, corruptEntity).otherwise(col("head_id")).as("head_id"),

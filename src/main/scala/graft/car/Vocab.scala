@@ -1,7 +1,6 @@
 package graft.car
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A1/G1/J4 — dictionary (vocabulary) construction and application
@@ -30,11 +29,10 @@ object Vocab {
         .select(col("p.col_name"), col("p.value"))
     }.reduce(_ union _)
     val distinctVals = unpivoted.where(col("value").isNotNull).distinct()
-    // Vocabularies are small by construction (Σ distinct per column);
-    // a single-partition row_number is fine. For vocabularies that
-    // exceed one partition, swap for zipWithIndex on the sorted RDD.
-    val w = Window.orderBy(col("col_name"), col("value"))
-    distinctVals.withColumn("id", row_number().over(w).cast("long") - 1)
+    // Dense 0-based ids via range sort + zipWithIndex (DenseId): same ids
+    // as row_number()-1, but no single-partition WindowExec — works
+    // unchanged when the vocabulary outgrows one partition.
+    graft.operators.DenseId.withOrderedId(distinctVals, "id", "col_name", "value")
   }
 
   /** Encode `columns` of `df` to their vocabulary ids via broadcast joins,

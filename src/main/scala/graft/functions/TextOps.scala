@@ -46,7 +46,9 @@ object TextOps {
     * the decision structure (featurize → threshold buckets) is the same.
     */
   def vowelRatio(text: Column): Column =
-    vowelCount(text).cast("double") / length(text)
+    // try_divide: the empty string is 0/0, which throws under ANSI mode;
+    // null here flows through langId's `when` chain to its otherwise-bucket.
+    try_divide(vowelCount(text).cast("double"), length(text))
 
   /** Heuristic language ID over vowel-ratio buckets (deterministic). */
   def langId(text: Column): Column = {

@@ -22,10 +22,14 @@ object CompetitionScoreAggregator {
     override def zero: Buf = Buf(0.0, 0L, 0L)
     override def reduce(b: Buf, row: (Double, Double)): Buf = {
       val (target, pred) = row
-      val ape = math.abs(target - pred) / pred
-      b.apeSum += ape
-      if (ape <= threshold) b.hits += 1
-      b.n += 1
+      // pred == 0 → skip the row entirely (don't count it into n), matching
+      // Scores.ape's try_divide-null + avg-skips-null semantics.
+      if (pred != 0.0) {
+        val ape = math.abs(target - pred) / pred
+        b.apeSum += ape
+        if (ape <= threshold) b.hits += 1
+        b.n += 1
+      }
       b
     }
     override def merge(a: Buf, b: Buf): Buf = {

@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Scores {
 
-  /** |t − p| / p — reference form (X4). */
-  def ape(target: Column, pred: Column): Column = abs(target - pred) / pred
+  /** |t − p| / p — reference form (X4). `try_divide` so a zero prediction
+    * yields null (dropped by the avg-based consumers) instead of throwing
+    * under Spark 4's ANSI mode. Divergence from the reference: numpy
+    * produces `inf` there, which poisons the mean; null-and-skip is the
+    * usable semantics and is documented here rather than reproduced.
+    */
+  def ape(target: Column, pred: Column): Column = try_divide(abs(target - pred), pred)
 
   /** |t − p| / t — textbook form, for comparison runs. */
-  def apeVsTarget(target: Column, pred: Column): Column = abs(target - pred) / target
+  def apeVsTarget(target: Column, pred: Column): Column =
+    try_divide(abs(target - pred), target)
 
   def mape(target: Column, pred: Column): Column = avg(ape(target, pred))
 

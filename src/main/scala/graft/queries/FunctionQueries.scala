@@ -22,9 +22,9 @@ object FunctionQueries {
       val p = split(col("dims"), "\\*")
       l.select(
         col("l_orderkey"), col("l_linenumber"),
-        element_at(p, 1).cast("long").as("len"),
-        element_at(p, 2).cast("long").as("width"),
-        element_at(p, 3).cast("long").as("height"))
+        try_element_at(p, lit(1)).cast("long").as("len"),
+        try_element_at(p, lit(2)).cast("long").as("width"),
+        try_element_at(p, lit(3)).cast("long").as("height"))
         .withColumn("volume", col("len") * col("width") * col("height"))
         .withColumn("perimeter", lit(4) * (col("len") + col("width") + col("height")))
         .withColumn("surface", lit(4) * (col("len") * col("width")

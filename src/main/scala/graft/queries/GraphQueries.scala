@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.DenseId
 import graft.sources.Tables
 
 /** Knowledge-graph construction and sampling — SURVEY.md §2.9-2.10.
@@ -38,14 +38,14 @@ object GraphQueries {
       .distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // G1 — entity vocabulary with dense ids (utils.py:144-153): global
-    // row_number over a vocabulary-sized distinct set. (For a 100 TB build
-    // the id assignment would switch to zipWithIndex / monotonic id +
-    // dense_rank per partition-range; vocab tables are small by nature.)
+    // G1 — entity vocabulary with dense ids (utils.py:144-153): dense
+    // 0-based ids from a range-partitioned sort + zipWithIndex (DenseId) —
+    // no partitionless Window, so the same plan holds when the "vocabulary"
+    // is a 100 TB entity set.
     "g1_vocab_entities" -> ((s, dir) => {
-      val w = Window.orderBy(col("name"), col("value"))
-      attrs(s, dir).select(col("name"), col("value")).distinct()
-        .withColumn("entity_id", row_number().over(w).cast("long") - 1)
+      DenseId.withOrderedId(
+        attrs(s, dir).select(col("name"), col("value")).distinct(),
+        "entity_id", "name", "value")
     }),
 
     // G2 — row → triplet expansion, all ordered pairs i≠j (utils.py:163-182).
@@ -84,21 +84,23 @@ object GraphQueries {
 
     // R2 — sequential split by an ordering column (samples.py:96-117,
     // the fixed form — quirk X1's overlap lives in Splits as a flag).
+    // "first 1000 in key order" is exactly orderBy+limit: Spark plans it
+    // as TakeOrdered (per-partition top-k + merge), never a global sort.
     "r2_seq_split" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_orderkey"))
       Tables.orders(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 1000)
         .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
     }),
 
     // R5 — entity relabel to dense local ids (samples.py:45-47:
-    // np.unique(return_inverse) as dense_rank over distinct node ids).
+    // np.unique(return_inverse)). Node ids are unique after distinct, so
+    // dense_rank ≡ row_number ≡ zipWithIndex over the sorted set — done
+    // with DenseId so the node set can exceed one partition.
     "r5_relabel" -> ((s, dir) => {
       val e = edges(s, dir)
       val nodes = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-      val w = Window.orderBy(col("node"))
-      nodes.withColumn("local_id", dense_rank().over(w).cast("long") - 1)
+      DenseId.withOrderedId(nodes, "local_id", "node")
     }),
 
     // R1 — seeded shuffled 70/30 split (utils.py:210-219). Deterministic for
@@ -117,11 +119,12 @@ object GraphQueries {
     // triplet into the entity vocabulary instead of rand() — same
     // distribution class, reproducible across runs and executors.
     "r4_negsample" -> ((s, dir) => {
-      val w = Window.orderBy(col("name"), col("value"))
-      val vocab = attrs(s, dir).select(col("name"), col("value")).distinct()
-        .withColumn("entity_id", row_number().over(w).cast("long") - 1)
+      val vocab = DenseId.withOrderedId(
+          attrs(s, dir).select(col("name"), col("value")).distinct(),
+          "entity_id", "name", "value")
         .select(col("entity_id"),
           concat(col("name"), lit(":"), col("value")).as("entity"))
+        .cache()
       val vocabSize = vocab.count()
       val a = attrs(s, dir)
       val b = a.select(col("row_id"), col("name").as("t_name"), col("value").as("t_value"))
