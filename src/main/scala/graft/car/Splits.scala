@@ -18,14 +18,17 @@ object Splits {
     * `.loc[:n]` / `.loc[n:]`, which puts row n in BOTH halves (quirk X1);
     * `overlapBoundary = true` reproduces that, the default gives an exact
     * trainLen/rest cut. Indexing is a range-partitioned sort +
-    * zipWithIndex (DenseId) — no single-partition Window — and the
-    * indexed frame is cached so the row count and both halves come from
-    * one materialization.
+    * zipWithIndex (DenseId) — no single-partition Window — and DenseId
+    * materializes the indexed frame once (eager localCheckpoint), so the
+    * row count and both halves read the same checkpointed blocks: no
+    * extra cache to leak, and ties can't reorder between the train and
+    * dev reads (DenseId also appends the remaining columns as a
+    * deterministic tiebreaker).
     */
   def sequentialSplit(df: DataFrame, orderCol: String, trainFraction: Double,
       overlapBoundary: Boolean = false): (DataFrame, DataFrame) = {
     val indexed =
-      graft.operators.DenseId.withOrderedId(df, "__idx", orderCol).cache()
+      graft.operators.DenseId.withOrderedId(df, "__idx", orderCol)
     val n = indexed.count()
     val trainLen = (trainFraction * n).toLong
     // X1 (`.loc[:n]`) includes boundary row n in train AND dev; the fixed

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe dense id assignment — the replacement for the
   * `row_number() OVER (ORDER BY …)` anti-pattern: a partitionless Window
@@ -13,25 +14,41 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * offsets cost one extra lightweight count job — no single-partition
   * stage anywhere.
   *
+  * The sorted lineage is persisted before `zipWithIndex` fires its offset
+  * job and the indexed result is materialized once via an eager
+  * `localCheckpoint`, so the global sort (and everything upstream of it)
+  * executes exactly once no matter how many times the result is consumed;
+  * the temporary cache is dropped before returning. The id table is
+  * therefore EAGER by construction — `zipWithIndex` must see final
+  * partition sizes — which also means consumers (count, broadcast, reuse
+  * in several branches) read cheap checkpointed blocks. localCheckpoint
+  * blocks are not executor-loss-resilient; pipelines that need a durable
+  * id table write it to parquet (see EmbeddingStore / Lifecycles).
+  *
   * Matches the reference's dense 0-based ids from
   * `np.unique(..., return_inverse=True)` (samples.py:45-47) and the
-  * dictionary's insertion-order ids (utils.py:144-153) — deterministic
-  * because callers order by a unique key set.
+  * dictionary's insertion-order ids (utils.py:144-153).
   */
 object DenseId {
 
   /** `df` + a new `idCol` = row_number over (ORDER BY orderCols) − 1,
-    * computed without a partitionless WindowExec. Rows with equal order
-    * keys get arbitrary-but-deterministic relative ids (same caveat as
-    * row_number); callers use unique keys.
+    * computed without a partitionless WindowExec. The remaining columns
+    * are appended to the sort key as a deterministic tiebreaker, so rows
+    * with equal order keys still get stable ids across recomputations
+    * (cache eviction, speculative re-runs) as long as whole rows are
+    * distinct.
     */
   def withOrderedId(df: DataFrame, idCol: String, orderCols: String*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(orderCols.map(col): _*)
-    val schema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed, schema)
+    val tiebreak = df.columns.filterNot(orderCols.contains).map(col)
+    val sorted = df.orderBy(orderCols.map(col) ++ tiebreak: _*)
+    val sortedRdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
+      val indexed = sortedRdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }
+      spark.createDataFrame(indexed, schema).localCheckpoint(eager = true)
+    } finally sortedRdd.unpersist(blocking = false)
   }
 }

@@ -37,15 +37,25 @@ object GraphQueries {
         lit("supplies").as("rel"))
       .distinct()
 
+  /** The frames fed INTO DenseId — exposed so PlanSpec can assert that no
+    * partitionless Window hides upstream of DenseId's RDD boundary (the
+    * returned query's plan only shows a LogicalRDD scan).
+    */
+  private[graft] def entityVocabInput(s: SparkSession, dir: String): DataFrame =
+    attrs(s, dir).select(col("name"), col("value")).distinct()
+
+  private[graft] def relabelInput(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1 — entity vocabulary with dense ids (utils.py:144-153): dense
     // 0-based ids from a range-partitioned sort + zipWithIndex (DenseId) —
     // no partitionless Window, so the same plan holds when the "vocabulary"
     // is a 100 TB entity set.
     "g1_vocab_entities" -> ((s, dir) => {
-      DenseId.withOrderedId(
-        attrs(s, dir).select(col("name"), col("value")).distinct(),
-        "entity_id", "name", "value")
+      DenseId.withOrderedId(entityVocabInput(s, dir), "entity_id", "name", "value")
     }),
 
     // G2 — row → triplet expansion, all ordered pairs i≠j (utils.py:163-182).
@@ -98,9 +108,7 @@ object GraphQueries {
     // dense_rank ≡ row_number ≡ zipWithIndex over the sorted set — done
     // with DenseId so the node set can exceed one partition.
     "r5_relabel" -> ((s, dir) => {
-      val e = edges(s, dir)
-      val nodes = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-      DenseId.withOrderedId(nodes, "local_id", "node")
+      DenseId.withOrderedId(relabelInput(s, dir), "local_id", "node")
     }),
 
     // R1 — seeded shuffled 70/30 split (utils.py:210-219). Deterministic for
@@ -119,17 +127,18 @@ object GraphQueries {
     // triplet into the entity vocabulary instead of rand() — same
     // distribution class, reproducible across runs and executors.
     "r4_negsample" -> ((s, dir) => {
-      val vocab = DenseId.withOrderedId(
-          attrs(s, dir).select(col("name"), col("value")).distinct(),
+      // DenseId output is an eager localCheckpoint: the count and the
+      // broadcast below read cheap checkpointed blocks — no cache to leak.
+      val vocab = DenseId.withOrderedId(entityVocabInput(s, dir),
           "entity_id", "name", "value")
         .select(col("entity_id"),
           concat(col("name"), lit(":"), col("value")).as("entity"))
-        .cache()
       val vocabSize = vocab.count()
       val a = attrs(s, dir)
       val b = a.select(col("row_id"), col("name").as("t_name"), col("value").as("t_value"))
-      // cached: both union branches (positives + corrupted negatives)
-      // consume this frame within the same action
+      // both union branches (positives + corrupted negatives) share this
+      // subtree; the distinct's shuffle is deduplicated by ReuseExchange
+      // inside the single plan, so no session-lifetime cache is needed
       val pos = a.join(b, Seq("row_id"))
         .where(col("name") =!= col("t_name"))
         .select(
@@ -137,7 +146,6 @@ object GraphQueries {
           col("t_name").as("relation"),
           concat(col("t_name"), lit(":"), col("t_value")).as("tail_entity"))
         .distinct()
-        .cache()
       val corruptId = pmod(
         xxhash64(col("head_entity"), col("relation"), col("tail_entity")),
         lit(vocabSize)).as("corrupt_id")

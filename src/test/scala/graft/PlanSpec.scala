@@ -31,6 +31,45 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  // The queries above return DenseId output whose sparkPlan is just a
+  // LogicalRDD scan — a Window reintroduced UPSTREAM of the RDD boundary
+  // would be invisible there. Assert on the frames fed into DenseId too.
+  Seq(
+    "g1/r4 vocab input" ->
+      ((d: String) => graft.queries.GraphQueries.entityVocabInput(spark, d)),
+    "r5 relabel input" ->
+      ((d: String) => graft.queries.GraphQueries.relabelInput(spark, d))
+  ).foreach { case (name, mk) =>
+    test(s"$name (upstream of DenseId) plans without a partitionless Window") {
+      val df = mk(dir)
+      val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"partitionless WindowExec upstream of DenseId in $name:\n${df.queryExecution.sparkPlan}")
+    }
+  }
+
+  test("DenseId materializes its input's global sort exactly once") {
+    import spark.implicits._
+    val counted = spark.sparkContext.longAccumulator("denseid-input-rows")
+    val base = Seq(3, 1, 2).toDF("k").mapPartitions { it =>
+      it.map { r => counted.add(1); r }
+    }(org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))))
+    val out = graft.operators.DenseId.withOrderedId(base, "id", "k")
+    // Construction is eager (sort + zipWithIndex + localCheckpoint). The
+    // range partitioner samples the input before the sort pass, so up to
+    // two input passes are legitimate — but never more.
+    val afterBuild = counted.value
+    assert(afterBuild <= 6L,
+      s"DenseId construction read input ${afterBuild} row-times, expected ≤ 6 (sample + sort)")
+    out.count(); out.count() // consume twice — input must not recompute
+    assert(counted.value == afterBuild,
+      s"DenseId consumers recomputed input: ${counted.value} row-times after build's ${afterBuild}")
+  }
+
   test("DenseId ids equal row_number-1 over the sort order") {
     import spark.implicits._
     val df = Seq("d", "b", "a", "c", "e").toDF("k")
