@@ -26,20 +26,27 @@ object EmbeddingStore {
   /** G5 — one RGCN-style mean-aggregation step as dataflow (reference
     * rgcn.py:45-125's MessagePassing with aggr='mean', minus the learned
     * weights): each node's next vector = elementwise mean of its
-    * in-neighbors' vectors scaled by edge_norm. Shuffles once on dst;
-    * the per-edge work is codegen-friendly array arithmetic.
+    * in-neighbors' vectors scaled by edge_norm.
+    *
+    * Flat shape: posexplode each message vector to (entity, pos, v) rows,
+    * mean per (entity, pos) — a partial-aggregable hash aggregate that a
+    * hub node with millions of in-edges streams through (the previous
+    * array_agg form materialized ALL of a hub's message vectors in one
+    * aggregation buffer and reduced them with an interpreted lambda).
+    * Reassembly sorts (pos, v) structs per node; the `.value` field
+    * extraction is codegen'd.
     */
-  def meanAggregationStep(edges: DataFrame, embeddings: DataFrame): DataFrame = {
-    val msgs = edges
+  def meanAggregationStep(edges: DataFrame, embeddings: DataFrame): DataFrame =
+    edges
       .join(embeddings.select(col("entity_id").as("head_id"), col("vector")), Seq("head_id"))
-      .select(col("tail_id").as("entity_id"),
-        transform(col("vector"), x => x * col("edge_norm")).as("msg"))
-    msgs.groupBy(col("entity_id"))
-      .agg(count(lit(1)).as("n"), array_agg(col("msg")).as("msgs"))
-      .select(col("entity_id"),
-        expr("transform(sequence(0, size(msgs[0]) - 1), " +
-          "i -> aggregate(msgs, 0D, (acc, m) -> acc + m[i]) / n)").as("vector"))
-  }
+      .select(col("tail_id").as("entity_id"), col("edge_norm"),
+        posexplode(col("vector")))
+      .select(col("entity_id"), col("pos"), (col("col") * col("edge_norm")).as("mv"))
+      .groupBy(col("entity_id"), col("pos"))
+      .agg(avg(col("mv")).as("value"))
+      .groupBy(col("entity_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("sv"))
+      .select(col("entity_id"), col("sv.value").as("vector"))
 
   /** G6 — the reference's "distmult"-named score, which actually computes
     * the additive sum(s + r − o) (reference rgcn.py:31-37; name quirk

@@ -1,0 +1,162 @@
+package graft.car
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed trainer for the reference's KG-embedding objective
+  * (reference preprocess.py:25-91 `train_rgcn_model`, rgcn.py:31-44):
+  * additive triplet score `sum(s + r − o)` (the "distmult"-named quirk),
+  * binary cross-entropy with logits against 1/0 labels over
+  * positive + corrupted-negative samples, plus an L2 `reg_loss`.
+  *
+  * The reference trains in torch on one machine. Here every step is
+  * dataflow, so the same loop runs on a 100 TB triplet table:
+  *
+  *  - Embeddings live FLAT as `(id, pos, value)` rows, not arrays.
+  *    Because the score is additive, ∂score/∂s_k = 1, ∂/∂r_k = 1,
+  *    ∂/∂o_k = −1 for every dimension k — each triplet contributes ONE
+  *    scalar `g = σ(score) − label` to every dimension of its three
+  *    vectors. An epoch is therefore: per-id sums (groupBy), a three-way
+  *    sums join for scores, a union + groupBy for per-id gradients, and
+  *    one join to apply updates. All codegen'd joins/hash-aggregates,
+  *    partial-aggregation friendly, no interpreted lambdas, no
+  *    driver-side state; embedding tables shuffle on `id`, batches on
+  *    the triplet keys.
+  *  - Per-epoch `localCheckpoint` truncates the iterative lineage (the
+  *    standard Spark iterative-algorithm pattern; a durable pipeline
+  *    would checkpoint to the EmbeddingStore parquet instead).
+  *  - Initialization is seed-deterministic via xxhash64 — same values on
+  *    any cluster layout, re-runnable across retries (rand() is not).
+  *    Scale b = 1/√dim matches the reference's `uniform` helper
+  *    (rgcn.py:6-9).
+  */
+object EmbeddingTrainer {
+
+  /** @param batchFraction edge sample per epoch (reference samples a
+    *   `graph_batch_size` subgraph per epoch, samples.py:15-18)
+    * @param negRate negatives per positive (reference `negative_sample`)
+    * @param regRatio weight on mean-square `reg_loss` (rgcn.py:44)
+    */
+  final case class Config(
+      dim: Int = 16,
+      epochs: Int = 5,
+      lr: Double = 0.5,
+      negRate: Int = 2,
+      batchFraction: Double = 1.0,
+      regRatio: Double = 0.01,
+      seed: Long = 42L)
+
+  final case class Trained(
+      entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double])
+
+  /** Flat `(id, pos, value)` embeddings for ids `[0, n)`, uniform in
+    * [−1/√dim, 1/√dim], deterministic in (id, pos, seed).
+    */
+  def initFlat(spark: SparkSession, n: Long, dim: Int, seed: Long): DataFrame = {
+    val b = 1.0 / math.sqrt(dim.toDouble)
+    spark.range(n).select(col("id"))
+      .select(col("id"), explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      .withColumn("value",
+        (pmod(xxhash64(col("id"), col("pos"), lit(seed)), lit(1000000L))
+          / lit(500000.0) - lit(1.0)) * lit(b))
+  }
+
+  /** Reassemble flat `(id, pos, value)` rows into `(idCol, vector)`.
+    * collect_list is unordered across shuffles; array_sort on the
+    * (pos, value) struct restores dimension order, and the `.value`
+    * field extraction on the array-of-structs is codegen'd (no lambda).
+    */
+  def assemble(flat: DataFrame, idCol: String): DataFrame =
+    flat.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("sv"))
+      .select(col("id").as(idCol), col("sv.value").as("vector"))
+
+  /** Train entity + relation embeddings on `edges(head_id, relation_id,
+    * tail_id)` with dense ids in [0, numEntities) / [0, numRelations).
+    * Returns assembled `(entity_id|relation_id, vector)` tables ready for
+    * [[EmbeddingStore.save]], plus the per-epoch mean BCE loss (A13's
+    * reduction over the training trace).
+    */
+  def train(edges: DataFrame, numEntities: Long, numRelations: Long,
+      cfg: Config = Config()): Trained = {
+    val spark = edges.sparkSession
+    var ent = initFlat(spark, numEntities, cfg.dim, cfg.seed).localCheckpoint(true)
+    var rel = initFlat(spark, numRelations, cfg.dim, cfg.seed + 1).localCheckpoint(true)
+    val losses = Seq.newBuilder[Double]
+
+    for (epoch <- 1 to cfg.epochs) {
+      val batch = Triplets.negativeSample(
+        Triplets.sampleEdges(edges, cfg.batchFraction, cfg.seed + epoch),
+        numEntities, cfg.negRate, seed = cfg.seed + epoch)
+
+      val entSums = ent.groupBy(col("id")).agg(sum(col("value")).as("esum"))
+      val relSums = rel.groupBy(col("id")).agg(sum(col("value")).as("rsum"))
+
+      // score = S_h + R_r − S_t; g = σ(score) − label, one scalar per
+      // triplet. Checkpoint: the loss action below and the two gradient
+      // aggregates all read this frame.
+      val scored = batch
+        .join(entSums.select(col("id").as("head_id"), col("esum").as("hs")), Seq("head_id"))
+        .join(relSums.select(col("id").as("relation_id"), col("rsum").as("rs")), Seq("relation_id"))
+        .join(entSums.select(col("id").as("tail_id"), col("esum").as("ts")), Seq("tail_id"))
+        .withColumn("score", col("hs") + col("rs") - col("ts"))
+        .withColumn("g",
+          lit(1.0) / (lit(1.0) + exp(-col("score"))) - col("label").cast("double"))
+        .localCheckpoint(true)
+
+      // One action per epoch: numerically stable BCE-with-logits loss
+      // for the training trace.
+      losses += scored.agg(
+        avg(greatest(col("score"), lit(0.0)) - col("score") * col("label")
+          + log1p(exp(-abs(col("score"))))).as("loss")).head().getAs[Double]("loss")
+
+      // Per-id gradient: heads get +g, tails −g, relations +g; the same
+      // scalar applies to every dimension. Normalized per id by its own
+      // appearance count (a diagonal preconditioner standing in for the
+      // reference's Adam, preprocess.py:38 — the raw mean-BCE gradient
+      // G/batchSize vanishes as the batch grows, so step sizes would
+      // depend on data scale; per-id means keep them O(lr) like Adam's
+      // per-parameter normalization does).
+      val entGrad = scored.select(col("head_id").as("id"), col("g"))
+        .unionAll(scored.select(col("tail_id").as("id"), (-col("g")).as("g")))
+        .groupBy(col("id")).agg((sum(col("g")) / count(lit(1))).as("grad"))
+      val relGrad = scored.select(col("relation_id").as("id"), col("g"))
+        .groupBy(col("id")).agg((sum(col("g")) / count(lit(1))).as("grad"))
+
+      // reg_loss = mean(v²) over each table (rgcn.py:44) → per-entry
+      // gradient 2·v·regRatio/(rows·dim), i.e. plain weight decay.
+      def step(flat: DataFrame, grads: DataFrame, rows: Long): DataFrame = {
+        val decay = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (rows.toDouble * cfg.dim)
+        flat.join(grads, Seq("id"), "left")
+          .select(col("id"), col("pos"),
+            (col("value") * lit(decay)
+              - lit(cfg.lr) * coalesce(col("grad"), lit(0.0))).as("value"))
+          .localCheckpoint(true)
+      }
+      ent = step(ent, entGrad, numEntities)
+      rel = step(rel, relGrad, numRelations)
+    }
+    Trained(assemble(ent, "entity_id"), assemble(rel, "relation_id"), losses.result())
+  }
+
+  /** Score every entity as candidate tail for each distinct
+    * (head, relation) query — the input [[graft.metrics.Scores.filteredMrr]]
+    * expects. With the additive score the candidate axis only needs the
+    * per-entity sums, so this is queries × numEntities scalar rows (never
+    * vectors), built from two broadcast-sized sum tables.
+    */
+  def scoreAllCandidates(queries: DataFrame, entityEmb: DataFrame,
+      relationEmb: DataFrame): DataFrame = {
+    def sums(df: DataFrame, idCol: String, out: String) =
+      df.select(col(idCol), explode(col("vector")).as("x"))
+        .groupBy(col(idCol)).agg(sum(col("x")).as(out))
+    val entSums = sums(entityEmb, "entity_id", "esum")
+    val relSums = sums(relationEmb, "relation_id", "rsum")
+    queries.select(col("head_id"), col("relation_id")).distinct()
+      .join(entSums.select(col("entity_id").as("head_id"), col("esum").as("hs")), Seq("head_id"))
+      .join(relSums.select(col("relation_id"), col("rsum").as("rs")), Seq("relation_id"))
+      .crossJoin(entSums.select(col("entity_id").as("candidate_id"), col("esum").as("cs")))
+      .select(col("head_id"), col("relation_id"), col("candidate_id"),
+        (col("hs") + col("rs") - col("cs")).as("score"))
+  }
+}

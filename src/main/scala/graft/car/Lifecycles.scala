@@ -14,16 +14,26 @@ object Lifecycles {
 
   final case class PreprocessOut(
       repaired: DataFrame, train: DataFrame, dev: DataFrame,
-      vocab: DataFrame, triplets: DataFrame)
+      vocab: DataFrame, triplets: DataFrame,
+      entityVocab: DataFrame, relationVocab: DataFrame,
+      encodedTriplets: DataFrame,
+      entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double])
 
   /** §3.1 preprocess.py: ingest → repair → split → dictionary → KG
-    * triplets (reference preprocess.py:92-119; RGCN pretraining is the
-    * pluggable EmbeddingStore boundary).
+    * triplets → trained KG embeddings (reference preprocess.py:92-119 +
+    * the `train_rgcn_model` loop at preprocess.py:25-91; here the
+    * trainer is [[EmbeddingTrainer]] over the encoded triplet table, and
+    * the persisted artifact the downstream stages consume — reference
+    * `embedding.npz`, preprocess.py:75-85 — is written through
+    * [[EmbeddingStore.save]] when `embeddingPath` is given).
     */
   def preprocess(spark: SparkSession, carPath: String,
       discreteCols: Seq[String] = Seq("brand", "serial", "model", "color",
         "cityId", "country", "oiltype"),
-      seed: Long = 42L): PreprocessOut = {
+      seed: Long = 42L,
+      embeddingCfg: EmbeddingTrainer.Config =
+        EmbeddingTrainer.Config(dim = 8, epochs = 3),
+      embeddingPath: Option[String] = None): PreprocessOut = {
     val raw = CarSources.readCarTest(spark, carPath)
     val repaired = Repair.repair(raw)
     val (train, dev) = Splits.shuffledSplit(repaired, 0.7, seed)
@@ -31,7 +41,27 @@ object Lifecycles {
     val triplets = Triplets.fromRows(train, discreteCols)
       .unionByName(Triplets.fromRows(dev, discreteCols, upperTriangleOnly = true))
       .dropDuplicates("head_entity", "relation", "tail_entity")
-    PreprocessOut(repaired, train, dev, vocab, triplets)
+    // Dense-id vocabularies over the triplet strings (utils.py:144-153),
+    // then the distributed analogue of the RGCN pretraining loop.
+    val entityVocab = graft.operators.DenseId.withOrderedId(
+      triplets.select(col("head_entity").as("entity"))
+        .union(triplets.select(col("tail_entity"))).distinct(),
+      "id", "entity")
+    val relationVocab = graft.operators.DenseId.withOrderedId(
+      triplets.select(col("relation")).distinct(), "id", "relation")
+    val encoded = Triplets.encode(triplets, entityVocab, relationVocab)
+    val trained = EmbeddingTrainer.train(
+      encoded, entityVocab.count(), relationVocab.count(),
+      embeddingCfg.copy(seed = seed))
+    embeddingPath.foreach { p =>
+      EmbeddingStore.save(trained.entityEmb, s"$p/entity")
+      EmbeddingStore.save(
+        trained.relationEmb.withColumnRenamed("relation_id", "entity_id"),
+        s"$p/relation")
+    }
+    PreprocessOut(repaired, train, dev, vocab, triplets,
+      entityVocab, relationVocab, encoded,
+      trained.entityEmb, trained.relationEmb, trained.epochLoss)
   }
 
   /** §3.2 first.py: featurize → normalize → train → predict →

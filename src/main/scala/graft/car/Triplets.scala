@@ -80,9 +80,11 @@ object Triplets {
     * hash-picked entity id. Seed-fixed hashes keep it deterministic
     * across executors/retries where rand() would not be.
     */
-  def negativeSample(edges: DataFrame, numEntities: Long, rate: Int): DataFrame = {
+  def negativeSample(edges: DataFrame, numEntities: Long, rate: Int,
+      seed: Long = 0L): DataFrame = {
     val tiled = edges.withColumn("rep", explode(array((0 until rate).map(lit): _*)))
-    val h = xxhash64(col("head_id"), col("relation_id"), col("tail_id"), col("rep"))
+    val h = xxhash64(col("head_id"), col("relation_id"), col("tail_id"),
+      col("rep"), lit(seed))
     // Decorrelated draws: taking both the head/tail coin AND the entity
     // from the same hash would tie their parities whenever numEntities is
     // even (corrupted heads only ever even ids, tails only odd) — rehash

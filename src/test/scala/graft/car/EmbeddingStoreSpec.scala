@@ -29,6 +29,24 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(out.getSeq[Double](1) == Seq(2.0, 3.0))
   }
 
+  test("G5: hub node with 1e5 in-edges aggregates flat (no per-node array buffer)") {
+    import spark.implicits._
+    // one hub (id 0) receiving 100k messages from entity 1; edge_norm 1e-5
+    val edges = spark.range(100000L)
+      .select(lit(1L).as("head_id"), lit(0L).as("relation_id"),
+        lit(0L).as("tail_id"), lit(1.0e-5).as("edge_norm"))
+    val emb = Seq((1L, Seq(2.0, 4.0))).toDF("entity_id", "vector")
+    val out = EmbeddingStore.meanAggregationStep(edges, emb)
+    // plan shape: the per-message path must be a flat (entity, pos) hash
+    // aggregate, never array_agg of whole message vectors
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("array_agg"), plan)
+    val hub = out.head()
+    assert(hub.getLong(0) == 0L)
+    assert(hub.getSeq[Double](1).map(x => math.abs(x)).zip(Seq(2.0e-5, 4.0e-5))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("G6: additive triplet score = sum(s) + sum(r) − sum(o)") {
     import spark.implicits._
     val ent = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(2.0, 2.0))).toDF("entity_id", "vector")

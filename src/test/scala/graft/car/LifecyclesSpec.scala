@@ -28,6 +28,31 @@ class LifecyclesSpec extends SparkSpec {
     assert(t.count() == t.dropDuplicates("head_entity", "relation", "tail_entity").count())
   }
 
+  test("preprocess trains KG embeddings: loss falls, filtered MRR beats random") {
+    assume(exists(testPath))
+    import graft.metrics.Scores
+    val out = Lifecycles.preprocess(spark, testPath)
+    assert(out.epochLoss.nonEmpty && out.epochLoss.last < out.epochLoss.head,
+      s"training loss did not fall: ${out.epochLoss}")
+    assert(out.entityEmb.count() == out.entityVocab.count())
+    val allTrue = out.encodedTriplets.localCheckpoint(true)
+    val valid = allTrue.limit(50).localCheckpoint(true)
+    def mrr(ent: org.apache.spark.sql.DataFrame,
+        rel: org.apache.spark.sql.DataFrame): Double = {
+      val scores = EmbeddingTrainer.scoreAllCandidates(valid, ent, rel)
+      Scores.filteredMrr(valid, allTrue, scores).head().getAs[Double]("mrr")
+    }
+    val nE = out.entityVocab.count(); val nR = out.relationVocab.count()
+    val randomEnt = EmbeddingTrainer.assemble(
+      EmbeddingTrainer.initFlat(spark, nE, 8, 42L), "entity_id")
+    val randomRel = EmbeddingTrainer.assemble(
+      EmbeddingTrainer.initFlat(spark, nR, 8, 43L), "relation_id")
+    val trained = mrr(out.entityEmb, out.relationEmb)
+    val baseline = mrr(randomEnt, randomRel)
+    assert(trained > baseline,
+      s"trained MRR $trained not above random baseline $baseline")
+  }
+
   test("first lifecycle: train on 70% of 附件2, score the rest, emit submission") {
     assume(exists(testPath))
     val repaired = Repair.repair(CarSources.readCarTest(spark, testPath))
