@@ -55,34 +55,73 @@ object Dedup {
     pairs.toDF("doc", "g")
   }
 
+  /** Shingles with document frequency above `maxDf` — the "stop-phrase"
+    * keys the candidate joins must never self-join on (a shingle shared
+    * by k documents emits k² pairs). Exposed so callers can inspect/log
+    * what a cap drops before relying on it.
+    */
+  def hotShingles(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int, maxDf: Long): DataFrame =
+    shingleRows(df, textCol, idCol, shingleLen)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+
   /** Exact word-shingle Jaccard near-dup pairs via an inverted shingle
     * index. `minJaccard` filters after an exact |A∩B| / |A∪B| computation;
     * only pairs sharing ≥1 shingle are ever materialized.
+    *
+    * `maxShingleDf` caps the inverted index: a shingle shared by k
+    * documents emits k² candidate pairs, so one boilerplate stop-phrase
+    * makes the join quadratic on web-scale text. Candidate generation
+    * skips shingles with document frequency > maxShingleDf; the exact
+    * Jaccard verification still runs on FULL shingle sets, so any pair
+    * that also shares at least one sub-threshold shingle gets its exact
+    * uncapped score. Only pairs whose entire overlap is stop-phrases are
+    * lost — set the threshold above your corpus's boilerplate df (it is
+    * far above TESTDATA's max df, where output is identical to uncapped).
     */
   def shingleJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int, minJaccard: Double): DataFrame = {
+      shingleLen: Int, minJaccard: Double,
+      maxShingleDf: Long = 10000L): DataFrame = {
     val shingles = shingleRows(df, textCol, idCol, shingleLen)
-    val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = shingles.join(shingles.select(col("doc").as("doc2"), col("g")), Seq("g"))
+    val dfc = shingles.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = shingles.join(dfc.where(col("df") <= maxShingleDf), Seq("g"))
+      .select(col("doc"), col("g"))
+    val candidates = rare
+      .join(rare.select(col("doc").as("doc2"), col("g")), Seq("g"))
       .where(col("doc") < col("doc2"))
-      .groupBy(col("doc"), col("doc2")).agg(count(lit(1)).as("inter"))
+      .select(col("doc").as("doc_a"), col("doc2").as("doc_b"))
+      .distinct()
+    // exact verification on full shingle sets, restricted to candidates
+    val inter = candidates
+      .join(shingles.select(col("doc").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(shingles.select(col("doc").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     inter
-      .join(card, Seq("doc"))
-      .join(card.select(col("doc").as("doc2"), col("n").as("n2")), Seq("doc2"))
+      .join(card.select(col("doc").as("doc_a"), col("n")), Seq("doc_a"))
+      .join(card.select(col("doc").as("doc_b"), col("n").as("n2")), Seq("doc_b"))
       .withColumn("jaccard", col("inter") / (col("n") + col("n2") - col("inter")))
       .where(col("jaccard") >= minJaccard)
-      .select(col("doc").as("doc_a"), col("doc2").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard on the
     * candidates only. numHashes = bands × rowsPerBand. Signatures come
     * from one grouped aggregation of builtin (codegen'd) xxhash64 mins —
     * one shuffle keyed by doc, any corpus size.
+    *
+    * `maxBucketSize` caps the band buckets the same way `maxShingleDf`
+    * caps the shingle index: a bucket holding k documents emits k² pairs,
+    * and on web-scale corpora degenerate buckets (empty/boilerplate docs
+    * that minhash identically) go quadratic. Buckets above the cap are
+    * skipped — their members are near-identical to thousands of others,
+    * so exact-dedup (or a smaller-cap rerun on the bucket residue) is the
+    * right tool for them. TESTDATA buckets never reach the default cap.
     */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucketSize: Long = 10000L): DataFrame = {
     val k = bands * rowsPerBand
     val shingles = shingleRows(df, textCol, idCol, shingleLen)
     // k min-hash slots in one aggregation pass
@@ -98,8 +137,13 @@ object Dedup {
       struct(lit(b).as("band"), col(s"b$b").as("bucket"))
     }: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
-    val candidates = bandRows
-      .join(bandRows.select(col("doc").as("doc2"), col("band"), col("bucket")),
+    val bucketSizes = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val boundedRows = bandRows
+      .join(bucketSizes.where(col("bsz") <= maxBucketSize), Seq("band", "bucket"))
+      .select(col("doc"), col("band"), col("bucket"))
+    val candidates = boundedRows
+      .join(boundedRows.select(col("doc").as("doc2"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .where(col("doc") < col("doc2"))
       .select(col("doc").as("doc_a"), col("doc2").as("doc_b"))

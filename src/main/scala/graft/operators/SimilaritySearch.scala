@@ -57,6 +57,28 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Fit IVF coarse-quantizer centroids with MLlib KMeans (k-means||
+    * init, distributed Lloyd iterations — the real thing, not a
+    * first-k-rows placeholder). Seeded → deterministic across runs.
+    * Returns centroids in [[assignToCentroids]]'s shape. The features
+    * frame is persisted for the iterations and released afterwards.
+    */
+  def fitIvf(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxIter: Int = 5): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val features = df
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist()
+    try {
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+        .fit(features)
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => i -> c.toArray.toSeq }
+    } finally features.unpersist(blocking = false)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (broadcast), producing a clustering column to partition or
     * bucket the stored table by — queries then scan only the probed cells.

@@ -49,17 +49,13 @@ object VectorQueries {
         nPlanes = 6, dim = 64)
     }),
 
-    // IVF-style ANN: coarse-quantize to deterministic centroids (the
-    // first 8 vectors), then search only the query's cell with exact
-    // cosine — the partition-pruning scale path. Centroid assignment is
-    // engine arithmetic over literals → rows-only.
+    // IVF-style ANN: fit real KMeans centroids (seeded k-means||, MLlib),
+    // coarse-quantize every vector, then search only the query's cell
+    // with exact cosine — the partition-pruning scale path. Centroid
+    // floats are engine-specific → rows-only.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = e.where(col("vec_id") < 8)
-        .orderBy(col("vec_id")).collect()
-        .map(r => r.getAs[Int]("label") ->
-          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
-        .zipWithIndex.map { case ((_, v), i) => i -> v.toSeq }.toSeq
+      val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 8, maxIter = 3)
       val cells = SimilaritySearch.assignToCentroids(e, "embedding", centroids)
       val q = cells.where(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("cell").as("qcell"))

@@ -59,4 +59,47 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  // Hot-shingle corpus: every doc shares one boilerplate stop-phrase;
+  // only docs 1/2 are genuine near-dups through their OWN rare shingles.
+  private def hotCorpus = {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for more updates"
+    (1L to 40L).map { i =>
+      val body =
+        if (i == 2L) "alpha beta gamma delta epsilon zeta shared body one"
+        else s"unique${i} tokens${i} words${i} only${i} here${i} now${i} doc${i} x${i}"
+      (i, s"$boiler ${if (i == 1L) "alpha beta gamma delta epsilon zeta shared body one" else body}")
+    }.toDF("doc_id", "text")
+  }
+
+  test("shingle-df cap: stop-phrase pairs pruned, rare-shingle dups keep exact scores") {
+    val uncapped = Dedup.shingleJaccardPairs(hotCorpus, "text", "doc_id", 5, 0.1)
+    // every doc pairs with every other through the boilerplate → ~40²/2
+    assert(uncapped.count() > 700)
+    val capped = Dedup.shingleJaccardPairs(hotCorpus, "text", "doc_id", 5, 0.1,
+      maxShingleDf = 10)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only the pair sharing sub-threshold shingles survives …
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    // … and its Jaccard is the exact UNCAPPED value (verification runs on
+    // full shingle sets, including the boilerplate overlap)
+    val exact = uncapped.where(col("doc_a") === 1 && col("doc_b") === 2)
+      .head().getDouble(2)
+    assert(pairs.head._3 == exact)
+    // the dropped keys are observable
+    assert(Dedup.hotShingles(hotCorpus, "text", "doc_id", 5, 10).count() > 0)
+  }
+
+  test("MinHash bucket cap prunes degenerate all-identical buckets") {
+    import spark.implicits._
+    val sameText = "identical boilerplate document body repeated verbatim everywhere always"
+    val clones = (1L to 30L).map(i => (i, sameText))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLshPairs(clones, "text", "doc_id", minJaccard = 0.3)
+    assert(uncapped.count() == 30L * 29 / 2)
+    val capped = Dedup.minHashLshPairs(clones, "text", "doc_id", minJaccard = 0.3,
+      maxBucketSize = 10)
+    assert(capped.count() == 0)
+  }
 }

@@ -39,6 +39,22 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("fitIvf: seeded KMeans centroids are deterministic and separate clear clusters") {
+    import spark.implicits._
+    // two tight clusters around (10,0) and (0,10)
+    val pts = ((1 to 20).map(i => (i.toLong, Seq(10.0f + i * 0.01f, 0.0f))) ++
+      (21 to 40).map(i => (i.toLong, Seq(0.0f, 10.0f + i * 0.01f)))).toDF("id", "v")
+    val c1 = SimilaritySearch.fitIvf(pts, "v", k = 2)
+    val c2 = SimilaritySearch.fitIvf(pts, "v", k = 2)
+    assert(c1 == c2) // same seed → same centroids
+    val cells = SimilaritySearch.assignToCentroids(pts, "v", c1)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val (a, b) = cells.partition(_._1 <= 20)
+    assert(a.map(_._2).distinct.length == 1)
+    assert(b.map(_._2).distinct.length == 1)
+    assert(a.head._2 != b.head._2)
+  }
+
   test("centroid assignment picks the nearest cell") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.9f, 0.0f)), (2L, Seq(0.0f, 1.1f))).toDF("id", "v")
