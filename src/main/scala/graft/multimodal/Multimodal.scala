@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` payload columns with typed metadata, processed per-partition
   * in batches (the Scala analog of `mapInPandas` batch processing).
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` produces deterministic fake features derived
-  * only from the bytes. Everything around it — schema, typed rows,
-  * per-partition batching, partition sizing — is real and tested, so a
-  * real decoder drops in by replacing one function.
+  * Image decode is REAL for the formats the JDK ships readers for
+  * (PNG/JPEG/GIF/BMP via javax.imageio — no external dependency);
+  * payloads no reader accepts (audio/video/unknown bytes — those codecs
+  * aren't in this container) fall back to deterministic stub features.
+  * The schema, typed rows, per-partition batching and partition sizing
+  * are the same either way, so further codecs drop in by extending one
+  * function.
   */
 object Multimodal {
 
@@ -36,39 +38,66 @@ object Multimodal {
       col(sourceCol).cast("string").as("source")).as[MediaRow]
   }
 
-  /** STUB decoder: deterministic pseudo-decode per partition batch.
-    * A real implementation decodes `payload` with an image/audio codec
-    * here — one partition at a time, codec instantiated once per
-    * partition (not per row), which is the whole point of the
-    * mapPartitions shape.
+  private def contentChecksum(payload: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+    sum
+  }
+
+  /** Deterministic pseudo-features for payloads no installed codec can
+    * read (fake dimensions derived only from the bytes) — the fallback
+    * arm of [[decode]] and a codec-free baseline for tests.
     */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  private def stubFeatures(r: MediaRow): MediaFeatures = {
+    val sum = contentChecksum(r.payload)
+    MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+      width = (math.abs(sum) % 1920).toInt + 1,
+      height = (math.abs(sum / 7) % 1080).toInt + 1,
+      checksum = sum)
+  }
+
+  /** Decode per partition batch: real PNG/JPEG/GIF/BMP decode through the
+    * JDK's javax.imageio (zero extra dependencies), yielding true
+    * width/height; payloads no reader accepts fall back to the
+    * deterministic stub features. Codec setup happens once per partition
+    * (not per row) — the whole point of the mapPartitions shape; the
+    * in-memory cache setting avoids per-image temp files on executors.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec" init would go here
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
-        val n = r.payload.length.toLong
-        var sum = 0L
-        var i = 0
-        while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += 1 }
-        // fake dimensions derived from content — stands in for ???
-        MediaFeatures(r.media_id, r.modality, n,
-          width = (math.abs(sum) % 1920).toInt + 1,
-          height = (math.abs(sum / 7) % 1080).toInt + 1,
-          checksum = sum)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img != null)
+          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+            width = img.getWidth, height = img.getHeight,
+            checksum = contentChecksum(r.payload))
+        else stubFeatures(r)
       }
     }
   }
 
-  /** End-to-end stub pipeline over `documents` (text bytes as the fake
-    * payload): partition by id for even batches, decode, return features.
+  /** The former all-stub decoder — kept for codec-free environments. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map(stubFeatures))
+  }
+
+  /** End-to-end pipeline over `documents` (text bytes as the payload):
+    * partition by id for even batches, decode (text bytes take the stub
+    * fallback arm — no image reader accepts them), return features.
     */
   def documentFeatures(spark: SparkSession, documents: DataFrame, partitions: Int = 32): DataFrame = {
     val media = toMediaRows(
       documents, idCol = "doc_id", binCol = "text",
       modality = "image", sourceCol = "source")
       .repartition(partitions, col("media_id"))
-    decodeStub(media).toDF()
+    decode(media).toDF()
   }
 }
