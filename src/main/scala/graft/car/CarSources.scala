@@ -49,4 +49,14 @@ object CarSources {
     df.select(col("carid").cast("string"), col("price").cast("string"))
       .write.mode("overwrite").option("sep", "\t").option("header", "false")
       .csv(path)
+
+  /** S7 — plain-text list sink (reference utils.py:221-225
+    * `write_to_txt`: one stringified item per line). Single-column
+    * frame → one line per row; distributed write, any scale.
+    */
+  def writeTextList(df: DataFrame, path: String): Unit = {
+    require(df.columns.length == 1, "text list sink takes a 1-column frame")
+    df.select(col(df.columns.head).cast("string").as("value"))
+      .write.mode("overwrite").text(path)
+  }
 }

@@ -35,6 +35,43 @@ object Vocab {
     graft.operators.DenseId.withOrderedId(distinctVals, "id", "col_name", "value")
   }
 
+  /** S4 — persist the vocabulary as the reference's Dictionary JSON
+    * (data.py:160-174: `{"ind2token": [...], "token2ind": {...}}`, token
+    * = "col:value", id = position). Driver-side by design: the artifact
+    * is a small side input (the reference holds it fully in memory too);
+    * the DISTRIBUTED form of the vocabulary is the DataFrame itself.
+    */
+  def saveJson(vocab: DataFrame, path: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val rows = vocab.select(col("col_name"), col("value"), col("id"))
+      .collect().sortBy(_.getLong(2))
+    val tokens = rows.map(r => s"${r.getString(0)}:${r.getString(1)}")
+    val json = ("ind2token" -> tokens.toList) ~
+      ("token2ind" -> tokens.zipWithIndex.map { case (t, i) => t -> i }.toList.toMap)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[saveJson]] artifact back into the (col_name, value, id)
+    * frame. Tokens split on the FIRST ':' — values may contain colons.
+    */
+  def loadJson(spark: SparkSession, path: String): DataFrame = {
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val tokens = (JsonMethods.parse(txt) \ "ind2token").extract[List[String]]
+    import spark.implicits._
+    tokens.zipWithIndex.map { case (t, i) =>
+      val cut = t.indexOf(':')
+      (t.substring(0, cut), t.substring(cut + 1), i.toLong)
+    }.toDF("col_name", "value", "id")
+  }
+
   /** Encode `columns` of `df` to their vocabulary ids via broadcast joins,
     * producing `<col>Id` columns (reference data.py:21-23's per-cell hash
     * probe → codegen'd broadcast-hash joins).

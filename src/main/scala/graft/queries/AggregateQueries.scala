@@ -164,6 +164,16 @@ object AggregateQueries {
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // A12 (sweep) — the reference loops pre_statistics over EVERY
+    // column (preprocess.py:120-160); here all columns histogram in two
+    // passes total (one min/max aggregate + one explode/groupBy),
+    // however many columns are swept.
+    "a12_histogram_sweep" -> ((s, dir) => {
+      graft.operators.Histograms.sweep(
+        Tables.lineitem(s, dir),
+        Seq("l_extendedprice", "l_quantity", "l_discount"))
+    }),
+
     // A13 — training-loss reductions as dataflow (first.py:54,
     // tabnet.py:277-289): MSE, L1, and the combined λ·CE + (1−λ)·MSE
     // shape with a deterministic pseudo-probability.
@@ -279,6 +289,26 @@ object AggregateQueries {
          SELECT CAST(least(floor((l_extendedprice - lo) * 40 / (hi - lo)), 39) AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM lineitem CROSS JOIN stats GROUP BY 1""",
+    "a12_histogram_sweep" ->
+      """WITH stats AS (SELECT
+             min(l_extendedprice) AS lo1, max(l_extendedprice) AS hi1,
+             min(l_quantity)      AS lo2, max(l_quantity)      AS hi2,
+             min(l_discount)      AS lo3, max(l_discount)      AS hi3
+           FROM lineitem),
+         u AS (
+           SELECT 'l_extendedprice' AS col_name,
+                  CAST(least(floor((l_extendedprice - lo1) * 40 / (hi1 - lo1)), 39) AS BIGINT) AS bucket
+           FROM lineitem CROSS JOIN stats WHERE l_extendedprice IS NOT NULL
+           UNION ALL
+           SELECT 'l_quantity',
+                  CAST(least(floor((l_quantity - lo2) * 40 / (hi2 - lo2)), 39) AS BIGINT)
+           FROM lineitem CROSS JOIN stats WHERE l_quantity IS NOT NULL
+           UNION ALL
+           SELECT 'l_discount',
+                  CAST(least(floor((l_discount - lo3) * 40 / (hi3 - lo3)), 39) AS BIGINT)
+           FROM lineitem CROSS JOIN stats WHERE l_discount IS NOT NULL)
+         SELECT col_name, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM u GROUP BY 1, 2""",
     "a13_loss" ->
       """WITH s AS (SELECT l_returnflag,
              l_extendedprice AS target,

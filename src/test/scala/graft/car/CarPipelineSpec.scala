@@ -87,6 +87,30 @@ class CarPipelineSpec extends SparkSpec {
     assert(encoded.select("brandId").distinct().count() == 1)
   }
 
+  test("S4: vocabulary JSON round-trip (reference Dictionary shape)") {
+    val df = Repair.repair(CarFixtures.trainDf(spark, 10))
+    val vocab = Vocab.build(Seq(df), Seq("brand", "color", "anonymousFeature11"))
+    val path = java.nio.file.Files.createTempDirectory("graft_vocab")
+      .resolve("dictionary.json").toString
+    Vocab.saveJson(vocab, path)
+    val back = Vocab.loadJson(spark, path)
+    assert(back.columns.toSeq == Seq("col_name", "value", "id"))
+    assert(vocab.exceptAll(back).count() == 0 && back.exceptAll(vocab).count() == 0)
+    // the artifact really is the reference's shape
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    assert(txt.contains("\"ind2token\"") && txt.contains("\"token2ind\""))
+  }
+
+  test("S7: plain-text list sink writes one item per line") {
+    import spark.implicits._
+    val items = Seq("alpha", "beta", "gamma:with:colons").toDF("item")
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString + "/list"
+    CarSources.writeTextList(items, dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(back == Set("alpha", "beta", "gamma:with:colons"))
+  }
+
   test("J1/J2: car ⋈ transactions with deal label; sold-only variant") {
     val car = Repair.repair(CarFixtures.trainDf(spark, 10))
     val txn = CarFixtures.txnDf(spark)
