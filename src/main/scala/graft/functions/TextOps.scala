@@ -61,12 +61,15 @@ object TextOps {
 
   /** Robust-to-local-edit fingerprint: the lexicographic minimum of the
     * md5s of all 8-char shingles (a 1-permutation MinHash over character
-    * 8-grams).
+    * 8-grams). One compiled pass per row (MinShingleMd5) — the
+    * functions-only formulation runs an interpreted lambda per character
+    * position and materializes every candidate hex string.
     */
-  def minShingleFingerprint(text: Column, n: Int = 8): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => md5(substring2(text, i, n))))
+  def minShingleFingerprint(text: Column, n: Int = 8): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.expressions.MinShingleMd5(
+      ColumnShim.expression(text), n))
+  }
 
   /** substring with a Column start (the built-in only takes Int literals in
     * its Scala signature; the SQL form accepts expressions).

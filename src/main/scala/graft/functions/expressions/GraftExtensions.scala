@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.simHash64)
+    ext.injectFunction(GraftExtensions.minShingleMd5)
   }
 }
 
@@ -44,10 +45,24 @@ object GraftExtensions {
       SimHash64(children.head)
     })
 
+  val minShingleMd5: FunctionDescription = (
+    FunctionIdentifier("min_shingle_md5"),
+    new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "min_shingle_md5(text, n)")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"min_shingle_md5 length must be an int literal, got $other")
+      }
+      MinShingleMd5(children.head, n)
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(vecDot, simHash64).foreach { case (ident, info, builder) =>
+    Seq(vecDot, simHash64, minShingleMd5).foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
   }

@@ -79,10 +79,13 @@ object VectorQueries {
       val triplets = e.select(col("vec_id").as("head_id"),
         pmod(col("vec_id") + 1, lit(n)).as("relation_id"),
         pmod(col("vec_id") + 2, lit(n)).as("tail_id"))
+      // the per-id sums table is vocabulary-sized (tiny next to the
+      // triplet stream) — broadcast all three probes so the triplets
+      // never shuffle
       triplets
-        .join(sums.select(col("vec_id").as("head_id"), col("vsum").as("hs")), Seq("head_id"))
-        .join(sums.select(col("vec_id").as("relation_id"), col("vsum").as("rs")), Seq("relation_id"))
-        .join(sums.select(col("vec_id").as("tail_id"), col("vsum").as("ts")), Seq("tail_id"))
+        .join(broadcast(sums.select(col("vec_id").as("head_id"), col("vsum").as("hs"))), Seq("head_id"))
+        .join(broadcast(sums.select(col("vec_id").as("relation_id"), col("vsum").as("rs"))), Seq("relation_id"))
+        .join(broadcast(sums.select(col("vec_id").as("tail_id"), col("vsum").as("ts"))), Seq("tail_id"))
         .select(col("head_id"), col("relation_id"), col("tail_id"),
           round(col("hs") + col("rs") - col("ts"), 4).as("score"))
     })

@@ -23,4 +23,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(TextOps.simHash(array(lit("a"), lit("b")))).head().getLong(0)
     assert(again == viaColumn)
   }
+
+  test("min_shingle_md5 equals the interpreted functions formulation") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "short", "exactly8", "", "ab")
+    import spark.implicits._
+    val df = texts.toDF("t")
+    val rows = df.select(
+      TextOps.minShingleFingerprint(col("t"), 8).as("native"),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col("t")) - 7, lit(1))),
+        i => md5(col("t").substr(i, lit(8)).cast("binary")))).as("hof"),
+      expr("min_shingle_md5(t, 8)").as("sql")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), r.toString)
+      assert(r.getString(0) == r.getString(2))
+    }
+  }
 }
