@@ -102,6 +102,11 @@ object Lifecycles {
       CarFeatures.withDateComponents(
         CarFeatures.withDimensionFeatures(df), "tradeTime", "trade")
     val labeled = featurize(CarJoins.carWithTransactions(carDf, txnDf))
+    require(!labeled.isEmpty,
+      "car ⋈ transaction join is empty — the transaction table's carids " +
+        "must reference the supplied car table (the reference's 附件4 keys " +
+        "into 附件1, which its repo does not ship; see LifecyclesSpec for " +
+        "the facsimile pattern)")
     val clf = Pipelines.dealClassifier(labeled)
     val dealScored = clf.transform(labeled)
       .select(col("carid"), col("dealResult"), col("prediction").as("deal_pred"))

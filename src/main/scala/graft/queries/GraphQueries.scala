@@ -155,6 +155,49 @@ object GraphQueries {
           col("entity").as("tail_entity"))
       pos.withColumn("label", lit(1L))
         .unionByName(neg.withColumn("label", lit(0L)))
+    }),
+
+    // G5 — one RGCN-style mean-aggregation message-passing step
+    // (graph.py:30-43 scatter + rgcn.py aggr='mean'), flattened to
+    // (entity, pos) hash aggregates. Synthetic graph over the embeddings
+    // table: head = vec_id mod 11, tail = vec_id mod 37, edge_norm =
+    // 1/degree per (head, relation); output in flat long form so the
+    // oracle compares scalars, not float lists.
+    "g5_mean_agg" -> ((s, dir) => {
+      import graft.car.{EmbeddingStore, Triplets}
+      val e = Tables.embeddings(s, dir)
+      val edges = e.select(
+        pmod(col("vec_id"), lit(11)).as("head_id"),
+        pmod(col("vec_id"), lit(3)).as("relation_id"),
+        pmod(col("vec_id"), lit(37)).as("tail_id"))
+      val emb = e.where(col("vec_id") < 11)
+        .select(col("vec_id").as("entity_id"),
+          col("embedding").cast("array<double>").as("vector"))
+      EmbeddingStore.meanAggregationStep(Triplets.edgeNorm(edges), emb)
+        .select(col("entity_id"), posexplode(col("vector")))
+        .select(col("entity_id"), col("pos").cast("long").as("pos"),
+          // + 0.0 folds IEEE −0.0 into +0.0 (the oracle does the same)
+          (round(col("col"), 4) + lit(0.0)).as("value"))
+    }),
+
+    // G7 — the KG-embedding training loop (preprocess.py:25-91) end to
+    // end on a synthetic ring graph over the embedding ids: 2 epochs of
+    // additive-score BCE descent, output = trained entity vectors in
+    // flat form. Deterministic (seeded sampling, hash negatives, hash
+    // init) but not SQL-expressible → rows-only.
+    "g7_embedding_train" -> ((s, dir) => {
+      import graft.car.EmbeddingTrainer
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      val edges = e.select(col("vec_id").as("head_id"),
+        pmod(col("vec_id"), lit(3)).as("relation_id"),
+        pmod(col("vec_id") + 7, lit(n)).as("tail_id"))
+      val trained = EmbeddingTrainer.train(edges, n, 3,
+        EmbeddingTrainer.Config(dim = 4, epochs = 2, lr = 0.5, negRate = 1))
+      trained.entityEmb
+        .select(col("entity_id"), posexplode(col("vector")))
+        .select(col("entity_id"), col("pos").cast("long").as("pos"),
+          round(col("col"), 4).as("value"))
     })
   )
 
@@ -200,6 +243,20 @@ object GraphQueries {
     "r6_bidirectional" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
          SELECT src, dst, rel FROM e
-         UNION ALL SELECT dst AS src, src AS dst, rel FROM e"""
+         UNION ALL SELECT dst AS src, src AS dst, rel FROM e""",
+    "g5_mean_agg" ->
+      """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
+                  vec_id % 37 AS tail_id FROM embeddings),
+         deg AS (SELECT head_id, relation_id, count(*) AS d
+                 FROM e GROUP BY 1, 2),
+         en AS (SELECT e.head_id, e.tail_id, CAST(1.0 AS DOUBLE) / d AS edge_norm
+                FROM e JOIN deg USING (head_id, relation_id)),
+         m AS (SELECT en.tail_id AS entity_id,
+                  unnest(generate_series(1, len(emb.embedding))) AS i,
+                  emb.embedding, en.edge_norm
+               FROM en JOIN embeddings emb ON emb.vec_id = en.head_id)
+         SELECT entity_id, CAST(i - 1 AS BIGINT) AS pos,
+                round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * edge_norm), 4) + 0.0 AS value
+         FROM m GROUP BY 1, 2"""
   )
 }
