@@ -56,6 +56,14 @@ object TextOps {
     when(vr < 0.20, "zh").when(vr < 0.26, "de").when(vr < 0.31, "en").otherwise("es")
   }
 
+  /** LLM-corpus text normalization: lowercase, strip tag-like markup,
+    * collapse runs of whitespace, trim. Pure codegen'd regexp chain —
+    * the standard first cleaning pass before dedup/quality scoring.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "<[^>]*>", " "), "\\s+", " "))
+
   /** Whole-document fingerprint (content hash). */
   def docFingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -15,6 +15,13 @@ import graft.sources.Tables
 object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus cleaning pass: lowercase, strip markup, collapse whitespace
+    // — the normalization step that precedes dedup/quality scoring.
+    "text_clean" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
+    }),
+
     // Token counting (whitespace tokenizer).
     "text_tokens" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -75,6 +82,11 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_clean" ->
+      """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text
+         FROM documents""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_computed

@@ -67,6 +67,13 @@ object EventStreams {
     * class — bounded by #active users, not #events. The same function
     * body serves batch (sorted groups) and streaming (timeout-driven)
     * runs; the spec feeds both a batch Dataset and a MemoryStream.
+    *
+    * Memory bound: the per-invocation sort buffers ONE key's events from
+    * ONE micro-batch (not the whole stream) — at scale the trigger
+    * interval is what bounds it, so pathological hot keys are managed by
+    * trigger sizing, not by this operator. A batch-mode run over a
+    * hot-key history beyond executor memory should pre-split by time
+    * range and stitch sessions at the seams.
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
