@@ -45,6 +45,23 @@ object StreamQueries {
           expr("min(ts_ns) div 1000").as("first_ts_us"),
           expr("max(ts_ns) div 1000").as("last_ts_us"),
           countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // As-of join: each click picks up the user's latest purchase at or
+    // before it (AsofJoin operator — union + one key-partitioned running
+    // window, not a per-key cross product). µs granularity to match the
+    // oracle's timestamp precision.
+    "asof_join_events" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, "user_id", "ts_us", Seq("p_event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_event_id_asof"), round(col("value_asof"), 4).as("value_asof"))
     })
   )
 
@@ -62,6 +79,28 @@ object StreamQueries {
               CAST(epoch_us(min(ts)) AS BIGINT) AS first_ts_us,
               CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us,
               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-         FROM events GROUP BY user_id"""
+         FROM events GROUP BY user_id""",
+    // mirrors AsofJoin's union + running-last_value plan; verified
+    // identical to DuckDB's native ASOF LEFT JOIN on this data
+    "asof_join_events" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                event_type, value FROM events),
+         u AS (
+           SELECT user_id, ts_us AS t, 0 AS side,
+                  struct_pack(p_event_id := event_id, value := value) AS rpay,
+                  NULL::BIGINT AS event_id
+           FROM ev WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts_us, 1,
+                  NULL::STRUCT(p_event_id BIGINT, value DOUBLE), event_id
+           FROM ev WHERE event_type = 'click'),
+         w AS (SELECT *, last_value(rpay IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, side, rpay
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS am
+               FROM u)
+         SELECT event_id, user_id, t AS ts_us,
+                am.p_event_id AS p_event_id_asof,
+                round(am.value, 4) AS value_asof
+         FROM w WHERE side = 1"""
   )
 }
