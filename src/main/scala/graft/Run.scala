@@ -60,6 +60,8 @@ object Run {
           out.train.write.mode("overwrite").parquet(s"$resultDir/train_dataset")
           out.dev.write.mode("overwrite").parquet(s"$resultDir/dev_dataset")
           out.triplets.write.mode("overwrite").parquet(s"$resultDir/triplets")
+          out.entityVocab.write.mode("overwrite").parquet(s"$resultDir/entity_vocab")
+          out.relationVocab.write.mode("overwrite").parquet(s"$resultDir/relation_vocab")
           Vocab.saveJson(out.vocab, s"$resultDir/dictionary.json")
           println(s"[run] preprocess done: epochLoss=${out.epochLoss.mkString(",")}")
 
@@ -67,7 +69,15 @@ object Run {
           val repaired = Repair.repair(CarSources.readCarTest(spark, dataPath))
           val (train, dev) = Splits.shuffledSplit(repaired,
             flag("percentage", "0.7").toDouble, flag("seed", "42").toLong)
-          val (submission, report) = Lifecycles.first(spark, train, dev)
+          // --embeddings <preprocess result-dir>: consume the pretrained
+          // KG embeddings like first.py loads embedding.npz
+          val pretrained = flags.get("embeddings").map { d =>
+            Lifecycles.embeddingFeatures(
+              EmbeddingStore.load(spark, s"$d/embedding/entity"),
+              spark.read.parquet(s"$d/entity_vocab"))
+          }
+          val (submission, report) = Lifecycles.first(spark, train, dev,
+            pretrained = pretrained)
           CarSources.writeSubmission(submission, s"$resultDir/submission")
           report.show(truncate = false)
           println(s"[run] first done: submission at $resultDir/submission")

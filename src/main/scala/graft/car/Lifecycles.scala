@@ -64,18 +64,56 @@ object Lifecycles {
       trained.entityEmb, trained.relationEmb, trained.epochLoss)
   }
 
+  /** Pretrained entity features from a preprocess run — the engine's
+    * analogue of first.py:49-53 loading embedding.npz into the model's
+    * entity embedding layer. With the additive-score trainer, an
+    * entity's learned signal lives in its vector SUM (every dimension
+    * moves together), so the feature is one scalar per entity string.
+    */
+  def embeddingFeatures(pre: PreprocessOut): DataFrame =
+    embeddingFeatures(pre.entityEmb, pre.entityVocab)
+
+  /** Same, from persisted artifacts ([[EmbeddingStore.load]] +
+    * an entity-vocab parquet with (entity, id)).
+    */
+  def embeddingFeatures(entityEmb: DataFrame, entityVocab: DataFrame): DataFrame =
+    entityEmb
+      .join(entityVocab.withColumnRenamed("id", "entity_id"), Seq("entity_id"))
+      .select(col("entity"),
+        expr("aggregate(vector, 0D, (a, x) -> a + x)").as("emb_feat"))
+
   /** §3.2 first.py: featurize → normalize → train → predict →
     * denormalize → submission frame (reference first.py:21-128,
     * evaluate.py:69-95). Returns (submission, metricsReport).
+    *
+    * `pretrained` (from [[embeddingFeatures]]) injects the KG-pretrained
+    * per-entity features into the regression, mirroring first.py's
+    * `ent_embed.from_pretrained(embedding.npz)` — entities the trainer
+    * never saw fall back to 0 (torch rows absent from the dictionary
+    * would not be looked up either).
     */
   def first(spark: SparkSession, trainDf: DataFrame, scoreDf: DataFrame,
-      labelCol: String = "newprice"): (DataFrame, DataFrame) = {
+      labelCol: String = "newprice",
+      pretrained: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def featurize(df: DataFrame): DataFrame =
       CarFeatures.withDateComponents(
         CarFeatures.withDimensionFeatures(df), "tradeTime", "trade")
     val vocabCols = Seq("brand", "color", "oiltype")
     val vocab = Vocab.build(Seq(trainDf, scoreDf), vocabCols)
-    def encode(df: DataFrame) = Vocab.encode(featurize(df), vocab, vocabCols)
+    def encode(df: DataFrame): DataFrame = {
+      val base = Vocab.encode(featurize(df), vocab, vocabCols)
+      pretrained.fold(base) { emb =>
+        vocabCols.foldLeft(base) { (acc, c) =>
+          val e = emb.select(col("entity").as(s"__${c}_ent"),
+            col("emb_feat").as(s"${c}EmbFeat"))
+          acc.join(broadcast(e),
+              concat(lit(s"$c:"), acc(c).cast("string")) === col(s"__${c}_ent"),
+              "left")
+            .drop(s"__${c}_ent")
+            .na.fill(0.0, Seq(s"${c}EmbFeat"))
+        }
+      }
+    }
     val train0 = encode(trainDf)
     // normalize the label like the reference normalizes price (A2), and
     // invert predictions with the SAME stats (A4)

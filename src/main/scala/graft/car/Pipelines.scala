@@ -31,7 +31,10 @@ object Pipelines {
       "carSurface", "carPerimeter").filter(df.columns.contains)
     val dates = df.columns.filter(_.endsWith("Idx")).toSeq
     val ids = df.columns.filter(_.endsWith("Id")).filterNot(_ == "carid").toSeq
-    cont ++ derived ++ dates ++ ids
+    // pretrained KG-embedding features (reference first.py:49-53 seeds
+    // ent_embed from embedding.npz; see Lifecycles.embeddingFeatures)
+    val emb = df.columns.filter(_.endsWith("EmbFeat")).toSeq
+    cont ++ derived ++ dates ++ ids ++ emb
   }
 
   private def assembler(features: Seq[String], outputCol: String = "features") =

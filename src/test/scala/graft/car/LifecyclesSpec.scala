@@ -55,14 +55,34 @@ class LifecyclesSpec extends SparkSpec {
 
   test("first lifecycle: train on 70% of 附件2, score the rest, emit submission") {
     assume(exists(testPath))
+    import spark.implicits._
     val repaired = Repair.repair(CarSources.readCarTest(spark, testPath))
     val (train, dev) = Splits.shuffledSplit(repaired, 0.7)
-    val (submission, report) = Lifecycles.first(spark, train, dev)
+    // pretrained entity features (first.py:49-53's embedding.npz load):
+    // entities keyed "col:value" against real brand values in the data
+    val brands = train.select(col("brand").cast("string")).distinct()
+      .limit(3).collect().map(_.getString(0))
+    val pretrained = brands.zipWithIndex
+      .map { case (b, i) => (s"brand:$b", 0.5 + i) }.toSeq
+      .toDF("entity", "emb_feat")
+    val (submission, report) =
+      Lifecycles.first(spark, train, dev, pretrained = Some(pretrained))
     assert(submission.columns.toSeq == Seq("carid", "price"))
     assert(submission.count() == dev.count())
     assert(submission.where(col("price").isNull || isnan(col("price"))).count() == 0)
     val r = report.head()
     assert(r.getAs[Long]("n") == train.count())
+  }
+
+  test("embeddingFeatures: one scalar per entity string, EmbFeat reaches featureColumns") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(-0.5, 0.25))).toDF("entity_id", "vector")
+    val ev = Seq(("brand:12", 0L), ("color:3", 1L)).toDF("entity", "id")
+    val feats = Lifecycles.embeddingFeatures(emb, ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(feats == Map("brand:12" -> 3.0, "color:3" -> -0.25))
+    val df = Seq((1.0, 2.0)).toDF("brandEmbFeat", "power")
+    assert(Pipelines.featureColumns(df).contains("brandEmbFeat"))
   }
 
   test("second lifecycle: deal classifier + date/price heads on real transactions") {
