@@ -47,6 +47,22 @@ object StreamQueries {
           countDistinct(col("event_type")).as("n_types"))
     }),
 
+    // Streaming-dedup batch equivalent: first event per (user, type) by
+    // (time, id) + duplicate count. The streaming form is
+    // EventStreams.dedupByKey (dropDuplicatesWithinWatermark, state
+    // bounded by the watermark); this deterministic min-struct form is
+    // what a finite replay of that stream yields.
+    "stream_dedup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("first"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"),
+          col("first.event_id").as("first_event_id"),
+          col("first.ts_us").as("first_ts_us"), col("n_events"))
+    }),
+
     // As-of join: each click picks up the user's latest purchase at or
     // before it (AsofJoin operator — union + one key-partitioned running
     // window, not a per-key cross product). µs granularity to match the
@@ -80,6 +96,16 @@ object StreamQueries {
               CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us,
               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
          FROM events GROUP BY user_id""",
+    "stream_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts_us, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id, event_type) AS n_dups
+               FROM e)
+         SELECT user_id, event_type, event_id AS first_event_id,
+                ts_us AS first_ts_us, CAST(n_dups AS BIGINT) AS n_events
+         FROM r WHERE rn = 1""",
     // mirrors AsofJoin's union + running-last_value plan; verified
     // identical to DuckDB's native ASOF LEFT JOIN on this data
     "asof_join_events" ->

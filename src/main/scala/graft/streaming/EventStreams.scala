@@ -45,6 +45,19 @@ object EventStreams {
   def hourlyCounts(stream: DataFrame): DataFrame =
     hourlyAggregation(stream.withWatermark("event_time", "30 minutes"))
 
+  /** Streaming exact dedup: keep each key's first occurrence, with state
+    * BOUNDED by the watermark horizon (dropDuplicatesWithinWatermark
+    * expires keys older than the watermark) — the only shape under which
+    * streaming dedup survives an unbounded 100 TB stream; plain
+    * dropDuplicates on a stream accumulates state forever. Batch
+    * equivalent (deterministic form): min(struct(time, id)) per key —
+    * see StreamQueries `stream_dedup`.
+    */
+  def dedupByKey(stream: DataFrame, keyCols: Seq[String],
+      timeCol: String = "event_time", watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Per-user running rollup (update-mode aggregation). */
   def userRollup(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

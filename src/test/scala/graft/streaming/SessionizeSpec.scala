@@ -36,6 +36,27 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence, state watermark-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val events = mem.toDS().toDF("event_id", "key", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = EventStreams.dedupByKey(events, Seq("key"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "a", 1000L), (2L, "a", 2000L), (3L, "b", 1500L))
+      q.processAllAvailable()
+      mem.addData((4L, "a", 3000L)) // still a dup within the watermark
+      q.processAllAvailable()
+      val out = spark.table("deduped")
+        .select("event_id", "key").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSet == Set((1L, "a"), (3L, "b")), out.mkString(","))
+    } finally q.stop()
+  }
+
   test("batch epilogue flushes open sessions with the same math") {
     import spark.implicits._
     val open = EventStreams.openSessions(evs.toDS(), gap).collect().toSet
