@@ -58,6 +58,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join ≡ brute-force θ-join + per-left argmax on random data") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L),
+        Gen.choose(0.0, 9.0))))
+    samples(gen, 4).foreach { case (leftRaw, rightRaw) =>
+      // unique (key, t) per side keeps the expected answer unambiguous
+      val left = leftRaw.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = rightRaw.map(r => (r._1, r._2)).distinct
+        .zip(rightRaw).map { case ((k, t), (_, _, v)) => (k, t, v) }
+      val l = left.toDF("lid", "k", "t")
+      val r = right.toDF("k", "t", "v")
+      val got = AsofJoin.asofJoin(l, r, "k", "t", Seq("v"))
+        .collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+        .toMap
+      val expected = left.map { case (lid, k, t) =>
+        val matches = right.filter(q => q._1 == k && q._2 <= t)
+        lid -> (if (matches.isEmpty) None
+                else Some(matches.maxBy(q => (q._2, q._3))._3))
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("negative sampling: rate·|pos| negatives, ids within vocabulary") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(
