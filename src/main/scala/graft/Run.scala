@@ -87,7 +87,13 @@ object Run {
             sys.error("--txn <attachment-4-style TSV> is required for second"))
           val car = Repair.repair(CarSources.readCarTrain(spark, dataPath))
           val txn = CarSources.readStoreTxn(spark, txnPath)
-          val (dealScored, datePrice) = Lifecycles.second(spark, car, txn)
+          val pretrained2 = flags.get("embeddings").map { d =>
+            Lifecycles.embeddingFeatures(
+              EmbeddingStore.load(spark, s"$d/embedding/entity"),
+              spark.read.parquet(s"$d/entity_vocab"))
+          }
+          val (dealScored, datePrice) =
+            Lifecycles.second(spark, car, txn, pretrained = pretrained2)
           dealScored.write.mode("overwrite").parquet(s"$resultDir/deal_scored")
           datePrice.write.mode("overwrite").parquet(s"$resultDir/date_price")
           println(s"[run] second done: outputs under $resultDir")

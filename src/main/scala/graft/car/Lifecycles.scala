@@ -82,6 +82,23 @@ object Lifecycles {
       .select(col("entity"),
         expr("aggregate(vector, 0D, (a, x) -> a + x)").as("emb_feat"))
 
+  /** Join `<col>EmbFeat` pretrained features for each discrete column
+    * (entities keyed "col:value"; unseen entities fall back to 0).
+    */
+  private def withEmbeddingFeatures(df: DataFrame, pretrained: Option[DataFrame],
+      cols: Seq[String]): DataFrame =
+    pretrained.fold(df) { emb =>
+      cols.foldLeft(df) { (acc, c) =>
+        val e = emb.select(col("entity").as(s"__${c}_ent"),
+          col("emb_feat").as(s"${c}EmbFeat"))
+        acc.join(broadcast(e),
+            concat(lit(s"$c:"), acc(c).cast("string")) === col(s"__${c}_ent"),
+            "left")
+          .drop(s"__${c}_ent")
+          .na.fill(0.0, Seq(s"${c}EmbFeat"))
+      }
+    }
+
   /** §3.2 first.py: featurize → normalize → train → predict →
     * denormalize → submission frame (reference first.py:21-128,
     * evaluate.py:69-95). Returns (submission, metricsReport).
@@ -100,20 +117,9 @@ object Lifecycles {
         CarFeatures.withDimensionFeatures(df), "tradeTime", "trade")
     val vocabCols = Seq("brand", "color", "oiltype")
     val vocab = Vocab.build(Seq(trainDf, scoreDf), vocabCols)
-    def encode(df: DataFrame): DataFrame = {
-      val base = Vocab.encode(featurize(df), vocab, vocabCols)
-      pretrained.fold(base) { emb =>
-        vocabCols.foldLeft(base) { (acc, c) =>
-          val e = emb.select(col("entity").as(s"__${c}_ent"),
-            col("emb_feat").as(s"${c}EmbFeat"))
-          acc.join(broadcast(e),
-              concat(lit(s"$c:"), acc(c).cast("string")) === col(s"__${c}_ent"),
-              "left")
-            .drop(s"__${c}_ent")
-            .na.fill(0.0, Seq(s"${c}EmbFeat"))
-        }
-      }
-    }
+    def encode(df: DataFrame): DataFrame =
+      withEmbeddingFeatures(
+        Vocab.encode(featurize(df), vocab, vocabCols), pretrained, vocabCols)
     val train0 = encode(trainDf)
     // normalize the label like the reference normalizes price (A2), and
     // invert predictions with the SAME stats (A4)
@@ -134,11 +140,16 @@ object Lifecycles {
   /** §3.3 second.py: transaction join + deal label → classifier;
     * sold-cars join + final-price parse → date/price heads
     * (reference second.py:118-151). Returns the two scored frames.
+    * `pretrained` injects KG-pretrained entity features like the
+    * reference's second.py:40-44 `ent_embed.from_pretrained`.
     */
-  def second(spark: SparkSession, carDf: DataFrame, txnDf: DataFrame): (DataFrame, DataFrame) = {
+  def second(spark: SparkSession, carDf: DataFrame, txnDf: DataFrame,
+      pretrained: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def featurize(df: DataFrame): DataFrame =
-      CarFeatures.withDateComponents(
-        CarFeatures.withDimensionFeatures(df), "tradeTime", "trade")
+      withEmbeddingFeatures(
+        CarFeatures.withDateComponents(
+          CarFeatures.withDimensionFeatures(df), "tradeTime", "trade"),
+        pretrained, Seq("brand", "color", "oiltype"))
     val labeled = featurize(CarJoins.carWithTransactions(carDf, txnDf))
     require(!labeled.isEmpty,
       "car ⋈ transaction join is empty — the transaction table's carids " +
