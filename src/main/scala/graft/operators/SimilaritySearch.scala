@@ -69,10 +69,18 @@ object SimilaritySearch {
     import org.apache.spark.ml.functions.array_to_vector
     val features = df
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      // a coarse quantizer fits on a sample-sized frame; keeping dozens
+      // of near-empty partitions makes every Lloyd job pay scheduler
+      // overhead, so bound the task count
+      .coalesce(8)
       .persist()
     try {
       val model = new KMeans()
         .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+        // seeded random init: one pass, vs k-means||'s multiple init
+        // rounds of jobs — for COARSE cells the refinement iterations
+        // dominate quality anyway
+        .setInitMode("random")
         .fit(features)
       model.clusterCenters.toSeq.zipWithIndex
         .map { case (c, i) => i -> c.toArray.toSeq }
