@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -63,6 +64,18 @@ object StreamQueries {
           col("first.ts_us").as("first_ts_us"), col("n_events"))
     }),
 
+    // Sessionization batch equivalent (EventStreams.sessionize's math
+    // over a finite input): per user, a session breaks where the gap
+    // from the previous event exceeds 30 min; session id = running
+    // count of breaks (lag + cumulative sum over a USER-partitioned
+    // window), then one aggregate per session. Oracle-checks the same
+    // per-session numbers the stateful streaming operator emits.
+    "stream_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionizeBatch(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+        gapUs = 30L * 60L * 1000L * 1000L)
+    }),
+
     // As-of join: each click picks up the user's latest purchase at or
     // before it (AsofJoin operator — union + one key-partitioned running
     // window, not a per-key cross product). µs granularity to match the
@@ -96,6 +109,21 @@ object StreamQueries {
               CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us,
               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
          FROM events GROUP BY user_id""",
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e),
+         b AS (SELECT *, CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+               FROM l),
+         sid AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                 FROM b)
+         SELECT user_id, session_id,
+                CAST(min(ts_us) AS BIGINT) AS start_us,
+                CAST(max(ts_us) AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 4) AS total_value
+         FROM sid GROUP BY 1, 2""",
     "stream_dedup" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
          r AS (SELECT *,

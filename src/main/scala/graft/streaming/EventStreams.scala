@@ -114,6 +114,32 @@ object EventStreams {
       }
   }
 
+  /** Gap-based sessionization of a FINITE input as pure dataflow: break
+    * where the gap from the previous event exceeds `gapUs`, session id =
+    * running break count (lag + cumulative sum over a user-partitioned
+    * window), one aggregate per session. Same numbers as
+    * [[sessionize]] ∪ [[openSessions]] on the same input (spec-pinned) —
+    * and SQL-expressible, so the driver oracle-checks the sessionization
+    * math through StreamQueries `stream_sessionize`.
+    */
+  def sessionizeBatch(events: DataFrame, gapUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("start_us"), max(col(tsCol)).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("total_value"))
+  }
+
   /** Flush still-open sessions (batch epilogue / final trigger). */
   def openSessions(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -57,6 +57,21 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeBatch ≡ streaming closed ∪ open sessions on the same input") {
+    import spark.implicits._
+    val df = evs.toDF().withColumn("ts_us",
+      org.apache.spark.sql.functions.col("event_ms") * 1000L)
+    val batch = EventStreams.sessionizeBatch(df, gapUs = gap * 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2) / 1000L, r.getLong(3) / 1000L,
+        r.getLong(4), r.getDouble(5))).toSet
+    // all sessions the stateful operator would ever emit (closed + open)
+    val expected = Set(
+      (1L, 0L, 60_000L, 2L, 3.0),
+      (1L, 700_000L, 700_000L, 1L, 4.0),
+      (2L, 100_000L, 100_000L, 1L, 8.0))
+    assert(batch == expected, batch.toString)
+  }
+
   test("batch epilogue flushes open sessions with the same math") {
     import spark.implicits._
     val open = EventStreams.openSessions(evs.toDS(), gap).collect().toSet
