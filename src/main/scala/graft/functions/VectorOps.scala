@@ -33,6 +33,17 @@ object VectorOps {
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Elementwise scale by a scalar column (compiled loop, no lambda). */
+  def scale(v: Column, s: Column): Column =
+    ColumnShim.column(graft.functions.expressions.VecScale(
+      ColumnShim.expression(v), ColumnShim.expression(s)))
+
+  /** L2-normalize a vector: v / ‖v‖ (null-safe zero vectors: a zero
+    * norm yields nulls through try_divide rather than throwing under
+    * ANSI mode).
+    */
+  def l2Normalize(v: Column): Column = scale(v, try_divide(lit(1.0), l2Norm(v)))
+
   /** Squared Euclidean distance via three dot products. */
   def sqDist(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)

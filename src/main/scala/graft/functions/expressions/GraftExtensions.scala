@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.simHash64)
     ext.injectFunction(GraftExtensions.minShingleMd5)
+    ext.injectFunction(GraftExtensions.vecScale)
   }
 }
 
@@ -45,6 +46,14 @@ object GraftExtensions {
       SimHash64(children.head)
     })
 
+  val vecScale: FunctionDescription = (
+    FunctionIdentifier("vec_scale"),
+    new ExpressionInfo(classOf[VecScale].getName, "vec_scale"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_scale(array, scalar)")
+      VecScale(children.head, children(1))
+    })
+
   val minShingleMd5: FunctionDescription = (
     FunctionIdentifier("min_shingle_md5"),
     new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
@@ -62,7 +71,7 @@ object GraftExtensions {
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(vecDot, simHash64, minShingleMd5).foreach { case (ident, info, builder) =>
+    Seq(vecDot, simHash64, minShingleMd5, vecScale).foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
   }

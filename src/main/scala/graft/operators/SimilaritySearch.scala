@@ -102,4 +102,43 @@ object SimilaritySearch {
     }
     df.withColumn("cell", array_min(array(assignments: _*)).getField("cid"))
   }
+
+  /** The `nprobe` cells nearest to a query vector (driver-side math over
+    * the centroid list — centroids are by construction a tiny driver
+    * object). More probes trade scan volume for recall, the standard
+    * IVF knob.
+    */
+  def probeCells(query: Seq[Double], centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int): Seq[Int] =
+    centroids
+      .map { case (cid, c) =>
+        cid -> c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe).map(_._1)
+
+  /** IVF ANN end-to-end: quantize the table, probe the query's `nprobe`
+    * nearest cells, exact-cosine rerank inside them. The cell filter is
+    * a literal IN-list — stored as a partition/bucket column it becomes
+    * partition pruning, which is the 100 TB point of IVF. The single
+    * 1-row collect fetches the query vector (bounded by one embedding).
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, queryId: Long,
+      k: Int, centroids: Seq[(Int, Seq[Double])], nprobe: Int = 1): DataFrame = {
+    val qRow = df.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head()
+    val qVec = qRow.getSeq[Double](0)
+    val cells = probeCells(qVec, centroids, nprobe)
+    val quantized = assignToCentroids(df, vecCol, centroids)
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
+    quantized
+      .where(col("cell").isin(cells: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorOps.cosineWithNorms(col(vecCol), col("qv"),
+          VectorOps.l2Norm(col(vecCol)), col("qn")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

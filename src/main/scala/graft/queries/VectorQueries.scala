@@ -49,22 +49,24 @@ object VectorQueries {
         nPlanes = 6, dim = 64)
     }),
 
-    // IVF-style ANN: fit real KMeans centroids (seeded k-means||, MLlib),
-    // coarse-quantize every vector, then search only the query's cell
-    // with exact cosine — the partition-pruning scale path. Centroid
-    // floats are engine-specific → rows-only.
+    // IVF ANN: fit real KMeans centroids (seeded, MLlib), probe the
+    // query's 2 nearest cells, exact-cosine rerank — the
+    // partition-pruning scale path with the standard nprobe recall
+    // knob. Centroid floats are engine-specific → rows-only.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 8, maxIter = 3)
-      val cells = SimilaritySearch.assignToCentroids(e, "embedding", centroids)
-      val q = cells.where(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("cell").as("qcell"))
-      cells.join(broadcast(q), col("cell") === col("qcell"))
-        .where(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-        .limit(10)
+      SimilaritySearch.ivfTopK(e, "embedding", "vec_id", queryId = 0L,
+        k = 10, centroids, nprobe = 2)
+    }),
+
+    // L2 normalization of the embedding column (compiled VecScale — no
+    // interpreted transform lambda), emitted flat for the oracle.
+    "vec_normalize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(VectorOps.l2Normalize(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          (round(col("col"), 4) + lit(0.0)).as("value"))
     }),
 
     // G6 — additive triplet scoring sum(s + r − o) (reference
@@ -127,6 +129,16 @@ object VectorQueries {
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    "vec_normalize" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                embedding FROM embeddings),
+         n AS (SELECT vec_id,
+                 sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+               FROM ex GROUP BY vec_id)
+         SELECT ex.vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nrm, 4) + 0.0 AS value
+         FROM ex JOIN n ON ex.vec_id = n.vec_id""",
     "g6_triplet_score" ->
       """WITH n AS (SELECT count(*) AS n FROM embeddings),
          sums AS (SELECT vec_id, sum(CAST(x AS DOUBLE)) AS vsum

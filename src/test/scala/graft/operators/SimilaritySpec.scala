@@ -18,6 +18,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
   }
 
+  test("VecScale/l2Normalize: unit norms, zero vectors go null not throw") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(col("id"), VectorOps.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(out(1L).zip(Seq(0.6, 0.8))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(2L) == null) // ANSI-safe: try_divide, not a throw
+    // equals the interpreted HOF formulation
+    val hof = df.where(col("id") === 1).select(
+      expr("transform(v, x -> CAST(x AS DOUBLE) / sqrt(aggregate(v, 0D, (a, y) -> a + CAST(y AS DOUBLE) * y)))"))
+      .head().getSeq[Double](0)
+    assert(hof.zip(out(1L)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("brute-force top-k on real embeddings: k rows, sorted, query excluded") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val top = SimilaritySearch.bruteForceTopK(e, "embedding", "vec_id", 0L, 10)
@@ -53,6 +69,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._2).distinct.length == 1)
     assert(b.map(_._2).distinct.length == 1)
     assert(a.head._2 != b.head._2)
+  }
+
+  test("ivfTopK: more probes never lose recall; full probe equals brute force") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 4)
+    def recallAt10(nprobe: Int): Double = {
+      val got = SimilaritySearch
+        .ivfTopK(e, "embedding", "vec_id", 0L, 10, centroids, nprobe)
+        .collect().map(_.getLong(0)).toSet
+      val truth = SimilaritySearch.bruteForceTopK(e, "embedding", "vec_id", 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recallAt10(1); val r2 = recallAt10(2); val r4 = recallAt10(4)
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1 $r2 $r4")
+    assert(r4 == 1.0) // probing every cell IS the exact search
   }
 
   test("centroid assignment picks the nearest cell") {
