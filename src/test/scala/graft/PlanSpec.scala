@@ -50,6 +50,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NO query plans a partitionless Window (global sweep)") {
+    // every queries() entry, including future ones — the round-1
+    // scale-killer can never silently come back anywhere
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+      val df = mk(spark, dir)
+      val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"partitionless WindowExec in $name:\n${df.queryExecution.sparkPlan}")
+    }
+  }
+
   test("DenseId materializes its input's global sort exactly once") {
     import spark.implicits._
     val counted = spark.sparkContext.longAccumulator("denseid-input-rows")

@@ -87,6 +87,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 == 1.0) // probing every cell IS the exact search
   }
 
+  test("IVF cells stored as a partition column make probes partition pruning") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    SimilaritySearch.assignToCentroids(e, "embedding", centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("cell") === 1)
+    val scan = probed.queryExecution.executedPlan.toString
+    // the cell predicate must land in PartitionFilters (directory
+    // pruning), not in a post-scan Filter over all cells
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    val prunedFiles = probed.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(prunedFiles.contains("(cell = 1)") ||
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"), prunedFiles)
+    assert(probed.count() > 0)
+  }
+
   test("centroid assignment picks the nearest cell") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.9f, 0.0f)), (2L, Seq(0.0f, 1.1f))).toDF("id", "v")
