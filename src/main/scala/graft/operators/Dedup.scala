@@ -187,6 +187,46 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, as iterative min-label propagation — the step that
+    * turns PAIRS (any of the candidate generators above) into "keep one
+    * document per duplicate cluster". Each iteration joins current
+    * labels across the (bidirectional) edge list, takes the min of own
+    * and neighbor labels, and localCheckpoints; stops when no label
+    * changed. Iterations ∝ graph diameter — near-dup clusters are
+    * shallow (a dup cluster's diameter is small by construction); a
+    * general billion-edge graph would upgrade this loop to the
+    * large-star/small-star variant, same join shape.
+    *
+    * Returns (id, cluster) where cluster = min doc id reachable through
+    * duplicate pairs.
+    */
+  def duplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("ncl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncl")).as("nmin"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .where(col("cluster") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs: exact cosine ≥ minCosine within a blocking
     * key (e.g. a cluster/label id or an LSH bucket) so the pair space is
     * per-block, not global n². Norms are computed once per row BEFORE the

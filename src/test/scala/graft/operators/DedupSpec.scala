@@ -91,6 +91,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hotShingles(hotCorpus, "text", "doc_id", 5, 10).count() > 0)
   }
 
+  test("duplicateClusters: transitive chains collapse to the min id") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3 directly), pair 5-6, singleton 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("MinHash bucket cap prunes degenerate all-identical buckets") {
     import spark.implicits._
     val sameText = "identical boilerplate document body repeated verbatim everywhere always"
