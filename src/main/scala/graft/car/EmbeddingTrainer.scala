@@ -44,10 +44,18 @@ object EmbeddingTrainer {
       negRate: Int = 2,
       batchFraction: Double = 1.0,
       regRatio: Double = 0.01,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      evalEvery: Int = 0)
 
+  /** `mrrTrace` is (epoch, filtered MRR) at each evaluation; when
+    * evaluation ran, the returned embeddings are the BEST epoch's
+    * (reference keeps `best_mrr_model` / its embedding.npz,
+    * preprocess.py:66-79), recorded in `bestEpoch` (-1 = no eval, last
+    * epoch returned).
+    */
   final case class Trained(
-      entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double])
+      entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double],
+      mrrTrace: Seq[(Int, Double)] = Nil, bestEpoch: Int = -1)
 
   /** Flat `(id, pos, value)` embeddings for ids `[0, n)`, uniform in
     * [−1/√dim, 1/√dim], deterministic in (id, pos, seed).
@@ -78,11 +86,20 @@ object EmbeddingTrainer {
     * reduction over the training trace).
     */
   def train(edges: DataFrame, numEntities: Long, numRelations: Long,
-      cfg: Config = Config()): Trained = {
+      cfg: Config = Config(), valid: Option[DataFrame] = None): Trained = {
     val spark = edges.sparkSession
     var ent = initFlat(spark, numEntities, cfg.dim, cfg.seed).localCheckpoint(true)
     var rel = initFlat(spark, numRelations, cfg.dim, cfg.seed + 1).localCheckpoint(true)
     val losses = Seq.newBuilder[Double]
+    val mrrs = Seq.newBuilder[(Int, Double)]
+    // (mrr, entityEmb, relationEmb, epoch) of the best evaluation so far
+    var best: Option[(Double, DataFrame, DataFrame, Int)] = None
+    // filter set for the filtered-MRR protocol: every known-true triplet
+    // (reference all_triplets = train + valid, preprocess.py:33)
+    lazy val allTrue = valid.map(v =>
+      edges.select(col("head_id"), col("relation_id"), col("tail_id"))
+        .unionByName(v.select(col("head_id"), col("relation_id"), col("tail_id")))
+        .distinct().localCheckpoint(true))
 
     for (epoch <- 1 to cfg.epochs) {
       val batch = Triplets.negativeSample(
@@ -135,8 +152,24 @@ object EmbeddingTrainer {
       }
       ent = step(ent, entGrad, numEntities)
       rel = step(rel, relGrad, numRelations)
+
+      // evaluate_every loop (preprocess.py:61-79): validate filtered
+      // MRR on the current embeddings, remember the best epoch's tables
+      if (cfg.evalEvery > 0 && valid.nonEmpty && epoch % cfg.evalEvery == 0) {
+        val eEmb = assemble(ent, "entity_id").localCheckpoint(true)
+        val rEmb = assemble(rel, "relation_id").localCheckpoint(true)
+        val mrr = graft.metrics.Scores.filteredMrr(valid.get, allTrue.get,
+            scoreAllCandidates(valid.get, eEmb, rEmb))
+          .head().getAs[Double]("mrr")
+        mrrs += (epoch -> mrr)
+        if (best.forall(_._1 < mrr)) best = Some((mrr, eEmb, rEmb, epoch))
+      }
     }
-    Trained(assemble(ent, "entity_id"), assemble(rel, "relation_id"), losses.result())
+    best match {
+      case Some((_, e, r, ep)) => Trained(e, r, losses.result(), mrrs.result(), ep)
+      case None => Trained(assemble(ent, "entity_id"), assemble(rel, "relation_id"),
+        losses.result(), mrrs.result())
+    }
   }
 
   /** Score every entity as candidate tail for each distinct

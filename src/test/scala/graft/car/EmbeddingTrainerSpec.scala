@@ -27,6 +27,25 @@ class EmbeddingTrainerSpec extends SparkSpec {
     }
   }
 
+  test("evaluate-every tracks MRR and returns the best epoch's embeddings") {
+    import spark.implicits._
+    val edges = (0L until 20L).flatMap(i =>
+      Seq((i, 0L, (i + 1) % 20), (i, 1L, (i + 2) % 20)))
+      .toDF("head_id", "relation_id", "tail_id")
+    val valid = edges.limit(8)
+    val cfg = EmbeddingTrainer.Config(dim = 8, epochs = 4, lr = 0.5,
+      negRate = 2, evalEvery = 2)
+    val t = EmbeddingTrainer.train(edges, 20, 2, cfg, valid = Some(valid))
+    assert(t.mrrTrace.map(_._1) == Seq(2, 4))
+    assert(t.bestEpoch == t.mrrTrace.maxBy(_._2)._1)
+    assert(t.entityEmb.count() == 20)
+    // best-epoch selection is real: returned embeddings equal a fresh
+    // run stopped at bestEpoch
+    val rerun = EmbeddingTrainer.train(edges, 20, 2,
+      cfg.copy(epochs = t.bestEpoch, evalEvery = 0))
+    assert(t.entityEmb.exceptAll(rerun.entityEmb).count() == 0)
+  }
+
   test("training reduces BCE loss and is deterministic across runs") {
     import spark.implicits._
     // small ring graph: entity i --r0--> i+1, i --r1--> i+2 (mod 20)
