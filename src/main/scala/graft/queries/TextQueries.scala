@@ -69,6 +69,19 @@ object TextQueries {
         shingleLen = 5, minJaccard = 0.5)
     }),
 
+    // Corpus token-frequency profile: top 100 tokens by count — the
+    // vocabulary statistic every corpus analysis starts with. Partial
+    // aggregation does the heavy lifting; only (distinct tokens) rows
+    // shuffle, and TakeOrdered bounds the result.
+    "text_wordfreq" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)
+    }),
+
     // Duplicate-cluster resolution: shingle-Jaccard pairs → connected
     // components (min-label propagation) → one cluster id per doc. The
     // step that turns near-dup PAIRS into a deduped corpus.
@@ -140,6 +153,11 @@ object TextQueries {
                 round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
          FROM pairs JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
          WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""",
+    "text_wordfreq" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''
+         GROUP BY t ORDER BY n DESC, token ASC LIMIT 100""",
     // transitive closure via recursive CTE = the same min-reachable-id
     // the iterative label propagation converges to
     "dedup_clusters" ->
