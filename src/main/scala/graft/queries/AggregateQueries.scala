@@ -174,6 +174,20 @@ object AggregateQueries {
         Seq("l_extendedprice", "l_quantity", "l_discount"))
     }),
 
+    // A14 — exact grouped quantiles (median/p90): the distribution stats
+    // pre_statistics eyeballs from its histograms, as one aggregate.
+    // Spark's exact percentile and DuckDB's quantile_cont both use
+    // linear interpolation. At 100 TB swap to approx_percentile with a
+    // documented error bound — exact quantiles need the sorted group.
+    "a14_quantiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+    }),
+
     // A13 — training-loss reductions as dataflow (first.py:54,
     // tabnet.py:277-289): MSE, L1, and the combined λ·CE + (1−λ)·MSE
     // shape with a deterministic pseudo-probability.
@@ -309,6 +323,12 @@ object AggregateQueries {
            FROM lineitem CROSS JOIN stats WHERE l_discount IS NOT NULL)
          SELECT col_name, bucket, CAST(count(*) AS BIGINT) AS cnt
          FROM u GROUP BY 1, 2""",
+    "a14_quantiles" ->
+      """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+              CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1""",
     "a13_loss" ->
       """WITH s AS (SELECT l_returnflag,
              l_extendedprice AS target,
