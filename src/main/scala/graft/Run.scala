@@ -9,23 +9,39 @@ import graft.car._
   *
   * {{{
   * sbt "runMain graft.Run preprocess --data <附件2.txt> --result-dir /tmp/out \
-  *      --percentage 0.7 --embedding-dim 16 --n-epochs 5 --negative-sample 2 \
+  *      --percentage 0.7 --triple-percentage 0.7 --embedding-dim 16 \
+  *      --n-epochs 5 --evaluate-every 1 --negative-sample 2 \
   *      --learning-rate 0.5 --reg-ratio 0.01 --seed 42"
   * sbt "runMain graft.Run first  --data <附件2.txt> --result-dir /tmp/out"
   * sbt "runMain graft.Run second --data <附件2.txt> --txn <附件4.txt> --result-dir /tmp/out"
   * }}}
   *
   * Flag names follow the reference where semantics carry over
-  * (`--percentage`, `--embedding-dim`, `--n-epochs`, `--negative-sample`,
+  * (`--percentage`, `--triple-percentage`, `--embedding-dim`,
+  * `--n-epochs`, `--evaluate-every`, `--negative-sample`,
   * `--learning-rate`, `--reg-ratio`); torch-only knobs (cuda, dropout,
   * n-bases) have no Spark counterpart and are not accepted.
   */
 object Run {
 
-  private def parseFlags(args: Seq[String]): Map[String, String] =
-    args.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  /** Strict `--flag value` parsing: every token must open a flag that is
+    * followed by a non-flag value (argparse-style). Misaligned or
+    * valueless flags fail loudly instead of silently shifting the pairs.
+    */
+  private[graft] def parseFlags(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+          loop(tail, acc + (k.stripPrefix("--") -> v))
+        case k :: _ if k.startsWith("--") =>
+          sys.error(s"flag $k is missing a value")
+        case other :: _ =>
+          sys.error(s"unexpected argument '$other' (flags are --name value)")
+      }
+    loop(args.toList, Map.empty)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -55,15 +71,22 @@ object Run {
               epochs = flag("n-epochs", "5").toInt,
               lr = flag("learning-rate", "0.5").toDouble,
               negRate = flag("negative-sample", "2").toInt,
-              regRatio = flag("reg-ratio", "0.01").toDouble),
-            embeddingPath = Some(s"$resultDir/embedding"))
+              regRatio = flag("reg-ratio", "0.01").toDouble,
+              evalEvery = flag("evaluate-every", "1").toInt,
+              evalSample = flag("eval-sample", "200").toInt),
+            embeddingPath = Some(s"$resultDir/embedding"),
+            percentage = flag("percentage", "0.7").toDouble,
+            triplePercentage = flag("triple-percentage", "0.7").toDouble)
           out.train.write.mode("overwrite").parquet(s"$resultDir/train_dataset")
           out.dev.write.mode("overwrite").parquet(s"$resultDir/dev_dataset")
           out.triplets.write.mode("overwrite").parquet(s"$resultDir/triplets")
           out.entityVocab.write.mode("overwrite").parquet(s"$resultDir/entity_vocab")
           out.relationVocab.write.mode("overwrite").parquet(s"$resultDir/relation_vocab")
           Vocab.saveJson(out.vocab, s"$resultDir/dictionary.json")
-          println(s"[run] preprocess done: epochLoss=${out.epochLoss.mkString(",")}")
+          println(s"[run] preprocess done: epochLoss=${out.epochLoss.mkString(",")}"
+            + (if (out.bestEpoch >= 0)
+                s" bestEpoch=${out.bestEpoch} mrrTrace=${out.mrrTrace.mkString(",")}"
+              else ""))
 
         case "first" =>
           val repaired = Repair.repair(CarSources.readCarTest(spark, dataPath))

@@ -36,6 +36,12 @@ object EmbeddingTrainer {
     *   `graph_batch_size` subgraph per epoch, samples.py:15-18)
     * @param negRate negatives per positive (reference `negative_sample`)
     * @param regRatio weight on mean-square `reg_loss` (rgcn.py:44)
+    * @param evalSample cap on validation triplets per MRR evaluation
+    *   (0 = all). Candidate scoring is queries × numEntities rows, so an
+    *   uncapped evaluation on a large valid split dwarfs the training
+    *   epoch it measures; a fixed sample keeps the eval O(evalSample ×
+    *   entities) at any data scale. The reference evaluates its full
+    *   (small, single-node) valid set — same protocol, bounded.
     */
   final case class Config(
       dim: Int = 16,
@@ -45,7 +51,8 @@ object EmbeddingTrainer {
       batchFraction: Double = 1.0,
       regRatio: Double = 0.01,
       seed: Long = 42L,
-      evalEvery: Int = 0)
+      evalEvery: Int = 0,
+      evalSample: Int = 0)
 
   /** `mrrTrace` is (epoch, filtered MRR) at each evaluation; when
     * evaluation ran, the returned embeddings are the BEST epoch's
@@ -158,8 +165,15 @@ object EmbeddingTrainer {
       if (cfg.evalEvery > 0 && valid.nonEmpty && epoch % cfg.evalEvery == 0) {
         val eEmb = assemble(ent, "entity_id").localCheckpoint(true)
         val rEmb = assemble(rel, "relation_id").localCheckpoint(true)
-        val mrr = graft.metrics.Scores.filteredMrr(valid.get, allTrue.get,
-            scoreAllCandidates(valid.get, eEmb, rEmb))
+        // deterministic TakeOrdered sample of the valid split (see
+        // Config.evalSample); the FILTER set stays the full allTrue
+        val validEval =
+          if (cfg.evalSample > 0)
+            valid.get.orderBy(col("head_id"), col("relation_id"), col("tail_id"))
+              .limit(cfg.evalSample)
+          else valid.get
+        val mrr = graft.metrics.Scores.filteredMrr(validEval, allTrue.get,
+            scoreAllCandidates(validEval, eEmb, rEmb))
           .head().getAs[Double]("mrr")
         mrrs += (epoch -> mrr)
         if (best.forall(_._1 < mrr)) best = Some((mrr, eEmb, rEmb, epoch))

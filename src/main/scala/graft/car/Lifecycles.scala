@@ -17,7 +17,8 @@ object Lifecycles {
       vocab: DataFrame, triplets: DataFrame,
       entityVocab: DataFrame, relationVocab: DataFrame,
       encodedTriplets: DataFrame,
-      entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double])
+      entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double],
+      mrrTrace: Seq[(Int, Double)] = Nil, bestEpoch: Int = -1)
 
   /** §3.1 preprocess.py: ingest → repair → split → dictionary → KG
     * triplets → trained KG embeddings (reference preprocess.py:92-119 +
@@ -32,11 +33,14 @@ object Lifecycles {
         "cityId", "country", "oiltype"),
       seed: Long = 42L,
       embeddingCfg: EmbeddingTrainer.Config =
-        EmbeddingTrainer.Config(dim = 8, epochs = 3),
-      embeddingPath: Option[String] = None): PreprocessOut = {
+        EmbeddingTrainer.Config(dim = 8, epochs = 3,
+          evalEvery = 1, evalSample = 200),
+      embeddingPath: Option[String] = None,
+      percentage: Double = 0.7,
+      triplePercentage: Double = 0.7): PreprocessOut = {
     val raw = CarSources.readCarTest(spark, carPath)
     val repaired = Repair.repair(raw)
-    val (train, dev) = Splits.shuffledSplit(repaired, 0.7, seed)
+    val (train, dev) = Splits.shuffledSplit(repaired, percentage, seed)
     val vocab = Vocab.build(Seq(train, dev), discreteCols)
     val triplets = Triplets.fromRows(train, discreteCols)
       .unionByName(Triplets.fromRows(dev, discreteCols, upperTriangleOnly = true))
@@ -50,9 +54,16 @@ object Lifecycles {
     val relationVocab = graft.operators.DenseId.withOrderedId(
       triplets.select(col("relation")).distinct(), "id", "relation")
     val encoded = Triplets.encode(triplets, entityVocab, relationVocab)
+    // The reference splits the triplet table sequentially by
+    // --triple-percentage (samples.py:96-111 `.loc[:train_len]`), trains
+    // on the train split, validates filtered MRR every evaluate_every
+    // epochs and keeps the best epoch's embeddings (preprocess.py:61-79);
+    // when evalEvery == 0 the valid split is simply held out of training.
+    val (encTrain, encValid) =
+      Splits.sequentialSplit(encoded, "head_id", triplePercentage)
     val trained = EmbeddingTrainer.train(
-      encoded, entityVocab.count(), relationVocab.count(),
-      embeddingCfg.copy(seed = seed))
+      encTrain, entityVocab.count(), relationVocab.count(),
+      embeddingCfg.copy(seed = seed), valid = Some(encValid))
     embeddingPath.foreach { p =>
       EmbeddingStore.save(trained.entityEmb, s"$p/entity")
       EmbeddingStore.save(
@@ -61,7 +72,8 @@ object Lifecycles {
     }
     PreprocessOut(repaired, train, dev, vocab, triplets,
       entityVocab, relationVocab, encoded,
-      trained.entityEmb, trained.relationEmb, trained.epochLoss)
+      trained.entityEmb, trained.relationEmb, trained.epochLoss,
+      trained.mrrTrace, trained.bestEpoch)
   }
 
   /** Pretrained entity features from a preprocess run — the engine's

@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Texts shorter than `n` hash as a single whole-text shingle, matching
   * the clipped `greatest(length − n + 1, 1)` position range.
+  *
+  * Shingle windows are indexed by Unicode CODE POINTS (like SQL
+  * `substring` and `length`, which both DuckDB and Spark define over
+  * code points), not UTF-16 code units — a supplementary character
+  * (emoji, rare CJK) counts as one position and is never split across
+  * its surrogate pair.
   */
 case class MinShingleMd5(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -40,15 +46,25 @@ case class MinShingleMd5(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val md = MinShingleMd5.digests.get()
-    val positions = math.max(s.length - n + 1, 1)
+    val cpCount = s.codePointCount(0, s.length)
+    val positions = math.max(cpCount - n + 1, 1)
     var best: Array[Byte] = null
+    // `start` walks code-point boundaries as UTF-16 offsets; `end` leads
+    // it by n code points (clipped to the text), so each window is the
+    // code-point analogue of substring(text, i, n).
+    var start = 0
+    var end = s.offsetByCodePoints(0, math.min(n, cpCount))
     var i = 0
     while (i < positions) {
       md.reset()
-      val sub = s.substring(i, math.min(i + n, s.length))
-      val d = md.digest(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(
+        s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (best == null || MinShingleMd5.unsignedLess(d, best)) best = d
       i += 1
+      if (i < positions) {
+        start = s.offsetByCodePoints(start, 1)
+        if (end < s.length) end = s.offsetByCodePoints(end, 1)
+      }
     }
     UTF8String.fromString(MinShingleMd5.hex(best))
   }

@@ -10,11 +10,17 @@ import org.apache.spark.sql.types._
   * (`transform(v, x => x * s)`) is an interpreted HigherOrderFunction
   * lambda per element; together with VecDot this keeps vector
   * normalization (`v * (1 / ‖v‖)`) entirely out of the interpreter.
+  * Null elements propagate as null (like `transform` would), and the
+  * output's containsNull mirrors the input's.
   */
 case class VecScale(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = left.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   private def elemIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -36,8 +42,11 @@ case class VecScale(left: Expression, right: Expression)
     val isFloat = elemIsFloat
     var i = 0
     while (i < n) {
-      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      out(i) = v * s
+      if (a.isNullAt(i)) out(i) = null
+      else {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = v * s
+      }
       i += 1
     }
     new GenericArrayData(out)

@@ -32,15 +32,22 @@ import org.apache.spark.storage.StorageLevel
 object DenseId {
 
   /** `df` + a new `idCol` = row_number over (ORDER BY orderCols) − 1,
-    * computed without a partitionless WindowExec. The remaining columns
-    * are appended to the sort key as a deterministic tiebreaker, so rows
-    * with equal order keys still get stable ids across recomputations
-    * (cache eviction, speculative re-runs) as long as whole rows are
-    * distinct.
+    * computed without a partitionless WindowExec. The remaining
+    * ORDERABLE columns are appended to the sort key as a deterministic
+    * tiebreaker, so rows with equal order keys still get stable ids
+    * across recomputations (cache eviction, speculative re-runs) as long
+    * as the orderable projection of each row is distinct. Non-orderable
+    * columns (maps) ride along unsorted — a frame whose only
+    * distinguishing column is a map keeps ties nondeterministic, as any
+    * ORDER BY would.
     */
   def withOrderedId(df: DataFrame, idCol: String, orderCols: String*): DataFrame = {
     val spark = df.sparkSession
-    val tiebreak = df.columns.filterNot(orderCols.contains).map(col)
+    val tiebreak = df.schema.fields
+      .filterNot(f => orderCols.contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name))
     val sorted = df.orderBy(orderCols.map(col) ++ tiebreak: _*)
     val sortedRdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {

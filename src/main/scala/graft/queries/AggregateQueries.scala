@@ -216,6 +216,55 @@ object AggregateQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
     }),
 
+    // W3 — trailing moving average (3 events) per user: the PARTITIONED
+    // window frame — every user's slice sorts inside its own partition,
+    // all partitions parallel (contrast the partitionless form DenseId
+    // replaced). (ts_us, event_id) is a unique order key, so the frame
+    // is deterministic.
+    "w3_moving_avg" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-2, 0)
+      e.select(col("user_id"), col("event_id"),
+        round(avg(col("value")).over(w), 4).as("mavg3"))
+    }),
+
+    // W4 — lag/delta: µs gap to the user's previous event (the
+    // inter-arrival distribution sessionization thresholds come from).
+    "w4_lag_delta" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      e.select(col("user_id"), col("event_id"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+    }),
+
+    // A15 — hierarchical ROLLUP (nation → status subtotals + grand
+    // total): one shuffle produces every grouping level via partial
+    // aggregation (Expand + hash-agg), instead of G scans for G levels.
+    // Sums are reported in 1e6 units so the ±1e-2 float-accumulation
+    // jitter of a 15k-row double sum sits far below the rounding digit.
+    "a15_rollup" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) / lit(1e6), 4).as("sum_price_m"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+    }),
+
+    // A16 — CUBE over (status, priority): all four grouping sets from
+    // the same single-shuffle Expand plan.
+    "a16_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) / lit(1e6), 4).as("sum_price_m"))
+    }),
+
     // W2 — argmax over a group (evaluate.py:237-247): the event type with the
     // highest value per user, deterministic tie-break on event_id.
     "w2_argmax" -> ((s, dir) => {
@@ -351,6 +400,29 @@ object AggregateQueries {
            SELECT user_id, event_type, value,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY value DESC, event_id ASC) AS rnk
-           FROM events) WHERE rnk = 1"""
+           FROM events) WHERE rnk = 1""",
+    "w3_moving_avg" ->
+      """SELECT user_id, event_id,
+              round(avg(value) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+         FROM events""",
+    "w4_lag_delta" ->
+      """SELECT user_id, event_id,
+              CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us
+         FROM events""",
+    "a15_rollup" ->
+      """SELECT n_name, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice) / 1000000.0, 4) AS sum_price_m,
+              round(avg(o_totalprice), 4) AS avg_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, o_orderstatus)""",
+    "a16_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice) / 1000000.0, 4) AS sum_price_m
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
   )
 }

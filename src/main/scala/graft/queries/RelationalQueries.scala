@@ -133,6 +133,54 @@ object RelationalQueries {
       val o = Tables.orders(s, dir).where(col("o_totalprice") > 150000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"))
+    }),
+
+    // P9 — pivot (long → wide) with EXPLICIT pivot values: no
+    // distinct-collect against the driver, and the plan is one groupBy
+    // with a conditional aggregate per value — the only pivot shape that
+    // survives when the fact side is 100 TB (a values-discovering pivot
+    // runs a distinct job first and caps at
+    // spark.sql.pivotMaxValues anyway).
+    "p9_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")) / lit(1e6), 4))
+    }),
+
+    // J5 — non-equi range join against a derived band dimension: the
+    // 10-row bands table broadcasts, so the fact side never shuffles
+    // (BroadcastNestedLoopJoin). The same shape serves calendar /
+    // interval dimension joins at scale; an equi-join rewrite
+    // (precompute the band id arithmetically) is the next optimization
+    // when the bands are uniform — kept non-equi here because that is
+    // the operator under test.
+    "j5_band_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val stats = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val bands = s.range(10).select(col("id").as("band_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("band_id"),
+          (col("lo") + (col("hi") - col("lo")) * col("band_id") / lit(10.0)).as("b_lo"),
+          (col("lo") + (col("hi") - col("lo")) * (col("band_id") + 1) / lit(10.0)).as("b_hi"))
+      o.join(broadcast(bands),
+          col("o_totalprice") >= col("b_lo") &&
+            (col("o_totalprice") < col("b_hi") || col("band_id") === 9))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+    }),
+
+    // R-extension — stratified sample: per-class Bernoulli fractions in
+    // ONE pass (sampleBy), not a filter+sample job per class. Seeded →
+    // deterministic across runs; rows-only check (sampling has no SQL
+    // oracle, like r1/r3).
+    "strat_sample" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .stat.sampleBy("l_returnflag",
+          Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8), 42L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     })
   )
 
@@ -175,6 +223,23 @@ object RelationalQueries {
       "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY text",
     "u4_anti_join" ->
       """SELECT c_custkey FROM customer c WHERE NOT EXISTS
-         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)"""
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)""",
+    "p9_pivot" ->
+      """SELECT o_orderpriority,
+              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) / 1000000.0, 4) AS "F",
+              round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) / 1000000.0, 4) AS "O",
+              round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) / 1000000.0, 4) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
+    "j5_band_join" ->
+      """WITH stats AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+         bands AS (SELECT i AS band_id,
+                lo + (hi - lo) * i / 10.0 AS b_lo,
+                lo + (hi - lo) * (i + 1) / 10.0 AS b_hi
+              FROM stats CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i)),
+         j AS (SELECT band_id, o_totalprice FROM orders JOIN bands
+                 ON o_totalprice >= b_lo AND (o_totalprice < b_hi OR band_id = 9))
+         SELECT band_id, CAST(count(*) AS BIGINT) AS n_orders,
+                round(avg(o_totalprice), 4) AS avg_price
+         FROM j GROUP BY band_id"""
   )
 }

@@ -76,6 +76,29 @@ object StreamQueries {
         gapUs = 30L * 60L * 1000L * 1000L)
     }),
 
+    // Stream-stream interval join batch equivalent: every click joins
+    // the same user's purchases in the following 2 hours
+    // (EventStreams.intervalJoin — identical expressions run on
+    // MemoryStreams with watermarks in EventStreamsSpec). Timestamps are
+    // exact integer µs (timestamp_micros), so the join boundary matches
+    // the oracle's µs arithmetic bit-for-bit.
+    "stream_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("event_time"), col("ts_us").as("click_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_time"),
+          col("event_id").as("p_event_id"), col("ts_us").as("p_us"),
+          col("value"))
+      graft.streaming.EventStreams
+        .intervalJoin(clicks, purchases, "user_id", "event_time", "2 hours")
+        .select(col("click_id"), col("user_id"), col("click_us"),
+          col("p_event_id"), col("p_us"), round(col("value"), 4).as("p_value"))
+    }),
+
     // As-of join: each click picks up the user's latest purchase at or
     // before it (AsofJoin operator — union + one key-partitioned running
     // window, not a per-key cross product). µs granularity to match the
@@ -134,6 +157,16 @@ object StreamQueries {
          SELECT user_id, event_type, event_id AS first_event_id,
                 ts_us AS first_ts_us, CAST(n_dups AS BIGINT) AS n_events
          FROM r WHERE rn = 1""",
+    "stream_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                event_type, value FROM events)
+         SELECT c.event_id AS click_id, c.user_id, c.ts_us AS click_us,
+                p.event_id AS p_event_id, p.ts_us AS p_us,
+                round(p.value, 4) AS p_value
+         FROM ev c JOIN ev p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 7200000000""",
     // mirrors AsofJoin's union + running-last_value plan; verified
     // identical to DuckDB's native ASOF LEFT JOIN on this data
     "asof_join_events" ->

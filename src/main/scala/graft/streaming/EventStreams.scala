@@ -58,6 +58,36 @@ object EventStreams {
     stream.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left row joins right rows with
+    * the same `keyCol` whose `timeCol` lies in [left, left + window].
+    * The right side's key and time columns come back suffixed `_r` (key
+    * dropped); other right columns must not collide with the left's.
+    *
+    * Works on batch frames as-is. On streams, BOTH inputs must carry a
+    * watermark (see [[intervalJoinStreaming]]): the join's time-range
+    * bound is what lets Spark expire a buffered left row once the right
+    * watermark passes `left.time + window` — state stays proportional to
+    * watermark + window span, never to the stream. Without the upper
+    * bound the state store grows forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, window: String): DataFrame = {
+    val rr = right.toDF(right.columns.map(c =>
+      if (c == keyCol || c == timeCol) s"${c}_r" else c): _*)
+    left.join(rr,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(s"${timeCol}_r") >= col(timeCol) &&
+        col(s"${timeCol}_r") <= col(timeCol) + expr(s"INTERVAL $window"))
+      .drop(s"${keyCol}_r")
+  }
+
+  /** Streaming form: watermark both inputs, then the interval join. */
+  def intervalJoinStreaming(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String = "event_time", window: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    intervalJoin(left.withWatermark(timeCol, watermark),
+      right.withWatermark(timeCol, watermark), keyCol, timeCol, window)
+
   /** Per-user running rollup (update-mode aggregation). */
   def userRollup(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

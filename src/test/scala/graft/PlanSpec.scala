@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
       s"DenseId consumers recomputed input: ${counted.value} row-times after build's ${afterBuild}")
   }
 
+  test("DenseId tolerates non-orderable (map) passenger columns") {
+    import spark.implicits._
+    val df = Seq(("b", Map("x" -> 1)), ("a", Map("y" -> 2)))
+      .toDF("k", "m") // MapType cannot be sorted — must be skipped as tiebreak
+    val got = graft.operators.DenseId.withOrderedId(df, "id", "k")
+      .orderBy("id").select("k", "id").as[(String, Long)].collect().toSeq
+    assert(got == Seq("a" -> 0L, "b" -> 1L))
+  }
+
   test("DenseId ids equal row_number-1 over the sort order") {
     import spark.implicits._
     val df = Seq("d", "b", "a", "c", "e").toDF("k")

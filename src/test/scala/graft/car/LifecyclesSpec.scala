@@ -34,6 +34,11 @@ class LifecyclesSpec extends SparkSpec {
     val out = Lifecycles.preprocess(spark, testPath)
     assert(out.epochLoss.nonEmpty && out.epochLoss.last < out.epochLoss.head,
       s"training loss did not fall: ${out.epochLoss}")
+    // the default pipeline now validates every epoch on the held-out
+    // triplet split and ships the best epoch's embeddings (ADVICE r3)
+    assert(out.mrrTrace.map(_._1) == (1 to out.epochLoss.length),
+      s"expected an MRR evaluation per epoch, got ${out.mrrTrace}")
+    assert(out.bestEpoch == out.mrrTrace.maxBy(_._2)._1)
     assert(out.entityEmb.count() == out.entityVocab.count())
     val allTrue = out.encodedTriplets.localCheckpoint(true)
     val valid = allTrue.limit(50).localCheckpoint(true)

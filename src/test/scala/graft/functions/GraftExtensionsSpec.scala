@@ -27,8 +27,11 @@ class GraftExtensionsSpec extends SparkSpec {
   test("min_shingle_md5 equals the interpreted functions formulation") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
+    // includes supplementary characters (surrogate pairs in UTF-16):
+    // shingle windows must count CODE POINTS like SQL substring does
     val texts = Seq("the quick brown fox jumps over the lazy dog",
-      "short", "exactly8", "", "ab")
+      "short", "exactly8", "", "ab",
+      "emoji 😀😁😂🤣😃 in the middle", "𠀀𠀁𠀂 leading CJK-ext", "😀ab😁cd😂")
     import spark.implicits._
     val df = texts.toDF("t")
     val rows = df.select(

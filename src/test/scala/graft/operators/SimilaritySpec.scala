@@ -34,6 +34,16 @@ class SimilaritySpec extends SparkSpec {
     assert(hof.zip(out(1L)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("VecScale propagates null elements instead of zeroing them") {
+    import spark.implicits._
+    val df = Seq(1).toDF("i").select(
+      VectorOps.scale(expr("array(1.0D, CAST(NULL AS DOUBLE), 3.0D)"), lit(2.0)).as("v"))
+    assert(df.schema("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val got = df.head().getSeq[Any](0)
+    assert(got == Seq(2.0, null, 6.0))
+  }
+
   test("brute-force top-k on real embeddings: k rows, sorted, query excluded") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val top = SimilaritySearch.bruteForceTopK(e, "embedding", "vec_id", 0L, 10)

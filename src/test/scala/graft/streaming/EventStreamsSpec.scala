@@ -52,6 +52,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(t == "2024-01-01 10:05:00") // truncated to µs, no double rounding
   }
 
+  test("interval join: stream ≡ batch on finite input, window bound enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "click", 2.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:30:00"), "click", 3.0, 2L))
+    val purchases = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 10:40:00"), "purchase", 10.0, 1L), // ← click@10:00
+      Ev(Timestamp.valueOf("2024-01-01 13:30:00"), "purchase", 20.0, 1L), // > click@12 + 1h
+      Ev(Timestamp.valueOf("2024-01-01 09:00:00"), "purchase", 40.0, 1L), // before any click
+      Ev(Timestamp.valueOf("2024-01-01 10:31:00"), "purchase", 30.0, 2L)) // ← click@10:30
+    def left(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_time"), col("value").as("click_value"))
+    def right(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_time"), col("value").as("p_value"))
+    val batch = EventStreams
+      .intervalJoin(left(clicks.toDF()), right(purchases.toDF()),
+        "user_id", "event_time", "1 hour")
+      .select("user_id", "click_value", "p_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(batch == Set((1L, 1.0, 10.0), (2L, 3.0, 30.0)))
+
+    val lMem = MemoryStream[Ev]; val rMem = MemoryStream[Ev]
+    lMem.addData(clicks: _*); rMem.addData(purchases: _*)
+    val q = EventStreams
+      .intervalJoinStreaming(left(lMem.toDF()), right(rMem.toDF()),
+        "user_id", "event_time", "1 hour", "1 hour")
+      .select("user_id", "click_value", "p_value")
+      .writeStream.format("memory").queryName("ijoin").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ijoin")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("user rollup state is keyed per user") {
     import spark.implicits._
     val r = EventStreams.userRollup(evs.toDF()).collect()
