@@ -52,10 +52,16 @@ object VectorQueries {
     // IVF ANN: fit real KMeans centroids (seeded, MLlib), probe the
     // query's 2 nearest cells, exact-cosine rerank — the
     // partition-pruning scale path with the standard nprobe recall
-    // knob. Centroid floats are engine-specific → rows-only.
+    // knob. The quantizer fits on a deterministic 1/16 hash sample: a
+    // COARSE quantizer needs cluster shape, not every vector, and a
+    // full-table Lloyd pass is exactly the cost that explodes at 100 TB
+    // (FAISS-style IVF trains on a bounded sample for the same reason).
+    // Centroid floats are engine-specific → rows-only.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 8, maxIter = 3)
+      val centroids = SimilaritySearch.fitIvf(
+        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", k = 8, maxIter = 3)
       SimilaritySearch.ivfTopK(e, "embedding", "vec_id", queryId = 0L,
         k = 10, centroids, nprobe = 2)
     }),
