@@ -82,6 +82,53 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features (WAV/AIFF/AU via the JDK's
+    * javax.sound.sampled — zero extra dependencies).
+    */
+  final case class AudioFeatures(
+      media_id: Long, modality: String, n_bytes: Long,
+      sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Long,
+      checksum: Long)
+
+  /** Real audio header decode per partition batch: sample rate, channel
+    * count, frame count and duration from the JDK's sampled-audio stack.
+    * Payloads no audio reader accepts fall back to deterministic
+    * bytes-derived pseudo-features with `duration_ms = -1` marking the
+    * stub arm. Same mapPartitions batch shape as [[decode]]: only the
+    * header is parsed — the PCM body is never materialized, so a row's
+    * cost is O(header), not O(payload).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val durMs =
+            if (fmt.getFrameRate > 0 && frames >= 0)
+              (frames * 1000.0 / fmt.getFrameRate).toLong
+            else -1L
+          AudioFeatures(r.media_id, r.modality, r.payload.length.toLong,
+            fmt.getSampleRate.toInt, fmt.getChannels, frames, durMs,
+            contentChecksum(r.payload))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException
+             | _: java.io.IOException =>
+            val sum = contentChecksum(r.payload)
+            AudioFeatures(r.media_id, r.modality, r.payload.length.toLong,
+              sample_rate = (math.abs(sum) % 48000).toInt + 1,
+              channels = (math.abs(sum / 7) % 2).toInt + 1,
+              n_frames = math.abs(sum / 11) % 100000,
+              duration_ms = -1L, checksum = sum)
+        }
+      }
+    }
+  }
+
   /** The former all-stub decoder — kept for codec-free environments. */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -15,6 +15,42 @@ import graft.sources.Tables
 object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE composed flagship: the document-prep pipeline a training-data
+    // run executes — tokenize → quality gate → normalize → exact-dedup
+    // representative → language-ID + fingerprint — as ONE declarative
+    // plan. Scale shape: the dedup key is the 16-byte md5 of the
+    // normalized text, never the text itself (shuffling multi-KB string
+    // keys is the classic exact-dedup mistake), and the representative
+    // choice is a fingerprint-PARTITIONED window over one pass — no
+    // second aggregate branch recomputing the gated frame, no self-join.
+    // Survivors carry the features a curriculum/mixture sampler consumes.
+    "pipeline_docs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val stats = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("t").isin("the", "a").cast("long")).as("n_stop"))
+      val gated = docs.join(stats, Seq("doc_id"))
+        .withColumn("quality",
+          least(lit(1.0), col("n_tokens") / lit(100.0))
+            * (lit(1.0) - col("n_stop") / col("n_tokens")))
+        .where(col("quality") >= 0.5)
+        .withColumn("fingerprint",
+          TextOps.docFingerprint(TextOps.cleanText(col("text"))))
+      val byFp = Window.partitionBy(col("fingerprint"))
+      gated
+        .withColumn("rep_id", min(col("doc_id")).over(byFp))
+        .withColumn("n_dups", count(lit(1)).over(byFp))
+        .where(col("doc_id") === col("rep_id"))
+        .select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          col("n_tokens"),
+          round(col("quality"), 4).as("quality_score"),
+          col("fingerprint"), col("n_dups"))
+    }),
+
     // Corpus cleaning pass: lowercase, strip markup, collapse whitespace
     // — the normalization step that precedes dedup/quality scoring.
     "text_clean" -> ((s, dir) => {
@@ -105,6 +141,31 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_docs" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN t IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                 FROM toks GROUP BY doc_id),
+         gated AS (SELECT d.doc_id, d.text, a.n_tokens,
+                 least(1.0, a.n_tokens / 100.0)
+                   * (1.0 - a.n_stop * 1.0 / a.n_tokens) AS quality,
+                 md5(trim(regexp_replace(regexp_replace(lower(d.text), '<[^>]*>', ' ', 'g'),
+                      '\s+', ' ', 'g'))) AS fingerprint
+               FROM documents d JOIN agg a USING (doc_id)
+               WHERE least(1.0, a.n_tokens / 100.0)
+                   * (1.0 - a.n_stop * 1.0 / a.n_tokens) >= 0.5),
+         wd AS (SELECT *,
+                  min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id,
+                  CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_dups
+                FROM gated)
+         SELECT doc_id,
+                CASE WHEN vr < 0.20 THEN 'zh' WHEN vr < 0.26 THEN 'de'
+                     WHEN vr < 0.31 THEN 'en' ELSE 'es' END AS lang_pred,
+                n_tokens, round(quality, 4) AS quality_score,
+                fingerprint, n_dups
+         FROM (SELECT *, (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 1.0
+                         / length(text) AS vr FROM wd)
+         WHERE doc_id = rep_id""",
     "text_clean" ->
       """SELECT doc_id,
               trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),

@@ -20,6 +20,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again.getAs[Long]("checksum") == r.getAs[Long]("checksum"))
   }
 
+  test("real WAV payloads decode true sample rate/frames; junk bytes take the stub arm") {
+    import spark.implicits._
+    def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(8000f, 1, 4000), "test"),
+      Multimodal.MediaRow(2L, "audio", wav(44100f, 2, 44100), "test"),
+      Multimodal.MediaRow(3L, "audio", "definitely not audio".getBytes, "test")
+    ).toDS()
+    val feats = Multimodal.decodeAudio(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).sample_rate == 8000 && feats(1L).channels == 1)
+    assert(feats(1L).n_frames == 4000 && feats(1L).duration_ms == 500)
+    assert(feats(2L).sample_rate == 44100 && feats(2L).channels == 2)
+    assert(feats(2L).duration_ms == 1000)
+    assert(feats(3L).duration_ms == -1L) // stub arm marker
+  }
+
   test("real PNG payloads decode to true dimensions; junk bytes take the stub arm") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
