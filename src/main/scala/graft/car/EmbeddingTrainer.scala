@@ -2,6 +2,7 @@ package graft.car
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.CheckpointShim
 
 /** Distributed trainer for the reference's KG-embedding objective
   * (reference preprocess.py:25-91 `train_rgcn_model`, rgcn.py:31-44):
@@ -55,10 +56,13 @@ object EmbeddingTrainer {
       evalSample: Int = 0)
 
   /** `mrrTrace` is (epoch, filtered MRR) at each evaluation; when
-    * evaluation ran, the returned embeddings are the BEST epoch's
-    * (reference keeps `best_mrr_model` / its embedding.npz,
-    * preprocess.py:66-79), recorded in `bestEpoch` (-1 = no eval, last
-    * epoch returned).
+    * evaluation ran, the returned embeddings are the BEST epoch's,
+    * recorded in `bestEpoch` (-1 = no eval, last epoch returned).
+    * Deliberate deviation: the reference tracks `best_mrr_model`
+    * (preprocess.py:66-74) but then unconditionally overwrites
+    * embedding.npz with the FINAL epoch's weights after the loop
+    * (preprocess.py:75-85) — keeping the best-epoch tables implements
+    * the intent its checkpointing gestures at, not its as-coded tail.
     */
   final case class Trained(
       entityEmb: DataFrame, relationEmb: DataFrame, epochLoss: Seq[Double],
@@ -151,36 +155,67 @@ object EmbeddingTrainer {
       // gradient 2·v·regRatio/(rows·dim), i.e. plain weight decay.
       def step(flat: DataFrame, grads: DataFrame, rows: Long): DataFrame = {
         val decay = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (rows.toDouble * cfg.dim)
-        flat.join(grads, Seq("id"), "left")
+        val updated = flat.join(grads, Seq("id"), "left")
           .select(col("id"), col("pos"),
             (col("value") * lit(decay)
               - lit(cfg.lr) * coalesce(col("grad"), lit(0.0))).as("value"))
           .localCheckpoint(true)
+        // the pre-step table's checkpoint blocks are dead once the
+        // (eager) update materialized — free them so a long training run
+        // pins two embedding tables, not 2 × epochs
+        CheckpointShim.freeLocalCheckpoint(flat)
+        updated
       }
       ent = step(ent, entGrad, numEntities)
       rel = step(rel, relGrad, numRelations)
+      CheckpointShim.freeLocalCheckpoint(scored)
 
       // evaluate_every loop (preprocess.py:61-79): validate filtered
       // MRR on the current embeddings, remember the best epoch's tables
       if (cfg.evalEvery > 0 && valid.nonEmpty && epoch % cfg.evalEvery == 0) {
         val eEmb = assemble(ent, "entity_id").localCheckpoint(true)
         val rEmb = assemble(rel, "relation_id").localCheckpoint(true)
-        // deterministic TakeOrdered sample of the valid split (see
-        // Config.evalSample); the FILTER set stays the full allTrue
+        // deterministic-but-uniform TakeOrdered sample of the valid
+        // split (see Config.evalSample): ordering by a seeded hash of
+        // the triplet key picks a representative subset — a plain
+        // (head, relation, tail) sort would grade only the lowest-id
+        // entities. The FILTER set stays the full allTrue.
         val validEval =
           if (cfg.evalSample > 0)
-            valid.get.orderBy(col("head_id"), col("relation_id"), col("tail_id"))
+            valid.get.orderBy(
+                xxhash64(col("head_id"), col("relation_id"), col("tail_id"),
+                  lit(cfg.seed)),
+                col("head_id"), col("relation_id"), col("tail_id"))
               .limit(cfg.evalSample)
           else valid.get
         val mrr = graft.metrics.Scores.filteredMrr(validEval, allTrue.get,
             scoreAllCandidates(validEval, eEmb, rEmb))
           .head().getAs[Double]("mrr")
         mrrs += (epoch -> mrr)
-        if (best.forall(_._1 < mrr)) best = Some((mrr, eEmb, rEmb, epoch))
+        if (best.forall(_._1 < mrr)) {
+          best.foreach { case (_, e, r, _) =>
+            CheckpointShim.freeLocalCheckpoint(e)
+            CheckpointShim.freeLocalCheckpoint(r)
+          }
+          best = Some((mrr, eEmb, rEmb, epoch))
+        } else {
+          CheckpointShim.freeLocalCheckpoint(eEmb)
+          CheckpointShim.freeLocalCheckpoint(rEmb)
+        }
       }
     }
+    // free the filter set — but only if an evaluation actually forced the
+    // lazy val (touching it here otherwise would build it just to drop it)
+    if (cfg.evalEvery > 0 && valid.nonEmpty && cfg.epochs >= cfg.evalEvery)
+      allTrue.foreach(CheckpointShim.freeLocalCheckpoint(_))
     best match {
-      case Some((_, e, r, ep)) => Trained(e, r, losses.result(), mrrs.result(), ep)
+      case Some((_, e, r, ep)) =>
+        // the flat working tables are superseded by the best epoch's
+        // assembled checkpoints; without an eval they back the returned
+        // (lazy) assemble and must stay pinned
+        CheckpointShim.freeLocalCheckpoint(ent)
+        CheckpointShim.freeLocalCheckpoint(rel)
+        Trained(e, r, losses.result(), mrrs.result(), ep)
       case None => Trained(assemble(ent, "entity_id"), assemble(rel, "relation_id"),
         losses.result(), mrrs.result())
     }

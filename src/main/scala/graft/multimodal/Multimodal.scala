@@ -51,9 +51,11 @@ object Multimodal {
     */
   private def stubFeatures(r: MediaRow): MediaFeatures = {
     val sum = contentChecksum(r.payload)
+    // floorMod, not abs+%: abs(Long.MinValue) is negative, which would
+    // turn the stub dimensions negative on that one checksum value
     MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
-      width = (math.abs(sum) % 1920).toInt + 1,
-      height = (math.abs(sum / 7) % 1080).toInt + 1,
+      width = Math.floorMod(sum, 1920L).toInt + 1,
+      height = Math.floorMod(sum / 7, 1080L).toInt + 1,
       checksum = sum)
   }
 
@@ -106,23 +108,26 @@ object Multimodal {
         try {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
-          val fmt = ais.getFormat
-          val frames = ais.getFrameLength
-          val durMs =
-            if (fmt.getFrameRate > 0 && frames >= 0)
-              (frames * 1000.0 / fmt.getFrameRate).toLong
-            else -1L
-          AudioFeatures(r.media_id, r.modality, r.payload.length.toLong,
-            fmt.getSampleRate.toInt, fmt.getChannels, frames, durMs,
-            contentChecksum(r.payload))
+          try {
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val durMs =
+              if (fmt.getFrameRate > 0 && frames >= 0)
+                (frames * 1000.0 / fmt.getFrameRate).toLong
+              else -1L
+            AudioFeatures(r.media_id, r.modality, r.payload.length.toLong,
+              fmt.getSampleRate.toInt, fmt.getChannels, frames, durMs,
+              contentChecksum(r.payload))
+          } finally ais.close()
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException
              | _: java.io.IOException =>
             val sum = contentChecksum(r.payload)
+            // floorMod: abs(Long.MinValue) % n is negative (see stubFeatures)
             AudioFeatures(r.media_id, r.modality, r.payload.length.toLong,
-              sample_rate = (math.abs(sum) % 48000).toInt + 1,
-              channels = (math.abs(sum / 7) % 2).toInt + 1,
-              n_frames = math.abs(sum / 11) % 100000,
+              sample_rate = Math.floorMod(sum, 48000L).toInt + 1,
+              channels = Math.floorMod(sum / 7, 2L).toInt + 1,
+              n_frames = Math.floorMod(sum / 11, 100000L),
               duration_ms = -1L, checksum = sum)
         }
       }

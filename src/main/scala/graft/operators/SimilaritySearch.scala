@@ -117,6 +117,74 @@ object SimilaritySearch {
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
 
+  /** Batch k-NN join, exact: top-k cosine neighbors for EVERY row of a
+    * bounded query batch against the corpus — the many-queries shape
+    * retrieval / near-dup audit actually runs (the single-`queryId`
+    * variants above are its 1-row special case). The query batch
+    * broadcasts (it is bounded by construction — a probe set, not a
+    * second corpus), the corpus scans ONCE with all per-pair math
+    * codegen'd map-side, and the only shuffle is the per-query top-k
+    * window, partitioned by query id — never a partitionless sort.
+    * |Q|·|C| scored rows is the inherent brute-force cost; the scale
+    * path is [[knnJoinIvf]], which prunes scoring to probed cells.
+    */
+  def knnJoinBruteForce(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.l2Norm(col(vecCol)).as("qn"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        VectorOps.l2Norm(col(vecCol)).as("vn"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineWithNorms(col("v"), col("qv"), col("vn"), col("qn")).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Batch k-NN join, IVF-pruned: each query scores only the corpus rows
+    * inside its `nprobe` nearest cells. Per-query probed cells are picked
+    * declaratively (sort the centroid-distance structs, slice, explode —
+    * all codegen'd, no driver loop over queries), so the whole join is
+    * one broadcast-hash join on the `cell` key: with the corpus stored
+    * partitioned/bucketed by cell this is partition pruning per query —
+    * the 100 TB retrieval shape. Exact cosine reranks the survivors;
+    * top-k via the same query-partitioned window as the brute-force form.
+    */
+  def knnJoinIvf(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quantized = assignToCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        VectorOps.l2Norm(col(vecCol)).as("vn")), "v", centroids)
+    val cellDists = centroids.map { case (cid, c) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct(
+        (lit(cNormSq) - lit(2.0) * VectorOps.dot(col(vecCol), array(c.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.l2Norm(col(vecCol)).as("qn"),
+      explode(slice(array_sort(array(cellDists: _*)), 1, nprobe)
+        .getField("cid")).as("cell"))
+    val scored = quantized.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineWithNorms(col("v"), col("qv"), col("vn"), col("qn")).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** IVF ANN end-to-end: quantize the table, probe the query's `nprobe`
     * nearest cells, exact-cosine rerank inside them. The cell filter is
     * a literal IN-list — stored as a partition/bucket column it becomes

@@ -66,6 +66,29 @@ object VectorQueries {
         k = 10, centroids, nprobe = 2)
     }),
 
+    // Batch k-NN join: exact cosine top-5 neighbors for every 50th
+    // vector — the many-queries retrieval shape (broadcast query batch,
+    // one corpus scan, per-query top-k window).
+    "knn_join_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilaritySearch.knnJoinBruteForce(
+        e, e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 5)
+    }),
+
+    // IVF-pruned k-NN join: same query batch, scoring restricted to each
+    // query's 2 nearest KMeans cells (cell-key join = partition pruning
+    // at scale). Centroid floats are engine-specific → rows-only.
+    "knn_join_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = SimilaritySearch.fitIvf(
+        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", k = 8, maxIter = 3)
+      SimilaritySearch.knnJoinIvf(
+        e, e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+    }),
+
     // L2 normalization of the embedding column (compiled VecScale — no
     // interpreted transform lambda), emitted flat for the oracle.
     "vec_normalize" -> ((s, dir) => {
@@ -135,6 +158,26 @@ object VectorQueries {
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    "knn_join_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         dots AS (SELECT query_id, neighbor_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY query_id, neighbor_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                  dp / (sqrt(na) * sqrt(nb)) AS cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, neighbor_id ASC) AS rank
+                FROM dots)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5""",
     "vec_normalize" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
                 embedding FROM embeddings),

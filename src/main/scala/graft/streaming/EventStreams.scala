@@ -74,6 +74,13 @@ object EventStreams {
       timeCol: String, window: String): DataFrame = {
     val rr = right.toDF(right.columns.map(c =>
       if (c == keyCol || c == timeCol) s"${c}_r" else c): _*)
+    // only the key/time columns are suffixed — any other shared name
+    // would make the col(...) references below ambiguous (or silently
+    // shadow a pre-existing `<name>_r` on the right); fail loudly instead
+    val clash = rr.columns.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalJoin: right columns ${clash.mkString(", ")} collide with " +
+        "the left side — rename them before joining")
     left.join(rr,
       col(keyCol) === col(s"${keyCol}_r") &&
         col(s"${timeCol}_r") >= col(timeCol) &&

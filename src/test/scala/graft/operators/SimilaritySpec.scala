@@ -97,6 +97,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 == 1.0) // probing every cell IS the exact search
   }
 
+  test("knnJoin: IVF full probe equals brute force for every query in the batch") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.where(col("vec_id") % 25 === 0)
+    val brute = SimilaritySearch
+      .knnJoinBruteForce(e, queries, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    // every query id contributes exactly k ranked rows
+    assert(brute.groupBy(_._1).forall(_._2.size == 3))
+    val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 4)
+    val full = SimilaritySearch
+      .knnJoinIvf(e, queries, "embedding", "vec_id", k = 3, centroids, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute) // probing every cell IS the exact join
+    val pruned = SimilaritySearch
+      .knnJoinIvf(e, queries, "embedding", "vec_id", k = 3, centroids, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-probe results are a subset of the scored universe: each hit is
+    // a real corpus row, never the query itself
+    assert(pruned.forall { case (q, n) => q != n })
+  }
+
   test("IVF cells stored as a partition column make probes partition pruning") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 4)
