@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators: the steps between "deduped
+  * documents" and "token stream a trainer consumes".
+  *
+  *  - [[packByTokenBudget]]: assign documents to fixed-token-budget packs
+  *    (sequence packing). A global greedy first-fit is inherently
+  *    sequential, so the scalable form shards the corpus by id hash and
+  *    packs within each shard independently: the only window runs
+  *    PARTITIONED by shard (never a global single-partition sort), and
+  *    shard count scales with the cluster while pack quality is
+  *    unaffected (packing loses nothing by being computed per shard —
+  *    packs never needed to span shards in the first place).
+  *  - [[mixtureSample]]: deterministic per-source downsampling to hit
+  *    target mixture weights. The keep/drop gate is a pure function of
+  *    the row id (md5 prefix as a uniform draw), so the sample is
+  *    reproducible across runs, executors and retries — rand() sampling
+  *    is none of those — and any engine can audit it (the gate is plain
+  *    SQL). Weights ride in as a broadcast dimension table, the fact
+  *    scan never shuffles.
+  */
+object CorpusPrep {
+
+  /** Pack documents into contiguous token-budget blocks per shard.
+    * `pack_id` = which budget-sized block the document's running token
+    * offset starts in (block packing: a document straddling a boundary
+    * stays in the pack where it starts, so packs can overflow by at most
+    * one document — the standard streaming-packer behavior).
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    val byShard = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("cum_before",
+        sum(col(tokenCol)).over(byShard) - col(tokenCol))
+      .withColumn("pack_id",
+        floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
+      .drop("cum_before")
+  }
+
+  /** Keep each row iff a uniform md5-prefix draw on its id falls under
+    * its source's weight. Weights are (source, w) with w ∈ [0, 1]:
+    * w = 1 keeps everything, w = 0.25 keeps a deterministic quarter.
+    * Sources missing from `weights` are dropped (inner join) — the
+    * explicit-allowlist behavior a curated training mix wants.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(sourceCol, "w")
+    // first 16 bits of md5(id) as an integer in [0, 65536) — a seedless
+    // uniform hash both Spark and any SQL oracle compute identically
+    val gate = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(wdf), Seq(sourceCol))
+      .where(gate < col("w") * lit(65536.0))
+      .drop("w")
+  }
+}

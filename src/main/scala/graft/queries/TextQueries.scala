@@ -137,6 +137,27 @@ object TextQueries {
     // SimHash near-dup (4×16-bit segment join, Hamming ≤ 3) → rows-only.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(Tables.documents(s, dir), "text", "doc_id")
+    }),
+
+    // Sequence packing: assign documents to 512-token training packs,
+    // sharded by id hash so the running-offset window is partitioned
+    // (pack quality doesn't need packs to span shards).
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep.packByTokenBudget(
+        docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
+    }),
+
+    // Mixture sampling: deterministic per-source downsampling to target
+    // weights (1.0 / 0.5 / 0.2 tiers over the 20 sources) via an md5
+    // uniform gate — reproducible across engines, runs and retries.
+    "mixture_sample" -> ((s, dir) => {
+      val weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 1.0 else if (i < 10) 0.5 else 0.2)).toMap
+      graft.operators.CorpusPrep.mixtureSample(
+          Tables.documents(s, dir), "doc_id", "source", weights)
+        .select(col("doc_id"), col("source"))
     })
   )
 
@@ -219,6 +240,26 @@ object TextQueries {
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          WHERE t <> ''
          GROUP BY t ORDER BY n DESC, token ASC LIMIT 100""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  doc_id % 8 AS shard
+                FROM documents),
+         c AS (SELECT doc_id, n_tokens, shard,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+               FROM t)
+         SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+                CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
+         FROM c""",
+    "mixture_sample" ->
+      """WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                  CASE WHEN i < 5 THEN 1.0 WHEN i < 10 THEN 0.5 ELSE 0.2 END AS w
+                FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+         g AS (SELECT d.doc_id, d.source, w.w,
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS gate
+               FROM documents d JOIN w USING (source))
+         SELECT doc_id, source FROM g WHERE gate < w * 65536""",
     // transitive closure via recursive CTE = the same min-reachable-id
     // the iterative label propagation converges to
     "dedup_clusters" ->

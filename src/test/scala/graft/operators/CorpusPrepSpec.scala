@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusPrepSpec extends SparkSpec {
+
+  test("packByTokenBudget: every doc packed once, packs overflow by at most one doc") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, 10L + i % 90)).toDF("id", "toks")
+    val packed = CorpusPrep.packByTokenBudget(docs, "id", "toks",
+      budget = 256L, shards = 4)
+    assert(packed.count() == 200) // partition-wise assignment, no loss/dup
+    assert(packed.select("id").distinct().count() == 200)
+    // within a (shard, pack), total tokens < budget + the last doc's own
+    // size (block packing: only the straddling doc overflows)
+    val over = packed.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("toks")).as("total"), max(col("toks")).as("biggest"))
+      .where(col("total") >= lit(256L) + col("biggest"))
+    assert(over.isEmpty)
+    // deterministic: same input → identical assignment
+    val again = CorpusPrep.packByTokenBudget(docs, "id", "toks", 256L, 4)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
+  test("packByTokenBudget plan: the running-sum window is shard-partitioned") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, 5L)).toDF("id", "toks")
+    val plan = CorpusPrep.packByTokenBudget(docs, "id", "toks", 64L, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      plan) // no partitionless window anywhere
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
+
+  test("mixtureSample: w=1 keeps all, w=0 keeps none, gate is deterministic") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val sampled = CorpusPrep.mixtureSample(rows, "id", "src",
+      Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5, "s3" -> 0.2))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("s0") == 250)       // weight 1 keeps every row
+    assert(!sampled.contains("s1"))    // weight 0 keeps nothing
+    // uniform 16-bit gate: expected 125 ± a loose binomial bound
+    assert(sampled("s2") > 85 && sampled("s2") < 165, sampled)
+    assert(sampled("s3") > 25 && sampled("s3") < 80, sampled)
+    val again = CorpusPrep.mixtureSample(rows, "id", "src",
+      Map("s2" -> 0.5)).select("id").collect().map(_.getLong(0)).toSet
+    val first = CorpusPrep.mixtureSample(rows, "id", "src",
+      Map("s2" -> 0.5)).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == first && again.nonEmpty)
+  }
+
+  test("mixtureSample: sources absent from the weight map are dropped") {
+    import spark.implicits._
+    val rows = Seq((1L, "keep"), (2L, "unknown")).toDF("id", "src")
+    val out = CorpusPrep.mixtureSample(rows, "id", "src", Map("keep" -> 1.0))
+    assert(out.select("src").collect().map(_.getString(0)).toSeq == Seq("keep"))
+  }
+}
