@@ -211,6 +211,50 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: for every (corpus doc, benchmark doc)
+    * pair sharing word shingles, the fraction of the BENCHMARK document's
+    * distinct shingles that appear in the corpus document — the standard
+    * train/eval contamination test (a benchmark item counts as leaked
+    * when enough of its n-grams exist verbatim in a training document).
+    *
+    * Same inverted-index shape as [[shingleJaccardPairs]] but across two
+    * corpora: candidates come from the shingle-equality join restricted
+    * to corpus shingles with document frequency ≤ `maxShingleDf` (a
+    * boilerplate shingle shared by k corpus docs × m benchmark docs
+    * emits k·m pairs), and the hot-shingle correction restores exact
+    * full-set overlap counts for the surviving pairs. Returns
+    * (corpus_id, bench_id, overlap) with overlap ≥ `minOverlap`.
+    */
+  def crossCorpusOverlap(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int, minOverlap: Double,
+      maxShingleDf: Long = 10000L): DataFrame = {
+    val corpusSh = shingleRows(corpus, textCol, idCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSh = shingleRows(benchmark, textCol, idCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = corpusSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = corpusSh.join(dfc.where(col("df") <= maxShingleDf), Seq("g"))
+      .select(col("doc"), col("g"))
+    val interRare = rare.select(col("doc").as("corpus_id"), col("g"))
+      .join(benchSh.select(col("doc").as("bench_id"), col("g")), Seq("g"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val hotRows = corpusSh
+      .join(dfc.where(col("df") > maxShingleDf).select(col("g")), Seq("g"))
+    val interHot = interRare.select(col("corpus_id"), col("bench_id"))
+      .join(hotRows.select(col("doc").as("corpus_id"), col("g")), Seq("corpus_id"))
+      .join(benchSh.select(col("doc").as("bench_id"), col("g")), Seq("bench_id", "g"))
+      .groupBy(col("corpus_id"), col("bench_id")).agg(count(lit(1)).as("inter_hot"))
+    val benchCard = benchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_bench"))
+    interRare.join(interHot, Seq("corpus_id", "bench_id"), "left")
+      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .join(benchCard.select(col("doc").as("bench_id"), col("n_bench")), Seq("bench_id"))
+      .withColumn("overlap", col("inter") / col("n_bench"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("corpus_id"), col("bench_id"),
+        round(col("overlap"), 4).as("overlap"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair graph, as iterative min-label propagation — the step that
     * turns PAIRS (any of the candidate generators above) into "keep one

@@ -149,6 +149,17 @@ object TextQueries {
         docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
     }),
 
+    // Benchmark decontamination: corpus documents carrying ≥ 60% of a
+    // held-out "benchmark" doc's 5-gram shingles (every 10th doc plays
+    // the benchmark; the rest are the training corpus).
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusOverlap(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", shingleLen = 5, minOverlap = 0.6)
+    }),
+
     // Mixture sampling: deterministic per-source downsampling to target
     // weights (1.0 / 0.5 / 0.2 tiers over the 20 sources) via an md5
     // uniform gate — reproducible across engines, runs and retries.
@@ -252,6 +263,20 @@ object TextQueries {
          SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
                 CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
          FROM c""",
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+         corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         bench AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+         bcard AS (SELECT doc_id, count(*) AS n_bench FROM bench GROUP BY doc_id),
+         inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n
+                   FROM corp c JOIN bench b ON c.g = b.g GROUP BY 1, 2)
+         SELECT corpus_id, bench_id, round(n * 1.0 / n_bench, 4) AS overlap
+         FROM inter JOIN bcard ON bench_id = bcard.doc_id
+         WHERE n * 1.0 / n_bench >= 0.6""",
     "mixture_sample" ->
       """WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
                   CASE WHEN i < 5 THEN 1.0 WHEN i < 10 THEN 0.5 ELSE 0.2 END AS w

@@ -34,6 +34,33 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("crossCorpusOverlap flags contaminated corpus docs, hot-cap correction exact") {
+    import spark.implicits._
+    val corpus = docs // docs 1-5 play the training corpus
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "held out benchmark question nothing in the corpus ever mentions at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusOverlap(corpus, bench, "text", "doc_id",
+      shingleLen = 5, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 1 and 2 contain benchmark 100 verbatim (and near-dup 3 leaks
+    // most of it); 101 leaks nowhere
+    assert(hits((1L, 100L)) == 1.0 && hits((2L, 100L)) == 1.0)
+    assert(hits((3L, 100L)) > 0.8 && hits((3L, 100L)) < 1.0)
+    assert(!hits.keySet.exists(_._2 == 101L))
+    assert(!hits.keySet.exists(p => p._1 == 4L || p._1 == 5L))
+    // cap at df ≤ 2: docs 1/2 still qualify through their df-2 shingles
+    // and the hot correction restores their EXACT 1.0 overlap; doc 3's
+    // shared shingles are all above the cap, so (3,100) drops — the
+    // documented only-hot-overlap loss
+    val capped = Dedup.crossCorpusOverlap(corpus, bench, "text", "doc_id",
+      shingleLen = 5, minOverlap = 0.5, maxShingleDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped((1L, 100L)) == 1.0 && capped((2L, 100L)) == 1.0)
+    assert(!capped.contains((3L, 100L)))
+  }
+
   test("MinHash LSH candidates ⊆ verified pairs and contain exact dups") {
     val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", minJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
