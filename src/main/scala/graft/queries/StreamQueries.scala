@@ -28,9 +28,24 @@ object StreamQueries {
         // coarse — enough to flip a bucket boundary.
         .withColumn("hour_epoch", expr(s"(ts_ns div $NanosPerHour) * 3600"))
         .groupBy(col("hour_epoch"), col("event_type"))
+        // decimal accumulation: double sums depend on partition order, and
+        // once a group is big enough the accumulated ulps cross the 4dp
+        // rounding boundary (caught by the sf0.1 oracle sweep). Decimal
+        // addition is exact/associative → order-independent at any scale;
+        // the avg divides the exact sum in double (one IEEE op, identical
+        // in any engine).
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value"))
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+        // the avg is rounded half-up in exact INTEGER math: double
+        // division lands exactly on .00005 ties (sum/32, sum/24, …) and
+        // engines disagree on the tie direction (also caught at sf0.1).
+        // avg4 = floor(sv/n · 10⁴ + ½) = (2·sv·10⁶ + 100·n) div (200·n),
+        // exact for the non-negative value domain.
+        .withColumn("sv6", (col("sv") * lit(1000000)).cast("long"))
+        .select(col("hour_epoch"), col("event_type"), col("n_events"),
+          round(col("sv").cast("double"), 4).as("sum_value"),
+          (expr("(2 * sv6 + 100 * n_events) div (200 * n_events)") / lit(10000.0))
+            .as("avg_value"))
     }),
 
     // Sessionization-lite: per-user event counts and value totals with
@@ -40,7 +55,10 @@ object StreamQueries {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("total_value"),
+          // exact decimal sum — same order-independence rationale as
+          // stream_hourly_agg (per-user groups grow with the stream)
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .as("total_value"),
           // µs, not ns: DuckDB truncates parquet TIMESTAMP(NANOS) to µs,
           // so the comparable granularity is microseconds.
           expr("min(ts_ns) div 1000").as("first_ts_us"),
@@ -119,15 +137,19 @@ object StreamQueries {
 
   def oracleSql: Map[String, String] = Map(
     "stream_hourly_agg" ->
-      """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_epoch,
-              event_type,
-              CAST(count(*) AS BIGINT) AS n_events,
-              round(sum(value), 4) AS sum_value,
-              round(avg(value), 4) AS avg_value
-         FROM events GROUP BY 1, 2""",
+      """WITH g AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_epoch,
+                  event_type,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  sum(CAST(value AS DECIMAL(18,6))) AS sv
+                FROM events GROUP BY 1, 2)
+         SELECT hour_epoch, event_type, n_events,
+                round(CAST(sv AS DOUBLE), 4) AS sum_value,
+                ((2 * CAST(sv * 1000000 AS BIGINT) + 100 * n_events)
+                   // (200 * n_events)) / 10000.0 AS avg_value
+         FROM g""",
     "stream_user_rollup" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-              round(sum(value), 4) AS total_value,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
               CAST(epoch_us(min(ts)) AS BIGINT) AS first_ts_us,
               CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us,
               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
