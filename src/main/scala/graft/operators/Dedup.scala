@@ -37,8 +37,10 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** (doc, g) rows: distinct word shingles per document. */
-  private def shingleRows(df: DataFrame, textCol: String, idCol: String,
+  /** (doc, g) rows: distinct word shingles per document. Public — also
+    * the building block for repetition scoring and contamination checks.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

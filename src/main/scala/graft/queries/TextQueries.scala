@@ -139,6 +139,23 @@ object TextQueries {
       Dedup.simHashPairs(Tables.documents(s, dir), "text", "doc_id")
     }),
 
+    // Intra-document repetition: 1 − distinct/total 3-gram shingles —
+    // the Gopher-style repeated-text quality signal. Total shingle count
+    // is pure column math (size − n + 1 clipped at 1); only the distinct
+    // side materializes shingles (compiled flatMap with local dedup).
+    "text_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val totals = docs.select(col("doc_id"),
+        greatest(size(TextOps.tokens(col("text"))) - lit(2), lit(1))
+          .cast("long").as("n_shingles"))
+      val distincts = Dedup.shingleRows(docs, "text", "doc_id", 3)
+        .select(col("doc").as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+      totals.join(distincts, Seq("doc_id"))
+        .withColumn("repetition",
+          round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
+    }),
+
     // Sequence packing: assign documents to 512-token training packs,
     // sharded by id hash so the running-offset window is partitioned
     // (pack quality doesn't need packs to span shards).
@@ -263,6 +280,18 @@ object TextQueries {
          SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
                 CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
          FROM c""",
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         tot AS (SELECT doc_id,
+                   CAST(greatest(len(toks) - 2, 1) AS BIGINT) AS n_shingles FROM tok),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         dis AS (SELECT doc_id, CAST(count(DISTINCT
+                   array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS BIGINT) AS n_distinct
+                 FROM idx GROUP BY doc_id)
+         SELECT doc_id, n_shingles, n_distinct,
+                round(1.0 - n_distinct * 1.0 / n_shingles, 4) AS repetition
+         FROM tot JOIN dis USING (doc_id)""",
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          idx AS (SELECT doc_id, toks,
