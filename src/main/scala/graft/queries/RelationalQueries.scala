@@ -181,10 +181,37 @@ object RelationalQueries {
         .stat.sampleBy("l_returnflag",
           Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8), 42L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    }),
+
+    // SQL frontend — the ONE dialect-neutral statement runs verbatim on
+    // both engines (spark.sql over temp views here; the oracle map holds
+    // the identical text for DuckDB). Catalyst plans it exactly like the
+    // DataFrame form: dimension broadcasts, pushed filter, partial aggs.
+    // Decimal revenue accumulation for order-independent sums (see
+    // stream_hourly_agg).
+    "sql_frontend" -> ((s, dir) => {
+      Seq("nation", "customer", "orders", "lineitem").foreach { t =>
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+      }
+      s.sql(FrontendSql)
     })
   )
 
+  /** Shared Spark/DuckDB SQL for `sql_frontend` (dialect-neutral). */
+  private val FrontendSql: String =
+    """SELECT n.n_name AS nation,
+              CAST(count(*) AS BIGINT) AS n_items,
+              round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+       FROM nation n
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       JOIN orders o   ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+       GROUP BY n.n_name"""
+
   def oracleSql: Map[String, String] = Map(
+    "sql_frontend" -> FrontendSql, // the SAME text Spark executes
     "s1_scan" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'",
     "p2_drop" ->
