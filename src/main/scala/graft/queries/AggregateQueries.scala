@@ -174,6 +174,25 @@ object AggregateQueries {
         Seq("l_extendedprice", "l_quantity", "l_discount"))
     }),
 
+    // Skew-salted aggregation THROUGH the driver gate (the Salting
+    // operator was lib+spec only): 3 group keys over the whole lineitem
+    // scan is exactly the hot-key shape — each key splits into 32
+    // deterministic sub-keys, partials aggregate per (key, salt), and
+    // stage 2 re-aggregates 3×32 residue rows. Result ≡ direct groupBy
+    // (the oracle IS the direct form); decimal sums keep it
+    // order-independent at any scale.
+    "skew_salted_agg" -> ((s, dir) => {
+      graft.operators.Salting.saltedAggregate(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), salts = 32,
+        partial = Seq(
+          sum(col("l_quantity").cast("decimal(18,6)")).as("__s"),
+          count(lit(1)).as("__n")),
+        merge = Seq(
+          round(sum(col("__s")).cast("double"), 4).as("sum_qty"),
+          sum(col("__n")).as("n_rows")),
+        saltBy = Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
+
     // A14 — exact grouped quantiles (median/p90): the distribution stats
     // pre_statistics eyeballs from its histograms, as one aggregate.
     // Spark's exact percentile and DuckDB's quantile_cont both use
@@ -372,6 +391,13 @@ object AggregateQueries {
            FROM lineitem CROSS JOIN stats WHERE l_discount IS NOT NULL)
          SELECT col_name, bucket, CAST(count(*) AS BIGINT) AS cnt
          FROM u GROUP BY 1, 2""",
+    // the oracle is the DIRECT (unsalted) groupBy — proving the salted
+    // two-stage plan computes the identical aggregate
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+              CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
     "a14_quantiles" ->
       """SELECT l_returnflag,
               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
