@@ -26,12 +26,21 @@ object VectorOps {
   /** Cosine similarity in double precision. For pairwise workloads,
     * precompute each side's norm once per ROW (not per pair) and use
     * `cosineWithNorms` — norms are the redundant 2/3 of the work.
+    *
+    * Zero-vector-safe: Spark 4's ANSI mode throws DIVIDE_BY_ZERO even
+    * for doubles, so ONE zero embedding anywhere in a corpus would
+    * kill every pairwise query. try_divide yields null instead,
+    * coalesced to a −2 sentinel that sorts below every true cosine and
+    * fails every ≥-threshold filter — zero vectors simply never match.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column =
+    coalesce(try_divide(dot(a, b), l2Norm(a) * l2Norm(b)), lit(-2.0))
 
-  /** Cosine from a codegen'd dot and already-materialized norms. */
+  /** Cosine from a codegen'd dot and already-materialized norms
+    * (zero-vector-safe, see [[cosine]]).
+    */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    coalesce(try_divide(dot(a, b), normA * normB), lit(-2.0))
 
   /** Elementwise scale by a scalar column (compiled loop, no lambda). */
   def scale(v: Column, s: Column): Column =

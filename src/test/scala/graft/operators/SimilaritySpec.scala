@@ -18,6 +18,16 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
   }
 
+  test("cosine of a zero vector is the -2 sentinel, never NaN (desc-sort safety)") {
+    import spark.implicits._
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("z", "v")
+    val r = df.select(
+      VectorOps.cosine(col("z"), col("v")).as("c"),
+      VectorOps.cosineWithNorms(col("z"), col("v"),
+        VectorOps.l2Norm(col("z")), VectorOps.l2Norm(col("v"))).as("cn")).head()
+    assert(r.getDouble(0) == -2.0 && r.getDouble(1) == -2.0)
+  }
+
   test("VecScale/l2Normalize: unit norms, zero vectors go null not throw") {
     import spark.implicits._
     val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
