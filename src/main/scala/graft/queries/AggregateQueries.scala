@@ -67,23 +67,26 @@ object AggregateQueries {
       val stats = l.agg(
         avg(col("l_quantity")).as("m"), stddev_samp(col("l_quantity")).as("sd"))
       l.crossJoin(broadcast(stats))
+        // try_divide: a constant column (sd = 0) must degrade to null,
+        // not throw the whole job under ANSI (same rule as Scores.ape)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(((col("l_quantity") - col("m")) / col("sd")) * col("sd") + col("m"), 4)
-            .as("q_roundtrip"))
+          round(try_divide(col("l_quantity") - col("m"), col("sd"))
+            * col("sd") + col("m"), 4).as("q_roundtrip"))
     }),
 
     // A5 — MAPE with the reference's prediction-denominator (quirk X4,
-    // evaluate.py:39-42).
+    // evaluate.py:39-42). try_divide guards pred = 0 rows (ANSI).
     "a5_mape" -> ((s, dir) => {
       scored(s, dir).groupBy(col("l_returnflag"))
-        .agg(round(avg(abs(col("target") - col("pred")) / col("pred")), 4).as("mape"))
+        .agg(round(avg(try_divide(abs(col("target") - col("pred")), col("pred"))), 4)
+          .as("mape"))
     }),
 
     // A6 — competition score 0.2·(1−MAPE) + 0.8·P(ape ≤ 0.05)
     // (evaluate.py:17-24, intended semantics; bug X3 not reproduced).
     "a6_score" -> ((s, dir) => {
       scored(s, dir)
-        .withColumn("ape", abs(col("target") - col("pred")) / col("pred"))
+        .withColumn("ape", try_divide(abs(col("target") - col("pred")), col("pred")))
         .groupBy(col("l_returnflag"))
         .agg(round(
           lit(0.2) * (lit(1) - avg(col("ape"))) +
@@ -159,8 +162,11 @@ object AggregateQueries {
       val l = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
       val stats = l.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       l.crossJoin(broadcast(stats))
-        .select(least(floor((col("x") - col("lo")) * 40 / (col("hi") - col("lo"))), lit(39))
-          .cast("long").as("bucket"))
+        // hi === lo guard: a constant column throws DIVIDE_BY_ZERO under
+        // ANSI otherwise (same guard as Histograms.sweep)
+        .select(when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("x") - col("lo")) * 40 / (col("hi") - col("lo"))), lit(39))
+              .cast("long")).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     }),
 
@@ -368,7 +374,9 @@ object AggregateQueries {
          FROM events GROUP BY user_id, event_type""",
     "a12_histogram" ->
       """WITH stats AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
-         SELECT CAST(least(floor((l_extendedprice - lo) * 40 / (hi - lo)), 39) AS BIGINT) AS bucket,
+         SELECT CAST(CASE WHEN hi = lo THEN 0
+                     ELSE least(floor((l_extendedprice - lo) * 40 / (hi - lo)), 39)
+                     END AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM lineitem CROSS JOIN stats GROUP BY 1""",
     "a12_histogram_sweep" ->
