@@ -141,6 +141,40 @@ object Multimodal {
     media.mapPartitions(rows => rows.map(stubFeatures))
   }
 
+  /** One sampled video frame: byte offset into the payload + features. */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, byte_offset: Long,
+      frame_checksum: Long)
+
+  /** Frame sampling: the 1 → N expansion a video pipeline runs (sample
+    * N frames per clip, featurize each). No video codec ships in this
+    * container, so the DECODE is a deterministic stub (evenly-spaced
+    * byte offsets stand in for timestamps; the per-frame checksum reads
+    * a window at the offset) — but the Spark shape is the real thing:
+    * a compiled flatMap expanding each payload row into `frames` rows
+    * inside the same partition batch, output keyed (media_id,
+    * frame_idx) so downstream groupBys co-locate a clip's frames. Swap
+    * the window-checksum for a JCodec/FFmpeg grab and nothing else
+    * changes.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frames: Int): Dataset[FrameRow] = {
+    require(frames > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length
+      (0 until frames).iterator.map { i =>
+        // evenly spaced offsets, clipped for payloads shorter than N
+        val off = if (n == 0) 0L else (n.toLong * i) / frames
+        val end = math.min(n, off.toInt + 64)
+        var sum = 0L
+        var j = off.toInt
+        while (j < end) { sum = sum * 31 + (r.payload(j) & 0xff); j += 1 }
+        FrameRow(r.media_id, i, off, sum)
+      }
+    }
+  }
+
   /** End-to-end pipeline over `documents` (text bytes as the payload):
     * partition by id for even batches, decode (text bytes take the stub
     * fallback arm — no image reader accepts them), return features.

@@ -68,4 +68,24 @@ class MultimodalSpec extends SparkSpec {
       .find(_.media_id == 3L).get
     assert(feats(3L) == stub)
   }
+
+  test("sampleFrames: exactly N rows per clip, monotone offsets, deterministic") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", Array.tabulate(1000)(_.toByte), "t"),
+      Multimodal.MediaRow(2L, "video", Array.tabulate(10)(_.toByte), "t"),
+      Multimodal.MediaRow(3L, "video", Array.emptyByteArray, "t")).toDS()
+    val frames = Multimodal.sampleFrames(media, frames = 4).collect()
+    assert(frames.length == 12) // 1 → N expansion for every clip, even empty
+    val byClip = frames.groupBy(_.media_id)
+    byClip.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+      val offs = fs.sortBy(_.frame_idx).map(_.byte_offset)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
+    }
+    assert(byClip(1L).map(_.byte_offset).distinct.length == 4) // spaced
+    val again = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.frame_checksum)).toSet ==
+      again.map(f => (f.media_id, f.frame_idx, f.frame_checksum)).toSet)
+  }
 }
