@@ -103,22 +103,29 @@ object Dedup {
       .select(col("doc").as("doc_a"), col("doc2").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_rare"))
-    // NOT persisted although referenced twice (hot correction + final
-    // join): the pair aggregate is large to materialize but cheap to
-    // recompute over the cached shingle frame — measured 3-10× faster
-    // than persisting it
-    // correction for shared HOT shingles (exact verification runs on
-    // FULL sets): join the candidate pairs against only the rows whose
-    // shingle is above the cap — empty whenever the corpus has no
-    // stop-phrase shingles, so it costs nothing on clean data
-    val hotRows = shingles
-      .join(dfc.where(col("df") > maxShingleDf).select(col("g")), Seq("g"))
-    val interHot = interRare.select(col("doc_a"), col("doc_b"))
-      .join(hotRows.select(col("doc").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(hotRows.select(col("doc").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_hot"))
-    val inter = interRare.join(interHot, Seq("doc_a", "doc_b"), "left")
-      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+    // adaptive correction for shared HOT shingles (exact verification
+    // runs on FULL sets): one bounded probe (limit-1 over the df
+    // aggregate, reading the already-persisted shingle frame) decides
+    // at plan-build time whether any shingle exceeds the cap. The
+    // common case — no stop-phrase shingles — then skips the correction
+    // joins entirely AND references interRare once instead of twice
+    // (it is deliberately not persisted: large to materialize, cheap to
+    // recompute over the cached shingles — measured 3-10× faster).
+    // Same runtime-adaptivity idea AQE applies to join strategies.
+    val hotG = dfc.where(col("df") > maxShingleDf).select(col("g"))
+    val inter =
+      if (hotG.limit(1).isEmpty)
+        interRare.withColumnRenamed("inter_rare", "inter")
+      else {
+        val hotRows = shingles.join(hotG, Seq("g"))
+        val interHot = interRare.select(col("doc_a"), col("doc_b"))
+          .join(hotRows.select(col("doc").as("doc_a"), col("g")), Seq("doc_a"))
+          .join(hotRows.select(col("doc").as("doc_b"), col("g")), Seq("doc_b", "g"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_hot"))
+        interRare.join(interHot, Seq("doc_a", "doc_b"), "left")
+          .withColumn("inter",
+            col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      }
     val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     inter
       .join(card.select(col("doc").as("doc_a"), col("n")), Seq("doc_a"))
@@ -241,15 +248,25 @@ object Dedup {
       .join(benchSh.select(col("doc").as("bench_id"), col("g")), Seq("g"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("inter_rare"))
-    val hotRows = corpusSh
-      .join(dfc.where(col("df") > maxShingleDf).select(col("g")), Seq("g"))
-    val interHot = interRare.select(col("corpus_id"), col("bench_id"))
-      .join(hotRows.select(col("doc").as("corpus_id"), col("g")), Seq("corpus_id"))
-      .join(benchSh.select(col("doc").as("bench_id"), col("g")), Seq("bench_id", "g"))
-      .groupBy(col("corpus_id"), col("bench_id")).agg(count(lit(1)).as("inter_hot"))
+    // same adaptive probe as shingleJaccardPairs: skip the correction
+    // joins (and the second interRare reference) when no corpus shingle
+    // exceeds the cap
+    val hotG = dfc.where(col("df") > maxShingleDf).select(col("g"))
+    val inter =
+      if (hotG.limit(1).isEmpty)
+        interRare.withColumnRenamed("inter_rare", "inter")
+      else {
+        val hotRows = corpusSh.join(hotG, Seq("g"))
+        val interHot = interRare.select(col("corpus_id"), col("bench_id"))
+          .join(hotRows.select(col("doc").as("corpus_id"), col("g")), Seq("corpus_id"))
+          .join(benchSh.select(col("doc").as("bench_id"), col("g")), Seq("bench_id", "g"))
+          .groupBy(col("corpus_id"), col("bench_id")).agg(count(lit(1)).as("inter_hot"))
+        interRare.join(interHot, Seq("corpus_id", "bench_id"), "left")
+          .withColumn("inter",
+            col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      }
     val benchCard = benchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_bench"))
-    interRare.join(interHot, Seq("corpus_id", "bench_id"), "left")
-      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+    inter
       .join(benchCard.select(col("doc").as("bench_id"), col("n_bench")), Seq("bench_id"))
       .withColumn("overlap", col("inter") / col("n_bench"))
       .where(col("overlap") >= minOverlap)
