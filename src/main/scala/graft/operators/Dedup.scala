@@ -170,11 +170,20 @@ object Dedup {
       struct(lit(b).as("band"), col(s"b$b").as("bucket"))
     }: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
+      // feeds the bucket-size probe/cap and both sides of the candidate
+      // self-join — persist so the signature aggregation runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketSizes = bandRows.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
-    val boundedRows = bandRows
-      .join(bucketSizes.where(col("bsz") <= maxBucketSize), Seq("band", "bucket"))
-      .select(col("doc"), col("band"), col("bucket"))
+    // adaptive cap (same probe pattern as shingleJaccardPairs): when no
+    // bucket exceeds the cap — every healthy corpus — candidates join
+    // straight on the band rows, skipping the size filter join
+    val boundedRows =
+      if (bucketSizes.where(col("bsz") > maxBucketSize).limit(1).isEmpty)
+        bandRows
+      else bandRows
+        .join(bucketSizes.where(col("bsz") <= maxBucketSize), Seq("band", "bucket"))
+        .select(col("doc"), col("band"), col("bucket"))
     val candidates = boundedRows
       .join(boundedRows.select(col("doc").as("doc2"), col("band"), col("bucket")),
         Seq("band", "bucket"))
