@@ -180,6 +180,29 @@ object GraphQueries {
           (round(col("col"), 4) + lit(0.0)).as("value"))
     }),
 
+    // G5 two-layer — the reference RGCN stacks TWO propagation layers
+    // (rgcn.py:45-125, config.py n_layers=2): the same mean-aggregation
+    // step applied to its own output. Each hop is the flat
+    // posexplode→groupBy shape (no array_agg-of-vectors buffers), so
+    // depth composes without changing the memory profile.
+    "g5b_two_hop" -> ((s, dir) => {
+      import graft.car.{EmbeddingStore, Triplets}
+      val e = Tables.embeddings(s, dir)
+      val edges = e.select(
+        pmod(col("vec_id"), lit(11)).as("head_id"),
+        pmod(col("vec_id"), lit(3)).as("relation_id"),
+        pmod(col("vec_id"), lit(37)).as("tail_id"))
+      val emb = e.where(col("vec_id") < 11)
+        .select(col("vec_id").as("entity_id"),
+          col("embedding").cast("array<double>").as("vector"))
+      val en = Triplets.edgeNorm(edges)
+      val hop2 = EmbeddingStore.meanAggregationStep(en,
+        EmbeddingStore.meanAggregationStep(en, emb))
+      hop2.select(col("entity_id"), posexplode(col("vector")))
+        .select(col("entity_id"), col("pos").cast("long").as("pos"),
+          (round(col("col"), 4) + lit(0.0)).as("value"))
+    }),
+
     // G7 — the KG-embedding training loop (preprocess.py:25-91) end to
     // end on a synthetic ring graph over the embedding ids: 2 epochs of
     // additive-score BCE descent, output = trained entity vectors in
@@ -257,6 +280,28 @@ object GraphQueries {
                FROM en JOIN embeddings emb ON emb.vec_id = en.head_id)
          SELECT entity_id, CAST(i - 1 AS BIGINT) AS pos,
                 round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * edge_norm), 4) + 0.0 AS value
-         FROM m GROUP BY 1, 2"""
+         FROM m GROUP BY 1, 2""",
+    // hop 2 reuses hop 1's FLAT (entity, pos, value) rows — per-pos
+    // averaging composes without any array reassembly in SQL
+    "g5b_two_hop" ->
+      """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
+                  vec_id % 37 AS tail_id FROM embeddings),
+         deg AS (SELECT head_id, relation_id, count(*) AS d
+                 FROM e GROUP BY 1, 2),
+         en AS (SELECT e.head_id, e.tail_id, CAST(1.0 AS DOUBLE) / d AS edge_norm
+                FROM e JOIN deg USING (head_id, relation_id)),
+         m1 AS (SELECT en.tail_id AS entity_id,
+                  unnest(generate_series(1, len(emb.embedding))) AS i,
+                  emb.embedding, en.edge_norm
+                FROM en JOIN embeddings emb ON emb.vec_id = en.head_id
+                WHERE emb.vec_id < 11),
+         h1 AS (SELECT entity_id, CAST(i - 1 AS BIGINT) AS pos,
+                  avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * edge_norm) AS value
+                FROM m1 GROUP BY 1, 2),
+         h2 AS (SELECT en.tail_id AS entity_id, h1.pos,
+                  avg(h1.value * en.edge_norm) AS value
+                FROM en JOIN h1 ON h1.entity_id = en.head_id
+                GROUP BY 1, 2)
+         SELECT entity_id, pos, round(value, 4) + 0.0 AS value FROM h2"""
   )
 }
