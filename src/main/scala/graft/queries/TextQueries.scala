@@ -139,6 +139,32 @@ object TextQueries {
       Dedup.simHashPairs(Tables.documents(s, dir), "text", "doc_id")
     }),
 
+    // TF-IDF term weights: the classic retrieval/featurization weight,
+    // top-3 terms per document. One token explode feeds BOTH the
+    // term-frequency aggregate and (via a second grouping of the same
+    // frame) the document-frequency table; idf = ln(N / df) with the
+    // corpus size folded to a literal; per-doc top-k is a partitioned
+    // WindowGroupLimit, never a global sort.
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val weighted = tf.join(dfreq, Seq("t"))
+        .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("t").asc)
+      weighted.withColumn("rnk", row_number().over(byDoc).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tf"),
+          col("df"), round(col("tfidf"), 4).as("tfidf"), col("rnk"))
+    }),
+
     // Intra-document repetition: 1 − distinct/total 3-gram shingles —
     // the Gopher-style repeated-text quality signal. Total shingle count
     // is pure column math (size − n + 1 clipped at 1); only the distinct
@@ -280,6 +306,20 @@ object TextQueries {
          SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
                 CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
          FROM c""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE t <> '' GROUP BY 1, 2),
+         dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         n AS (SELECT count(*) AS n FROM documents),
+         w AS (SELECT tf.doc_id, tf.t, tf.tf, dfreq.df,
+                 tf.tf * ln(n.n * 1.0 / dfreq.df) AS tfidf
+               FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, t ASC) AS rnk FROM w)
+         SELECT doc_id, t AS term, tf, df, round(tfidf, 4) AS tfidf,
+                CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3""",
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          tot AS (SELECT doc_id,
