@@ -183,6 +183,23 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     }),
 
+    // J6 — LEFT OUTER join (the join kind the reference never needs but
+    // a user of the engine immediately would): every customer with
+    // their order count/total, zero-order customers preserved through
+    // coalesce. Aggregate-then-join keeps the outer side's row count
+    // exact and the join input small; decimal totals for
+    // order-independence.
+    "j6_outer_join" -> ((s, dir) => {
+      val oc = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("tot"))
+      Tables.customer(s, dir)
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("tot").cast("double"), lit(0.0)), 4).as("total_spend"))
+    }),
+
     // SQL frontend — the ONE dialect-neutral statement runs verbatim on
     // both engines (spark.sql over temp views here; the oracle map holds
     // the identical text for DuckDB). Catalyst plans it exactly like the
@@ -212,6 +229,14 @@ object RelationalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "sql_frontend" -> FrontendSql, // the SAME text Spark executes
+    "j6_outer_join" ->
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+                FROM orders GROUP BY o_custkey)
+         SELECT c_custkey,
+                coalesce(n_orders, 0) AS n_orders,
+                round(coalesce(CAST(tot AS DOUBLE), 0.0), 4) AS total_spend
+         FROM customer LEFT JOIN oc ON c_custkey = o_custkey""",
     "s1_scan" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'",
     "p2_drop" ->

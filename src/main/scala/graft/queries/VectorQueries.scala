@@ -89,6 +89,20 @@ object VectorQueries {
         "embedding", "vec_id", k = 5, centroids, nprobe = 2)
     }),
 
+    // Per-label centroid vectors (class prototypes — the center step of
+    // clustering / prototype retrieval): flat posexplode → (label, pos)
+    // average, the same array-buffer-free shape as G5 propagation.
+    "vec_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("value"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          (round(col("value"), 4) + lit(0.0)).as("value"), col("n"))
+    }),
+
     // L2 normalization of the embedding column (compiled VecScale — no
     // interpreted transform lambda), emitted flat for the oracle.
     "vec_normalize" -> ((s, dir) => {
@@ -178,6 +192,14 @@ object VectorQueries {
          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
                 round(cos, 4) AS cosine
          FROM ranked WHERE rank <= 5""",
+    "vec_centroids" ->
+      """WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+                  unnest(generate_series(1, len(embedding))) AS i, embedding
+                FROM embeddings)
+         SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+                round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) + 0.0 AS value,
+                CAST(count(*) AS BIGINT) AS n
+         FROM ex GROUP BY 1, 2""",
     "vec_normalize" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
                 embedding FROM embeddings),
