@@ -139,6 +139,32 @@ object TextQueries {
       Dedup.simHashPairs(Tables.documents(s, dir), "text", "doc_id")
     }),
 
+    // Per-source corpus health report — the daily artifact a corpus
+    // curation pipeline publishes: doc/token counts, mean quality, and
+    // exact-duplicate rate per source, in one composed plan. The dup
+    // flag joins the md5 exact-dedup representative back on the
+    // 16-byte hash (never the text); all aggregates are partial-agg
+    // friendly.
+    "corpus_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs
+        .select(col("doc_id"), col("source"),
+          col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val reps = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("rep_id"))
+      stats
+        .join(reps, md5(col("text").cast("binary")) === col("h"))
+        .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          sum(col("is_dup")).as("n_dups"),
+          round(avg(col("is_dup")), 4).as("dup_rate"))
+    }),
+
     // TF-IDF term weights: the classic retrieval/featurization weight,
     // top-3 terms per document. One token explode feeds BOTH the
     // term-frequency aggregate and (via a second grouping of the same
@@ -306,6 +332,19 @@ object TextQueries {
          SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
                 CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
          FROM c""",
+    "corpus_report" ->
+      """WITH reps AS (SELECT md5(text) AS h, min(doc_id) AS rep_id
+                FROM documents GROUP BY md5(text)),
+         d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END AS is_dup
+               FROM documents JOIN reps ON md5(text) = h)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                round(avg(n_tokens), 4) AS avg_tokens,
+                CAST(sum(is_dup) AS BIGINT) AS n_dups,
+                round(avg(is_dup * 1.0), 4) AS dup_rate
+         FROM d GROUP BY source""",
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
