@@ -86,6 +86,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: partition of the input, bounded overflow, order-free") {
+    import spark.implicits._
+    import graft.operators.CorpusPrep
+    val gen = Gen.nonEmptyListOf(Gen.choose(1L, 400L))
+    samples(gen, 4).foreach { toks =>
+      val rows = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("id", "toks")
+      val packed = CorpusPrep.packByTokenBudget(df, "id", "toks", 256L, 4)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("pack_id"), r.getAs[Long]("toks")))
+      assert(packed.map(_._1).sorted.toSeq == rows.map(_._1)) // partition
+      packed.groupBy(p => (p._2, p._3)).values.foreach { pk =>
+        val total = pk.map(_._4).sum
+        assert(total < 256L + pk.map(_._4).max) // ≤ one straddling doc
+      }
+      // input row order must not matter (the window orders by id)
+      val shuffled = scala.util.Random.shuffle(rows).toDF("id", "toks")
+      val again = CorpusPrep.packByTokenBudget(shuffled, "id", "toks", 256L, 4)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pack_id"))).toSet
+      assert(again == packed.map(p => (p._1, p._3)).toSet)
+    }
+  }
+
+  test("mixture sampling: monotone in weight, subset semantics, exact at bounds") {
+    import spark.implicits._
+    import graft.operators.CorpusPrep
+    samples(Gen.nonEmptyListOf(Gen.choose(0L, 500L)), 4).foreach { idsRaw =>
+      val ids = idsRaw.distinct
+      val df = ids.map(i => (i, "s")).toDF("id", "src")
+      def kept(w: Double): Set[Long] =
+        CorpusPrep.mixtureSample(df, "id", "src", Map("s" -> w))
+          .select("id").collect().map(_.getLong(0)).toSet
+      val k25 = kept(0.25); val k50 = kept(0.5); val k100 = kept(1.0)
+      assert(k25.subsetOf(k50) && k50.subsetOf(k100)) // hash gate is nested
+      assert(k100 == ids.toSet)
+      assert(kept(0.0).isEmpty)
+    }
+  }
+
   test("negative sampling: rate·|pos| negatives, ids within vocabulary") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(
