@@ -16,6 +16,11 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted.contains(n) }
+    // a typo'd name would otherwise produce a silent empty suite
+    val unknown = wanted -- selected.keySet
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[bench] no such queries: ${unknown.toSeq.sorted.mkString(", ")}")
     // deterministic (sorted) execution order for comparable timings
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -33,7 +33,13 @@ object CorpusPrep {
     */
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, shards: Int): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame makes tied idCol rows
+    // peers (each would see ALL peers' tokens in its running sum, so the
+    // offset stops being a per-row prefix and packs can overflow by more
+    // than one document); ROWS keeps the sum a strict running offset even
+    // when ids collide, matching the oracle's explicit ROWS frame
     val byShard = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
       .withColumn("cum_before",
         sum(col(tokenCol)).over(byShard) - col(tokenCol))
@@ -41,6 +47,23 @@ object CorpusPrep {
         floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
       .drop("cum_before")
   }
+
+  /** Curriculum ordering: bucket rows into difficulty stages and give
+    * each a deterministic shuffle key, so "sort by (stage, shuffle_key)"
+    * yields easy→hard training order with a reproducible shuffle inside
+    * each stage. stage = min(floor(difficulty / stageWidth), maxStage);
+    * shuffle_key = md5 of the id — the same engine-agnostic uniform draw
+    * [[mixtureSample]] uses, so reruns and retries emit identical order.
+    * Materializing the order at scale is
+    * `repartitionByRange($"stage", $"shuffle_key")` + sortWithinPartitions
+    * — a range sort, never a single-partition window.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+      stageWidth: Long, maxStage: Long): DataFrame =
+    df.withColumn("stage",
+        least(floor(col(difficultyCol) / lit(stageWidth.toDouble)), lit(maxStage))
+          .cast("long"))
+      .withColumn("shuffle_key", md5(col(idCol).cast("string")))
 
   /** Keep each row iff a uniform md5-prefix draw on its id falls under
     * its source's weight. Weights are (source, w) with w ∈ [0, 1]:

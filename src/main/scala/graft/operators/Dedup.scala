@@ -25,6 +25,14 @@ import graft.functions.expressions.SimHash64
   * Shingle generation is a typed flatMap with per-document local dedup
   * (a Set built inside the executor) — compiled Scala, no interpreted
   * higher-order lambdas, and no global distinct shuffle.
+  *
+  * Cache lifecycle: the pair operators persist their shingle/band frames
+  * internally (they feed several plan branches), so each one materializes
+  * its — far smaller — pair result with an eager `localCheckpoint` and
+  * releases its internal caches before returning. The returned frame is a
+  * single checkpointed leaf the CALLER owns: free it with
+  * `CheckpointShim.freeLocalCheckpoint` once consumed (or let the session
+  * end); nothing else from the operator outlives the call.
   */
 object Dedup {
 
@@ -127,12 +135,15 @@ object Dedup {
             col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
       }
     val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    inter
+    val result = inter
       .join(card.select(col("doc").as("doc_a"), col("n")), Seq("doc_a"))
       .join(card.select(col("doc").as("doc_b"), col("n").as("n2")), Seq("doc_b"))
       .withColumn("jaccard", col("inter") / (col("n") + col("n2") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true)
+    shingles.unpersist(false)
+    result
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard on the
@@ -197,12 +208,16 @@ object Dedup {
       .join(shingles.select(col("doc").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val card = shingles.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    interCand
+    val result = interCand
       .join(card.select(col("doc").as("doc_a"), col("n")), Seq("doc_a"))
       .join(card.select(col("doc").as("doc_b"), col("n").as("n2")), Seq("doc_b"))
       .withColumn("jaccard", col("inter") / (col("n") + col("n2") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true)
+    bandRows.unpersist(false)
+    shingles.unpersist(false)
+    result
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with
@@ -275,12 +290,16 @@ object Dedup {
             col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
       }
     val benchCard = benchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_bench"))
-    inter
+    val result = inter
       .join(benchCard.select(col("doc").as("bench_id"), col("n_bench")), Seq("bench_id"))
       .withColumn("overlap", col("inter") / col("n_bench"))
       .where(col("overlap") >= minOverlap)
       .select(col("corpus_id"), col("bench_id"),
         round(col("overlap"), 4).as("overlap"))
+      .localCheckpoint(true)
+    corpusSh.unpersist(false)
+    benchSh.unpersist(false)
+    result
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -337,6 +356,31 @@ object Dedup {
     * per-block, not global n². Norms are computed once per row BEFORE the
     * pair join; the per-pair work is a single codegen'd dot product.
     */
+  /** Semantic dedup (SemDeDup-shape): near-dup pairs by embedding cosine,
+    * blocked by IVF cells from a real coarse quantizer instead of a
+    * caller-provided label. Fit KMeans on a deterministic 1/`sampleMod`
+    * hash sample (cluster SHAPE needs a sample, not every vector — a
+    * full-table Lloyd pass is the cost that explodes at 100 TB), assign
+    * every vector to its nearest centroid (one codegen'd dot per cell,
+    * ‖c‖² folded to literals), then run the exact per-block cosine join.
+    * Pair space is Σ per-cell n², never global n²; cells are the
+    * partition/bucket key of the stored table at scale. Cross-cell
+    * near-dups are the recall loss — the standard SemDeDup trade, tuned
+    * by `kCells` (fewer cells = higher recall, bigger blocks).
+    */
+  def semanticDedupPairs(df: DataFrame, vecCol: String, idCol: String,
+      kCells: Int, minCosine: Double, seed: Long = 42L,
+      sampleMod: Int = 16): DataFrame = {
+    val sample =
+      if (kCells <= 1) df // one block — no quantizer needed
+      else df.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    val blocked =
+      if (kCells <= 1) df.withColumn("cell", lit(0))
+      else SimilaritySearch.assignToCentroids(df, vecCol,
+        SimilaritySearch.fitIvf(sample, vecCol, kCells, seed))
+    embeddingCosinePairs(blocked, vecCol, idCol, "cell", minCosine)
+  }
+
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     val e = df.select(col(blockCol).as("block"), col(idCol).as("id"),

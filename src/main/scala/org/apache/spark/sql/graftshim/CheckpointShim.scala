@@ -16,9 +16,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   * lineage was truncated, so the Dataset cannot be recomputed after.
   */
 object CheckpointShim {
-  def freeLocalCheckpoint(ds: Dataset[_], blocking: Boolean = false): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
-      case _ => ()
-    }
+  /** Unpersist the single checkpointed leaf backing `ds`. Requires the
+    * Dataset to be (a trivial derivation of) ONE localCheckpoint — a
+    * derived plan over several checkpoints (e.g. a join of two
+    * checkpointed tables) is rejected rather than silently freeing
+    * OTHER live checkpoints' blocks, which would be unrecoverable
+    * (their lineage is already truncated). Sharp edge that remains:
+    * passing a projection over a checkpoint someone else still holds
+    * frees the shared blocks — call this only on frames you own.
+    */
+  def freeLocalCheckpoint(ds: Dataset[_], blocking: Boolean = false): Unit = {
+    val leaves = ds.queryExecution.analyzed.collect { case lr: LogicalRDD => lr }
+    require(leaves.size == 1,
+      s"freeLocalCheckpoint expects exactly one checkpointed leaf, found " +
+        s"${leaves.size}; free each source checkpoint individually")
+    leaves.head.rdd.unpersist(blocking)
+  }
 }

@@ -23,6 +23,21 @@ class CorpusPrepSpec extends SparkSpec {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
 
+  test("packByTokenBudget: tied ids still pack as a running prefix (ROWS frame)") {
+    import spark.implicits._
+    // 8 rows sharing ONE id (same shard, all window peers) of 40 tokens
+    // each against a 100-token budget. Under the default RANGE frame every
+    // row is a peer of every other, sees the full 320-token sum, and all
+    // 8 land in pack 2; the explicit ROWS frame keeps a strict running
+    // prefix (offsets 0,40,…,280 → packs 0,0,0,1,1,2,2,2).
+    val docs = Seq.fill(8)((7L, 40L)).toDF("id", "toks")
+    val byPack = CorpusPrep.packByTokenBudget(docs, "id", "toks",
+        budget = 100L, shards = 4)
+      .groupBy(col("pack_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byPack == Map(0L -> 3L, 1L -> 2L, 2L -> 3L), byPack)
+  }
+
   test("packByTokenBudget plan: the running-sum window is shard-partitioned") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, 5L)).toDF("id", "toks")
