@@ -79,6 +79,40 @@ object TextOps {
       ColumnShim.expression(text), n))
   }
 
+  /** PII patterns shared by [[redactPii]] and [[piiCounts]]. Written to
+    * the common subset of Java regex and RE2 (no backreferences, no
+    * lookaround, no word boundaries) so a SQL engine scrubbing the same
+    * corpus produces byte-identical output — redaction must be auditable
+    * across engines. Greedy-only patterns with no alternation make
+    * leftmost-first (Java/PCRE) and leftmost-longest (POSIX RE2 mode)
+    * agree on every match.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val phonePattern = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Scrub emails, IPv4 addresses and phone-like digit runs to typed
+    * placeholders — the standard PII pass a training corpus runs before
+    * anything else sees the text. Order matters: emails first (their
+    * digits must not feed the phone pattern), then IPs (dots break the
+    * phone pattern either way), then phones. Pure codegen'd
+    * regexp_replace chain.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-kind PII hit counts on the RAW text (pre-redaction), for the
+    * corpus-health report: (n_emails, n_ips, n_phones) as a struct.
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).cast("long").as("n_emails"),
+    regexp_count(text, lit(ipv4Pattern)).cast("long").as("n_ips"),
+    regexp_count(text, lit(phonePattern)).cast("long").as("n_phones"))
+
   /** substring with a Column start (the built-in only takes Int literals in
     * its Scala signature; the SQL form accepts expressions).
     */

@@ -200,6 +200,20 @@ object RelationalQueries {
           round(coalesce(col("tot").cast("double"), lit(0.0)), 4).as("total_spend"))
     }),
 
+    // J7 — left-semi join: existence filter without duplicating or
+    // widening the left side (the relational complement of U4's anti
+    // join). Catalyst broadcasts the DISTINCT-keyed right side; at 100 TB
+    // a semi join beats the equivalent inner-join + dropDuplicates by
+    // never materializing the multiplicity.
+    "j7_semi_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
     // SQL frontend — the ONE dialect-neutral statement runs verbatim on
     // both engines (spark.sql over temp views here; the oracle map holds
     // the identical text for DuckDB). Catalyst plans it exactly like the
@@ -237,6 +251,11 @@ object RelationalQueries {
                 coalesce(n_orders, 0) AS n_orders,
                 round(coalesce(CAST(tot AS DOUBLE), 0.0), 4) AS total_spend
          FROM customer LEFT JOIN oc ON c_custkey = o_custkey""",
+    "j7_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')""",
     "s1_scan" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'",
     "p2_drop" ->

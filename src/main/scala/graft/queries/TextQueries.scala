@@ -229,6 +229,79 @@ object TextQueries {
         "text", "doc_id", shingleLen = 5, minOverlap = 0.6)
     }),
 
+    // PII redaction: scrub emails / IPv4s / phone-like digit runs to
+    // typed placeholders, plus per-kind hit counts on the raw text. The
+    // scanned text is the document plus a deterministic synthetic PII
+    // suffix derived from doc_id (TESTDATA text carries no real PII), so
+    // the oracle verifies non-trivially that both engines' regex
+    // semantics agree byte-for-byte on every redacted string.
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".17 call +1 555 0123 99"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("a"))
+        .select(col("doc_id"),
+          TextOps.redactPii(col("a")).as("redacted"),
+          TextOps.piiCounts(col("a")).as("pii"))
+        .select(col("doc_id"), col("redacted"),
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_ips").as("n_ips"),
+          col("pii.n_phones").as("n_phones"))
+    }),
+
+    // Corpus-LM document scoring (the CCNet-style quality filter): per-doc
+    // mean negative log-likelihood under the corpus's own bigram MLE.
+    // Bigrams come from a doc-PARTITIONED lag window (never a global
+    // sort); c1 is vocab-sized and broadcasts, c2 joins on the bigram
+    // key. Per-bigram NLL is fixed to DECIMAL(20,8) before summing so
+    // the per-doc mean is independent of partial-aggregation order (and
+    // of the 1-ulp ln() differences between engines).
+    "text_lm_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = toks
+        .withColumn("w1", lag(col("w"), 1).over(byDoc))
+        .where(col("w1").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w").as("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bi.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .select(col("doc_id"),
+          (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("lm_score"))
+    }),
+
+    // Curriculum ordering: difficulty stages (token-length buckets) + a
+    // deterministic md5 shuffle key — sort by (stage, shuffle_key) is
+    // easy→hard order with a reproducible shuffle inside each stage.
+    "curriculum_order" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep.curriculumOrder(
+        docs, "doc_id", "n_tokens", stageWidth = 64L, maxStage = 3L)
+    }),
+
+    // A17 — sketch-based distinct counts per source next to the exact
+    // answer: approx_count_distinct is the O(1)-memory HLL++ path that
+    // replaces an exact COUNT(DISTINCT) shuffle at 100 TB (the exact
+    // column here doubles as the in-row accuracy reference). Sketch
+    // values are engine-specific → rows-only.
+    "a17_approx_distinct" -> ((s, dir) => {
+      Tables.documents(s, dir).groupBy(col("source"))
+        .agg(approx_count_distinct(col("text")).as("approx_distinct"),
+          countDistinct(col("text")).as("exact_distinct"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // Mixture sampling: deterministic per-source downsampling to target
     // weights (1.0 / 0.5 / 0.2 tiers over the 20 sources) via an md5
     // uniform gate — reproducible across engines, runs and retries.
@@ -385,6 +458,49 @@ object TextQueries {
          SELECT corpus_id, bench_id, round(n * 1.0 / n_bench, 4) AS overlap
          FROM inter JOIN bcard ON bench_id = bcard.doc_id
          WHERE n * 1.0 / n_bench >= 0.6""",
+    "text_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR)
+                  || '.17 call +1 555 0123 99' AS a
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(a,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+                  '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted,
+                CAST(len(regexp_extract_all(a,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(a,
+                  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(a,
+                  '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones
+         FROM aug""",
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tok WHERE len(toks) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         nll AS (SELECT bi.doc_id,
+                   CAST(-ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(20,8)) AS nll
+                 FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                         JOIN c1 ON bi.w1 = c1.w1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS lm_score
+         FROM nll GROUP BY doc_id""",
+    "curriculum_order" ->
+      """WITH t AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+         SELECT doc_id, n_tokens,
+                CAST(least(floor(n_tokens / 64.0), 3) AS BIGINT) AS stage,
+                md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM t""",
     "mixture_sample" ->
       """WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
                   CASE WHEN i < 5 THEN 1.0 WHEN i < 10 THEN 0.5 ELSE 0.2 END AS w

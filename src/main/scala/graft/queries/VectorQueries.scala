@@ -89,6 +89,16 @@ object VectorQueries {
         "embedding", "vec_id", k = 5, centroids, nprobe = 2)
     }),
 
+    // Semantic dedup (SemDeDup shape): cosine near-dup pairs blocked by
+    // IVF cells from a real KMeans coarse quantizer — the blocking that
+    // keeps the pair space Σ per-cell n² instead of global n². Centroid
+    // floats are engine-specific → rows-only (the k=1 full-block case is
+    // asserted ≡ brute-force in DedupSpec).
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedupPairs(Tables.embeddings(s, dir), "embedding",
+        "vec_id", kCells = 8, minCosine = 0.4)
+    }),
+
     // Per-label centroid vectors (class prototypes — the center step of
     // clustering / prototype retrieval): flat posexplode → (label, pos)
     // average, the same array-buffer-free shape as G5 propagation.

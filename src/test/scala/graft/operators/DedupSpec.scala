@@ -129,6 +129,32 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("semanticDedupPairs: one cell ≡ brute-force pairs; cells only lose cross-cell recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 well-separated direction clusters of 8 vectors each (tight jitter
+    // → within-cluster cosine high, cross-cluster low)
+    val e = (0 until 24).map { i =>
+      val base = Array.fill(16)(0.0)
+      base(i % 3 * 5) = 1.0
+      val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val brute = Dedup.semanticDedupPairs(e, "embedding", "vec_id",
+        kCells = 1, minCosine = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // every brute pair is within one direction cluster by construction
+    assert(brute.forall { case (a, b) => a % 3 == b % 3 })
+    val blocked = Dedup.semanticDedupPairs(e, "embedding", "vec_id",
+        kCells = 3, minCosine = 0.8, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocking never invents pairs, and on separated clusters the coarse
+    // quantizer recovers the brute-force answer exactly
+    assert(blocked.subsetOf(brute))
+    assert(blocked == brute)
+  }
+
   test("MinHash bucket cap prunes degenerate all-identical buckets") {
     import spark.implicits._
     val sameText = "identical boilerplate document body repeated verbatim everywhere always"
