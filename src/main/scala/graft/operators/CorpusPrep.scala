@@ -65,6 +65,22 @@ object CorpusPrep {
           .cast("long"))
       .withColumn("shuffle_key", md5(col(idCol).cast("string")))
 
+  /** Fixed-quota per-group sampling: the k rows per group whose md5 hash
+    * ranks lowest — a deterministic stand-in for per-group reservoir
+    * sampling (same uniform-without-replacement marginal, but
+    * reproducible across runs/retries and auditable in plain SQL, which
+    * rand()-reservoirs are not). The window is group-PARTITIONED and
+    * Catalyst plans the rank ≤ k filter as WindowGroupLimit, so ~k rows
+    * per (input partition, group) shuffle — never full groups.
+    */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Keep each row iff a uniform md5-prefix draw on its id falls under
     * its source's weight. Weights are (source, w) with w ∈ [0, 1]:
     * w = 1 keeps everything, w = 0.25 keeps a deterministic quarter.

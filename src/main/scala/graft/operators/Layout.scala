@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: the write-side clustering that decides how much
+  * a 100 TB table can be PRUNED at read time. A table sorted by a
+  * single column clusters one predicate dimension; interleaving the bits
+  * of two dimensions (Morton / Z-order, the technique behind
+  * Delta/Iceberg `ZORDER BY`) keeps range predicates on EITHER column
+  * selective: rows close in the key are close in both dimensions, so
+  * min/max file statistics prune files for 2-d slices instead of only
+  * the leading sort column.
+  *
+  * The key is pure bit arithmetic (shifts, masks, or) — whole-stage
+  * codegen on Spark, and plain SQL on any engine, so the layout is
+  * auditable and reproducible off-cluster. Writing the layout is
+  * `repartitionByRange(zKey)` + `sortWithinPartitions(zKey)` — a range
+  * sort, never a single-partition window.
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of two non-negative integer columns:
+    * result bit 2i holds a's bit i, bit 2i+1 holds b's bit i. Values are
+    * clamped to `bits` bits (callers quantize real columns into buckets
+    * first — layout keys need rank, not exactness).
+    */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val am = a.cast("long").bitwiseAND(lit(mask))
+    val bm = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftrightunsigned(am, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftrightunsigned(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+}

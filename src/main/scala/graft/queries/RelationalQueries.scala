@@ -214,6 +214,19 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
 
+    // Z-order layout key (Morton interleave of quantized price ×
+    // quantity) — the write-side clustering that makes min/max file
+    // stats prune 2-d range predicates at 100 TB (the Delta/Iceberg
+    // ZORDER BY technique). Pure codegen'd bit arithmetic; writing the
+    // layout is repartitionByRange(z_key) + sortWithinPartitions.
+    "zorder_key" -> ((s, dir) => {
+      val qa = floor(col("l_extendedprice") / lit(1000.0)).cast("long")
+      val qb = floor(col("l_quantity")).cast("long")
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zOrderKey(qa, qb, bits = 8).as("z_key"))
+    }),
+
     // SQL frontend — the ONE dialect-neutral statement runs verbatim on
     // both engines (spark.sql over temp views here; the oracle map holds
     // the identical text for DuckDB). Catalyst plans it exactly like the
@@ -251,6 +264,17 @@ object RelationalQueries {
                 coalesce(n_orders, 0) AS n_orders,
                 round(coalesce(CAST(tot AS DOUBLE), 0.0), 4) AS total_spend
          FROM customer LEFT JOIN oc ON c_custkey = o_custkey""",
+    "zorder_key" -> {
+      // the same bit interleave Layout.zOrderKey emits, as plain SQL
+      val interleave = (0 until 8).map(i =>
+        s"(((qa >> $i) & 1) << ${2 * i}) | (((qb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH q AS (SELECT l_orderkey, l_linenumber,
+              CAST(floor(l_extendedprice / 1000.0) AS BIGINT) & 255 AS qa,
+              CAST(floor(l_quantity) AS BIGINT) & 255 AS qb
+            FROM lineitem)
+          SELECT l_orderkey, l_linenumber, $interleave AS z_key FROM q"""
+    },
     "j7_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -229,6 +229,39 @@ object TextQueries {
         "text", "doc_id", shingleLen = 5, minOverlap = 0.6)
     }),
 
+    // Fixed-quota per-source sampling: the 10 lowest-md5 docs per source
+    // — deterministic reservoir-style sampling (WindowGroupLimit bounds
+    // the shuffle to ~k rows per partition × group).
+    "sample_per_group" -> ((s, dir) => {
+      graft.operators.CorpusPrep.samplePerGroup(
+          Tables.documents(s, dir), "doc_id", "source", k = 10)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+    }),
+
+    // THE composed pretrain-prep flagship: clean → PII-redact → token
+    // gate → exact-dedup representative → curriculum stage + shuffle key,
+    // one declarative plan over the corpus. The dedup key is the 16-byte
+    // md5 of the redacted body (never the text), the representative
+    // window is fingerprint-partitioned, and every step reuses the
+    // library operators the standalone queries verify.
+    "pipeline_pretrain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.redactPii(TextOps.cleanText(col("text"))).as("body"))
+        .withColumn("n_tokens", size(TextOps.tokens(col("body"))).cast("long"))
+        .where(col("n_tokens") >= 20)
+        .withColumn("fingerprint", md5(col("body").cast("binary")))
+      val byFp = Window.partitionBy(col("fingerprint"))
+      val deduped = base
+        .withColumn("rep_id", min(col("doc_id")).over(byFp))
+        .where(col("doc_id") === col("rep_id"))
+      graft.operators.CorpusPrep.curriculumOrder(
+          deduped, "doc_id", "n_tokens", stageWidth = 64L, maxStage = 3L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("stage"), col("shuffle_key"), col("fingerprint"))
+    }),
+
     // PII redaction: scrub emails / IPv4s / phone-like digit runs to
     // typed placeholders, plus per-kind hit counts on the raw text. The
     // scanned text is the document plus a deterministic synthetic PII
@@ -458,6 +491,32 @@ object TextQueries {
          SELECT corpus_id, bench_id, round(n * 1.0 / n_bench, 4) AS overlap
          FROM inter JOIN bcard ON bench_id = bcard.doc_id
          WHERE n * 1.0 / n_bench >= 0.6""",
+    "sample_per_group" ->
+      """WITH r AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+         SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+         FROM r WHERE rn <= 10""",
+    "pipeline_pretrain" ->
+      """WITH c AS (SELECT doc_id, source,
+             regexp_replace(regexp_replace(regexp_replace(
+               trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+                    '\s+', ' ', 'g')),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+               '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS body
+           FROM documents),
+         t AS (SELECT doc_id, source, body,
+                 CAST(len(string_split(body, ' ')) AS BIGINT) AS n_tokens
+               FROM c),
+         g AS (SELECT *, md5(body) AS fingerprint FROM t WHERE n_tokens >= 20),
+         w AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id
+               FROM g)
+         SELECT doc_id, source, n_tokens,
+                CAST(least(floor(n_tokens / 64.0), 3) AS BIGINT) AS stage,
+                md5(CAST(doc_id AS VARCHAR)) AS shuffle_key, fingerprint
+         FROM w WHERE doc_id = rep_id""",
     "text_pii_redact" ->
       """WITH aug AS (SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
