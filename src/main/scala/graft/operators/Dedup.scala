@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{CheckpointShim, ColumnShim}
+import org.apache.spark.sql.types.BinaryType
 import graft.functions.VectorOps
 import graft.functions.expressions.SimHash64
 
@@ -244,6 +247,31 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Serialized Bloom filter over a string key column, built DISTRIBUTED
+    * with Spark's own runtime-filter machinery (`BloomFilterAggregate`
+    * over `xxhash64` — partial sketches merge per partition; only the
+    * final ~MB sketch reaches the driver). The same pair of internal
+    * expressions Catalyst injects for runtime row-level filtering,
+    * exposed as a library primitive for semi-join reduction.
+    */
+  def bloomOf(df: DataFrame, keyCol: String,
+      expectedItems: Long = 1L << 22): Array[Byte] = {
+    val hashed = XxHash64(Seq(ColumnShim.expression(col(keyCol))), 42L)
+    val agg = new BloomFilterAggregate(hashed, expectedItems)
+      .toAggregateExpression()
+    df.select(ColumnShim.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Compiled membership probe against a [[bloomOf]] sketch — no UDF;
+    * `BloomFilterMightContain` generates the same code Spark's injected
+    * runtime filters run. No false negatives, so pruning a join input
+    * with it never changes the join's result — it only drops rows the
+    * join would discard anyway, BEFORE they shuffle.
+    */
+  def bloomMightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnShim.column(BloomFilterMightContain(Literal(bloom, BinaryType),
+      XxHash64(Seq(ColumnShim.expression(key)), 42L)))
+
   /** Benchmark decontamination: for every (corpus doc, benchmark doc)
     * pair sharing word shingles, the fraction of the BENCHMARK document's
     * distinct shingles that appear in the corpus document — the standard
@@ -260,10 +288,21 @@ object Dedup {
     */
   def crossCorpusOverlap(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, shingleLen: Int, minOverlap: Double,
-      maxShingleDf: Long = 10000L): DataFrame = {
-    val corpusSh = shingleRows(corpus, textCol, idCol, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxShingleDf: Long = 10000L, bloomPrune: Boolean = false): DataFrame = {
     val benchSh = shingleRows(benchmark, textCol, idCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // semi-join reduction: the benchmark side is small by construction,
+    // so a Bloom sketch of ITS shingles drops the overwhelming majority
+    // of corpus shingles map-side, BEFORE the inverted-index shuffle —
+    // at 100 TB the corpus-side exchange is the dominant cost and this
+    // is the standard runtime-filter answer. No false negatives → the
+    // result is bit-identical with or without the prune (false positives
+    // die in the equality join); the df counts stay exact because the
+    // verdict is a pure function of the shingle value.
+    val rawCorpusSh = shingleRows(corpus, textCol, idCol, shingleLen)
+    val corpusSh = (if (bloomPrune)
+        rawCorpusSh.where(bloomMightContain(bloomOf(benchSh, "g"), col("g")))
+      else rawCorpusSh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = corpusSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val rare = corpusSh.join(dfc.where(col("df") <= maxShingleDf), Seq("g"))

@@ -220,13 +220,60 @@ object TextQueries {
 
     // Benchmark decontamination: corpus documents carrying ≥ 60% of a
     // held-out "benchmark" doc's 5-gram shingles (every 10th doc plays
-    // the benchmark; the rest are the training corpus).
+    // the benchmark; the rest are the training corpus). Runs with the
+    // Bloom semi-join reduction ON: a distributed sketch of the (small)
+    // benchmark side drops corpus shingles map-side before the
+    // inverted-index shuffle; no false negatives, so the oracle hash
+    // matching the unpruned SQL is the per-round identity proof.
     "decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.crossCorpusOverlap(
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
-        "text", "doc_id", shingleLen = 5, minOverlap = 0.6)
+        "text", "doc_id", shingleLen = 5, minOverlap = 0.6,
+        bloomPrune = true)
+    }),
+
+    // Token-distribution entropy per document (H = ln n − Σ c·ln c / n)
+    // — the low-diversity quality signal (spam and boilerplate sit at
+    // low entropy). Per-term c·ln c is fixed to DECIMAL(20,8) before the
+    // sum so the per-doc total is independent of aggregation order.
+    "text_entropy" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"),
+          (col("c") * log(col("c"))).cast("decimal(20,8)").as("clnc"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          round(log(sum(col("c")))
+            - sum(col("clnc")).cast("double") / sum(col("c")), 4).as("entropy"))
+    }),
+
+    // Per-source distribution drift: KL(source ‖ corpus) over the
+    // unigram distribution — the corpus-mix monitor that flags a source
+    // whose text stopped looking like the rest (scraper breakage, format
+    // drift). One token explode feeds the (source, w) counts; source
+    // totals broadcast; the probability ratio stays an exact integer
+    // ratio (c_sw·N)/(n_s·c_w) until the final ln.
+    "source_divergence" -> ((s, dir) => {
+      val csw = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val ns = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+      val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val nTot = ns.agg(sum(col("n_s")).as("n_tot"))
+      csw.join(broadcast(ns), Seq("source"))
+        .join(cw, Seq("w"))
+        .crossJoin(broadcast(nTot))
+        .select(col("source"),
+          ((col("c_sw") / col("n_s"))
+            * log((col("c_sw") * col("n_tot")) / (col("n_s") * col("c_w"))))
+            .cast("decimal(20,8)").as("term"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(col("term")).cast("double"), 4).as("kl_divergence"))
     }),
 
     // Fixed-quota per-source sampling: the 10 lowest-md5 docs per source
@@ -491,6 +538,26 @@ object TextQueries {
          SELECT corpus_id, bench_id, round(n * 1.0 / n_bench, 4) AS overlap
          FROM inter JOIN bcard ON bench_id = bcard.doc_id
          WHERE n * 1.0 / n_bench >= 0.6""",
+    "text_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         t AS (SELECT doc_id, c, CAST(c * ln(c) AS DECIMAL(20,8)) AS clnc FROM c)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                round(ln(sum(c)) - CAST(sum(clnc) AS DOUBLE) / sum(c), 4) AS entropy
+         FROM t GROUP BY doc_id""",
+    "source_divergence" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         f AS (SELECT source, w, count(*) AS c_sw FROM toks WHERE w <> '' GROUP BY 1, 2),
+         ns AS (SELECT source, sum(c_sw) AS n_s FROM f GROUP BY source),
+         cw AS (SELECT w, sum(c_sw) AS c_w FROM f GROUP BY w),
+         nt AS (SELECT sum(n_s) AS n_tot FROM ns),
+         terms AS (SELECT f.source,
+             CAST((c_sw * 1.0 / n_s)
+               * ln(((c_sw * n_tot)) * 1.0 / (n_s * c_w)) AS DECIMAL(20,8)) AS term
+           FROM f JOIN ns USING (source) JOIN cw USING (w) CROSS JOIN nt)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                round(CAST(sum(term) AS DOUBLE), 4) AS kl_divergence
+         FROM terms GROUP BY source""",
     "sample_per_group" ->
       """WITH r AS (SELECT doc_id, source,
                 row_number() OVER (PARTITION BY source

@@ -129,6 +129,27 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("bloom semi-join reduction never changes crossCorpusOverlap results") {
+    import spark.implicits._
+    val corpus = docs
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "held out benchmark question nothing in the corpus ever mentions at all")
+    ).toDF("doc_id", "text")
+    def run(prune: Boolean) = Dedup.crossCorpusOverlap(corpus, bench,
+        "text", "doc_id", shingleLen = 5, minOverlap = 0.1, bloomPrune = prune)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) == run(false))
+    // and the probe itself prunes: a never-seen shingle tests negative
+    val bloom = Dedup.bloomOf(
+      Dedup.shingleRows(bench, "text", "doc_id", 5), "g")
+    val probed = Seq("the quick brown fox jumps", "zz yy xx ww vv")
+      .toDF("g")
+      .where(Dedup.bloomMightContain(bloom, col("g")))
+      .collect().map(_.getString(0)).toSeq
+    assert(probed == Seq("the quick brown fox jumps"))
+  }
+
   test("semanticDedupPairs: one cell ≡ brute-force pairs; cells only lose cross-cell recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
