@@ -257,10 +257,14 @@ object TextQueries {
     // totals broadcast; the probability ratio stays an exact integer
     // ratio (c_sw·N)/(n_s·c_w) until the final ln.
     "source_divergence" -> ((s, dir) => {
+      // one corpus scan: the (source, w) count table is Σ per-source
+      // vocab sized — persist it and derive source totals, corpus
+      // totals and N from it instead of four re-scans of the corpus
       val csw = Tables.documents(s, dir)
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
         .where(col("w") =!= "")
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ns = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
       val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
       val nTot = ns.agg(sum(col("n_s")).as("n_tot"))
@@ -349,8 +353,13 @@ object TextQueries {
         .withColumn("w1", lag(col("w"), 1).over(byDoc))
         .where(col("w1").isNotNull)
         .select(col("doc_id"), col("w1"), col("w").as("w2"))
+      // persist only the BIGRAM-VOCAB-sized count table (the bigram
+      // stream itself is corpus-sized — caching it at 100 TB would cost
+      // more than the second scan it saves) and fold the unigram
+      // denominators out of it instead of re-reading the corpus
       val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       bi.join(c2, Seq("w1", "w2"))
         .join(broadcast(c1), Seq("w1"))
         .select(col("doc_id"),

@@ -63,6 +63,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sample_per_group plans a map-side WindowGroupLimit below the exchange") {
+    val plan = SparkEntry.queries("sample_per_group")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // two WindowGroupLimit nodes: partial (before shuffle) + final —
+    // only ~k rows per (partition, group) ever reach the exchange
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("zorder_key is a pure map plan: one scan, no exchange") {
+    val plan = SparkEntry.queries("zorder_key")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Scan parquet"), plan)
+  }
+
   test("DenseId materializes its input's global sort exactly once") {
     import spark.implicits._
     val counted = spark.sparkContext.longAccumulator("denseid-input-rows")

@@ -13,6 +13,36 @@ import graft.SparkSpec
   */
 class FileStreamSpec extends SparkSpec {
 
+  test("stateless text prep (clean + PII redact + tokens) ≡ batch under readStream") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_textstream").toString
+    val docs = Seq(
+      (1L, "Contact me at a.user@example.com  NOW"),
+      (2L, "<b>server</b> 10.0.0.1 is   down"),
+      (3L, "plain text with no pii at all"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/batch0")
+    def prep(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextOps.redactPii(TextOps.cleanText(col("text"))).as("body"),
+      size(TextOps.tokens(TextOps.cleanText(col("text")))).cast("long").as("n_tokens"))
+    val schema = docs.toDF("doc_id", "text").schema
+    // the whole text surface is stateless column math, so it runs
+    // unchanged under Structured Streaming — a corpus-prep pipeline can
+    // process documents as they land, no batch/stream fork
+    val q = prep(spark.readStream.schema(schema).parquet(s"$dir/batch*"))
+      .writeStream.format("memory").queryName("text_prep").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("text_prep").orderBy("doc_id").collect().toSeq
+      val batch = prep(docs.toDF("doc_id", "text")).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.head.getAs[String]("body") == "contact me at <EMAIL> now")
+      assert(streamed(1).getAs[String]("body") == "server <IP> is down")
+    } finally q.stop()
+  }
+
   test("parquet file stream ≡ batch for the hourly aggregation, across triggers") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
