@@ -208,6 +208,45 @@ object TextQueries {
           round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
     }),
 
+    // Document chunking: split each document into overlapping token
+    // windows (64 tokens, stride 48 → 16-token overlap) — the unit a
+    // retrieval index or a long-context pretraining pipeline actually
+    // stores. Pure per-row expansion (sequence + explode + slice), no
+    // shuffle at all; chunk count is arithmetic on the token count.
+    "chunk_documents" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / lit(48)).cast("int"))).as("chunk_id"),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          concat_ws(" ",
+            slice(col("toks"), col("chunk_id") * 48 + 1, lit(64))).as("chunk_text"))
+        .withColumn("n_chunk_tokens",
+          size(split(col("chunk_text"), " ")).cast("long"))
+    }),
+
+    // Pack materialization: the step after pack assignment that emits
+    // trainer-ready sequences — documents of each (shard, pack)
+    // concatenated in id order with an <eos> separator. The ordered
+    // concat is a per-pack collect_list + array_sort: bounded by the
+    // token budget by construction, so the aggregation buffer can never
+    // exceed ~budget tokens regardless of corpus size.
+    "pack_materialize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep.packByTokenBudget(
+          docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), " <eos> ").as("packed_text"))
+    }),
+
     // Sequence packing: assign documents to 512-token training packs,
     // sharded by id hash so the running-offset window is partitioned
     // (pack quality doesn't need packs to span shards).
@@ -482,6 +521,34 @@ object TextQueries {
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          WHERE t <> ''
          GROUP BY t ORDER BY n DESC, token ASC LIMIT 100""",
+    "chunk_documents" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0,
+                   CAST(floor((len(toks) - 1) / 48.0) AS INT))) AS chunk_id
+               FROM tok),
+         s AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                 array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT)
+                   :CAST(chunk_id * 48 + 64 AS INT)], ' ') AS chunk_text
+               FROM c)
+         SELECT doc_id, chunk_id, chunk_text,
+                CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
+         FROM s""",
+    "pack_materialize" ->
+      """WITH t AS (SELECT doc_id, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  doc_id % 8 AS shard
+                FROM documents),
+         c AS (SELECT doc_id, text, n_tokens, shard,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+               FROM t)
+         SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+                string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+         FROM c GROUP BY 1, 2""",
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
