@@ -134,6 +134,78 @@ object Multimodal {
     }
   }
 
+  /** Waveform-level audio features from REAL PCM samples (not just the
+    * header): RMS level, peak amplitude and zero-crossing count over the
+    * mono mix, normalized to [-1, 1]. Any format javax.sound can read is
+    * first converted to signed 16-bit PCM through the JDK's own
+    * conversion chain, so WAV/AIFF/AU payloads of any PCM flavor work.
+    * One pass over the samples; payloads are already in-memory byte
+    * arrays, so the O(payload) cost is the floor any feature extractor
+    * pays. Undecodable payloads yield `n_samples = -1` (explicit miss,
+    * not a fake number — feature rows feed models, where a fabricated
+    * RMS would be poison).
+    */
+  final case class WaveformFeatures(
+      media_id: Long, modality: String, n_samples: Long,
+      rms: Double, peak: Double, zero_crossings: Long, checksum: Long)
+
+  def extractWaveform(media: Dataset[MediaRow]): Dataset[WaveformFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val src = raw.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, raw)
+          try {
+            val bytes = pcm.readAllBytes()
+            val ch = target.getChannels
+            val nFrames = bytes.length / (2 * ch)
+            var i = 0
+            var sumSq = 0.0
+            var peak = 0.0
+            var zc = 0L
+            var prevSign = 0
+            while (i < nFrames) {
+              // mono mix of the frame's channels
+              var c = 0
+              var acc = 0.0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              val v = acc / ch
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              val sign = if (v > 0) 1 else if (v < 0) -1 else prevSign
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+              i += 1
+            }
+            val rms = if (nFrames > 0) math.sqrt(sumSq / nFrames) else 0.0
+            WaveformFeatures(r.media_id, r.modality, nFrames.toLong,
+              rms, peak, zc, contentChecksum(r.payload))
+          } finally pcm.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException
+             | _: java.io.IOException
+             | _: IllegalArgumentException =>
+            WaveformFeatures(r.media_id, r.modality, -1L, 0.0, 0.0, 0L,
+              contentChecksum(r.payload))
+        }
+      }
+    }
+  }
+
   /** The former all-stub decoder — kept for codec-free environments. */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -88,4 +88,36 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(f => (f.media_id, f.frame_idx, f.frame_checksum)).toSet ==
       again.map(f => (f.media_id, f.frame_idx, f.frame_checksum)).toSet)
   }
+
+  test("extractWaveform: sine-wave RMS/peak/zero-crossings match the math") {
+    import spark.implicits._
+    // 1 second of a 440 Hz sine at amplitude 0.5, 16-bit mono, 8 kHz
+    val sr = 8000
+    def sineWav(amp: Double, freq: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](sr * 2)
+      for (i <- 0 until sr) {
+        val s = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, sr.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", sineWav(0.5, 440.0), "test"),
+      Multimodal.MediaRow(2L, "audio", "not audio at all".getBytes, "test")
+    ).toDS()
+    val f = Multimodal.extractWaveform(media).collect().map(w => w.media_id -> w).toMap
+    assert(f(1L).n_samples == sr)
+    // sine RMS = amp/√2, peak = amp, crossings = 2·freq·seconds (±1)
+    assert(math.abs(f(1L).rms - 0.5 / math.sqrt(2)) < 0.005, f(1L).rms)
+    assert(math.abs(f(1L).peak - 0.5) < 0.005, f(1L).peak)
+    assert(math.abs(f(1L).zero_crossings - 880L) <= 2L, f(1L).zero_crossings)
+    assert(f(2L).n_samples == -1L) // explicit miss, never fabricated stats
+  }
 }
