@@ -13,6 +13,32 @@ import graft.SparkSpec
   */
 class BucketingSpec extends SparkSpec {
 
+  test("partitionBy write + filtered read prunes partitions at the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (0L until 1000L).map(i => (i, s"src${i % 10}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+      .write.partitionBy("source").parquet(s"$dir/docs")
+    val read = spark.read.parquet(s"$dir/docs")
+      .where(col("source") === "src3")
+    // the predicate must become a PartitionFilter (directory pruning —
+    // 9/10 of a 100 TB table never read), not a post-scan Filter
+    val scan = read.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    // the pruned scan lists only the matching directory's files, the
+    // full scan lists all ten — pruning happens at planning, pre-I/O
+    val fullScan = spark.read.parquet(s"$dir/docs")
+      .queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.length).sum <
+      fullScan.relation.location.listFiles(Nil, Nil).map(_.files.length).sum)
+    assert(read.count() == 100)
+  }
+
   test("join over tables bucketed on the key plans with no shuffle exchange") {
     import spark.implicits._
     // tables land in the session's default warehouse; DROP TABLE below
