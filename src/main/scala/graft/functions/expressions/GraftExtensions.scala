@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHash64)
     ext.injectFunction(GraftExtensions.minShingleMd5)
     ext.injectFunction(GraftExtensions.vecScale)
+    ext.injectFunction(GraftExtensions.redactPii)
   }
 }
 
@@ -68,11 +69,34 @@ object GraftExtensions {
       MinShingleMd5(children.head, n)
     })
 
+  /** `redact_pii(text)` — the PII scrub as a SQL function: a builder
+    * that EXPANDS to the same nested codegen'd RegExpReplace chain
+    * `TextOps.redactPii` composes, so SQL users and DataFrame users
+    * share one pattern source (an injected function need not be a new
+    * Expression class — composition registers just as well).
+    */
+  val redactPii: FunctionDescription = (
+    FunctionIdentifier("redact_pii"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+      "redact_pii"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "redact_pii(text)")
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+      import graft.functions.TextOps
+      val email = RegExpReplace(children.head,
+        Literal(TextOps.emailPattern), Literal("<EMAIL>"))
+      val ip = RegExpReplace(email,
+        Literal(TextOps.ipv4Pattern), Literal("<IP>"))
+      RegExpReplace(ip, Literal(TextOps.phonePattern), Literal("<PHONE>"))
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(vecDot, simHash64, minShingleMd5, vecScale).foreach { case (ident, info, builder) =>
-      registry.registerFunction(ident, info, builder)
+    Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii).foreach {
+      case (ident, info, builder) =>
+        registry.registerFunction(ident, info, builder)
     }
   }
 }

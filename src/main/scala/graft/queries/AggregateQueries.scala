@@ -213,6 +213,24 @@ object AggregateQueries {
           count(lit(1)).as("n"))
     }),
 
+    // A18 — the 100 TB quantile path made concrete: approx_percentile
+    // (Greenwald-Khanna, bounded sketch memory per group) next to the
+    // exact answer in the same row. Exact percentile buffers every value
+    // of a group; the sketch holds O(1/ε) — the swap A14 documents.
+    // Sketch values are engine-specific → rows-only (SketchSpec bounds
+    // the error against exact).
+    "a18_approx_quantiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
+            .as("median_approx"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_exact"),
+          round(expr("approx_percentile(l_extendedprice, 0.9, 1000)"), 4)
+            .as("p90_approx"),
+          count(lit(1)).as("n"))
+    }),
+
     // A13 — training-loss reductions as dataflow (first.py:54,
     // tabnet.py:277-289): MSE, L1, and the combined λ·CE + (1−λ)·MSE
     // shape with a deterministic pseudo-probability.

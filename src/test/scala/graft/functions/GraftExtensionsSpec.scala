@@ -45,4 +45,18 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getString(0) == r.getString(2))
     }
   }
+
+  test("redact_pii SQL function ≡ TextOps.redactPii column form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    GraftExtensions.register(spark)
+    val df = Seq(
+      "mail a.user@example.com from 10.0.0.1 call 555-123-4567",
+      "no pii here").toDF("t")
+    val rows = df.select(
+      TextOps.redactPii(col("t")).as("column_form"),
+      expr("redact_pii(t)").as("sql_form")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    assert(rows.head.getString(0) == "mail <EMAIL> from <IP> call <PHONE>")
+  }
 }
