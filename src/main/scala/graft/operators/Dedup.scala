@@ -40,13 +40,18 @@ import graft.functions.expressions.SimHash64
 object Dedup {
 
   /** Exact dedup: one representative (min id) + duplicate count per
-    * distinct content value. At 100 TB, group by xxhash64(text) first and
-    * only compare full texts within hash buckets; for TESTDATA-sized
-    * verification the direct groupBy is the oracle-comparable form.
+    * distinct content value. Groups on the 16-byte md5 of the content,
+    * never the content itself — shuffling multi-KB text keys is the
+    * classic exact-dedup mistake at corpus scale. An md5 collision
+    * (~2⁻⁶⁴ birthday bound at 10¹⁰ docs) would merge two distinct
+    * texts; a pipeline that cannot tolerate that verifies full texts
+    * within buckets (the buckets are this function's output).
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+    df.groupBy(md5(col(textCol).cast("binary")).as("__fp"))
+      .agg(min(col(textCol)).as(textCol), min(col(idCol)).as(idCol),
+        count(lit(1)).as("dup_count"))
+      .select(col(textCol), col(idCol), col("dup_count"))
 
   /** (doc, g) rows: distinct word shingles per document. Public — also
     * the building block for repetition scoring and contamination checks.

@@ -121,7 +121,11 @@ object RelationalQueries {
     // U3 — exact dedup (utils.py:161-162 set-dedup): groupBy-min keeps a
     // deterministic representative, unlike dropDuplicates.
     "u3_dedup_exact" -> ((s, dir) => {
-      Tables.documents(s, dir).groupBy(col("text"))
+      // group by the 16-byte md5, not the text: shuffling multi-KB
+      // string keys is the classic exact-dedup mistake at corpus scale
+      // (identical output — the oracle groups by text)
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("__fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
         .select(col("doc_id"), col("dup_count"))
     }),
