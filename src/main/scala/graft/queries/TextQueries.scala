@@ -208,6 +208,32 @@ object TextQueries {
           round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
     }),
 
+    // Cross-document repeated n-grams: 8-gram shingles appearing in ≥ 2
+    // documents, heaviest first — the memorization-risk audit (verbatim
+    // text repeated across training documents is what models regurgitate;
+    // Lee et al.'s substring-dedup motivation). Inverted-index aggregate
+    // + TakeOrdered; never a pair join.
+    "repeated_ngrams" -> ((s, dir) => {
+      Dedup.shingleRows(Tables.documents(s, dir), "text", "doc_id", 8)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc")).as("example_doc"))
+        .where(col("df") >= 2)
+        .orderBy(col("df").desc, col("g").asc)
+        .limit(50)
+    }),
+
+    // The deduplicated corpus itself: keep one representative per
+    // near-dup cluster (min doc id reachable through Jaccard ≥ 0.5
+    // pairs) — the end product every dedup variant above feeds.
+    "dedup_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .where(col("id") === col("cluster"))
+        .select(col("id").as("doc_id"))
+    }),
+
     // Document chunking: split each document into overlapping token
     // windows (64 tokens, stride 48 → 16-token overlap) — the unit a
     // retrieval index or a long-context pretraining pipeline actually
@@ -521,6 +547,39 @@ object TextQueries {
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          WHERE t <> ''
          GROUP BY t ORDER BY n DESC, token ASC LIMIT 100""",
+    "repeated_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS g FROM idx),
+         agg AS (SELECT g, CAST(count(*) AS BIGINT) AS df,
+                   min(doc_id) AS example_doc
+                 FROM sh GROUP BY g)
+         SELECT g, df, example_doc FROM agg
+         WHERE df >= 2 ORDER BY df DESC, g ASC LIMIT 50""",
+    "dedup_corpus" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM p0
+                   JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+                   WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(doc, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT doc AS doc_id FROM reach GROUP BY doc
+         HAVING doc = min(r)""",
     "chunk_documents" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, toks,
