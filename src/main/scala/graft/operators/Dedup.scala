@@ -53,6 +53,23 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select(col(textCol), col(idCol), col("dup_count"))
 
+  /** Incremental exact dedup: the daily-delta shape. A new batch is
+    * deduped WITHIN itself (min-id representative per content hash) and
+    * then anti-joined against the already-ingested corpus's fingerprint
+    * index — so the daily cost is O(batch + index probe), never a
+    * re-dedup of the full 100 TB corpus. `seenHashes` is one `h` column
+    * of md5 hex strings (the index a pipeline persists and unions each
+    * day's survivors into). Returns the batch rows that are new to both
+    * the batch and the corpus.
+    */
+  def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
+      seenHashes: DataFrame): DataFrame =
+    batch
+      .groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("batch_dups"))
+      .join(seenHashes.select(col("h")), Seq("h"), "left_anti")
+      .select(col(idCol), col("batch_dups"))
+
   /** (doc, g) rows: distinct word shingles per document. Public — also
     * the building block for repetition scoring and contamination checks.
     */

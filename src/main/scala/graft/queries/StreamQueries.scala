@@ -117,6 +117,29 @@ object StreamQueries {
           col("p_event_id"), col("p_us"), round(col("value"), 4).as("p_value"))
     }),
 
+    // Funnel analysis: per-user first-touch timestamps of the
+    // view → click → purchase stages, rolled up to stage conversion
+    // counts — the product-analytics query an event pipeline serves
+    // daily. One pass: conditional min per stage inside a single
+    // user-keyed aggregate (never one scan per stage), then a 1-row
+    // rollup. µs granularity on both engines (ns-vs-µs ordering ties
+    // are the cross-engine trap on this table).
+    "funnel_conversion" -> ((s, dir) => {
+      def firstUs(t: String) =
+        min(when(col("event_type") === t, expr("ts_ns div 1000")))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(firstUs("view").as("v"), firstUs("click").as("c"),
+          firstUs("purchase").as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("v").isNotNull.cast("long")).as("n_view"),
+          sum((col("v").isNotNull && col("c").isNotNull && col("c") > col("v"))
+            .cast("long")).as("n_view_click"),
+          sum((col("v").isNotNull && col("c").isNotNull && col("p").isNotNull
+            && col("c") > col("v") && col("p") > col("c"))
+            .cast("long")).as("n_full_funnel"))
+    }),
+
     // As-of join: each click picks up the user's latest purchase at or
     // before it (AsofJoin operator — union + one key-partitioned running
     // window, not a per-key cross product). µs granularity to match the
@@ -136,6 +159,19 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH u AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+           FROM events GROUP BY user_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+                CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                     AND c > v AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         FROM u""",
     "stream_hourly_agg" ->
       """WITH g AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_epoch,
                   event_type,

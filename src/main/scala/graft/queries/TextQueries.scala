@@ -208,6 +208,18 @@ object TextQueries {
           round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
     }),
 
+    // Incremental exact dedup: today's batch (doc_id % 10 ≠ 0) deduped
+    // within itself, then anti-joined against the fingerprint index of
+    // the already-ingested corpus (doc_id % 10 = 0) — the daily-delta
+    // shape that never re-dedupes the full corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seen = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      Dedup.incrementalExact(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id", seen)
+    }),
+
     // Cross-document repeated n-grams: 8-gram shingles appearing in ≥ 2
     // documents, heaviest first — the memorization-risk audit (verbatim
     // text repeated across training documents is what models regurgitate;
@@ -547,6 +559,13 @@ object TextQueries {
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          WHERE t <> ''
          GROUP BY t ORDER BY n DESC, token ASC LIMIT 100""",
+    "dedup_incremental" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+         batch AS (SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS batch_dups
+                   FROM documents WHERE doc_id % 10 <> 0 GROUP BY md5(text))
+         SELECT doc_id, batch_dups FROM batch
+         WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = batch.h)""",
     "repeated_ngrams" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          idx AS (SELECT doc_id, toks,
