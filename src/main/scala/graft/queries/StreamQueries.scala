@@ -117,6 +117,24 @@ object StreamQueries {
           col("p_event_id"), col("p_us"), round(col("value"), 4).as("p_value"))
     }),
 
+    // Cohort retention: users grouped by first-seen hour; how many of
+    // each cohort are still active k hours later (k ≤ 3) — the
+    // engagement matrix behind every retention dashboard. Distinct
+    // (user, hour) activity joins its own per-user min — two hash
+    // aggregates and one join, no per-cohort scans.
+    "cohort_retention" -> ((s, dir) => {
+      val activity = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ns div $NanosPerHour").as("h"))
+        .distinct()
+      val cohorts = activity.groupBy(col("user_id"))
+        .agg(min(col("h")).as("cohort_h"))
+      activity.join(cohorts, Seq("user_id"))
+        .withColumn("offset", col("h") - col("cohort_h"))
+        .where(col("offset") <= 3)
+        .groupBy(col("cohort_h"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Funnel analysis: per-user first-touch timestamps of the
     // view → click → purchase stages, rolled up to stage conversion
     // counts — the product-analytics query an event pipeline serves
@@ -159,6 +177,15 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events),
+         coh AS (SELECT user_id, min(h) AS cohort_h FROM act GROUP BY user_id)
+         SELECT cohort_h, (h - cohort_h) AS "offset",
+                CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+         FROM act JOIN coh ON act.user_id = coh.user_id
+         WHERE h - cohort_h <= 3
+         GROUP BY 1, 2""",
     "funnel_conversion" ->
       """WITH u AS (SELECT user_id,
              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
