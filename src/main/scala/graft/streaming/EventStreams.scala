@@ -101,6 +101,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
         max(col("event_time")).as("last_seen"))
 
+  /** Per-user funnel state: first-touch timestamp of each stage
+    * (view → click → purchase), maintained as an update-mode aggregation
+    * — state is 3 longs per user, independent of event volume, so an
+    * unbounded stream carries bounded funnel state. The SAME expression
+    * runs on a batch frame; StreamQueries `funnel_conversion` is the
+    * batch rollup of this frame.
+    */
+  def funnelState(events: DataFrame): DataFrame = {
+    def firstUs(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("event_time"))))
+    events.groupBy(col("user_id"))
+      .agg(firstUs("view").as("first_view_us"),
+        firstUs("click").as("first_click_us"),
+        firstUs("purchase").as("first_purchase_us"))
+  }
+
   /** Input row for sessionization (event_time in epoch millis — keeps
     * the state encoder primitive-only).
     */

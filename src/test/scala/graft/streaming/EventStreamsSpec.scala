@@ -44,6 +44,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state: stream ≡ batch, incremental events refine first-touch mins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val funnelEvs = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:10:00"), "click", 1.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:20:00"), "purchase", 9.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:05:00"), "view", 1.0, 2L))
+    val batch = EventStreams.funnelState(funnelEvs.toDF())
+      .orderBy("user_id").collect().toSeq
+
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.funnelState(mem.toDF())
+      .writeStream.format("memory").queryName("funnel").outputMode("complete")
+      .start()
+    try {
+      // feed in two increments: user 1's purchase and an EARLIER view
+      // arrive after the first trigger — the per-user mins must refine
+      mem.addData(funnelEvs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(funnelEvs.drop(2): _*)
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 09:50:00"), "view", 1.0, 1L))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel").orderBy("user_id").collect().toSeq
+      val batchAll = EventStreams.funnelState(funnelEvs.toDF()
+          .unionByName(Seq(Ev(Timestamp.valueOf("2024-01-01 09:50:00"), "view", 1.0, 1L)).toDF()))
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batchAll)
+      // user 1 completed the funnel; user 2 only viewed
+      val u1 = streamed.head
+      assert(u1.getAs[Long]("first_view_us") < u1.getAs[Long]("first_click_us"))
+      assert(u1.getAs[Long]("first_click_us") < u1.getAs[Long]("first_purchase_us"))
+      assert(streamed(1).isNullAt(2) && streamed(1).isNullAt(3))
+    } finally q.stop()
+    // and the original 4-event batch answer is itself stable
+    assert(batch.size == 2)
+  }
+
   test("withEventTime converts ns longs exactly") {
     import spark.implicits._
     val df = Seq(1704103500000000123L).toDF("ts_ns") // 2024-01-01 10:05:00.000000123
