@@ -277,11 +277,27 @@ object Dedup {
     * exposed as a library primitive for semi-join reduction.
     */
   def bloomOf(df: DataFrame, keyCol: String,
-      expectedItems: Long = 1L << 22): Array[Byte] = {
+      expectedItems: Long = 1L << 22): Array[Byte] =
+    bloomOfOpt(df, keyCol, expectedItems).getOrElse(throw new
+      IllegalArgumentException("bloomOf: build side has no rows — " +
+        "BloomFilterAggregate yields no sketch (a null-literal probe " +
+        "would silently drop every row); use bloomOfOpt for inputs " +
+        "that may be empty"))
+
+  /** [[bloomOf]] that returns `None` when the build side has no rows —
+    * `BloomFilterAggregate` evaluates to null over zero rows, and a null
+    * sketch literal inside [[bloomMightContain]] builds a null predicate
+    * that silently drops every probe row. Callers skip the prune on
+    * `None` (an empty build side means the join output is empty anyway,
+    * but the PRUNE must not be the thing that decides that).
+    */
+  def bloomOfOpt(df: DataFrame, keyCol: String,
+      expectedItems: Long = 1L << 22): Option[Array[Byte]] = {
     val hashed = XxHash64(Seq(ColumnShim.expression(col(keyCol))), 42L)
     val agg = new BloomFilterAggregate(hashed, expectedItems)
       .toAggregateExpression()
-    df.select(ColumnShim.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    Option(df.select(ColumnShim.column(agg).as("bf")).head()
+      .getAs[Array[Byte]](0))
   }
 
   /** Compiled membership probe against a [[bloomOf]] sketch — no UDF;
@@ -322,8 +338,11 @@ object Dedup {
     // die in the equality join); the df counts stay exact because the
     // verdict is a pure function of the shingle value.
     val rawCorpusSh = shingleRows(corpus, textCol, idCol, shingleLen)
+    // bloomOfOpt: an empty benchmark yields no sketch — skip the prune
+    // (the equality join below returns empty regardless)
     val corpusSh = (if (bloomPrune)
-        rawCorpusSh.where(bloomMightContain(bloomOf(benchSh, "g"), col("g")))
+        bloomOfOpt(benchSh, "g").fold(rawCorpusSh)(bf =>
+          rawCorpusSh.where(bloomMightContain(bf, col("g"))))
       else rawCorpusSh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = corpusSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -434,7 +453,14 @@ object Dedup {
       sampleMod: Int = 16): DataFrame = {
     val sample =
       if (kCells <= 1) df // one block — no quantizer needed
-      else df.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      else {
+        // guard: for inputs smaller than ~sampleMod rows (or unlucky
+        // hash values) the 1/sampleMod sample can be empty and
+        // KMeans.fit would throw — fall back to clustering the full
+        // frame (it is tiny in exactly the case the sample is empty)
+        val s0 = df.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+        if (s0.limit(1).isEmpty) df else s0
+      }
     val blocked =
       if (kCells <= 1) df.withColumn("cell", lit(0))
       else SimilaritySearch.assignToCentroids(df, vecCol,

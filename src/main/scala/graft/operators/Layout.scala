@@ -22,14 +22,17 @@ object Layout {
 
   /** Interleave the low `bits` bits of two non-negative integer columns:
     * result bit 2i holds a's bit i, bit 2i+1 holds b's bit i. Values are
-    * clamped to `bits` bits (callers quantize real columns into buckets
-    * first — layout keys need rank, not exactness).
+    * SATURATED at 2^bits − 1 (callers quantize real columns into buckets
+    * first — layout keys need rank, not exactness): an out-of-range row
+    * lands at the high end of the layout, adjacent to its nearest
+    * in-range neighbors, instead of wrapping modulo 2^bits to the
+    * opposite end and poisoning that file's min/max stats.
     */
   def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val mask = (1L << bits) - 1
-    val am = a.cast("long").bitwiseAND(lit(mask))
-    val bm = b.cast("long").bitwiseAND(lit(mask))
+    val am = least(a.cast("long"), lit(mask))
+    val bm = least(b.cast("long"), lit(mask))
     (0 until bits)
       .map { i =>
         shiftleft(shiftrightunsigned(am, i).bitwiseAND(lit(1L)), 2 * i)

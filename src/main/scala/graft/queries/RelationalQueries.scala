@@ -274,8 +274,8 @@ object RelationalQueries {
         s"(((qa >> $i) & 1) << ${2 * i}) | (((qb >> $i) & 1) << ${2 * i + 1})")
         .mkString(" | ")
       s"""WITH q AS (SELECT l_orderkey, l_linenumber,
-              CAST(floor(l_extendedprice / 1000.0) AS BIGINT) & 255 AS qa,
-              CAST(floor(l_quantity) AS BIGINT) & 255 AS qb
+              least(CAST(floor(l_extendedprice / 1000.0) AS BIGINT), 255) AS qa,
+              least(CAST(floor(l_quantity) AS BIGINT), 255) AS qb
             FROM lineitem)
           SELECT l_orderkey, l_linenumber, $interleave AS z_key FROM q"""
     },

@@ -349,8 +349,15 @@ object TextQueries {
         .join(cw, Seq("w"))
         .crossJoin(broadcast(nTot))
         .select(col("source"),
+          // products go through double BEFORE multiplying: at corpus
+          // scale (token counts ~1e13) c_sw·n_tot overflows a 64-bit
+          // long and silently wraps in non-ANSI mode; as doubles the
+          // products are exact up to 2^53 (all of TESTDATA) and beyond
+          // that carry ~1e-16 relative error — invisible under the ln
+          // and the 4-decimal round
           ((col("c_sw") / col("n_s"))
-            * log((col("c_sw") * col("n_tot")) / (col("n_s") * col("c_w"))))
+            * log((col("c_sw").cast("double") * col("n_tot"))
+              / (col("n_s").cast("double") * col("c_w"))))
             .cast("decimal(20,8)").as("term"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_terms"),

@@ -150,6 +150,38 @@ class DedupSpec extends SparkSpec {
     assert(probed == Seq("the quick brown fox jumps"))
   }
 
+  test("bloomOf guards the empty build side; bloomOfOpt returns None; prune skipped") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // a null sketch would build a null predicate that silently drops
+    // every probe row — the primitive must refuse, not mislead
+    assert(Dedup.bloomOfOpt(empty.select(col("text").as("g")), "g").isEmpty)
+    assertThrows[IllegalArgumentException] {
+      Dedup.bloomOf(empty.select(col("text").as("g")), "g")
+    }
+    // crossCorpusOverlap with an empty benchmark + prune ON: empty
+    // result, no crash, no null predicate
+    val corpus = docs
+    assert(Dedup.crossCorpusOverlap(corpus, empty, "text", "doc_id",
+      shingleLen = 5, minOverlap = 0.1, bloomPrune = true).isEmpty)
+  }
+
+  test("semanticDedupPairs survives inputs smaller than the sample modulus") {
+    import spark.implicits._
+    // 3 rows with sampleMod=16: the 1/16 hash sample is almost surely
+    // empty — the guard must fall back to fitting on the full frame
+    // instead of KMeans.fit throwing on zero rows
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(tiny, "embedding", "vec_id",
+        kCells = 2, minCosine = 0.9, sampleMod = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("semanticDedupPairs: one cell ≡ brute-force pairs; cells only lose cross-cell recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -18,7 +18,16 @@ class LayoutSpec extends SparkSpec {
     assert(z(5, 3) == 27) // 101 ⨯ 011 → 011011
     assert(z(255, 0, bits = 8) == 0x5555L)
     assert(z(0, 255, bits = 8) == 0xAAAAL)
-    assert(z(256, 0, bits = 8) == 0) // clamped to 8 bits
+  }
+
+  test("zOrderKey saturates out-of-range values at 2^bits - 1 (no modulo wrap)") {
+    // 256 with bits=8 must land at the TOP of the layout next to 255 —
+    // a wrap to key 0 would scatter the row to the opposite end and
+    // poison that file's min/max stats
+    assert(z(256, 0, bits = 8) == z(255, 0, bits = 8))
+    assert(z(1000, 99999, bits = 8) == 0xFFFFL)
+    // saturation preserves rank against in-range neighbors
+    assert(z(256, 0, bits = 8) > z(254, 0, bits = 8))
   }
 
   test("zOrderKey clusters quadrants: every 2^k-aligned block is a contiguous key range") {
