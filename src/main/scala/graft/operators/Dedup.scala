@@ -124,7 +124,12 @@ object Dedup {
     // MEMORY_AND_DISK spills instead of recomputing at corpus scale
     val shingles = shingleRows(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the df table feeds the hot probe, BOTH sides of the candidate
+    // self-join and the correction branch — persisted, the aggregation
+    // over the full shingle table runs once instead of 3×. It is the
+    // small side (distinct shingles, two fixed-width columns).
     val dfc = shingles.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = shingles.join(dfc.where(col("df") <= maxShingleDf), Seq("g"))
       .select(col("doc"), col("g"))
     // |A∩B| restricted to sub-threshold shingles falls straight out of
@@ -167,6 +172,7 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
+    dfc.unpersist(false)
     shingles.unpersist(false)
     result
   }
@@ -345,7 +351,10 @@ object Dedup {
           rawCorpusSh.where(bloomMightContain(bf, col("g"))))
       else rawCorpusSh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same rationale as shingleJaccardPairs: the df table feeds the hot
+    // probe, the rare filter and the correction branch — compute once
     val dfc = corpusSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = corpusSh.join(dfc.where(col("df") <= maxShingleDf), Seq("g"))
       .select(col("doc"), col("g"))
     val interRare = rare.select(col("doc").as("corpus_id"), col("g"))
@@ -377,6 +386,7 @@ object Dedup {
       .select(col("corpus_id"), col("bench_id"),
         round(col("overlap"), 4).as("overlap"))
       .localCheckpoint(true)
+    dfc.unpersist(false)
     corpusSh.unpersist(false)
     benchSh.unpersist(false)
     result
