@@ -38,11 +38,12 @@ object EmbeddingTrainer {
     * @param negRate negatives per positive (reference `negative_sample`)
     * @param regRatio weight on mean-square `reg_loss` (rgcn.py:44)
     * @param evalSample cap on validation triplets per MRR evaluation
-    *   (0 = all). Candidate scoring is queries × numEntities rows, so an
-    *   uncapped evaluation on a large valid split dwarfs the training
-    *   epoch it measures; a fixed sample keeps the eval O(evalSample ×
-    *   entities) at any data scale. The reference evaluates its full
-    *   (small, single-node) valid set — same protocol, bounded.
+    *   (0 = all). The additive-score eval is O(E log E + queries ×
+    *   true-tails) — the sort dominates and is paid once per eval
+    *   regardless — but bounding the query side still caps the filter
+    *   join and keeps eval cost independent of the valid-split size.
+    *   The reference evaluates its full (small, single-node) valid set —
+    *   same protocol, bounded.
     */
   final case class Config(
       dim: Int = 16,
@@ -188,9 +189,21 @@ object EmbeddingTrainer {
                 col("head_id"), col("relation_id"), col("tail_id"))
               .limit(cfg.evalSample)
           else valid.get
-        val mrr = graft.metrics.Scores.filteredMrr(validEval, allTrue.get,
-            scoreAllCandidates(validEval, eEmb, rEmb))
-          .head().getAs[Double]("mrr")
+        // crossJoin-free eval: with the additive score a candidate's
+        // rank is a pure function of its entity sum, so the filtered
+        // rank comes from ONE sorted entity-sum table + a join against
+        // the filter set — O(E log E + Q), never the Q × E candidate
+        // materialization (which at 100× entities turns the eval into
+        // the cost that dwarfs the epochs it measures). Sums come
+        // straight off the flat tables — no assemble/explode round trip.
+        val eSums = ent.groupBy(col("id")).agg(sum(col("value")).as("esum"))
+          .select(col("id").as("entity_id"), col("esum"))
+        val rSums = rel.groupBy(col("id")).agg(sum(col("value")).as("rsum"))
+          .select(col("id").as("relation_id"), col("rsum"))
+        val mrrDf = graft.metrics.Scores.filteredMrrAdditive(
+          validEval, allTrue.get, eSums, rSums)
+        val mrr = mrrDf.head().getAs[Double]("mrr")
+        CheckpointShim.freeLocalCheckpoint(mrrDf)
         mrrs += (epoch -> mrr)
         if (best.forall(_._1 < mrr)) {
           best.foreach { case (_, e, r, _) =>
@@ -226,6 +239,12 @@ object EmbeddingTrainer {
     * expects. With the additive score the candidate axis only needs the
     * per-entity sums, so this is queries × numEntities scalar rows (never
     * vectors), built from two broadcast-sized sum tables.
+    *
+    * NOTE: the training loop's evaluation no longer goes through this
+    * Q × E materialization — [[graft.metrics.Scores.filteredMrrAdditive]]
+    * computes identical ranks from one sorted entity-sum table. This
+    * stays as the generic-score entry point (and the equality oracle the
+    * spec checks the additive path against).
     */
   def scoreAllCandidates(queries: DataFrame, entityEmb: DataFrame,
       relationEmb: DataFrame): DataFrame = {

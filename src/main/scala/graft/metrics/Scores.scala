@@ -119,4 +119,96 @@ object Scores {
     ranked.agg(avg(lit(1.0) / col("rnk")).as("mrr"),
       hitAggs :+ count(lit(1)).as("n_queries"): _*)
   }
+
+  /** Filtered MRR + Hits@k for the ADDITIVE score `S_h + R_r − S_c`
+    * WITHOUT materializing the queries × entities candidate table.
+    *
+    * With an additive score a candidate's rank inside every query
+    * depends only on its own entity sum: ordering candidates by
+    * (score DESC, candidate_id ASC) is ordering them by
+    * (esum ASC, entity_id ASC) — the same global order for all queries.
+    * So the target's unfiltered rank is its position in ONE sorted
+    * entity-sum table (a distributed range sort + zipWithIndex via
+    * [[graft.operators.DenseId]] — no partitionless window, no
+    * crossJoin), and the filtered-protocol correction subtracts the
+    * count of OTHER true tails of the query that sit strictly earlier
+    * in that order — a join against the (small) true-triplet set,
+    * O(E log E + Σ|trueTails|) instead of O(Q·E). Same `sort_and_rank`
+    * semantics as the reference (evaluate.py:105-109) and same result
+    * as [[filteredMrr]]∘scoreAllCandidates wherever the float
+    * subtraction `(S_h+R_r) − S_c` is injective over distinct sums
+    * (always, barring catastrophic cancellation at ~1e16 magnitudes).
+    *
+    * `entitySums(entity_id, esum)` / `relationSums(relation_id, rsum)`
+    * are the per-id embedding sums; queries whose head / relation /
+    * target id is absent from them drop out of the metric exactly as
+    * they do in the crossJoin form. `allTrue` is deduplicated
+    * defensively — duplicate filter triplets must not double-subtract.
+    *
+    * Returns the same 1-row schema as [[filteredMrr]], materialized
+    * eagerly (the internal rank table is freed before returning).
+    */
+  def filteredMrrAdditive(valid: DataFrame, allTrue: DataFrame,
+      entitySums: DataFrame, relationSums: DataFrame,
+      ks: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+    val ranked = rankedEntitySums(entitySums)
+    val perQuery = additiveRanksOver(ranked, valid, allTrue, relationSums)
+    val hitAggs = ks.map(k => avg((col("rnk") <= k).cast("double")).as(s"hits$k"))
+    val out = perQuery
+      .agg(avg(lit(1.0) / col("rnk")).as("mrr"),
+        hitAggs :+ count(lit(1)).as("n_queries"): _*)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.CheckpointShim.freeLocalCheckpoint(ranked)
+    out
+  }
+
+  /** Per-query filtered rank of the target under the additive score —
+    * the lazy core of [[filteredMrrAdditive]], exposed for plan pinning
+    * and equality testing. Output: one row per surviving query with
+    * `(query_id, head_id, relation_id, target_id, rnk)`. The internal
+    * rank table stays checkpointed for the returned frame's lifetime —
+    * use [[filteredMrrAdditive]] for the self-cleaning aggregate.
+    */
+  def additiveRanks(valid: DataFrame, allTrue: DataFrame,
+      entitySums: DataFrame, relationSums: DataFrame): DataFrame =
+    additiveRanksOver(rankedEntitySums(entitySums), valid, allTrue,
+      relationSums)
+
+  /** Global candidate order shared by every query: (esum ASC, id ASC)
+    * ≡ (score DESC, id ASC). DenseId = distributed range sort +
+    * zipWithIndex, eagerly checkpointed; `grank0` is 0-based.
+    */
+  private def rankedEntitySums(entitySums: DataFrame): DataFrame =
+    graft.operators.DenseId.withOrderedId(
+      entitySums.select(col("entity_id"), col("esum")),
+      "grank0", "esum", "entity_id")
+
+  private def additiveRanksOver(ranked: DataFrame, valid: DataFrame,
+      allTrue: DataFrame, relationSums: DataFrame): DataFrame = {
+    val queries = valid.select(
+        col("head_id"), col("relation_id"), col("tail_id").as("target_id"))
+      .withColumn("query_id", monotonically_increasing_id())
+      // presence gates mirror the inner joins of the crossJoin form
+      .join(ranked.select(col("entity_id").as("head_id")),
+        Seq("head_id"), "left_semi")
+      .join(relationSums.select(col("relation_id")),
+        Seq("relation_id"), "left_semi")
+      .join(ranked.select(col("entity_id").as("target_id"),
+        (col("grank0") + 1).as("grank")), Seq("target_id"))
+    // filtered-protocol correction: OTHER true tails of (h, r) ranked
+    // strictly ahead of the target would each shift it down one place
+    val trueRanked = allTrue
+      .select(col("head_id"), col("relation_id"), col("tail_id")).distinct()
+      .join(ranked.select(col("entity_id").as("tail_id"),
+        (col("grank0") + 1).as("true_grank")), Seq("tail_id"))
+    val corr = queries
+      .join(trueRanked, Seq("head_id", "relation_id"))
+      .where(col("tail_id") =!= col("target_id")
+        && col("true_grank") < col("grank"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_better_true"))
+    queries.join(corr, Seq("query_id"), "left")
+      .select(col("query_id"), col("head_id"), col("relation_id"),
+        col("target_id"),
+        (col("grank") - coalesce(col("n_better_true"), lit(0L))).as("rnk"))
+  }
 }

@@ -25,6 +25,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("additive MRR eval plans no cartesian product / nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the Q × E candidate materialization was the one metric-inherent
+    // crossJoin in the engine; the additive-rank form must plan as
+    // equi-joins around the DenseId rank table and nothing else
+    val eSums = (0L until 20L).map(i => (i, i * 0.5)).toDF("entity_id", "esum")
+    val rSums = Seq((0L, 0.1), (1L, 0.2)).toDF("relation_id", "rsum")
+    val valid = Seq((0L, 0L, 3L), (1L, 1L, 5L)).toDF("head_id", "relation_id", "tail_id")
+    val ranks = graft.metrics.Scores.additiveRanks(valid, valid, eSums, rSums)
+    val bad = ranks.queryExecution.sparkPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"non-equi join in additive MRR plan:\n${ranks.queryExecution.sparkPlan}")
+    // and the window sweep below covers it too — but assert locally that
+    // no partitionless WindowExec ranks the entity table
+    val badW = ranks.queryExecution.sparkPlan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(badW.isEmpty)
+  }
+
   test("r2_seq_split plans as TakeOrdered (per-partition top-k), not a global sort") {
     val df = SparkEntry.queries("r2_seq_split")(spark, dir)
     val plan = df.queryExecution.sparkPlan.toString

@@ -68,4 +68,55 @@ class ScoresSpec extends SparkSpec {
     assert(r.getAs[Double]("hits3") == 1.0)
     assert(r.getAs[Long]("n_queries") == 1)
   }
+
+  test("filteredMrrAdditive: hand-computed ranks from one sorted sum table") {
+    import spark.implicits._
+    // entity sums: e0=0.0 e1=3.0 e2=1.0 e3=2.0 → candidate order
+    // (esum ASC) = e0, e2, e3, e1. Query (h=0, r=0, target=1):
+    // unfiltered grank(e1) = 4; true tails of (0,0) are {1, 2}; e2 sits
+    // ahead of e1 → filtered rank 3, MRR = 1/3.
+    val eSums = Seq((0L, 0.0), (1L, 3.0), (2L, 1.0), (3L, 2.0))
+      .toDF("entity_id", "esum")
+    val rSums = Seq((0L, 0.0)).toDF("relation_id", "rsum")
+    val valid = Seq((0L, 0L, 1L)).toDF("head_id", "relation_id", "tail_id")
+    val allTrue = Seq((0L, 0L, 1L), (0L, 0L, 2L))
+      .toDF("head_id", "relation_id", "tail_id")
+    val r = filteredMrrAdditive(valid, allTrue, eSums, rSums).head()
+    assert(math.abs(r.getAs[Double]("mrr") - 1.0 / 3) < 1e-12)
+    assert(r.getAs[Double]("hits1") == 0.0)
+    assert(r.getAs[Double]("hits3") == 1.0)
+    assert(r.getAs[Long]("n_queries") == 1)
+  }
+
+  test("filteredMrrAdditive ≡ filteredMrr over the Q×E candidate table") {
+    import spark.implicits._
+    import graft.car.EmbeddingTrainer
+    // deterministic pseudo-random embeddings (12 entities, 3 relations)
+    val entFlat = EmbeddingTrainer.initFlat(spark, 12, 4, seed = 7L)
+    val relFlat = EmbeddingTrainer.initFlat(spark, 3, 4, seed = 8L)
+    val ent = EmbeddingTrainer.assemble(entFlat, "entity_id")
+    val rel = EmbeddingTrainer.assemble(relFlat, "relation_id")
+    // duplicate query, multiple targets per (h, r), a query with an
+    // unknown head (99 → dropped by both paths), an unknown true tail
+    val valid = Seq((0L, 0L, 3L), (0L, 0L, 3L), (1L, 1L, 5L), (2L, 2L, 7L),
+      (4L, 0L, 0L), (9L, 1L, 11L), (99L, 0L, 1L))
+      .toDF("head_id", "relation_id", "tail_id")
+    val allTrue = valid.unionAll(Seq((0L, 0L, 5L), (0L, 0L, 6L),
+        (2L, 2L, 1L), (9L, 1L, 2L), (1L, 1L, 99L))
+      .toDF("head_id", "relation_id", "tail_id")).distinct()
+    val dense = filteredMrr(valid, allTrue,
+      EmbeddingTrainer.scoreAllCandidates(valid, ent, rel)).head()
+    // the additive path reads per-id sums; derive them the same way
+    // scoreAllCandidates does so both paths see identical doubles
+    val eSums = ent.select(col("entity_id"), explode(col("vector")).as("x"))
+      .groupBy(col("entity_id")).agg(sum(col("x")).as("esum"))
+    val rSums = rel.select(col("relation_id"), explode(col("vector")).as("x"))
+      .groupBy(col("relation_id")).agg(sum(col("x")).as("rsum"))
+    val sparse = filteredMrrAdditive(valid, allTrue, eSums, rSums).head()
+    assert(sparse.getAs[Long]("n_queries") == 6)
+    assert(sparse.getAs[Long]("n_queries") == dense.getAs[Long]("n_queries"))
+    for (c <- Seq("mrr", "hits1", "hits3", "hits10"))
+      assert(math.abs(sparse.getAs[Double](c) - dense.getAs[Double](c)) < 1e-12,
+        s"$c: additive=${sparse.getAs[Double](c)} dense=${dense.getAs[Double](c)}")
+  }
 }
