@@ -48,6 +48,49 @@ object EmbeddingStore {
       .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("sv"))
       .select(col("entity_id"), col("sv.value").as("vector"))
 
+  /** G5c — one relation-CONDITIONED propagation step: the reference's
+    * RGCN message is `x_head · W_rel · edge_norm` with W_rel mixed from
+    * shared bases (rgcn.py:96-110 `att`/`basis` matmul), aggregated as a
+    * mean, then updated with a self-loop root transform and bias
+    * (rgcn.py:112-121 `aggr_out + x·root + bias`). This is that step
+    * with DIAGONAL weights — a per-relation scale vector — which keeps
+    * the relation-specific transform (the machinery mean aggregation
+    * lacks) while staying pure flat dataflow: every multiply is a
+    * scalar against a broadcast weight row, no vector×matrix buffers.
+    *
+    * `relWeights(relation_id, pos, w)` is the diagonal of W_rel;
+    * `rootWeights(pos, root_w, bias)` the self-loop diagonal + bias.
+    * Both are model-sized (relations × dim / dim rows) and broadcast.
+    * Output covers every node IN `embeddings` (the reference's update()
+    * runs on all of x): nodes without in-edges get `0 + x·root + bias`,
+    * exactly as aggr='mean' yields zeros for message-less nodes.
+    */
+  def relationWeightedStep(edges: DataFrame, embeddings: DataFrame,
+      relWeights: DataFrame, rootWeights: DataFrame): DataFrame = {
+    val flat = embeddings
+      .select(col("entity_id"), posexplode(col("vector")))
+      .select(col("entity_id"), col("pos"), col("col").as("v"))
+    val msgs = edges
+      .join(flat.select(col("entity_id").as("head_id"), col("pos"), col("v")),
+        Seq("head_id"))
+      .join(broadcast(relWeights.select(col("relation_id"), col("pos"), col("w"))),
+        Seq("relation_id", "pos"))
+      .select(col("tail_id").as("entity_id"), col("pos"),
+        (col("v") * col("w") * col("edge_norm")).as("mv"))
+      .groupBy(col("entity_id"), col("pos"))
+      .agg(avg(col("mv")).as("agg"))
+    flat
+      .join(broadcast(rootWeights.select(col("pos"), col("root_w"), col("bias"))),
+        Seq("pos"))
+      .join(msgs, Seq("entity_id", "pos"), "left")
+      .select(col("entity_id"), col("pos"),
+        (coalesce(col("agg"), lit(0.0))
+          + col("v") * col("root_w") + col("bias")).as("value"))
+      .groupBy(col("entity_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("sv"))
+      .select(col("entity_id"), col("sv.value").as("vector"))
+  }
+
   /** G6 — the reference's "distmult"-named score, which actually computes
     * the additive sum(s + r − o) (reference rgcn.py:31-37; name quirk
     * preserved in the doc, semantics preserved in code). Decomposes to

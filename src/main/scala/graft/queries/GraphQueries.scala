@@ -203,6 +203,40 @@ object GraphQueries {
           (round(col("col"), 4) + lit(0.0)).as("value"))
     }),
 
+    // G5c — the relation-CONDITIONED propagation step (rgcn.py:96-121):
+    // per-relation diagonal weight on each message + self-loop root
+    // transform + bias. Weights are a deterministic closed form
+    // (w = 1 + 0.1·rel + 0.01·pos, root = 0.5 + 0.01·pos,
+    // bias = 0.001·pos) so DuckDB reproduces them inline — the learned
+    // values would come from a trainer; the OPERATOR is what's under
+    // test. Output = the embedded node set in flat (entity, pos) form.
+    "g5c_relation_weighted" -> ((s, dir) => {
+      import graft.car.{EmbeddingStore, Triplets}
+      val e = Tables.embeddings(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val edges = e.select(
+        pmod(col("vec_id"), lit(11)).as("head_id"),
+        pmod(col("vec_id"), lit(3)).as("relation_id"),
+        pmod(col("vec_id"), lit(37)).as("tail_id"))
+      val emb = e.where(col("vec_id") < 11)
+        .select(col("vec_id").as("entity_id"),
+          col("embedding").cast("array<double>").as("vector"))
+      val relW = s.range(3).select(col("id").as("relation_id"),
+          explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+        .select(col("relation_id"), col("pos"),
+          (lit(1.0) + col("relation_id") * lit(0.1)
+            + col("pos") * lit(0.01)).as("w"))
+      val rootW = s.range(1)
+        .select(explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+        .select(col("pos"), (lit(0.5) + col("pos") * lit(0.01)).as("root_w"),
+          (col("pos") * lit(0.001)).as("bias"))
+      EmbeddingStore.relationWeightedStep(
+          Triplets.edgeNorm(edges), emb, relW, rootW)
+        .select(col("entity_id"), posexplode(col("vector")))
+        .select(col("entity_id"), col("pos").cast("long").as("pos"),
+          (round(col("col"), 4) + lit(0.0)).as("value"))
+    }),
+
     // G7 — the KG-embedding training loop (preprocess.py:25-91) end to
     // end on a synthetic ring graph over the embedding ids: 2 epochs of
     // additive-score BCE descent, output = trained entity vectors in
@@ -302,6 +336,37 @@ object GraphQueries {
                   avg(h1.value * en.edge_norm) AS value
                 FROM en JOIN h1 ON h1.entity_id = en.head_id
                 GROUP BY 1, 2)
-         SELECT entity_id, pos, round(value, 4) + 0.0 AS value FROM h2"""
+         SELECT entity_id, pos, round(value, 4) + 0.0 AS value FROM h2""",
+    // diagonal per-relation weight + self-loop root + bias, all in the
+    // same closed form the Spark side builds (doubles forced via CAST —
+    // DuckDB would otherwise do DECIMAL arithmetic on the literals)
+    "g5c_relation_weighted" ->
+      """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
+                  vec_id % 37 AS tail_id FROM embeddings),
+         deg AS (SELECT head_id, relation_id, count(*) AS d
+                 FROM e GROUP BY 1, 2),
+         en AS (SELECT e.head_id, e.relation_id, e.tail_id,
+                  CAST(1.0 AS DOUBLE) / d AS edge_norm
+                FROM e JOIN deg USING (head_id, relation_id)),
+         m AS (SELECT en.tail_id AS entity_id, en.relation_id,
+                 unnest(generate_series(1, len(emb.embedding))) AS i,
+                 emb.embedding, en.edge_norm
+               FROM en JOIN embeddings emb ON emb.vec_id = en.head_id),
+         agg AS (SELECT entity_id, i,
+                   avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) + relation_id * CAST(0.1 AS DOUBLE)
+                          + (i - 1) * CAST(0.01 AS DOUBLE))
+                       * edge_norm) AS aggv
+                 FROM m GROUP BY 1, 2),
+         selfv AS (SELECT emb.vec_id AS entity_id,
+                     unnest(generate_series(1, len(emb.embedding))) AS i,
+                     emb.embedding
+                   FROM embeddings emb WHERE emb.vec_id < 11)
+         SELECT s.entity_id, CAST(s.i - 1 AS BIGINT) AS pos,
+                round(coalesce(a.aggv, CAST(0.0 AS DOUBLE))
+                      + CAST(s.embedding[CAST(s.i AS INT)] AS DOUBLE)
+                        * (CAST(0.5 AS DOUBLE) + (s.i - 1) * CAST(0.01 AS DOUBLE))
+                      + (s.i - 1) * CAST(0.001 AS DOUBLE), 4) + 0.0 AS value
+         FROM selfv s LEFT JOIN agg a ON a.entity_id = s.entity_id AND a.i = s.i"""
   )
 }

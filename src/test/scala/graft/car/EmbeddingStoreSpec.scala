@@ -47,6 +47,31 @@ class EmbeddingStoreSpec extends SparkSpec {
       .forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("G5c: relation-weighted step = mean(x·w_rel·norm) + x·root + bias, hand-computed") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(2.0, 4.0)), (1L, Seq(6.0, 8.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("entity_id", "vector")
+    // 0 →(rel 0)→ 2 and 1 →(rel 1)→ 2, edge_norm 0.5 each; node 0 has
+    // no in-edges (self-loop-only path)
+    val edges = Seq((0L, 0L, 2L, 0.5), (1L, 1L, 2L, 0.5))
+      .toDF("head_id", "relation_id", "tail_id", "edge_norm")
+    // w: rel 0 = [1, 2], rel 1 = [3, 4]; root = [10, 20]; bias = [0.1, 0.2]
+    val relW = Seq((0L, 0, 1.0), (0L, 1, 2.0), (1L, 0, 3.0), (1L, 1, 4.0))
+      .toDF("relation_id", "pos", "w")
+    val rootW = Seq((0, 10.0, 0.1), (1, 20.0, 0.2))
+      .toDF("pos", "root_w", "bias")
+    val out = EmbeddingStore.relationWeightedStep(edges, emb, relW, rootW)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // node 2: msgs pos0 = mean(2·1·0.5, 6·3·0.5) = mean(1, 9) = 5;
+    //         msgs pos1 = mean(4·2·0.5, 8·4·0.5) = mean(4, 16) = 10;
+    //         + self [1,1]·[10,20] + bias → [5+10+0.1, 10+20+0.2]
+    assert(out(2L).zip(Seq(15.1, 30.2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // node 0: no in-edges → 0 + [2,4]·[10,20] + bias = [20.1, 80.2]
+    assert(out(0L).zip(Seq(20.1, 80.2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // every embedded node appears (update() runs on all of x)
+    assert(out.keySet == Set(0L, 1L, 2L))
+  }
+
   test("G6: additive triplet score = sum(s) + sum(r) − sum(o)") {
     import spark.implicits._
     val ent = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(2.0, 2.0))).toDF("entity_id", "vector")
