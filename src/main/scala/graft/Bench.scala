@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional positional args = run only these queries (local profiling);
@@ -24,20 +26,40 @@ object Bench {
     // deterministic (sorted) execution order for comparable timings
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a broken query must bench as BROKEN, not as "fast": record the
+      // error per query instead of swallowing it into a bogus timing
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop whatever the finished one persisted
       // or checkpointed so storage memory never bleeds into the next
       // query's execution memory (cleanup is outside the timed section)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
+      (name, dt, err)
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // 3-decimal seconds keep the whole line inside log-tail capture
     // windows (sub-ms per-query precision is noise anyway)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s""""$k":${jstr(e)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nErr = results.count(_._3.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // compact headline AGAIN as the LAST line: the driver keeps the last
+    // N bytes of output, and on the full suite the per-query map alone
+    // overflows that window — both r5/r6 captures lost the line's front
+    // (and with it "metric"/"value", parsed=null). A short trailing line
+    // always survives a tail capture whole.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,8 @@ object Run {
       .master(flag("master", s"local[${flag("cpus", "8")}]"))
       .config("spark.sql.shuffle.partitions", flag("shuffle-partitions", "32"))
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,9 +36,23 @@ object Scores {
 
   def mse(target: Column, pred: Column): Column = avg(pow(target - pred, 2))
 
-  /** P(ape ≤ threshold) — intended accuracy (X3 fixed). */
-  def thresholdedAccuracy(target: Column, pred: Column, threshold: Double): Column =
-    avg((ape(target, pred) <= threshold).cast("double"))
+  /** P(ape ≤ threshold) — intended accuracy (X3 fixed).
+    *
+    * `compatX3 = true` reproduces the reference AS CODED
+    * (evaluate.py:21-23, 33-38): the boolean hit array is divided by
+    * `n` BEFORE the mean, so the returned "accuracy" is count/n² — a
+    * value that vanishes as the dataset grows. Provided behind a flag
+    * per the §2.13 quirk contract (X1 `Splits.overlapBoundary` / X2
+    * `Triplets.upperTriangleOnly` precedent); the intended metric is
+    * the default. One divergence inside the divergence: numpy keeps
+    * `inf` APE rows (zero prediction) in `len(ape)`; here they are
+    * null (see [[ape]]) — skipped by the avg but still counted in n.
+    */
+  def thresholdedAccuracy(target: Column, pred: Column, threshold: Double,
+      compatX3: Boolean = false): Column = {
+    val intended = avg((ape(target, pred) <= threshold).cast("double"))
+    if (compatX3) intended / count(lit(1)) else intended
+  }
 
   /** Competition score: 0.2·(1−MAPE) + 0.8·P(ape ≤ τ)
     * (reference evaluate.py:17-24; τ = 0.05 for 问题一, 0.5 for 问题二's

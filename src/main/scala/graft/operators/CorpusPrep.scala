@@ -37,7 +37,12 @@ object CorpusPrep {
     // peers (each would see ALL peers' tokens in its running sum, so the
     // offset stops being a per-row prefix and packs can overflow by more
     // than one document); ROWS keeps the sum a strict running offset even
-    // when ids collide, matching the oracle's explicit ROWS frame
+    // when ids collide, matching the oracle's explicit ROWS frame.
+    // PRECONDITION for a deterministic row→pack MAPPING: idCol unique.
+    // With duplicate ids the ROWS frame still bounds every pack (the
+    // running offset is a strict prefix whatever order ties land in),
+    // but WHICH of the tied rows gets which prefix is tie-order
+    // dependent — pinned by CorpusPrepSpec's duplicate-id case.
     val byShard = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))

@@ -177,13 +177,18 @@ object RelationalQueries {
     }),
 
     // R-extension — stratified sample: per-class Bernoulli fractions in
-    // ONE pass (sampleBy), not a filter+sample job per class. Seeded →
-    // deterministic across runs; rows-only check (sampling has no SQL
-    // oracle, like r1/r3).
+    // ONE pass. The gate is the same md5 uniform draw mixture_sample
+    // uses (first 16 md5 bits of the row key < fraction·2¹⁶) instead of
+    // `stat.sampleBy`'s seeded RNG: identical per-stratum Bernoulli
+    // marginal, but reproducible across engines/retries/AQE re-plans and
+    // auditable in plain SQL — which also upgrades the check from
+    // rows-only to a full DuckDB oracle. Row key = orderkey·10 +
+    // linenumber (linenumber ∈ [1,7], so the composite is unique).
     "strat_sample" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .stat.sampleBy("l_returnflag",
-          Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8), 42L)
+      val li = Tables.lineitem(s, dir)
+        .withColumn("__sk", col("l_orderkey") * lit(10L) + col("l_linenumber"))
+      graft.operators.CorpusPrep.mixtureSample(li, "__sk", "l_returnflag",
+          Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     }),
 
@@ -279,6 +284,15 @@ object RelationalQueries {
             FROM lineitem)
           SELECT l_orderkey, l_linenumber, $interleave AS z_key FROM q"""
     },
+    "strat_sample" ->
+      """WITH w AS (SELECT * FROM (VALUES ('A', 0.2), ('N', 0.5), ('R', 0.8))
+                    AS t(l_returnflag, w)),
+         g AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, w.w,
+                 CAST(('0x' || substr(md5(CAST(l.l_orderkey * 10 + l.l_linenumber
+                   AS VARCHAR)), 1, 4)) AS INTEGER) AS gate
+               FROM lineitem l JOIN w USING (l_returnflag))
+         SELECT l_orderkey, l_linenumber, l_returnflag
+         FROM g WHERE gate < w * 65536""",
     "j7_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -28,9 +28,23 @@ object Tables {
     * parquet reader rejects by default. Read it as a raw nanosecond long
     * (`ts_ns`); downstream time logic works on epoch arithmetic, which is
     * also the cheapest form at scale (pure codegen'd long math, no tz).
+    *
+    * SESSION REQUIREMENT: `spark.sql.legacy.parquet.nanosAsLong=true`
+    * must be set when the session is BUILT (the engine's entry points —
+    * Bench/Verify/Run/Explain — and the test harness all do). It is not
+    * set here: the conf is consulted again at scan-execution time, so a
+    * set-and-restore inside this loader cannot be correctly scoped, and
+    * a permanent set would silently change how the CALLER's other
+    * nanos-typed parquet reads behave — a library must not mutate its
+    * host session. The require turns the otherwise-cryptic
+    * PARQUET_TYPE_ILLEGAL action-time failure into an immediate,
+    * actionable one.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .exists(_.equalsIgnoreCase("true")),
+      "events.parquet stores ts as INT64 TIMESTAMP(NANOS): build the session " +
+        "with spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events doc)")
     load(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

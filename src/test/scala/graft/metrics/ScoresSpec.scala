@@ -69,6 +69,19 @@ class ScoresSpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") == 1)
   }
 
+  test("X3 compat flag: as-coded accuracy is count/n², intended is count/n") {
+    import spark.implicits._
+    // APEs vs pred: |10.4-10|/10 = 0.04, |11-10|/10 = 0.1, |9.8-10|/10 = 0.02
+    // → 2 of 3 within τ=0.05: intended 2/3; reference-as-coded 2/9
+    val df = Seq((10.4, 10.0), (11.0, 10.0), (9.8, 10.0)).toDF("t", "p")
+    val r = df.agg(
+      thresholdedAccuracy(col("t"), col("p"), 0.05).as("intended"),
+      thresholdedAccuracy(col("t"), col("p"), 0.05, compatX3 = true).as("ascoded"))
+      .head()
+    assert(math.abs(r.getAs[Double]("intended") - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ascoded") - 2.0 / 9) < 1e-12)
+  }
+
   test("filteredMrrAdditive: hand-computed ranks from one sorted sum table") {
     import spark.implicits._
     // entity sums: e0=0.0 e1=3.0 e2=1.0 e3=2.0 → candidate order

@@ -38,6 +38,25 @@ class CorpusPrepSpec extends SparkSpec {
     assert(byPack == Map(0L -> 3L, 1L -> 2L, 2L -> 3L), byPack)
   }
 
+  test("packByTokenBudget: duplicate ids with UNEQUAL sizes keep packs bounded; mapping needs unique ids") {
+    import spark.implicits._
+    // duplicate ids with different token counts: WHICH tied row takes
+    // which running-prefix slot is tie-order dependent (unique idCol is
+    // the documented precondition for a deterministic row→pack mapping),
+    // but the ROWS frame still guarantees the INVARIANTS: nothing lost
+    // or duplicated, and no pack overflows by more than its straddler
+    val docs = Seq((3L, 60L), (3L, 10L), (3L, 80L), (3L, 25L), (3L, 45L),
+      (7L, 90L), (7L, 90L), (7L, 30L)).toDF("id", "toks")
+    val packed = CorpusPrep.packByTokenBudget(docs, "id", "toks",
+      budget = 100L, shards = 4)
+    assert(packed.count() == 8)
+    assert(packed.agg(sum(col("toks"))).head().getLong(0) == 430L)
+    val over = packed.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("toks")).as("total"), max(col("toks")).as("biggest"))
+      .where(col("total") >= lit(100L) + col("biggest"))
+    assert(over.isEmpty)
+  }
+
   test("packByTokenBudget plan: the running-sum window is shard-partitioned") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, 5L)).toDF("id", "toks")
