@@ -332,8 +332,69 @@ object Dedup {
     */
   def crossCorpusOverlap(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, shingleLen: Int, minOverlap: Double,
-      maxShingleDf: Long = 10000L, bloomPrune: Boolean = false): DataFrame = {
-    val benchSh = shingleRows(benchmark, textCol, idCol, shingleLen)
+      maxShingleDf: Long = 10000L, bloomPrune: Boolean = false): DataFrame =
+    crossShingleInter(corpus, benchmark, textCol, idCol, shingleLen,
+        maxShingleDf, bloomPrune) { (inter, benchSh, _) =>
+      val benchCard = benchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_bench"))
+      inter
+        .join(benchCard.select(col("doc").as("bench_id"), col("n_bench")),
+          Seq("bench_id"))
+        .withColumn("overlap", col("inter") / col("n_bench"))
+        .where(col("overlap") >= minOverlap)
+        .select(col("corpus_id"), col("bench_id"),
+          round(col("overlap"), 4).as("overlap"))
+    }
+
+  /** Incremental NEAR-dup: exact word-shingle Jaccard pairs between a
+    * NEW batch and the already-ingested corpus — the A×B companion to
+    * [[incrementalExact]] (which only catches verbatim copies) and to
+    * [[shingleJaccardPairs]] (which pairs a corpus against itself). The
+    * daily shape: candidates come from the batch⋈corpus inverted-index
+    * join (df-capped on the corpus side, where boilerplate lives), so
+    * the per-day cost is O(batch shingles + index probe), never a
+    * re-pairing of the corpus; `bloomPrune` drops corpus shingles that
+    * cannot match map-side before the shuffle, exactly as in
+    * [[crossCorpusOverlap]]. Returns (corpus_id, batch_id, jaccard)
+    * with exact full-set Jaccard ≥ `minJaccard`.
+    */
+  def crossJaccardPairs(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int, minJaccard: Double,
+      maxShingleDf: Long = 10000L, bloomPrune: Boolean = false): DataFrame =
+    crossShingleInter(corpus, batch, textCol, idCol, shingleLen,
+        maxShingleDf, bloomPrune) { (inter, batchSh, corpusSh) =>
+      val bCard = batchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
+      val cCard = corpusSh.groupBy(col("doc")).agg(count(lit(1)).as("n_c"))
+      inter
+        .join(bCard.select(col("doc").as("bench_id"), col("n_b")), Seq("bench_id"))
+        .join(cCard.select(col("doc").as("corpus_id"), col("n_c")), Seq("corpus_id"))
+        .withColumn("jaccard",
+          col("inter") / (col("n_b") + col("n_c") - col("inter")))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("corpus_id"), col("bench_id").as("batch_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }
+
+  /** The shared cross-corpus inverted-index intersection: exact
+    * |A∩B| shingle counts for every (corpus doc, small-side doc) pair
+    * sharing at least one sub-cap shingle, with the hot-shingle
+    * correction restoring full-set counts (same adaptive probe as
+    * [[shingleJaccardPairs]]). `finish` builds the operator's result
+    * from (inter(corpus_id, bench_id, inter), smallSideShingles,
+    * corpusShingles); the core owns the persist/checkpoint lifecycle —
+    * the returned frame is one eagerly-checkpointed leaf the caller
+    * frees via `CheckpointShim.freeLocalCheckpoint`.
+    *
+    * The corpus shingle frame handed to `finish` is always the UNPRUNED
+    * one: per-document cardinalities (Jaccard denominators) must count
+    * full shingle sets, and a Bloom prune only thins shingles that
+    * cannot intersect — so it may shrink candidate generation but must
+    * never shrink a denominator.
+    */
+  private def crossShingleInter(corpus: DataFrame, small: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int, maxShingleDf: Long,
+      bloomPrune: Boolean)(
+      finish: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val benchSh = shingleRows(small, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // semi-join reduction: the benchmark side is small by construction,
     // so a Bloom sketch of ITS shingles drops the overwhelming majority
@@ -343,14 +404,17 @@ object Dedup {
     // result is bit-identical with or without the prune (false positives
     // die in the equality join); the df counts stay exact because the
     // verdict is a pure function of the shingle value.
+    // the RAW frame is the persisted one (it backs both the pruned
+    // candidate path and the exact cardinalities finish may need); the
+    // prune is then a cheap compiled filter over the cached blocks
     val rawCorpusSh = shingleRows(corpus, textCol, idCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bloomOfOpt: an empty benchmark yields no sketch — skip the prune
     // (the equality join below returns empty regardless)
-    val corpusSh = (if (bloomPrune)
+    val corpusSh = if (bloomPrune)
         bloomOfOpt(benchSh, "g").fold(rawCorpusSh)(bf =>
           rawCorpusSh.where(bloomMightContain(bf, col("g"))))
-      else rawCorpusSh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawCorpusSh
     // same rationale as shingleJaccardPairs: the df table feeds the hot
     // probe, the rare filter and the correction branch — compute once
     val dfc = corpusSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -378,16 +442,9 @@ object Dedup {
           .withColumn("inter",
             col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
       }
-    val benchCard = benchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_bench"))
-    val result = inter
-      .join(benchCard.select(col("doc").as("bench_id"), col("n_bench")), Seq("bench_id"))
-      .withColumn("overlap", col("inter") / col("n_bench"))
-      .where(col("overlap") >= minOverlap)
-      .select(col("corpus_id"), col("bench_id"),
-        round(col("overlap"), 4).as("overlap"))
-      .localCheckpoint(true)
+    val result = finish(inter, benchSh, rawCorpusSh).localCheckpoint(true)
     dfc.unpersist(false)
-    corpusSh.unpersist(false)
+    rawCorpusSh.unpersist(false)
     benchSh.unpersist(false)
     result
   }

@@ -311,6 +311,20 @@ object TextQueries {
         bloomPrune = true)
     }),
 
+    // Incremental NEAR-dup: the daily-delta shape for near-duplicates —
+    // a "new batch" (doc_id ≡ 0 mod 7) Jaccard-paired against the
+    // standing corpus through the batch⋈corpus inverted index, never a
+    // corpus self-join. Catches the reworded/boilerplate-shifted copies
+    // the md5 index of dedup_incremental cannot.
+    "dedup_incremental_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossJaccardPairs(
+        docs.where(pmod(col("doc_id"), lit(7)) === 0),
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        "text", "doc_id", shingleLen = 5, minJaccard = 0.5,
+        bloomPrune = true)
+    }),
+
     // Token-distribution entropy per document (H = ln n − Σ c·ln c / n)
     // — the low-diversity quality signal (spam and boilerplate sit at
     // low entropy). Per-term c·ln c is fixed to DECIMAL(20,8) before the
@@ -699,6 +713,23 @@ object TextQueries {
          SELECT corpus_id, bench_id, round(n * 1.0 / n_bench, 4) AS overlap
          FROM inter JOIN bcard ON bench_id = bcard.doc_id
          WHERE n * 1.0 / n_bench >= 0.6""",
+    "dedup_incremental_near" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+         corp AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+         batch AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         bcard AS (SELECT doc_id, count(*) AS n_b FROM batch GROUP BY doc_id),
+         ccard AS (SELECT doc_id, count(*) AS n_c FROM corp GROUP BY doc_id),
+         inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS n
+                   FROM corp c JOIN batch b ON c.g = b.g GROUP BY 1, 2)
+         SELECT corpus_id, batch_id,
+                round(n * 1.0 / (n_b + n_c - n), 4) AS jaccard
+         FROM inter JOIN bcard ON batch_id = bcard.doc_id
+                    JOIN ccard ON corpus_id = ccard.doc_id
+         WHERE n * 1.0 / (n_b + n_c - n) >= 0.5""",
     "text_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),

@@ -150,6 +150,25 @@ class DedupSpec extends SparkSpec {
     assert(probed == Seq("the quick brown fox jumps"))
   }
 
+  test("crossJaccardPairs: batch-vs-corpus Jaccard matches a hand computation; bloom prune is identity") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),        // 2 shingles
+      (2L, "one two three four five six seven"),          // 3 shingles
+      (3L, "totally unrelated content with other words")  // distinct
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"),        // shares 1 of its 2
+      (11L, "one two three four five six seven")          // identical to 2
+    ).toDF("doc_id", "text")
+    def run(prune: Boolean) = Dedup.crossJaccardPairs(batch, corpus,
+        "text", "doc_id", shingleLen = 5, minJaccard = 0.3, bloomPrune = prune)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (1,10): inter 1, union 2+2-1=3 → 1/3; (2,11): inter 3, union 3 → 1.0
+    assert(run(false) == Set((1L, 10L, 0.3333), (2L, 11L, 1.0)))
+    assert(run(true) == run(false))
+  }
+
   test("bloomOf guards the empty build side; bloomOfOpt returns None; prune skipped") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
