@@ -237,6 +237,40 @@ object GraphQueries {
           (round(col("col"), 4) + lit(0.0)).as("value"))
     }),
 
+    // G5d — TWO stacked relation-conditioned layers (the reference's
+    // n_layers=2 RGCN, rgcn.py:45-125 + config): g5c's step applied to
+    // its own output, same weights each layer. Each hop stays the flat
+    // posexplode→hash-aggregate shape, so depth composes without
+    // changing the memory profile — the same claim g5b makes for the
+    // unweighted step, now with the relation-specific machinery.
+    "g5d_two_layer_weighted" -> ((s, dir) => {
+      import graft.car.{EmbeddingStore, Triplets}
+      val e = Tables.embeddings(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val edges = e.select(
+        pmod(col("vec_id"), lit(11)).as("head_id"),
+        pmod(col("vec_id"), lit(3)).as("relation_id"),
+        pmod(col("vec_id"), lit(37)).as("tail_id"))
+      val emb = e.where(col("vec_id") < 11)
+        .select(col("vec_id").as("entity_id"),
+          col("embedding").cast("array<double>").as("vector"))
+      val relW = s.range(3).select(col("id").as("relation_id"),
+          explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+        .select(col("relation_id"), col("pos"),
+          (lit(1.0) + col("relation_id") * lit(0.1)
+            + col("pos") * lit(0.01)).as("w"))
+      val rootW = s.range(1)
+        .select(explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+        .select(col("pos"), (lit(0.5) + col("pos") * lit(0.01)).as("root_w"),
+          (col("pos") * lit(0.001)).as("bias"))
+      val en = Triplets.edgeNorm(edges)
+      val h2 = EmbeddingStore.relationWeightedStep(en,
+        EmbeddingStore.relationWeightedStep(en, emb, relW, rootW), relW, rootW)
+      h2.select(col("entity_id"), posexplode(col("vector")))
+        .select(col("entity_id"), col("pos").cast("long").as("pos"),
+          (round(col("col"), 4) + lit(0.0)).as("value"))
+    }),
+
     // G7 — the KG-embedding training loop (preprocess.py:25-91) end to
     // end on a synthetic ring graph over the embedding ids: 2 epochs of
     // additive-score BCE descent, output = trained entity vectors in
@@ -367,6 +401,51 @@ object GraphQueries {
                       + CAST(s.embedding[CAST(s.i AS INT)] AS DOUBLE)
                         * (CAST(0.5 AS DOUBLE) + (s.i - 1) * CAST(0.01 AS DOUBLE))
                       + (s.i - 1) * CAST(0.001 AS DOUBLE), 4) + 0.0 AS value
-         FROM selfv s LEFT JOIN agg a ON a.entity_id = s.entity_id AND a.i = s.i"""
+         FROM selfv s LEFT JOIN agg a ON a.entity_id = s.entity_id AND a.i = s.i""",
+    // layer 2 reads layer 1's UNROUNDED flat rows — same composition
+    // trick as g5b_two_hop, with the weight formulas inlined per layer
+    "g5d_two_layer_weighted" ->
+      """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
+                  vec_id % 37 AS tail_id FROM embeddings),
+         deg AS (SELECT head_id, relation_id, count(*) AS d
+                 FROM e GROUP BY 1, 2),
+         en AS (SELECT e.head_id, e.relation_id, e.tail_id,
+                  CAST(1.0 AS DOUBLE) / d AS edge_norm
+                FROM e JOIN deg USING (head_id, relation_id)),
+         m AS (SELECT en.tail_id AS entity_id, en.relation_id,
+                 unnest(generate_series(1, len(emb.embedding))) AS i,
+                 emb.embedding, en.edge_norm
+               FROM en JOIN embeddings emb ON emb.vec_id = en.head_id),
+         agg1 AS (SELECT entity_id, i,
+                    avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * (CAST(1.0 AS DOUBLE) + relation_id * CAST(0.1 AS DOUBLE)
+                           + (i - 1) * CAST(0.01 AS DOUBLE))
+                        * edge_norm) AS aggv
+                  FROM m GROUP BY 1, 2),
+         selfv AS (SELECT emb.vec_id AS entity_id,
+                     unnest(generate_series(1, len(emb.embedding))) AS i,
+                     emb.embedding
+                   FROM embeddings emb WHERE emb.vec_id < 11),
+         h1 AS (SELECT s.entity_id, s.i,
+                  coalesce(a.aggv, CAST(0.0 AS DOUBLE))
+                    + CAST(s.embedding[CAST(s.i AS INT)] AS DOUBLE)
+                      * (CAST(0.5 AS DOUBLE) + (s.i - 1) * CAST(0.01 AS DOUBLE))
+                    + (s.i - 1) * CAST(0.001 AS DOUBLE) AS value
+                FROM selfv s LEFT JOIN agg1 a
+                  ON a.entity_id = s.entity_id AND a.i = s.i),
+         m2 AS (SELECT en.tail_id AS entity_id, en.relation_id, h1.i,
+                  h1.value, en.edge_norm
+                FROM en JOIN h1 ON h1.entity_id = en.head_id),
+         agg2 AS (SELECT entity_id, i,
+                    avg(value
+                        * (CAST(1.0 AS DOUBLE) + relation_id * CAST(0.1 AS DOUBLE)
+                           + (i - 1) * CAST(0.01 AS DOUBLE))
+                        * edge_norm) AS aggv
+                  FROM m2 GROUP BY 1, 2)
+         SELECT h.entity_id, CAST(h.i - 1 AS BIGINT) AS pos,
+                round(coalesce(a.aggv, CAST(0.0 AS DOUBLE))
+                      + h.value * (CAST(0.5 AS DOUBLE) + (h.i - 1) * CAST(0.01 AS DOUBLE))
+                      + (h.i - 1) * CAST(0.001 AS DOUBLE), 4) + 0.0 AS value
+         FROM h1 h LEFT JOIN agg2 a ON a.entity_id = h.entity_id AND a.i = h.i"""
   )
 }
