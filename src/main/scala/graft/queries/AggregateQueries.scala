@@ -308,6 +308,42 @@ object AggregateQueries {
           round(sum(col("o_totalprice")) / lit(1e6), 4).as("sum_price_m"))
     }),
 
+    // A18 — table profiling: per-column null count, exact distinct
+    // count and numeric min/max for the whole table in ONE scan (one
+    // agg over 4×columns expressions, exploded to long form). The
+    // multi-column exact distinct plans through Spark's Expand
+    // (one duplicated row per distinct-aggregate) — the exact-answer
+    // cost; a17_approx_distinct's HLL sketch is the 100 TB swap-in
+    // when ±2% distinct counts are acceptable. Min/max only for
+    // numeric columns: cross-engine string/timestamp FORMATTING is
+    // not part of the operator's contract.
+    "a18_profile_table" -> ((s, dir) => {
+      val df = Tables.orders(s, dir)
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      val cols = df.schema.fieldNames.toSeq
+      val aggs = cols.flatMap { c =>
+        val mm =
+          if (numeric(c)) Seq(
+            round(min(col(c)).cast("double"), 4).as(s"${c}__mn"),
+            round(max(col(c)).cast("double"), 4).as(s"${c}__mx"))
+          else Seq(
+            min(lit(null).cast("double")).as(s"${c}__mn"),
+            min(lit(null).cast("double")).as(s"${c}__mx"))
+        Seq(sum(col(c).isNull.cast("long")).as(s"${c}__n"),
+          count_distinct(col(c)).as(s"${c}__d")) ++ mm
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__n").as("n_nulls"),
+          col(s"${c}__d").as("n_distinct"),
+          col(s"${c}__mn").as("min_num"),
+          col(s"${c}__mx").as("max_num"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.n_nulls").as("n_nulls"),
+          col("p.n_distinct").as("n_distinct"), col("p.min_num").as("min_num"),
+          col("p.max_num").as("max_num"))
+    }),
+
     // W2 — argmax over a group (evaluate.py:237-247): the event type with the
     // highest value per user, deterministic tie-break on event_id.
     "w2_argmax" -> ((s, dir) => {
@@ -321,6 +357,20 @@ object AggregateQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a18_profile_table" -> {
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map { c =>
+        val mm =
+          if (numeric(c))
+            s"round(CAST(min($c) AS DOUBLE), 4) AS min_num, round(CAST(max($c) AS DOUBLE), 4) AS max_num"
+          else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+        s"""SELECT '$c' AS col_name,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $mm
+            FROM orders"""
+      }.mkString(" UNION ALL ")
+    },
     "a1_vocab" ->
       """SELECT DISTINCT col_name, value FROM (
            SELECT 'l_returnflag' AS col_name, l_returnflag AS value FROM lineitem

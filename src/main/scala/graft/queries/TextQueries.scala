@@ -105,6 +105,41 @@ object TextQueries {
         shingleLen = 5, minJaccard = 0.5)
     }),
 
+    // BM25 retrieval scoring (k1=1.2, b=0.75, the standard Robertson
+    // parameters) for a fixed 3-term query — the ranking function
+    // behind retrieval-based data curation (select pretraining docs by
+    // relevance to a target domain). One token explode feeds document
+    // lengths AND term frequencies; document frequencies derive from
+    // the tf table (no second corpus scan); idf/length stats broadcast.
+    // Per-term contributions are fixed to DECIMAL(20,8) before the
+    // per-doc sum for aggregation-order independence.
+    "text_bm25" -> ((s, dir) => {
+      val terms = Seq("hash", "join", "scan")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val stats = dl.agg(avg(col("len")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val tf = toks.where(col("t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dft), Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("term",
+          (col("idf") * ((col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+              + lit(0.75) * col("len") / col("avgdl")))))
+            .cast("decimal(20,8)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(col("term")).cast("double"), 4).as("bm25"))
+    }),
+
     // Corpus token-frequency profile: top 100 tokens by count — the
     // vocabulary statistic every corpus analysis starts with. Partial
     // aggregation does the heavy lifting; only (distinct tokens) rows
@@ -730,6 +765,26 @@ object TextQueries {
          FROM inter JOIN bcard ON batch_id = bcard.doc_id
                     JOIN ccard ON corpus_id = ccard.doc_id
          WHERE n * 1.0 / (n_b + n_c - n) >= 0.5""",
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id, t FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+         stats AS (SELECT avg(len) AS avgdl, count(*) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                WHERE t IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         scored AS (SELECT tf.doc_id,
+                 CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+                         / (df + CAST(0.5 AS DOUBLE)))
+                   * ((tf * CAST(2.2 AS DOUBLE))
+                      / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * len / avgdl)))
+                   AS DECIMAL(20,8)) AS term
+               FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                round(CAST(sum(term) AS DOUBLE), 4) AS bm25
+         FROM scored GROUP BY doc_id""",
     "text_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
