@@ -385,10 +385,10 @@ object Dedup {
     * frees via `CheckpointShim.freeLocalCheckpoint`.
     *
     * The corpus shingle frame handed to `finish` is always the UNPRUNED
-    * one: per-document cardinalities (Jaccard denominators) must count
-    * full shingle sets, and a Bloom prune only thins shingles that
-    * cannot intersect — so it may shrink candidate generation but must
-    * never shrink a denominator.
+    * (lazy, unpersisted) one: per-document cardinalities (Jaccard
+    * denominators) must count full shingle sets, and a Bloom prune only
+    * thins shingles that cannot intersect — so it may shrink candidate
+    * generation but must never shrink a denominator.
     */
   private def crossShingleInter(corpus: DataFrame, small: DataFrame,
       textCol: String, idCol: String, shingleLen: Int, maxShingleDf: Long,
@@ -404,17 +404,21 @@ object Dedup {
     // result is bit-identical with or without the prune (false positives
     // die in the equality join); the df counts stay exact because the
     // verdict is a pure function of the shingle value.
-    // the RAW frame is the persisted one (it backs both the pruned
-    // candidate path and the exact cardinalities finish may need); the
-    // prune is then a cheap compiled filter over the cached blocks
+    // the PRUNED frame is the persisted one: the bloom probe carries the
+    // multi-MB sketch literal in its plan, so it must run ONCE during
+    // cache materialization — persisting raw and re-filtering in every
+    // consumer ships the sketch in each stage's task binary (measured
+    // 4× on decontaminate). finish receives the LAZY raw frame for
+    // exact cardinalities; the variants that need them pay one extra
+    // corpus tokenize pass (partial-aggregated, no sketch in the plan).
     val rawCorpusSh = shingleRows(corpus, textCol, idCol, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bloomOfOpt: an empty benchmark yields no sketch — skip the prune
     // (the equality join below returns empty regardless)
-    val corpusSh = if (bloomPrune)
+    val corpusSh = (if (bloomPrune)
         bloomOfOpt(benchSh, "g").fold(rawCorpusSh)(bf =>
           rawCorpusSh.where(bloomMightContain(bf, col("g"))))
-      else rawCorpusSh
+      else rawCorpusSh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same rationale as shingleJaccardPairs: the df table feeds the hot
     // probe, the rare filter and the correction branch — compute once
     val dfc = corpusSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -444,7 +448,7 @@ object Dedup {
       }
     val result = finish(inter, benchSh, rawCorpusSh).localCheckpoint(true)
     dfc.unpersist(false)
-    rawCorpusSh.unpersist(false)
+    corpusSh.unpersist(false)
     benchSh.unpersist(false)
     result
   }
