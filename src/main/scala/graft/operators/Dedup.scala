@@ -502,6 +502,74 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-cluster resolution via alternating large-star/small-star
+    * rounds — the billion-edge upgrade path of [[duplicateClusters]]
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * Min-label propagation needs diameter-many rounds and re-joins the
+    * FULL edge list every round; star rounds rewire edges toward the
+    * component minimum and converge in O(log² n) rounds over a shrinking
+    * edge set — on a long-chain graph that is ~log² rounds of shuffles
+    * instead of diameter-many. Same contract and same oracle as
+    * [[duplicateClusters]]: (id, cluster = min reachable doc id).
+    *
+    * large-star (symmetric view): for each node u with
+    * m = min(N(u) ∪ {u}), re-attach every LARGER neighbor v > u
+    * directly to m. small-star (big→small oriented edges): re-attach
+    * every smaller neighbor, and u itself, to that minimum. Both steps
+    * only rewire within a component, and the joint fixed point is the
+    * star graph {(node, root)} — so cluster extraction is a single
+    * left join, no transitive chase.
+    */
+  def duplicateClustersStar(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 16): DataFrame = {
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var converged = edges.limit(1).isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over the symmetric view; the output (v, m) is
+      // naturally big→small oriented because v > u ≥ m
+      val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val minL = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      val large = sym.where(col("dst") > col("src"))
+        .join(minL, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star on the oriented output: every dst is < src, so the
+      // group minimum needs no self-comparison; (u, m) keeps u attached
+      val minS = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val next = large.join(minS, Seq("src"))
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(minS.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      // both sides are distinct sets: equal counts + empty one-sided
+      // anti-join ⇔ identical edge sets (exact, no hash-sum shortcut)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").limit(1).isEmpty
+      CheckpointShim.freeLocalCheckpoint(edges)
+      edges = next
+      i += 1
+    }
+    // at the fixed point each non-root appears once as (node, root);
+    // the groupBy-min is a no-op there but keeps the result well-defined
+    // if maxIters cut convergence short (same caveat as the label loop)
+    val roots = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("r"))
+    val result = df.select(col(idCol).cast("long").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r"), col("id")).as("cluster"))
+      .localCheckpoint(true)
+    CheckpointShim.freeLocalCheckpoint(edges)
+    result
+  }
+
   /** Embedding near-dup pairs: exact cosine ≥ minCosine within a blocking
     * key (e.g. a cluster/label id or an LSH bucket) so the pair space is
     * per-block, not global n². Norms are computed once per row BEFORE the

@@ -163,6 +163,17 @@ object TextQueries {
       Dedup.duplicateClusters(docs, "doc_id", pairs)
     }),
 
+    // Same cluster resolution through the large-star/small-star rounds —
+    // the O(log² n)-round variant a billion-edge graph needs. Same
+    // recursive-CTE oracle as dedup_clusters: both must converge to
+    // cluster = min reachable doc id.
+    "dedup_clusters_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+      Dedup.duplicateClustersStar(docs, "doc_id", pairs)
+    }),
+
     // MinHash+LSH near-dup (banded signature join → exact verify).
     // Deterministic, not SQL-expressible → rows-only.
     "dedup_minhash" -> ((s, dir) => {
@@ -885,6 +896,30 @@ object TextQueries {
     // transitive closure via recursive CTE = the same min-reachable-id
     // the iterative label propagation converges to
     "dedup_clusters" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM p0
+                   JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+                   WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(doc, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
+         FROM reach GROUP BY doc""",
+    // identical fixed point to dedup_clusters — the star rounds and the
+    // label loop must agree with the transitive closure exactly
+    "dedup_clusters_star" ->
       """WITH RECURSIVE
          tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          idx AS (SELECT doc_id, toks,

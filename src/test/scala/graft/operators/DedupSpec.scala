@@ -129,6 +129,32 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("duplicateClustersStar: same chains, and ≡ label propagation on a random graph") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val star = Dedup.duplicateClustersStar(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 24-node chain (diameter >> the star round count) plus seeded
+    // random extra edges: star rounds must agree with min-label
+    // propagation everywhere — both converge to min-reachable-id
+    val rnd = new scala.util.Random(42)
+    val n = 24L
+    val chain = (1L until n).map(i => (i, i + 1))
+    val extra = Seq.fill(10)((rnd.nextInt(n.toInt).toLong + 1,
+      rnd.nextInt(n.toInt).toLong + 1)).filter(p => p._1 != p._2)
+    val nodes = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val edges = (chain ++ extra).toDF("doc_a", "doc_b")
+    val byStar = Dedup.duplicateClustersStar(nodes, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLabel = Dedup.duplicateClusters(nodes, "doc_id", edges, maxIters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar == byLabel)
+    assert(byStar.values.toSet == Set(1L)) // one chain-connected component
+  }
+
   test("bloom semi-join reduction never changes crossCorpusOverlap results") {
     import spark.implicits._
     val corpus = docs
