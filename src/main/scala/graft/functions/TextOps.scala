@@ -13,6 +13,16 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC canonical composition (codegen'd JDK Normalizer with an
+    * already-normalized fast path) — run BEFORE any hash/shingle/equality
+    * step so precomposed and decomposed spellings of the same text dedup
+    * together. See [[graft.functions.expressions.NfcNormalize]].
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.expressions.NfcNormalize(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text)))
+
   /** A BPE-ish regex tokenization: words, numbers, or single non-space
     * symbols — the token-counting flavor an LLM-data pipeline uses when a
     * real tokenizer is too expensive for a first pass.

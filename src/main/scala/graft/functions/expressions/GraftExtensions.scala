@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minShingleMd5)
     ext.injectFunction(GraftExtensions.vecScale)
     ext.injectFunction(GraftExtensions.redactPii)
+    ext.injectFunction(GraftExtensions.nfcNormalize)
   }
 }
 
@@ -91,10 +92,19 @@ object GraftExtensions {
       RegExpReplace(ip, Literal(TextOps.phonePattern), Literal("<PHONE>"))
     })
 
+  val nfcNormalize: FunctionDescription = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "nfc_normalize(text)")
+      NfcNormalize(children.head)
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii).foreach {
+    Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii,
+      nfcNormalize).foreach {
       case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
     }

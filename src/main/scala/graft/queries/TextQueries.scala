@@ -58,6 +58,22 @@ object TextQueries {
         col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
     }),
 
+    // Unicode NFC normalization: the canonical-composition pass that
+    // precedes any hash/equality step in a multilingual corpus. The
+    // synthetic corpus is ASCII, so the query first DECOMPOSES it
+    // deterministically (every 'a' gains a combining acute U+0301) and
+    // then proves the codegen'd normalizer recomposes: the NFC text is
+    // shorter in codepoints and hashes identically across engines.
+    "text_normalize" -> ((s, dir) => {
+      val decomposed = regexp_replace(col("text"), "a", "a\u0301")
+      val norm = TextOps.nfcNormalize(decomposed)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(decomposed).cast("long").as("len_decomposed"),
+        length(norm).cast("long").as("len_nfc"),
+        md5(norm.cast("binary")).as("nfc_hash"))
+    }),
+
     // Token counting (whitespace tokenizer).
     "text_tokens" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -582,6 +598,16 @@ object TextQueries {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_computed
          FROM documents""",
+    // chr(769) = U+0301 combining acute: decompose deterministically,
+    // then both engines' NFC must recompose to identical bytes
+    "text_normalize" ->
+      """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dec
+                FROM documents)
+         SELECT doc_id,
+                CAST(length(dec) AS BIGINT) AS len_decomposed,
+                CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_nfc,
+                md5(nfc_normalize(dec)) AS nfc_hash
+         FROM d""",
     "text_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

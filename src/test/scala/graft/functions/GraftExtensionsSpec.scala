@@ -59,4 +59,34 @@ class GraftExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
     assert(rows.head.getString(0) == "mail <EMAIL> from <IP> call <PHONE>")
   }
+
+  test("nfc_normalize recomposes, is idempotent, and matches the JDK reference") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val decomposed = "e\u0301cole franc\u0327aise" // e+composing acute, c+cedilla
+    val precomposed = "\u00e9cole fran\u00e7aise"
+    val df = Seq(decomposed, precomposed, "plain ascii", "").toDF("t")
+    val rows = df.select(
+      TextOps.nfcNormalize(col("t")).as("column_form"),
+      expr("nfc_normalize(t)").as("sql_form"),
+      length(col("t")).as("len_raw"),
+      length(TextOps.nfcNormalize(col("t"))).as("len_nfc")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), r.toString) // SQL ≡ Column
+      assert(r.getString(0) ==
+        java.text.Normalizer.normalize(r.getString(0),
+          java.text.Normalizer.Form.NFC)) // idempotent / reference-equal
+    }
+    // decomposed input shrinks to the precomposed spelling...
+    assert(rows(0).getString(0) == precomposed)
+    assert(rows(0).getInt(2) == precomposed.length + 2)
+    assert(rows(0).getInt(3) == precomposed.length)
+    // ...and already-NFC input is byte-identical (fast path)
+    assert(rows(1).getString(0) == precomposed)
+    assert(rows(2).getString(0) == "plain ascii")
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextOps.nfcNormalize(col("t"))).head().isNullAt(0))
+  }
 }
