@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: the write-side clustering that decides how much
@@ -40,5 +40,31 @@ object Layout {
             shiftleft(shiftrightunsigned(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
       }
       .reduce(_.bitwiseOR(_))
+  }
+
+  /** Persist `df` hash-bucketed (and optionally sorted) on the join/agg
+    * key — the write-side answer to "this join shuffles 100 TB every
+    * night". Two tables bucketed by the same key into the same bucket
+    * count join with ZERO exchanges: each task reads bucket i of both
+    * sides, because the on-disk layout IS the shuffle output, paid once
+    * at write time instead of per query. Same for `groupBy(bucketCol)` —
+    * the scan already satisfies the required hash distribution. With
+    * `sortCols` the files are also sorted inside each bucket, so a
+    * single-file-per-bucket sort-merge join skips its sort too.
+    *
+    * Spark's bucketing rides the session catalog (`saveAsTable`); read
+    * the result back with `spark.table(table)`. Bucket counts should be
+    * sized like shuffle partitions: data size / bucket ≈ a comfortable
+    * task (128-512 MB) — at 100 TB that is thousands of buckets, and the
+    * bucket count must MATCH across tables meant to co-join (or be an
+    * integer multiple once coalesced bucket joins are enabled).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
   }
 }

@@ -48,4 +48,37 @@ class LayoutSpec extends SparkSpec {
       assert(quad.max - quad.min == 63, (qa, qb))
     }
   }
+
+  test("bucketed tables join and aggregate with ZERO exchanges, same results") {
+    import spark.implicits._
+    val left = spark.range(0, 4000)
+      .select((col("id") % 500).as("k"), col("id").as("lv"))
+    val right = spark.range(0, 2000)
+      .select((col("id") % 500).as("k"), (col("id") * 7).as("rv"))
+    Layout.writeBucketed(left, "bkt_left", "k", 8, sortCols = Seq("k"))
+    Layout.writeBucketed(right, "bkt_right", "k", 8, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a real shuffle join so the pin proves BUCKETS removed the
+      // exchange, not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), Seq("k"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), joinPlan)
+      val agged = spark.table("bkt_left").groupBy(col("k")).agg(sum(col("lv")).as("s"))
+      val aggPlan = agged.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan)
+      // layout changes plans, never results
+      val expected = left.join(right, Seq("k"))
+        .select(col("k"), col("lv"), col("rv"))
+        .collect().map(_.toSeq).toSet
+      assert(joined.select(col("k"), col("lv"), col("rv"))
+        .collect().map(_.toSeq).toSet == expected)
+      assert(agged.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
 }
