@@ -48,6 +48,23 @@ object StreamQueries {
             .as("avg_value"))
     }),
 
+    // Windowed top-k leaderboard batch equivalent: per-hour top-3 users
+    // by event count with a deterministic tie-break. The streaming form
+    // is EventStreams.hourlyUserCounts (watermarked, append-mode) with
+    // topKPerWindow as the closed-window finisher — this query runs the
+    // SAME finisher over the batch counts, so stream ≡ batch is literal
+    // code sharing (asserted on a finite MemoryStream replay in
+    // EventStreamsSpec).
+    "stream_topk" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .withColumn("hour_start", expr(s"(ts_ns div $NanosPerHour) * 3600"))
+        .groupBy(col("hour_start"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.streaming.EventStreams.topKPerWindow(counts, 3)
+        .select(col("hour_start").as("hour_epoch"), col("user_id"),
+          col("n_events"), col("rank").cast("long").as("rank"))
+    }),
+
     // Sessionization-lite: per-user event counts and value totals with
     // first/last event times — the stateful-aggregation shape
     // (mapGroupsWithState) expressed as a batch groupBy.
@@ -210,6 +227,14 @@ object StreamQueries {
                 ((2 * CAST(sv * 1000000 AS BIGINT) + 100 * n_events)
                    // (200 * n_events)) / 10000.0 AS avg_value
          FROM g""",
+    "stream_topk" ->
+      """WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_epoch,
+                  user_id, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY hour_epoch
+                   ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank
+               FROM c)
+         SELECT hour_epoch, user_id, n_events, rank FROM r WHERE rank <= 3""",
     "stream_user_rollup" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,

@@ -45,6 +45,38 @@ object EventStreams {
   def hourlyCounts(stream: DataFrame): DataFrame =
     hourlyAggregation(stream.withWatermark("event_time", "30 minutes"))
 
+  /** Windowed leaderboard, streaming phase: per-hour per-user event
+    * counts under a watermark — in append mode each (window, user) row
+    * emits exactly once, when the watermark closes its window. Ranking
+    * INSIDE the streaming aggregate would pin a global per-window sort
+    * in open state, so top-k is the standard two-phase shape: counts
+    * under watermark here, then [[topKPerWindow]] as the finisher — a
+    * foreachBatch step over closed windows in production, a plain batch
+    * query on a finite replay (StreamQueries `stream_topk`, oracle-
+    * checked; the stream ≡ batch equivalence is EventStreamsSpec's job).
+    */
+  def hourlyUserCounts(stream: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    stream.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("user_id"),
+        col("n_events"))
+
+  /** Leaderboard finisher: rank per closed window by (count desc,
+    * user asc — deterministic tie-break) and keep k. The rank window is
+    * PARTITIONED by hour, so Catalyst plans a map-side WindowGroupLimit
+    * before the per-hour shuffle — never a global sort.
+    */
+  def topKPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("hour_start"))
+          .orderBy(col("n_events").desc, col("user_id").asc)))
+      .where(col("rank") <= k)
+  }
+
   /** Streaming exact dedup: keep each key's first occurrence, with state
     * BOUNDED by the watermark horizon (dropDuplicatesWithinWatermark
     * expires keys older than the watermark) — the only shape under which

@@ -44,6 +44,53 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k: watermarked stream counts + finisher ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // several users per hour with a tie (users 2 and 3 both at 2 events
+    // in hour 10) — the deterministic tie-break must pick user 2 first
+    val topEvs = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:10:00"), "click", 1.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:15:00"), "click", 1.0, 1L),
+      Ev(Timestamp.valueOf("2024-01-01 10:20:00"), "click", 1.0, 2L),
+      Ev(Timestamp.valueOf("2024-01-01 10:25:00"), "click", 1.0, 2L),
+      Ev(Timestamp.valueOf("2024-01-01 10:30:00"), "click", 1.0, 3L),
+      Ev(Timestamp.valueOf("2024-01-01 10:35:00"), "click", 1.0, 3L),
+      Ev(Timestamp.valueOf("2024-01-01 10:40:00"), "click", 1.0, 4L),
+      Ev(Timestamp.valueOf("2024-01-01 11:05:00"), "click", 1.0, 4L),
+      // watermark pusher: closes the 10:00 and 11:00 windows
+      Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "click", 1.0, 9L))
+
+    val batch = EventStreams.topKPerWindow(
+        EventStreams.hourlyUserCounts(topEvs.toDF()
+          .withWatermark("event_time", "30 minutes")), k = 2)
+      .orderBy("hour_start", "rank").collect().toSeq
+
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.hourlyUserCounts(mem.toDF())
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode("append").start()
+    try {
+      mem.addData(topEvs: _*)
+      q.processAllAvailable()
+      val streamed = EventStreams.topKPerWindow(
+          spark.table("topk_counts"), k = 2)
+        .orderBy("hour_start", "rank").collect().toSeq
+      // append mode withheld the still-open 13:00 window; compare the
+      // closed ones — the leaderboards must agree row-for-row
+      val closedBatch = batch.filterNot(
+        _.getAs[Timestamp]("hour_start").toString.startsWith("2024-01-01 13"))
+      assert(streamed == closedBatch)
+      // hour 10 leaderboard: user 1 (3 events) then the tie-break user 2
+      val h10 = streamed.filter(
+        _.getAs[Timestamp]("hour_start").toString.startsWith("2024-01-01 10"))
+      assert(h10.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Int]("rank"))) ==
+        Seq((1L, 3L, 1), (2L, 2L, 2)))
+    } finally q.stop()
+  }
+
   test("funnel state: stream ≡ batch, incremental events refine first-touch mins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
