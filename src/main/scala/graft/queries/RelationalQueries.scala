@@ -236,6 +236,68 @@ object RelationalQueries {
         graft.operators.Layout.zOrderKey(qa, qb, bits = 8).as("z_key"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): the canonical 3-way
+    // fact-to-fact join with filters on every input and a top-k by
+    // aggregated revenue. Scale shape: each scan filters BEFORE the
+    // join (pushed to parquet), revenue accumulates in exact DECIMAL
+    // (order-independent), and the top-10 is TakeOrdered — never a
+    // global sort materialization. No forced broadcast: at real scale
+    // every side here is large; AQE picks the right strategy per SF.
+    "tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-06-15 00:00:00").cast("timestamp")
+      val cust = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, dir).where(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority").as("order_priority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-way snowflake join
+    // with the extra c_nationkey = s_nationkey locality condition.
+    // nation and region are genuinely tiny at ANY scale — broadcast
+    // them explicitly; the customer⋈orders⋈lineitem⋈supplier spine
+    // shuffles on its keys and aggregates partially per nation.
+    "tpch_q5" -> ((s, dir) => {
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"))
+        .select(col("n_name").as("nation"), col("revenue"))
+    }),
+
     // SQL frontend — the ONE dialect-neutral statement runs verbatim on
     // both engines (spark.sql over temp views here; the oracle map holds
     // the identical text for DuckDB). Catalyst plans it exactly like the
@@ -265,6 +327,36 @@ object RelationalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "sql_frontend" -> FrontendSql, // the SAME text Spark executes
+    "tpch_q3" ->
+      """SELECT l.l_orderkey,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+              o.o_orderpriority AS order_priority,
+              round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+         GROUP BY 1, o.o_orderdate, 3
+         ORDER BY revenue DESC, l.l_orderkey ASC
+         LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n.n_name AS nation,
+              round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1""",
     "j6_outer_join" ->
       """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
