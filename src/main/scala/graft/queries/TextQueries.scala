@@ -560,6 +560,45 @@ object TextQueries {
       graft.operators.CorpusPrep.mixtureSample(
           Tables.documents(s, dir), "doc_id", "source", weights)
         .select(col("doc_id"), col("source"))
+    }),
+
+    // DSIR-shape importance weights (hashed-bag importance resampling,
+    // the data-selection technique behind "train on raw web, reweight
+    // toward a target domain"): every document scores by the
+    // log-likelihood ratio of a hashed-unigram model fit on the TARGET
+    // slice (source src0) vs the RAW pool (the rest), Laplace-smoothed.
+    // Buckets are seedless md5 bits (the mixture_sample gate), so any
+    // engine reproduces the features; both models fit in ONE grouped
+    // pass over the token stream (a conditional sum per side beats two
+    // scans), the 256-row ratio table broadcasts, and the per-token
+    // log-ratio accumulates in DECIMAL for order independence. The
+    // resampling step itself is mixture_sample's md5 gate applied to
+    // these weights downstream.
+    "dsir_weights" -> ((s, dir) => {
+      val nBuckets = 256
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .withColumn("b",
+          conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % nBuckets)
+      // bucket-count table is vocab-bounded (≤256 rows) — persist IT,
+      // never the corpus-sized token stream (lm_score's rationale)
+      val counts = toks.groupBy(col("b")).agg(
+          sum((col("source") === "src0").cast("long")).as("ct"),
+          sum((col("source") =!= "src0").cast("long")).as("cr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val ratio = counts.crossJoin(broadcast(stats))
+        .select(col("b"),
+          (log((col("ct") + lit(1.0)) / (col("nt") + lit(nBuckets)))
+            - log((col("cr") + lit(1.0)) / (col("nr") + lit(nBuckets))))
+            .as("logr"))
+      toks.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("logr").cast("decimal(20,8)")).cast("double"), 4)
+            .as("dsir_logweight"))
     })
   )
 
@@ -943,6 +982,22 @@ object TextQueries {
            SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
          FROM reach GROUP BY doc""",
+    "dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, t,
+                  CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 256 AS b
+                FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                WHERE t <> ''),
+         counts AS (SELECT b,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+           FROM tk GROUP BY b),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+         ratio AS (SELECT b, ln((ct + 1.0) / (nt + 256)) - ln((cr + 1.0) / (nr + 256)) AS logr
+                   FROM counts, tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(logr AS DECIMAL(20,8))) AS DOUBLE), 4) AS dsir_logweight
+         FROM tk JOIN ratio USING (b) GROUP BY doc_id""",
     // identical fixed point to dedup_clusters — the star rounds and the
     // label loop must agree with the transitive closure exactly
     "dedup_clusters_star" ->
