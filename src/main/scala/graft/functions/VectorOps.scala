@@ -57,6 +57,17 @@ object VectorOps {
   def sqDist(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
+  /** max(|xᵢ|) — per-vector dynamic range (codegen'd loop). */
+  def maxAbs(v: Column): Column =
+    ColumnShim.column(graft.functions.expressions.VecMaxAbs(
+      ColumnShim.expression(v)))
+
+  /** Symmetric int8 quantization scale: max|xᵢ| / 127. A zero vector
+    * yields scale 0 — quantize with the convention q = 0 there (see
+    * `vec_quantize`); dequantization q·scale is then exact for it.
+    */
+  def int8Scale(v: Column): Column = maxAbs(v) / lit(127.0)
+
   /** Signed random-hyperplane LSH signature: bit i = (v · plane_i) > 0,
     * packed into a long. Planes must be the same on every call site —
     * generate them once with a fixed seed (see SimilaritySearch.hyperplanes).

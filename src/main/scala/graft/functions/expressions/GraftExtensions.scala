@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecScale)
     ext.injectFunction(GraftExtensions.redactPii)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.vecMaxAbs)
   }
 }
 
@@ -100,11 +101,19 @@ object GraftExtensions {
       NfcNormalize(children.head)
     })
 
+  val vecMaxAbs: FunctionDescription = (
+    FunctionIdentifier("vec_max_abs"),
+    new ExpressionInfo(classOf[VecMaxAbs].getName, "vec_max_abs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "vec_max_abs(array)")
+      VecMaxAbs(children.head)
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii,
-      nfcNormalize).foreach {
+      nfcNormalize, vecMaxAbs).foreach {
       case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
     }

@@ -122,6 +122,24 @@ object VectorQueries {
           (round(col("col"), 4) + lit(0.0)).as("value"))
     }),
 
+    // Symmetric int8 quantization: q = round(x / (max|x|/127)) — the
+    // storage format that cuts an ANN index to a quarter of fp32 with
+    // ~0.4% worst-case element error. The per-vector dynamic range is
+    // one codegen'd VecMaxAbs pass (no interpreted lambda), the plan is
+    // scan → project → explode (zero shuffles), and the quantized codes
+    // are exact integers — engine-agnostic by construction. Zero
+    // vectors take scale 0 and quantize to zeros (guarded division).
+    "vec_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("scale", VectorOps.int8Scale(col("embedding")))
+        .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(round(col("col").cast("double") / col("scale"), 0)
+              .cast("long")).as("q"),
+          (round(col("scale"), 6) + lit(0.0)).as("scale_r"))
+    }),
+
     // G6 — additive triplet scoring sum(s + r − o) (reference
     // rgcn.py:31-37, its "distmult"-named quirk): decomposed to
     // sum(s)+sum(r)−sum(o) so each vector reduces once; triplets are
@@ -220,6 +238,20 @@ object VectorQueries {
          SELECT ex.vec_id, CAST(i - 1 AS BIGINT) AS pos,
                 round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nrm, 4) + 0.0 AS value
          FROM ex JOIN n ON ex.vec_id = n.vec_id""",
+    "vec_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+                FROM embeddings),
+         ex AS (SELECT vec_id, scale,
+                  unnest(generate_series(1, len(embedding))) AS i, embedding
+                FROM s)
+         SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / scale)
+                     END AS BIGINT) AS q,
+                round(scale, 6) + 0.0 AS scale_r
+         FROM ex""",
     "g6_triplet_score" ->
       """WITH n AS (SELECT count(*) AS n FROM embeddings),
          sums AS (SELECT vec_id, sum(CAST(x AS DOUBLE)) AS vsum

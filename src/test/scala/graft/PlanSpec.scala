@@ -96,6 +96,29 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("tpch_q3 plans TakeOrdered with filters pushed to every scan") {
+    val qe = SparkEntry.queries("tpch_q3")(spark, dir).queryExecution
+    val plan = qe.sparkPlan.toString
+    // top-10 must be per-partition top-k + merge, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // each of the three scans carries its pushed predicate
+    val scans = qe.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 3, plan)
+    assert(scans.count(_.metadata.get("PushedFilters").exists(_ != "[]")) == 3,
+      scans.map(_.metadata.get("PushedFilters")).mkString("\n"))
+  }
+
+  test("dsir_weights broadcasts the ratio table — no shuffle of the token stream for the join") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val qe = SparkEntry.queries("dsir_weights")(spark, dir).queryExecution
+    val bhj = qe.sparkPlan.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, qe.sparkPlan.toString)
+  }
+
   test("zorder_key is a pure map plan: one scan, no exchange") {
     val plan = SparkEntry.queries("zorder_key")(spark, dir)
       .queryExecution.sparkPlan.toString

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import graft.functions.expressions.GraftExtensions
+import graft.sources.Tables
 
 /** The native expressions must be reachable from SQL once registered
   * (SparkSessionExtensions / FunctionRegistry path).
@@ -58,6 +59,28 @@ class GraftExtensionsSpec extends SparkSpec {
       expr("redact_pii(t)").as("sql_form")).collect()
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
     assert(rows.head.getString(0) == "mail <EMAIL> from <IP> call <PHONE>")
+  }
+
+  test("vec_max_abs ≡ interpreted HOF; int8 quantization bounds the element error") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001")).limit(100)
+    val rows = e.select(
+      VectorOps.maxAbs(col("embedding")).as("native"),
+      expr("vec_max_abs(embedding)").as("sql_form"),
+      expr("array_max(transform(embedding, x -> abs(cast(x as double))))").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) == r.getDouble(2), r.toString)
+    }
+    // dequantized q·scale never strays more than scale/2 from the input
+    val bad = e.withColumn("scale", VectorOps.int8Scale(col("embedding")))
+      .select(col("scale"), explode(col("embedding")).as("x"))
+      .where(col("scale") > 0)
+      .where(abs(round(col("x").cast("double") / col("scale"), 0) * col("scale")
+        - col("x").cast("double")) > col("scale") / 2 * 1.0000001)
+    assert(bad.isEmpty)
   }
 
   test("nfc_normalize recomposes, is idempotent, and matches the JDK reference") {
