@@ -92,6 +92,19 @@ object GraphQueries {
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("rel")))
     }),
 
+    // PageRank over the supplier→part supply graph — the iterative
+    // importance loop in exact fixed-point integer arithmetic, so five
+    // distributed iterations of join→div→sum hash-match a SQL oracle
+    // bit-for-bit (no float accumulation anywhere; see operators
+    // .PageRank). Node ids are namespaced ('s…'/'p…') because supplier
+    // and part keys overlap numerically.
+    "graph_pagerank" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
+    }),
+
     // R2 — sequential split by an ordering column (samples.py:96-117,
     // the fixed form — quirk X1's overlap lives in Splits as a flag).
     // "first 1000 in key order" is exactly orderBy+limit: Spark plans it
@@ -335,6 +348,7 @@ object GraphQueries {
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
          SELECT src, dst, rel FROM e
          UNION ALL SELECT dst AS src, src AS dst, rel FROM e""",
+    "graph_pagerank" -> PageRankOracle,
     "g5_mean_agg" ->
       """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
                   vec_id % 37 AS tail_id FROM embeddings),
@@ -448,4 +462,31 @@ object GraphQueries {
                       + (h.i - 1) * CAST(0.001 AS DOUBLE), 4) + 0.0 AS value
          FROM h1 h LEFT JOIN agg2 a ON a.entity_id = h.entity_id AND a.i = h.i"""
   )
+
+  /** graph_pagerank oracle: the 5 fixed-point iterations UNROLLED as
+    * chained CTEs (aggregation inside a recursive CTE term is not
+    * portable SQL). Every operation is integer — `//`, `sum`, `*` — so
+    * the unrolled SQL reproduces the distributed loop's exact integers.
+    */
+  private val PageRankOracle: String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         c AS (SELECT count(*) AS n FROM nodes),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         it0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, c)"""
+    val steps = (1 to 5).map { i =>
+      s""",
+         it$i AS (SELECT nodes.node,
+               (15 * (1000000000000 // c.n)) // 100
+               + (85 * COALESCE(s$i.m, 0)) // 100 AS r
+             FROM nodes
+             LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.od) AS m
+                        FROM e JOIN it${i - 1} p ON e.src = p.node
+                        JOIN outdeg o ON e.src = o.src
+                        GROUP BY e.dst) s$i ON nodes.node = s$i.node, c)"""
+    }.mkString
+    head + steps + "\n         SELECT node, CAST(r AS BIGINT) AS pr_fx FROM it5"
+  }
 }

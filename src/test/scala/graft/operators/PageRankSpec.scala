@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+
+  private val Scale = 1000000000000L
+
+  /** Double-precision reference on a collected graph (same dangling-mass
+    * and damping conventions).
+    */
+  private def reference(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val in = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        v -> (0.15 / nodes.size +
+          0.85 * in.getOrElse(v, Nil).map(u => r(u) / out(u)).sum)
+      }.toMap
+    }
+    r
+  }
+
+  test("matches a double-precision reference within fixed-point truncation error") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("d", "a"), ("e", "d")) // e dangles into d; nothing points at e
+    val got = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = reference(edges, 5)
+    assert(got.keySet == want.keySet)
+    // each integer div truncates < 1 ulp of the fixed point; 5 rounds
+    // over ≤ depth-5 paths stay well under 1e-9 of rank mass
+    got.foreach { case (n, fx) =>
+      assert(math.abs(fx.toDouble / Scale - want(n)) < 1e-9, s"$n: $fx vs ${want(n)}")
+    }
+    // structural sanity: a receives c's ENTIRE rank (outdeg-1 edge) plus
+    // half of d's — top of the graph; e, with no in-edges, is the floor
+    assert(got("a") == got.values.max)
+    assert(got("e") == got.values.min)
+  }
+
+  test("bit-identical under repartitioning and across runs (integer determinism)") {
+    import spark.implicits._
+    val edges = (1 to 200).map(i => (s"n${i % 50}", s"n${(i * 7) % 50}"))
+      .filter(p => p._1 != p._2)
+    def run(parts: Int): Map[String, Long] =
+      PageRank.ranks(edges.toDF("src", "dst").repartition(parts),
+          "src", "dst", iters = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run(1)
+    assert(a == run(8))
+    assert(a == run(3))
+  }
+
+  test("total mass never exceeds the fixed-point scale (overflow-free by induction)") {
+    import spark.implicits._
+    val edges = Seq(("x", "y"), ("y", "x"), ("z", "x"))
+    val total = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters = 10)
+      .agg(sum(col("pr_fx"))).head().getLong(0)
+    assert(total <= Scale)
+    assert(total > Scale / 2) // and the decay from dangling mass is bounded too
+  }
+}
