@@ -190,6 +190,27 @@ object StreamQueries {
         .asofJoin(clicks, purchases, "user_id", "ts_us", Seq("p_event_id", "value"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("p_event_id_asof"), round(col("value_asof"), 4).as("value_asof"))
+    }),
+
+    // Forward as-of with tolerance: each click attributes to the NEXT
+    // purchase by the same user within 2 hours (merge_asof
+    // direction='forward' + tolerance — the attribution-window join).
+    // Same single-shuffle union-window plan, mirrored frame; the
+    // tolerance gate nulls matches beyond the window instead of
+    // dropping rows (LEFT semantics preserved).
+    "asof_join_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, "user_id", "ts_us",
+          Seq("p_event_id", "value"), direction = "forward",
+          tolerance = Some(2L * 3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_event_id_asof"), round(col("value_asof"), 4).as("value_asof"))
     })
   )
 
@@ -298,6 +319,32 @@ object StreamQueries {
          SELECT event_id, user_id, t AS ts_us,
                 am.p_event_id AS p_event_id_asof,
                 round(am.value, 4) AS value_asof
-         FROM w WHERE side = 1"""
+         FROM w WHERE side = 1""",
+    // forward mirror: first_value over the FOLLOWING frame, click side
+    // bit 0 so equal-time purchases fall inside the frame; the 2 h
+    // tolerance nulls the match, never drops the click row
+    "asof_join_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                event_type, value FROM events),
+         u AS (
+           SELECT user_id, ts_us AS t, 1 AS side,
+                  struct_pack(rt := ts_us, p_event_id := event_id, value := value) AS rpay,
+                  NULL::BIGINT AS event_id
+           FROM ev WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts_us, 0,
+                  NULL::STRUCT(rt BIGINT, p_event_id BIGINT, value DOUBLE), event_id
+           FROM ev WHERE event_type = 'click'),
+         w AS (SELECT *, first_value(rpay IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, side, rpay
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS am
+               FROM u),
+         g AS (SELECT event_id, user_id, t,
+                 CASE WHEN am.rt - t <= 7200000000 THEN am END AS m
+               FROM w WHERE side = 0)
+         SELECT event_id, user_id, t AS ts_us,
+                m.p_event_id AS p_event_id_asof,
+                round(m.value, 4) AS value_asof
+         FROM g"""
   )
 }
