@@ -43,6 +43,40 @@ class FileStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonl directory streams with growing input; corrupt lines stay out of typed rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonlstream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeShard(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name")
+      lines.foreach(w.println); w.close()
+    }
+    writeShard("shard0.json", Seq(
+      """{"doc_id": 1, "text": "first document"}""",
+      """{"doc_id": 2, "text": "second document"}"""))
+    val q = spark.readStream.schema(schema)
+      .option("mode", "PERMISSIVE").json(dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() == 2)
+      // a later shard lands — including a corrupt line, which must
+      // surface as an all-null typed row (PERMISSIVE), not kill the query
+      writeShard("shard1.json", Seq(
+        """{"doc_id": 3, "text": "third document"}""",
+        """{"doc_id": 4, "text": BROKEN"""))
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_stream").orderBy("doc_id").collect()
+      assert(rows.length == 4)
+      assert(rows.count(_.isNullAt(0)) == 1) // the corrupt line
+      assert(rows.filter(!_.isNullAt(0)).map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("checkpointed stream restarts exactly-once: no loss, no duplicates") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
