@@ -296,6 +296,39 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Substring-duplication coverage (the ExactSubstr measurement):
+    // per document, the fraction of TOKENS covered by any 8-gram that
+    // also appears in another document — the statistic behind
+    // "remove duplicated spans, not whole documents" dedup. Shape:
+    // positional shingles (posexplode keeps the start index), the
+    // distinct-doc df table marks corpus-duplicated shingles, and
+    // coverage is the distinct union of each duplicated shingle's
+    // 8-token span (clipped at the doc tail), counted per doc — joins
+    // and hash aggregates only, no per-doc interval logic.
+    "dedup_substring_coverage" -> ((s, dir) => {
+      val k = 8
+      val docs = Tables.documents(s, dir)
+      val totals = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val sh = docs.select(col("doc_id"),
+          posexplode(TextOps.wordShingles(col("text"), k)))
+        .select(col("doc_id"), col("pos"), col("col").as("g"))
+      val dup = sh.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2).select(col("g"))
+      val covered = sh.join(dup, Seq("g"))
+        .join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("cpos"))
+        .where(col("cpos") < col("n_tokens"))
+        .select(col("doc_id"), col("cpos")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      totals.join(covered, Seq("doc_id"), "left")
+        .withColumn("n_dup_tokens", coalesce(col("n_dup"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          round(col("n_dup_tokens") / col("n_tokens"), 4).as("dup_token_ratio"))
+    }),
+
     // The deduplicated corpus itself: keep one representative per
     // near-dup cluster (min doc id reachable through Jaccard ≥ 0.5
     // pairs) — the end product every dedup variant above feeds.
@@ -982,6 +1015,26 @@ object TextQueries {
            SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
          FROM reach GROUP BY doc""",
+    "dedup_substring_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         sh AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS g
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+                      FROM t)),
+         dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh)
+                 GROUP BY g HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS cpos
+                 FROM sh s JOIN dup USING (g)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) o),
+         cnt AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                 FROM cov c JOIN n ON c.doc_id = n.doc_id AND c.cpos < n.n_tokens
+                 GROUP BY c.doc_id)
+         SELECT n.doc_id, n.n_tokens,
+                COALESCE(cnt.n_dup, 0) AS n_dup_tokens,
+                round(COALESCE(cnt.n_dup, 0) * 1.0 / n.n_tokens, 4) AS dup_token_ratio
+         FROM n LEFT JOIN cnt USING (doc_id)""",
     "dsir_weights" ->
       """WITH tk AS (SELECT doc_id, source, t,
                   CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 256 AS b
