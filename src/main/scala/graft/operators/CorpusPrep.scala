@@ -105,4 +105,27 @@ object CorpusPrep {
       .where(gate < col("w") * lit(65536.0))
       .drop("w")
   }
+
+  /** Weighted sampling WITHOUT replacement, deterministic: the
+    * Efraimidis-Spirakis / Gumbel-top-k trick. Each row draws the
+    * seedless md5 uniform `u ∈ (0,1)` and keys itself by `ln(u)/w` —
+    * taking the top `n` keys is EXACTLY a weighted sample without
+    * replacement (a row with twice the weight is twice as likely at
+    * every selection step). One projection + TakeOrdered: no
+    * sequential selection loop, no rand(), reproducible across
+    * executors/retries/engines, and the whole draw is auditable in
+    * plain SQL. `u` is offset to the bucket midpoint `(g+0.5)/2¹⁶` so
+    * ln never sees 0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "sample size must be positive")
+    val g = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double")
+    df.where(col(weightCol) > 0)
+      .withColumn("__key", log((g + lit(0.5)) / lit(65536.0)) / col(weightCol))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__key")
+  }
 }

@@ -595,6 +595,19 @@ object TextQueries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis /
+    // Gumbel-top-k): token-count-proportional draw of 100 documents.
+    // ln(u)/w keys + TakeOrdered — no sequential selection, no rand();
+    // the md5 uniform makes the exact sample reproducible on any
+    // engine (this is how "sample proportional to length/quality"
+    // stays auditable at 100 TB).
+    "weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep
+        .weightedSample(docs, "doc_id", "n_tokens", n = 100)
+    }),
+
     // DSIR-shape importance weights (hashed-bag importance resampling,
     // the data-selection technique behind "train on raw web, reweight
     // toward a target domain"): every document scores by the
@@ -1035,6 +1048,16 @@ object TextQueries {
                 COALESCE(cnt.n_dup, 0) AS n_dup_tokens,
                 round(COALESCE(cnt.n_dup, 0) * 1.0 / n.n_tokens, 4) AS dup_token_ratio
          FROM n LEFT JOIN cnt USING (doc_id)""",
+    "weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+         k AS (SELECT doc_id, n_tokens,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                      + 0.5) / 65536.0) / n_tokens AS key
+               FROM d WHERE n_tokens > 0)
+         SELECT doc_id, n_tokens FROM k
+         ORDER BY key DESC, doc_id ASC LIMIT 100""",
     "dsir_weights" ->
       """WITH tk AS (SELECT doc_id, source, t,
                   CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 256 AS b

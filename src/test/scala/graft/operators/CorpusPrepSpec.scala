@@ -92,4 +92,29 @@ class CorpusPrepSpec extends SparkSpec {
     val out = CorpusPrep.mixtureSample(rows, "id", "src", Map("keep" -> 1.0))
     assert(out.select("src").collect().map(_.getString(0)).toSeq == Seq("keep"))
   }
+
+  test("weightedSample: deterministic, size-exact, and weight-proportional") {
+    import spark.implicits._
+    // 2000 heavy (w=10) + 2000 light (w=1) rows; in a Gumbel-top-k draw
+    // of 400, each slot picks heavy with p ≈ 10/11 — the md5 draw is
+    // fixed, so the exact count is stable, and it must sit far above
+    // what unweighted sampling (p = 1/2) could produce
+    val rows = (1L to 4000L)
+      .map(i => (i, if (i <= 2000) 10L else 1L)).toDF("id", "w")
+    val got = CorpusPrep.weightedSample(rows, "id", "w", n = 400)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got.length == 400)
+    assert(got.toSet.size == 400) // without replacement
+    val heavy = got.count(_ <= 2000L)
+    assert(heavy > 320, s"heavy=$heavy of 400 — not weight-proportional")
+    // deterministic across runs and partitionings
+    val again = CorpusPrep.weightedSample(rows.repartition(7), "id", "w", n = 400)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(again.sorted == got.sorted)
+    // zero/negative weights are never drawn; n larger than the pool
+    // returns the whole positive-weight pool
+    val tiny = Seq((1L, 5L), (2L, 0L), (3L, -1L)).toDF("id", "w")
+    assert(CorpusPrep.weightedSample(tiny, "id", "w", n = 10)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
