@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,12 +120,36 @@ object CorpusPrep {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, "sample size must be positive")
-    val g = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("double")
     df.where(col(weightCol) > 0)
-      .withColumn("__key", log((g + lit(0.5)) / lit(65536.0)) / col(weightCol))
+      .withColumn("__key", gumbelKey(col(idCol), col(weightCol)))
       .orderBy(col("__key").desc, col(idCol).asc)
       .limit(n)
       .drop("__key")
+  }
+
+  /** Per-GROUP weighted sample without replacement: the same Gumbel
+    * keys ranked inside a group-partitioned window, so Catalyst plans a
+    * map-side WindowGroupLimit — at most k rows per (partition, group)
+    * reach the shuffle, same plan shape as [[samplePerGroup]] but
+    * weight-proportional instead of uniform.
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(gumbelKey(col(idCol), col(weightCol)).desc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Efraimidis-Spirakis selection key ln(u)/w from the seedless md5
+    * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
+    * sampling without replacement. Pure column math, identical in SQL.
+    */
+  private def gumbelKey(id: Column, weight: Column): Column = {
+    val g = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("double")
+    log((g + lit(0.5)) / lit(65536.0)) / weight
   }
 }

@@ -608,6 +608,40 @@ object TextQueries {
         .weightedSample(docs, "doc_id", "n_tokens", n = 100)
     }),
 
+    // Temperature-scaled mixture (α = 0.5, the multilingual-pretraining
+    // reweighting): per-source keep rate ∝ (n_s)^(α-1), normalized so
+    // the SMALLEST source keeps everything — rate_s = sqrt(min_n/n_s)
+    // (the corpus-size factor cancels). Rates come from one grouped
+    // count broadcast back onto the scan; the gate is the same md5
+    // uniform as mixture_sample, so the downsample is deterministic
+    // and auditable. This is how a mixture stops the biggest source
+    // from drowning the tail without hand-written weights.
+    "mixture_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val minNs = counts.agg(min(col("ns")).as("mn"))
+      val rates = counts.crossJoin(broadcast(minNs))
+        .select(col("source"), sqrt(col("mn") / col("ns")).as("rate"))
+      val gate = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      docs.join(broadcast(rates), Seq("source"))
+        .where(gate < col("rate") * lit(65536.0))
+        .select(col("doc_id"), col("source"),
+          (round(col("rate"), 6) + lit(0.0)).as("rate_r"))
+    }),
+
+    // Per-source weighted sample: 5 docs per source, probability
+    // proportional to token count — the same Gumbel keys ranked in a
+    // source-partitioned window, so the plan keeps samplePerGroup's
+    // map-side WindowGroupLimit (≤ k rows per partition×group reach
+    // the shuffle).
+    "weighted_sample_per_group" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep
+        .weightedSamplePerGroup(docs, "doc_id", "source", "n_tokens", k = 5)
+    }),
+
     // DSIR-shape importance weights (hashed-bag importance resampling,
     // the data-selection technique behind "train on raw web, reweight
     // toward a target domain"): every document scores by the
@@ -1048,6 +1082,30 @@ object TextQueries {
                 COALESCE(cnt.n_dup, 0) AS n_dup_tokens,
                 round(COALESCE(cnt.n_dup, 0) * 1.0 / n.n_tokens, 4) AS dup_token_ratio
          FROM n LEFT JOIN cnt USING (doc_id)""",
+    "mixture_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                FROM documents GROUP BY source),
+         m AS (SELECT min(ns) AS mn FROM c),
+         r AS (SELECT source, sqrt(mn / ns) AS rate FROM c, m),
+         g AS (SELECT d.doc_id, d.source, r.rate,
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS gate
+               FROM documents d JOIN r USING (source))
+         SELECT doc_id, source, round(rate, 6) + 0.0 AS rate_r
+         FROM g WHERE gate < rate * 65536.0""",
+    "weighted_sample_per_group" ->
+      """WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+         k AS (SELECT doc_id, source, n_tokens,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                      + 0.5) / 65536.0) / n_tokens AS key
+               FROM d WHERE n_tokens > 0),
+         r AS (SELECT doc_id, source, n_tokens,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY key DESC, doc_id ASC) AS BIGINT) AS sample_rank
+               FROM k)
+         SELECT doc_id, source, n_tokens, sample_rank FROM r
+         WHERE sample_rank <= 5""",
     "weighted_sample" ->
       """WITH d AS (SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

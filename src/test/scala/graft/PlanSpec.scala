@@ -96,6 +96,12 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("weighted_sample_per_group keeps the map-side WindowGroupLimit too") {
+    val plan = SparkEntry.queries("weighted_sample_per_group")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("tpch_q3 plans TakeOrdered with filters pushed to every scan") {
     val qe = SparkEntry.queries("tpch_q3")(spark, dir).queryExecution
     val plan = qe.sparkPlan.toString
