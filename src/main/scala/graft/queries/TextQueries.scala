@@ -156,6 +156,59 @@ object TextQueries {
           round(sum(col("term")).cast("double"), 4).as("bm25"))
     }),
 
+    // Hybrid retrieval (RAG curation ranker): BM25 top-50 for the fixed
+    // 3-term query FUSED with embedding-cosine top-50 to vector 0 by
+    // reciprocal-rank fusion (rrf = Σ 1/(60+rank)). Lexical and dense
+    // signals come from the engine's own scorers (text_bm25's
+    // decimal-exact terms; bruteForceTopK's 4dp cosine — both
+    // engine-stable, so the RANKS are too); each side's rank window is
+    // over a TakeOrdered-bounded 50-row frame (the lit partition key is
+    // sweep-safe because the frame is bounded by construction, not a
+    // global sort). embeddings.vec_id aligns with documents.doc_id in
+    // the star schema.
+    "hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("hash", "join", "scan")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val stats = dl.agg(avg(col("len")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val tf = toks.where(col("t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val bm50 = tf.join(broadcast(dft), Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("term",
+          (col("idf") * ((col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+              + lit(0.75) * col("len") / col("avgdl")))))
+            .cast("decimal(20,8)"))
+        .groupBy(col("doc_id")).agg(sum(col("term")).as("bm"))
+        .orderBy(col("bm").desc, col("doc_id").asc).limit(50)
+      val bmRanked = bm50.withColumn("rb", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("bm").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rb"))
+      val cosRanked = graft.operators.SimilaritySearch
+        .bruteForceTopK(Tables.embeddings(s, dir), "embedding", "vec_id",
+          queryId = 0L, k = 50)
+        .withColumn("rc", row_number().over(
+          Window.partitionBy(lit(1))
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("rc"))
+      bmRanked.join(cosRanked, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)), 6)
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
+    }),
+
     // Corpus token-frequency profile: top 100 tokens by count — the
     // vocabulary statistic every corpus analysis starts with. Partial
     // aggregation does the heavy lifting; only (distinct tokens) rows
@@ -1082,6 +1135,46 @@ object TextQueries {
                 COALESCE(cnt.n_dup, 0) AS n_dup_tokens,
                 round(COALESCE(cnt.n_dup, 0) * 1.0 / n.n_tokens, 4) AS dup_token_ratio
          FROM n LEFT JOIN cnt USING (doc_id)""",
+    "hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, t FROM
+                  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                WHERE t <> ''),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id),
+         stats AS (SELECT avg(len) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+                WHERE t IN ('hash', 'join', 'scan') GROUP BY doc_id, t),
+         dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         bm0 AS (SELECT tf.doc_id,
+                   sum(CAST(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                     * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75
+                         + 0.75 * dl.len / s.avgdl)))
+                     AS DECIMAL(20,8))) AS bm
+                 FROM tf JOIN dft USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats s
+                 GROUP BY tf.doc_id),
+         bm50 AS (SELECT doc_id, bm FROM bm0 ORDER BY bm DESC, doc_id ASC LIMIT 50),
+         bmr AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm DESC, doc_id ASC) AS BIGINT) AS rb
+                 FROM bm50),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         dots AS (SELECT vec_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY vec_id),
+         cos50 AS (SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+                   FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+         cr AS (SELECT vec_id AS doc_id,
+                  CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rc
+                FROM cos50),
+         fused AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + b.rb), 0) + COALESCE(1.0 / (60 + c.rc), 0) AS rrf
+                   FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id)
+         SELECT doc_id, round(rrf, 6) + 0.0 AS rrf_score
+         FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
     "mixture_temperature" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
                 FROM documents GROUP BY source),
