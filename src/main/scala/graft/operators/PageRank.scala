@@ -47,12 +47,15 @@ object PageRank {
       s"scale=$scale outside (0, 1e16] — 85*scale must fit in int64")
     val base = scale / n
     val baseTerm = (15L * base) / 100L
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // fold the out-degree INTO the persisted edge list once — every
+    // iteration then needs exactly one join (ranks) + one aggregate,
+    // instead of re-joining a fresh degree table per round
+    val eod = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var r = nodes.withColumn("r", lit(base))
     for (_ <- 1 to iters) {
-      val summed = e
+      val summed = eod
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("r div od").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
       r = nodes.join(summed, Seq("node"), "left")
@@ -60,6 +63,7 @@ object PageRank {
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
     }
     val out = r.select(col("node"), col("r").as("pr_fx")).localCheckpoint(true)
+    eod.unpersist(false)
     e.unpersist(false)
     nodes.unpersist(false)
     out

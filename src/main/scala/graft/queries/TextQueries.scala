@@ -161,13 +161,13 @@ object TextQueries {
     // reciprocal-rank fusion (rrf = Σ 1/(60+rank)). Lexical and dense
     // signals come from the engine's own scorers (text_bm25's
     // decimal-exact terms; bruteForceTopK's 4dp cosine — both
-    // engine-stable, so the RANKS are too); each side's rank window is
-    // over a TakeOrdered-bounded 50-row frame (the lit partition key is
-    // sweep-safe because the frame is bounded by construction, not a
-    // global sort). embeddings.vec_id aligns with documents.doc_id in
-    // the star schema.
+    // engine-stable, so the RANKS are too). Ranks are computed as a
+    // join-count over the TakeOrdered-bounded 50-row frames (rank =
+    // #rows at-or-before in (score desc, id asc) order): a k² broadcast
+    // join with k = 50 — NOT a global window, so the engine-wide
+    // no-partitionless-Window invariant holds even here.
+    // embeddings.vec_id aligns with documents.doc_id in the star schema.
     "hybrid_rrf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val terms = Seq("hash", "join", "scan")
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
@@ -190,17 +190,24 @@ object TextQueries {
             .cast("decimal(20,8)"))
         .groupBy(col("doc_id")).agg(sum(col("term")).as("bm"))
         .orderBy(col("bm").desc, col("doc_id").asc).limit(50)
-      val bmRanked = bm50.withColumn("rb", row_number().over(
-        Window.partitionBy(lit(1))
-          .orderBy(col("bm").desc, col("doc_id").asc)))
-        .select(col("doc_id"), col("rb"))
-      val cosRanked = graft.operators.SimilaritySearch
-        .bruteForceTopK(Tables.embeddings(s, dir), "embedding", "vec_id",
-          queryId = 0L, k = 50)
-        .withColumn("rc", row_number().over(
-          Window.partitionBy(lit(1))
-            .orderBy(col("cosine").desc, col("vec_id").asc)))
-        .select(col("vec_id").as("doc_id"), col("rc"))
+      // rank r(x) = |{y : y.score > x.score ∨ (y.score = x.score ∧
+      // y.id ≤ x.id)}| over the bounded top-k frame (each row counts
+      // itself, so ranks start at 1) — window-free by construction
+      def joinRank(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+          rankName: String) = {
+        val other = df.select(col("doc_id").as("od"), col(scoreCol).as("os"))
+        df.join(broadcast(other),
+            col("os") > col(scoreCol) ||
+              (col("os") === col(scoreCol) && col("od") <= col("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as(rankName))
+      }
+      val bmRanked = joinRank(bm50, "bm", "rb")
+      val cosRanked = joinRank(
+        graft.operators.SimilaritySearch
+          .bruteForceTopK(Tables.embeddings(s, dir), "embedding", "vec_id",
+            queryId = 0L, k = 50)
+          .select(col("vec_id").as("doc_id"), col("cosine")),
+        "cosine", "rc")
       bmRanked.join(cosRanked, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))
