@@ -282,6 +282,22 @@ object AggregateQueries {
         (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
     }),
 
+    // W5 — distribution-rank features in one partitioned window pass:
+    // quartile bucket (ntile), percent_rank and cume_dist per order
+    // priority — the feature columns a ranking model reads. Ties on
+    // totalprice share percent_rank/cume_dist by definition (peer
+    // rows), so the output is deterministic; the ntile tie-break is
+    // the explicit orderkey.
+    "w5_rank_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // A15 — hierarchical ROLLUP (nation → status subtotals + grand
     // total): one shuffle produces every grouping level via partial
     // aggregation (Expand + hash-agg), instead of G scans for G levels.
@@ -514,6 +530,14 @@ object AggregateQueries {
               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                 ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us
          FROM events""",
+    "w5_rank_features" ->
+      """SELECT o_orderkey, o_orderpriority,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+              round(cume_dist() OVER w, 6) + 0.0 AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
     "a15_rollup" ->
       """SELECT n_name, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
               round(sum(o_totalprice) / 1000000.0, 4) AS sum_price_m,
