@@ -152,6 +152,20 @@ object RelationalQueries {
         .agg(round(sum(col("o_totalprice")) / lit(1e6), 4))
     }),
 
+    // P10 — unpivot/melt (the inverse of P9): wide measure columns to
+    // long (key, measure, value) rows — the reshape every per-column
+    // statistics sweep starts from. Spark's native unpivot is a pure
+    // Expand projection: one scan, zero shuffles, rows × measures out.
+    "p10_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+    }),
+
     // J5 — non-equi range join against a derived band dimension: the
     // 10-row bands table broadcasts, so the fact side never shuffles
     // (BroadcastNestedLoopJoin). The same shape serves calendar /
@@ -435,6 +449,12 @@ object RelationalQueries {
               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) / 1000000.0, 4) AS "O",
               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) / 1000000.0, 4) AS "P"
          FROM orders GROUP BY o_orderpriority""",
+    "p10_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""",
     "j5_band_join" ->
       """WITH stats AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
          bands AS (SELECT i AS band_id,
