@@ -199,9 +199,21 @@ object Scores {
 
   private def additiveRanksOver(ranked: DataFrame, valid: DataFrame,
       allTrue: DataFrame, relationSums: DataFrame): DataFrame = {
+    // query_id must be a pure function of row CONTENT: the `queries`
+    // subtree is instantiated twice below (correction aggregate + final
+    // join), and monotonically_increasing_id regenerates per
+    // instantiation — a nondeterministic upstream or an AQE re-plan
+    // between the two could mis-correlate n_better_true with the wrong
+    // query. Duplicate valid triplets are distinct queries, so the id is
+    // the triplet hash salted with a duplicate ordinal (row_number over
+    // identical rows — which copy gets which ordinal is unobservable).
+    val dupW = Window
+      .partitionBy(col("head_id"), col("relation_id"), col("target_id"))
+      .orderBy(col("target_id"))
     val queries = valid.select(
         col("head_id"), col("relation_id"), col("tail_id").as("target_id"))
-      .withColumn("query_id", monotonically_increasing_id())
+      .withColumn("query_id", xxhash64(col("head_id"), col("relation_id"),
+        col("target_id"), row_number().over(dupW)))
       // presence gates mirror the inner joins of the crossJoin form
       .join(ranked.select(col("entity_id").as("head_id")),
         Seq("head_id"), "left_semi")
