@@ -54,7 +54,8 @@ object EmbeddingTrainer {
       regRatio: Double = 0.01,
       seed: Long = 42L,
       evalEvery: Int = 0,
-      evalSample: Int = 0)
+      evalSample: Int = 0,
+      trackLoss: Boolean = true)
 
   /** `mrrTrace` is (epoch, filtered MRR) at each evaluation; when
     * evaluation ran, the returned embeddings are the BEST epoch's,
@@ -100,8 +101,22 @@ object EmbeddingTrainer {
   def train(edges: DataFrame, numEntities: Long, numRelations: Long,
       cfg: Config = Config(), valid: Option[DataFrame] = None): Trained = {
     val spark = edges.sparkSession
-    var ent = initFlat(spark, numEntities, cfg.dim, cfg.seed).localCheckpoint(true)
-    var rel = initFlat(spark, numRelations, cfg.dim, cfg.seed + 1).localCheckpoint(true)
+    // BOTH embedding tables live in ONE tagged frame (tbl ∈ {e, r}): the
+    // per-id sums become a single aggregate, the SGD step a single join,
+    // and — the point — each epoch materializes ONE checkpoint instead of
+    // one per table. With `scored` persisted lazily (the loss action
+    // fills the cache), an epoch is exactly two blocking jobs: loss +
+    // step. The previous shape (separate ent/rel frames, an eager
+    // `scored` checkpoint, two step checkpoints) serialized four jobs
+    // per epoch and doubled the fixed job overhead that dominates at
+    // bench scale.
+    def tagged(df: DataFrame, t: String) = df.select(
+      lit(t).as("tbl"), col("id"), col("pos"), col("value"))
+    var emb = tagged(initFlat(spark, numEntities, cfg.dim, cfg.seed), "e")
+      .unionAll(tagged(initFlat(spark, numRelations, cfg.dim, cfg.seed + 1), "r"))
+      .localCheckpoint(true)
+    def entFlat = emb.filter(col("tbl") === "e").drop("tbl")
+    def relFlat = emb.filter(col("tbl") === "r").drop("tbl")
     val losses = Seq.newBuilder[Double]
     val mrrs = Seq.newBuilder[(Int, Double)]
     // (mrr, entityEmb, relationEmb, epoch) of the best evaluation so far
@@ -118,26 +133,32 @@ object EmbeddingTrainer {
         Triplets.sampleEdges(edges, cfg.batchFraction, cfg.seed + epoch),
         numEntities, cfg.negRate, seed = cfg.seed + epoch)
 
-      val entSums = ent.groupBy(col("id")).agg(sum(col("value")).as("esum"))
-      val relSums = rel.groupBy(col("id")).agg(sum(col("value")).as("rsum"))
+      // one aggregate over the combined frame covers both tables
+      val sums = emb.groupBy(col("tbl"), col("id")).agg(sum(col("value")).as("vsum"))
+      val entSums = sums.filter(col("tbl") === "e").drop("tbl")
+      val relSums = sums.filter(col("tbl") === "r").drop("tbl")
 
       // score = S_h + R_r − S_t; g = σ(score) − label, one scalar per
-      // triplet. Checkpoint: the loss action below and the two gradient
-      // aggregates all read this frame.
+      // triplet. Persisted lazily: the loss action below materializes the
+      // cache, the gradient aggregate then reads it back.
       val scored = batch
-        .join(entSums.select(col("id").as("head_id"), col("esum").as("hs")), Seq("head_id"))
-        .join(relSums.select(col("id").as("relation_id"), col("rsum").as("rs")), Seq("relation_id"))
-        .join(entSums.select(col("id").as("tail_id"), col("esum").as("ts")), Seq("tail_id"))
+        .join(entSums.select(col("id").as("head_id"), col("vsum").as("hs")), Seq("head_id"))
+        .join(relSums.select(col("id").as("relation_id"), col("vsum").as("rs")), Seq("relation_id"))
+        .join(entSums.select(col("id").as("tail_id"), col("vsum").as("ts")), Seq("tail_id"))
         .withColumn("score", col("hs") + col("rs") - col("ts"))
         .withColumn("g",
           lit(1.0) / (lit(1.0) + exp(-col("score"))) - col("label").cast("double"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // One action per epoch: numerically stable BCE-with-logits loss
-      // for the training trace.
-      losses += scored.agg(
-        avg(greatest(col("score"), lit(0.0)) - col("score") * col("label")
-          + log1p(exp(-abs(col("score"))))).as("loss")).head().getAs[Double]("loss")
+      // for the training trace (doubles as the `scored` materializer).
+      // `trackLoss = false` skips the pass entirely for callers that
+      // never read the trace — the step job below then materializes the
+      // cache instead, making the whole epoch a single blocking job.
+      if (cfg.trackLoss)
+        losses += scored.agg(
+          avg(greatest(col("score"), lit(0.0)) - col("score") * col("label")
+            + log1p(exp(-abs(col("score"))))).as("loss")).head().getAs[Double]("loss")
 
       // Per-id gradient: heads get +g, tails −g, relations +g; the same
       // scalar applies to every dimension. Normalized per id by its own
@@ -146,36 +167,33 @@ object EmbeddingTrainer {
       // G/batchSize vanishes as the batch grows, so step sizes would
       // depend on data scale; per-id means keep them O(lr) like Adam's
       // per-parameter normalization does).
-      val entGrad = scored.select(col("head_id").as("id"), col("g"))
-        .unionAll(scored.select(col("tail_id").as("id"), (-col("g")).as("g")))
-        .groupBy(col("id")).agg((sum(col("g")) / count(lit(1))).as("grad"))
-      val relGrad = scored.select(col("relation_id").as("id"), col("g"))
-        .groupBy(col("id")).agg((sum(col("g")) / count(lit(1))).as("grad"))
+      val grad = scored.select(lit("e").as("tbl"), col("head_id").as("id"), col("g"))
+        .unionAll(scored.select(lit("e").as("tbl"), col("tail_id").as("id"), (-col("g")).as("g")))
+        .unionAll(scored.select(lit("r").as("tbl"), col("relation_id").as("id"), col("g")))
+        .groupBy(col("tbl"), col("id")).agg((sum(col("g")) / count(lit(1))).as("grad"))
 
       // reg_loss = mean(v²) over each table (rgcn.py:44) → per-entry
-      // gradient 2·v·regRatio/(rows·dim), i.e. plain weight decay.
-      def step(flat: DataFrame, grads: DataFrame, rows: Long): DataFrame = {
-        val decay = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (rows.toDouble * cfg.dim)
-        val updated = flat.join(grads, Seq("id"), "left")
-          .select(col("id"), col("pos"),
-            (col("value") * lit(decay)
-              - lit(cfg.lr) * coalesce(col("grad"), lit(0.0))).as("value"))
-          .localCheckpoint(true)
-        // the pre-step table's checkpoint blocks are dead once the
-        // (eager) update materialized — free them so a long training run
-        // pins two embedding tables, not 2 × epochs
-        CheckpointShim.freeLocalCheckpoint(flat)
-        updated
-      }
-      ent = step(ent, entGrad, numEntities)
-      rel = step(rel, relGrad, numRelations)
-      CheckpointShim.freeLocalCheckpoint(scored)
+      // gradient 2·v·regRatio/(rows·dim), i.e. plain weight decay
+      // (per-table rates: the two tables have different row counts).
+      val decayE = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (numEntities.toDouble * cfg.dim)
+      val decayR = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (numRelations.toDouble * cfg.dim)
+      val updated = emb.join(grad, Seq("tbl", "id"), "left")
+        .select(col("tbl"), col("id"), col("pos"),
+          (col("value") * when(col("tbl") === "e", lit(decayE)).otherwise(lit(decayR))
+            - lit(cfg.lr) * coalesce(col("grad"), lit(0.0))).as("value"))
+        .localCheckpoint(true)
+      // the pre-step frame's checkpoint blocks are dead once the (eager)
+      // update materialized — free them so a long training run pins one
+      // embedding frame, not one per epoch
+      CheckpointShim.freeLocalCheckpoint(emb)
+      emb = updated
+      scored.unpersist(false)
 
       // evaluate_every loop (preprocess.py:61-79): validate filtered
       // MRR on the current embeddings, remember the best epoch's tables
       if (cfg.evalEvery > 0 && valid.nonEmpty && epoch % cfg.evalEvery == 0) {
-        val eEmb = assemble(ent, "entity_id").localCheckpoint(true)
-        val rEmb = assemble(rel, "relation_id").localCheckpoint(true)
+        val eEmb = assemble(entFlat, "entity_id").localCheckpoint(true)
+        val rEmb = assemble(relFlat, "relation_id").localCheckpoint(true)
         // deterministic-but-uniform TakeOrdered sample of the valid
         // split (see Config.evalSample): ordering by a seeded hash of
         // the triplet key picks a representative subset — a plain
@@ -196,9 +214,9 @@ object EmbeddingTrainer {
         // materialization (which at 100× entities turns the eval into
         // the cost that dwarfs the epochs it measures). Sums come
         // straight off the flat tables — no assemble/explode round trip.
-        val eSums = ent.groupBy(col("id")).agg(sum(col("value")).as("esum"))
+        val eSums = entFlat.groupBy(col("id")).agg(sum(col("value")).as("esum"))
           .select(col("id").as("entity_id"), col("esum"))
-        val rSums = rel.groupBy(col("id")).agg(sum(col("value")).as("rsum"))
+        val rSums = relFlat.groupBy(col("id")).agg(sum(col("value")).as("rsum"))
           .select(col("id").as("relation_id"), col("rsum"))
         val mrrDf = graft.metrics.Scores.filteredMrrAdditive(
           validEval, allTrue.get, eSums, rSums)
@@ -223,13 +241,12 @@ object EmbeddingTrainer {
       allTrue.foreach(CheckpointShim.freeLocalCheckpoint(_))
     best match {
       case Some((_, e, r, ep)) =>
-        // the flat working tables are superseded by the best epoch's
-        // assembled checkpoints; without an eval they back the returned
-        // (lazy) assemble and must stay pinned
-        CheckpointShim.freeLocalCheckpoint(ent)
-        CheckpointShim.freeLocalCheckpoint(rel)
+        // the flat working frame is superseded by the best epoch's
+        // assembled checkpoints; without an eval it backs the returned
+        // (lazy) assembles and must stay pinned
+        CheckpointShim.freeLocalCheckpoint(emb)
         Trained(e, r, losses.result(), mrrs.result(), ep)
-      case None => Trained(assemble(ent, "entity_id"), assemble(rel, "relation_id"),
+      case None => Trained(assemble(entFlat, "entity_id"), assemble(relFlat, "relation_id"),
         losses.result(), mrrs.result())
     }
   }

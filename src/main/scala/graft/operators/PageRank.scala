@@ -26,6 +26,24 @@ import org.apache.spark.storage.StorageLevel
   * every per-node incoming sum is ≤ scale and the damping multiply is
   * bounded by 85·scale ≪ 2⁶³ for any scale ≤ 10¹⁶.
   *
+  * '''Shuffle budget: one exchange per iteration.''' The loop inputs are
+  * hash-partitioned ONCE before iterating — the degree-annotated edge
+  * list on `src`, the node table on `node` — and every per-round operator
+  * then either reuses a partitioning or creates the one it needs:
+  *   - the contribution join reads `eod` in place (cached pre-partitioned
+  *     on `src`) against the rank frame, whose `hash(node)` partitioning
+  *     propagates through the `node`→`src` alias (alias-aware output
+  *     partitioning), so NEITHER side re-shuffles;
+  *   - the incoming-mass `groupBy(dst)` is the iteration's one true
+  *     shuffle (partial aggregation runs map-side first);
+  *   - the teleport left-join consumes that aggregation's `hash(node)`
+  *     output against the pre-partitioned node table — again no exchange,
+  *     and its projection hands `hash(node)` to the next round.
+  * Without the pre-partitioning each round pays up to three full
+  * exchanges of the edge list — the dominant cost at any scale, and a
+  * scale-killer at 100×. PlanSpec pins the ≤1-exchange-per-iteration
+  * shape against regression.
+  *
   * Edges are persisted for the duration (read once, joined every
   * round); each round is lazily stacked and the final frame is
   * checkpointed once — for iteration counts beyond ~10, checkpoint
@@ -35,23 +53,63 @@ object PageRank {
 
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    val (r, handles) = build(edges, srcCol, dstCol, iters, scale)
+    val out = r.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Everything [[ranks]] does except the final checkpoint: returns the
+    * lazily stacked iteration frame plus the persisted handles the caller
+    * must unpersist after materializing. Package-private so PlanSpec can
+    * count exchanges on the real plan (the checkpointed LogicalRDD that
+    * [[ranks]] returns is opaque to plan inspection).
+    */
+  private[graft] def build(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1, "iters must be positive")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // ONE pipeline builds the degree-annotated distinct edge list with a
+    // single exchange: repartition on src FIRST — hash(src) satisfies the
+    // (src, dst) clustering the dedup aggregate needs, so no second
+    // shuffle — then dedup in place and fold the out-degree in with a
+    // src-partitioned window (sort-only, no exchange). The previous form
+    // (distinct → self-join degree table → repartition) paid three
+    // exchanges and a second cached copy of the edges for the same frame.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val eod = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(parts, col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("od", count(lit(1)).over(w))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    // distinct's own exchange already lays nodes out hash(node, parts) —
+    // exactly the partitioning the teleport join needs; an explicit
+    // repartition here would be a redundant extra shuffle
+    val nodes = eod.select(col("src").as("node"))
+      .unionAll(eod.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // one action materializes eod then nodes
     require(n > 0, "pagerank needs a non-empty edge list")
     require(scale >= 1L && scale <= 10000000000000000L,
       s"scale=$scale outside (0, 1e16] — 85*scale must fit in int64")
+    // base = scale/n is the initial (and teleport) mass per node; if it
+    // truncated to 0 every rank would silently collapse to 0 — refuse.
+    require(n <= scale,
+      s"node count $n exceeds scale=$scale — base mass scale/n would be 0; raise scale")
     val base = scale / n
     val baseTerm = (15L * base) / 100L
-    // fold the out-degree INTO the persisted edge list once — every
-    // iteration then needs exactly one join (ranks) + one aggregate,
-    // instead of re-joining a fresh degree table per round
-    val eod = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    (iterate(eod, nodes, base, baseTerm, iters), Seq(eod, nodes))
+  }
+
+  /** The iteration loop over pre-partitioned inputs: `eod` (src, dst, od)
+    * hash-partitioned on `src`, `nodes` (node) hash-partitioned on
+    * `node`, both with the session shuffle-partition count. Package-
+    * private so PlanSpec can count exchanges on the un-checkpointed plan
+    * (the public [[ranks]] returns a checkpointed LogicalRDD whose plan
+    * is opaque).
+    */
+  private[graft] def iterate(eod: DataFrame, nodes: DataFrame,
+      base: Long, baseTerm: Long, iters: Int): DataFrame = {
     var r = nodes.withColumn("r", lit(base))
     for (_ <- 1 to iters) {
       val summed = eod
@@ -62,10 +120,6 @@ object PageRank {
         .select(col("node"), (lit(baseTerm) +
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
     }
-    val out = r.select(col("node"), col("r").as("pr_fx")).localCheckpoint(true)
-    eod.unpersist(false)
-    e.unpersist(false)
-    nodes.unpersist(false)
-    out
+    r.select(col("node"), col("r").as("pr_fx"))
   }
 }

@@ -226,7 +226,12 @@ object GraphQueries {
     "g5c_relation_weighted" -> ((s, dir) => {
       import graft.car.{EmbeddingStore, Triplets}
       val e = Tables.embeddings(s, dir)
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      // the weight frames need one (pos) row per dimension — posexplode
+      // of any single embedding row yields it IN-PLAN, where the previous
+      // `size(embedding)).head()` probe spent a whole driver job just to
+      // read the constant
+      val posF = e.limit(1).select(posexplode(col("embedding")))
+        .select(col("pos"))
       val edges = e.select(
         pmod(col("vec_id"), lit(11)).as("head_id"),
         pmod(col("vec_id"), lit(3)).as("relation_id"),
@@ -234,13 +239,12 @@ object GraphQueries {
       val emb = e.where(col("vec_id") < 11)
         .select(col("vec_id").as("entity_id"),
           col("embedding").cast("array<double>").as("vector"))
-      val relW = s.range(3).select(col("id").as("relation_id"),
-          explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      val relW = posF
+        .select(explode(sequence(lit(0L), lit(2L))).as("relation_id"), col("pos"))
         .select(col("relation_id"), col("pos"),
           (lit(1.0) + col("relation_id") * lit(0.1)
             + col("pos") * lit(0.01)).as("w"))
-      val rootW = s.range(1)
-        .select(explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      val rootW = posF
         .select(col("pos"), (lit(0.5) + col("pos") * lit(0.01)).as("root_w"),
           (col("pos") * lit(0.001)).as("bias"))
       EmbeddingStore.relationWeightedStep(
@@ -259,7 +263,9 @@ object GraphQueries {
     "g5d_two_layer_weighted" -> ((s, dir) => {
       import graft.car.{EmbeddingStore, Triplets}
       val e = Tables.embeddings(s, dir)
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      // in-plan dimension frame — see g5c
+      val posF = e.limit(1).select(posexplode(col("embedding")))
+        .select(col("pos"))
       val edges = e.select(
         pmod(col("vec_id"), lit(11)).as("head_id"),
         pmod(col("vec_id"), lit(3)).as("relation_id"),
@@ -267,13 +273,12 @@ object GraphQueries {
       val emb = e.where(col("vec_id") < 11)
         .select(col("vec_id").as("entity_id"),
           col("embedding").cast("array<double>").as("vector"))
-      val relW = s.range(3).select(col("id").as("relation_id"),
-          explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      val relW = posF
+        .select(explode(sequence(lit(0L), lit(2L))).as("relation_id"), col("pos"))
         .select(col("relation_id"), col("pos"),
           (lit(1.0) + col("relation_id") * lit(0.1)
             + col("pos") * lit(0.01)).as("w"))
-      val rootW = s.range(1)
-        .select(explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      val rootW = posF
         .select(col("pos"), (lit(0.5) + col("pos") * lit(0.01)).as("root_w"),
           (col("pos") * lit(0.001)).as("bias"))
       val en = Triplets.edgeNorm(edges)
@@ -296,8 +301,11 @@ object GraphQueries {
       val edges = e.select(col("vec_id").as("head_id"),
         pmod(col("vec_id"), lit(3)).as("relation_id"),
         pmod(col("vec_id") + 7, lit(n)).as("tail_id"))
+      // trackLoss off: this surface consumes only the embeddings, so the
+      // per-epoch loss pass would be a pure extra action
       val trained = EmbeddingTrainer.train(edges, n, 3,
-        EmbeddingTrainer.Config(dim = 4, epochs = 2, lr = 0.5, negRate = 1))
+        EmbeddingTrainer.Config(dim = 4, epochs = 2, lr = 0.5, negRate = 1,
+          trackLoss = false))
       trained.entityEmb
         .select(col("entity_id"), posexplode(col("vector")))
         .select(col("entity_id"), col("pos").cast("long").as("pos"),

@@ -132,6 +132,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"), plan)
   }
 
+  test("PageRank iterations plan at most one shuffle exchange each") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    // broadcast off: at test sizes every join would broadcast and the pin
+    // would pass vacuously — the co-partitioning claim is about the
+    // shuffled-join path a 100×-scale run takes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+        .toDF("s", "d")
+      val (r, handles) =
+        graft.operators.PageRank.build(edges, "s", "d", iters = 5, scale = 1000000000000L)
+      val shuffles = r.queryExecution.sparkPlan.collectWithSubqueries {
+        case s: ShuffleExchangeExec => s
+      }
+      // exactly one per iteration: the incoming-mass aggregation. The
+      // contribution join and the teleport join reuse the pre-partitioned
+      // caches / upstream agg partitioning (alias-aware propagation).
+      assert(shuffles.size <= 5,
+        s"${shuffles.size} shuffle exchanges for 5 iterations:\n${r.queryExecution.sparkPlan}")
+      handles.foreach(_.unpersist(false))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("DenseId materializes its input's global sort exactly once") {
     import spark.implicits._
     val counted = spark.sparkContext.longAccumulator("denseid-input-rows")
