@@ -116,9 +116,20 @@ object Scores {
     */
   def filteredMrr(valid: DataFrame, allTrue: DataFrame, scores: DataFrame,
       ks: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+    // content-derived query_id (same scheme as additiveRanksOver): this
+    // plan instantiates `queries` once, so monotonically_increasing_id
+    // happened to be safe — but a stage retry over a nondeterministic
+    // `valid` could still renumber rows mid-plan, and the hash id closes
+    // that hazard class for free. Duplicate valid triplets stay distinct
+    // queries via the duplicate ordinal; the near-singleton window
+    // partitions are scale-safe.
+    val dupW = Window
+      .partitionBy(col("head_id"), col("relation_id"), col("target_id"))
+      .orderBy(col("target_id"))
     val queries = valid.select(
       col("head_id"), col("relation_id"), col("tail_id").as("target_id"))
-      .withColumn("query_id", monotonically_increasing_id())
+      .withColumn("query_id", xxhash64(col("head_id"), col("relation_id"),
+        col("target_id"), row_number().over(dupW)))
     val candidates = queries.join(scores, Seq("head_id", "relation_id"))
     val filtered = candidates
       .join(allTrue.select(col("head_id"), col("relation_id"),
@@ -207,6 +218,11 @@ object Scores {
     // query. Duplicate valid triplets are distinct queries, so the id is
     // the triplet hash salted with a duplicate ordinal (row_number over
     // identical rows — which copy gets which ordinal is unobservable).
+    // Unlike mono_id the hash is not guaranteed unique: a collision
+    // would silently merge two queries' rank corrections — but at
+    // ~n²/2⁶⁵ (≈5e-9 even for n = 10⁶ queries) it is far below any
+    // operational failure rate; struct-equality join keys would close
+    // it at the cost of wider shuffle rows.
     val dupW = Window
       .partitionBy(col("head_id"), col("relation_id"), col("target_id"))
       .orderBy(col("target_id"))

@@ -355,7 +355,12 @@ object Dedup {
     * re-pairing of the corpus; `bloomPrune` drops corpus shingles that
     * cannot match map-side before the shuffle, exactly as in
     * [[crossCorpusOverlap]]. Returns (corpus_id, batch_id, jaccard)
-    * with exact full-set Jaccard ≥ `minJaccard`.
+    * with exact full-set Jaccard ≥ `minJaccard` — exact for every pair
+    * that becomes a CANDIDATE, i.e. shares at least one shingle with
+    * corpus-side document frequency ≤ `maxShingleDf`. A pair whose
+    * shared shingles are ALL hotter than the cap never enters the
+    * intersection and is not reported; raise `maxShingleDf` if such
+    * boilerplate-only overlaps matter.
     */
   def crossJaccardPairs(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, shingleLen: Int, minJaccard: Double,

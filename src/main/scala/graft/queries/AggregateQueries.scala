@@ -284,10 +284,12 @@ object AggregateQueries {
 
     // W5 — distribution-rank features in one partitioned window pass:
     // quartile bucket (ntile), percent_rank and cume_dist per order
-    // priority — the feature columns a ranking model reads. Ties on
-    // totalprice share percent_rank/cume_dist by definition (peer
-    // rows), so the output is deterministic; the ntile tie-break is
-    // the explicit orderkey.
+    // priority — the feature columns a ranking model reads. The explicit
+    // orderkey tie-break makes the window ordering TOTAL, so no two rows
+    // are peers: percent_rank/cume_dist are strictly increasing within
+    // each partition and every engine assigns identical values (leaving
+    // totalprice ties as peers would also be deterministic, but ntile
+    // would then split peer groups arbitrarily).
     "w5_rank_features" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

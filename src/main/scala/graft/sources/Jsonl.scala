@@ -32,12 +32,24 @@ object Jsonl {
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .json(path)
 
-  /** PERMISSIVE read that also returns the quarantine stream: (typed
-    * rows, corrupt raw lines). The corrupt column rides the same scan —
-    * splitting afterwards is a filter, not a second read.
+  /** The two streams of a [[readWithCorrupt]] plus the lifetime handle
+    * of the shared cached scan both are filtered from. Call
+    * [[CorruptSplit.unpersist]] once the streams are consumed — without
+    * it the full raw frame pins storage memory for the session.
+    */
+  final case class CorruptSplit(good: DataFrame, corrupt: DataFrame,
+      raw: DataFrame) {
+    def unpersist(): Unit = { raw.unpersist(false); () }
+  }
+
+  /** PERMISSIVE read that also returns the quarantine stream: typed
+    * rows + corrupt raw lines. The corrupt column rides the same scan —
+    * splitting afterwards is a filter, not a second read. The returned
+    * [[CorruptSplit]] owns the cache backing both streams; unpersist it
+    * when done.
     */
   def readWithCorrupt(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): CorruptSplit = {
     val withCorrupt = StructType(schema.fields :+
       StructField("_corrupt_record", StringType, nullable = true))
     val raw = spark.read.schema(withCorrupt)
@@ -53,7 +65,7 @@ object Jsonl {
       .drop("_corrupt_record")
     val bad = raw.where(raw.col("_corrupt_record").isNotNull)
       .select(raw.col("_corrupt_record").as("raw_line"))
-    (good, bad)
+    CorruptSplit(good, bad, raw)
   }
 
   /** Compressed JSONL write; `partitionColumns` lays shards out as

@@ -36,11 +36,15 @@ class JsonlSpec extends SparkSpec {
     f.println("""{"doc_id": 2, "source": "s1", "text": "also good"}""")
     f.println("""{"doc_id": 3, "source": BROKEN""")
     f.close()
-    val (good, bad) = Jsonl.readWithCorrupt(spark, dir, schema)
-    assert(good.count() == 2)
-    assert(good.schema.fieldNames.toSeq == Seq("doc_id", "source", "text"))
-    val quarantined = bad.collect().map(_.getString(0))
+    val split = Jsonl.readWithCorrupt(spark, dir, schema)
+    assert(split.good.count() == 2)
+    assert(split.good.schema.fieldNames.toSeq == Seq("doc_id", "source", "text"))
+    val quarantined = split.corrupt.collect().map(_.getString(0))
     assert(quarantined.length == 1 && quarantined.head.contains("BROKEN"))
+    // the split owns the shared scan's cache — unpersist must release it
+    assert(split.raw.storageLevel.useMemory)
+    split.unpersist()
+    assert(!split.raw.storageLevel.useMemory)
   }
 
   test("partitioned jsonl write lays out source= directories") {
