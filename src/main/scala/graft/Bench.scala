@@ -53,12 +53,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    // compact headline AGAIN as the LAST line: the driver keeps the last
-    // N bytes of output, and on the full suite the per-query map alone
-    // overflows that window — both r5/r6 captures lost the line's front
-    // (and with it "metric"/"value", parsed=null). A short trailing line
-    // always survives a tail capture whole.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(full)
+    // the full line routinely exceeds the driver's log-tail capture
+    // window (r5/r6/r8 all recorded parsed=null from a truncated line) —
+    // persist it as a FILE too, so the complete per-query map survives
+    // any capture length
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}") }
+    // compact headline AGAIN as the LAST line: a short trailing line
+    // always survives a tail capture whole
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }

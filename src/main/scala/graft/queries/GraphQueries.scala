@@ -130,9 +130,17 @@ object GraphQueries {
       Tables.orders(s, dir).randomSplit(Array(0.7, 0.3), seed = 42)(0)
     }),
 
-    // R3 — uniform edge sample w/o replacement (samples.py:15-18) → rows-only.
+    // R3 — uniform edge sample w/o replacement (samples.py:15-18), as an
+    // ORACLE row: the seedless md5-gate Bernoulli(0.1) on the edge key —
+    // the same uniform marginal as df.sample but reproducible in any
+    // engine/retry/re-plan, so DuckDB replays it bit-for-bit
+    // ([[graft.car.Triplets.sampleEdges]] keeps Spark's seeded-RNG
+    // sample as the library API).
     "r3_edge_sample" -> ((s, dir) => {
-      edges(s, dir).sample(withReplacement = false, fraction = 0.1, seed = 42)
+      val gate = conv(substring(md5(
+        (col("src").cast("long") * lit(1000000L) + col("dst"))
+          .cast("string")), 1, 4), 16, 10).cast("int")
+      edges(s, dir).where(gate < lit(0.1) * lit(65536))
     }),
 
     // R4 — negative sampling by entity corruption (samples.py:19-32), made
@@ -356,6 +364,11 @@ object GraphQueries {
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
          SELECT src, dst, rel FROM e
          UNION ALL SELECT dst AS src, src AS dst, rel FROM e""",
+    "r3_edge_sample" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
+         SELECT src, dst, rel FROM e
+         WHERE CAST(('0x' || substr(md5(CAST(CAST(src AS BIGINT) * 1000000 + dst AS VARCHAR)), 1, 4))
+               AS INTEGER) < 0.1 * 65536""",
     "graph_pagerank" -> PageRankOracle,
     "g5_mean_agg" ->
       """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
