@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The reference's `Dictionary` is a driver-side hash map "col:value" ↔
   * dense int id shared across columns. Here the vocabulary is itself a
-  * DataFrame `(col_name, value, id)` built in one distributed pass
-  * (unpivot → distinct) and applied by broadcast join — no driver-side
-  * state, so it works at any number of columns × distinct values.
+  * DataFrame `(col_name, value, id)` BUILT in one distributed pass
+  * (unpivot → distinct) — construction scales to any number of columns
+  * × distinct values — and APPLIED as a codegen'd hash-table probe
+  * ([[encode]]), the side-input pattern the reference's dict probe is:
+  * the table rides the task-binary broadcast, each cell costs one O(1)
+  * lookup, no joins enter the plan.
   */
 object Vocab {
 
@@ -72,15 +75,33 @@ object Vocab {
     }.toDF("col_name", "value", "id")
   }
 
-  /** Encode `columns` of `df` to their vocabulary ids via broadcast joins,
-    * producing `<col>Id` columns (reference data.py:21-23's per-cell hash
-    * probe → codegen'd broadcast-hash joins).
+  /** Encode `columns` of `df` to their vocabulary ids, producing
+    * `<col>Id` columns (reference data.py:21-23's per-cell dict probe).
+    *
+    * One driver-side collect of the (side-input-sized, see [[saveJson]])
+    * vocabulary feeds a shared hash table applied as a codegen'd
+    * [[graft.functions.expressions.DictLookup]] probe per column — a
+    * pure map-side projection: zero joins, zero shuffles, O(1) per cell,
+    * and a plan whose size no longer grows a broadcast join per encoded
+    * column (the previous shape folded one join per column — 22 for the
+    * car schema — re-probing the same vocab relation each time).
+    * Missing values encode as null, the left-join convention.
     */
-  def encode(df: DataFrame, vocab: DataFrame, columns: Seq[String]): DataFrame =
-    columns.foldLeft(df) { (acc, c) =>
-      val v = vocab.where(col("col_name") === c)
-        .select(col("value").as(s"__${c}_val"), col("id").as(s"${c}Id"))
-      acc.join(broadcast(v), acc(c).cast("string") === col(s"__${c}_val"), "left")
-        .drop(s"__${c}_val")
+  def encode(df: DataFrame, vocab: DataFrame, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.unsafe.types.UTF8String
+    val dict = new java.util.HashMap[UTF8String, java.lang.Long]()
+    vocab.select(col("col_name"), col("value"), col("id")).collect().foreach { r =>
+      dict.put(UTF8String.fromString(r.getString(0) + ":" + r.getString(1)),
+        r.getLong(2))
     }
+    // key = "col:value", the saveJson token convention; a null cell makes
+    // concat null and DictLookup passes the null through
+    val idCols = columns.map { c =>
+      ColumnShim.column(graft.functions.expressions.DictLookup(
+        ColumnShim.expression(concat(lit(c + ":"), col(c).cast("string"))),
+        dict)).as(s"${c}Id")
+    }
+    df.select(df.columns.map(col).toSeq ++ idCols: _*)
+  }
 }

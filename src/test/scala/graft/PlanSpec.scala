@@ -157,6 +157,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Vocab.encode plans zero joins regardless of encoded-column count") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val cols = (0 until 22).map(i => s"c$i")
+    val base = spark.range(5).select(
+      cols.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"v${i}_"),
+          org.apache.spark.sql.functions.col("id").cast("string")).as(c)
+      }: _*)
+    val vocab = graft.car.Vocab.build(Seq(base), cols)
+    val enc = graft.car.Vocab.encode(base, vocab, cols)
+    // the dictionary is applied as a codegen'd hash probe — a 22-column
+    // encode must NOT fold 22 broadcast joins into the plan
+    val joins = enc.queryExecution.sparkPlan.collectWithSubqueries {
+      case j: BaseJoinExec => j
+    }
+    assert(joins.isEmpty, enc.queryExecution.sparkPlan.toString)
+    // and the probe agrees with the vocabulary relation
+    val ids = enc.select("c0Id").orderBy("c0Id").collect().map(_.getLong(0))
+    assert(ids.length == 5 && ids.distinct.length == 5)
+  }
+
   test("DenseId materializes its input's global sort exactly once") {
     import spark.implicits._
     val counted = spark.sparkContext.longAccumulator("denseid-input-rows")

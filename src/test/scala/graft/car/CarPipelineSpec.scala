@@ -75,7 +75,7 @@ class CarPipelineSpec extends SparkSpec {
     assert(ym == "2017-10-01")
   }
 
-  test("A1/J4: vocabulary build + broadcast-join encode") {
+  test("A1/J4: vocabulary build + dictionary-probe encode") {
     val df = Repair.repair(CarFixtures.trainDf(spark, 10))
     val vocab = Vocab.build(Seq(df), Seq("brand", "color", "anonymousFeature11"))
     // ids dense, 0-based, deterministic
