@@ -98,8 +98,17 @@ object EmbeddingTrainer {
     * [[EmbeddingStore.save]], plus the per-epoch mean BCE loss (A13's
     * reduction over the training trace).
     */
+  /** @param checkpointDir when set, each epoch's embedding state commits
+    *   a durable [[graft.operators.DurableIters]] parquet snapshot (in
+    *   place of the executor-memory localCheckpoint) and a re-run with
+    *   the same directory resumes AFTER the highest committed epoch —
+    *   the restart point a multi-hour run on a real cluster needs.
+    *   On resume, `epochLoss`/`mrrTrace` cover only the epochs this run
+    *   executed (completed epochs' traces lived in the dead driver).
+    */
   def train(edges: DataFrame, numEntities: Long, numRelations: Long,
-      cfg: Config = Config(), valid: Option[DataFrame] = None): Trained = {
+      cfg: Config = Config(), valid: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): Trained = {
     val spark = edges.sparkSession
     // BOTH embedding tables live in ONE tagged frame (tbl ∈ {e, r}): the
     // per-id sums become a single aggregate, the SGD step a single join,
@@ -112,9 +121,13 @@ object EmbeddingTrainer {
     // bench scale.
     def tagged(df: DataFrame, t: String) = df.select(
       lit(t).as("tbl"), col("id"), col("pos"), col("value"))
-    var emb = tagged(initFlat(spark, numEntities, cfg.dim, cfg.seed), "e")
-      .unionAll(tagged(initFlat(spark, numRelations, cfg.dim, cfg.seed + 1), "r"))
-      .localCheckpoint(true)
+    val resumed = checkpointDir.flatMap(d =>
+      graft.operators.DurableIters.latest(spark, d, upTo = cfg.epochs))
+    var emb = resumed.map(_._2).getOrElse(
+      tagged(initFlat(spark, numEntities, cfg.dim, cfg.seed), "e")
+        .unionAll(tagged(initFlat(spark, numRelations, cfg.dim, cfg.seed + 1), "r"))
+        .localCheckpoint(true))
+    val firstEpoch = resumed.map(_._1 + 1).getOrElse(1)
     def entFlat = emb.filter(col("tbl") === "e").drop("tbl")
     def relFlat = emb.filter(col("tbl") === "r").drop("tbl")
     val losses = Seq.newBuilder[Double]
@@ -128,7 +141,7 @@ object EmbeddingTrainer {
         .unionByName(v.select(col("head_id"), col("relation_id"), col("tail_id")))
         .distinct().localCheckpoint(true))
 
-    for (epoch <- 1 to cfg.epochs) {
+    for (epoch <- firstEpoch to cfg.epochs) {
       val batch = Triplets.negativeSample(
         Triplets.sampleEdges(edges, cfg.batchFraction, cfg.seed + epoch),
         numEntities, cfg.negRate, seed = cfg.seed + epoch)
@@ -177,15 +190,22 @@ object EmbeddingTrainer {
       // (per-table rates: the two tables have different row counts).
       val decayE = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (numEntities.toDouble * cfg.dim)
       val decayR = 1.0 - cfg.lr * 2.0 * cfg.regRatio / (numRelations.toDouble * cfg.dim)
-      val updated = emb.join(grad, Seq("tbl", "id"), "left")
+      val steppedPlan = emb.join(grad, Seq("tbl", "id"), "left")
         .select(col("tbl"), col("id"), col("pos"),
           (col("value") * when(col("tbl") === "e", lit(decayE)).otherwise(lit(decayR))
             - lit(cfg.lr) * coalesce(col("grad"), lit(0.0))).as("value"))
-        .localCheckpoint(true)
+      // durable mode roots the epoch state at committed parquet instead
+      // of executor-memory checkpoint blocks — same lineage truncation,
+      // plus a restart point
+      val updated = checkpointDir match {
+        case Some(d) => graft.operators.DurableIters.save(steppedPlan, d, epoch)
+        case None => steppedPlan.localCheckpoint(true)
+      }
       // the pre-step frame's checkpoint blocks are dead once the (eager)
       // update materialized — free them so a long training run pins one
-      // embedding frame, not one per epoch
-      CheckpointShim.freeLocalCheckpoint(emb)
+      // embedding frame, not one per epoch (no-op when the previous
+      // state was a durable snapshot)
+      CheckpointShim.freeLocalCheckpointIfAny(emb)
       emb = updated
       scored.unpersist(false)
 
@@ -244,7 +264,7 @@ object EmbeddingTrainer {
         // the flat working frame is superseded by the best epoch's
         // assembled checkpoints; without an eval it backs the returned
         // (lazy) assembles and must stay pinned
-        CheckpointShim.freeLocalCheckpoint(emb)
+        CheckpointShim.freeLocalCheckpointIfAny(emb)
         Trained(e, r, losses.result(), mrrs.result(), ep)
       case None => Trained(assemble(entFlat, "entity_id"), assemble(relFlat, "relation_id"),
         losses.result(), mrrs.result())

@@ -473,14 +473,21 @@ object Dedup {
     * duplicate pairs.
     */
   def duplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = df.select(col(idCol).cast("long").as("id"))
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+    // durable mode: each round's labels commit a DurableIters parquet
+    // snapshot and a re-run resumes from the highest committed round
+    // (one extra no-change round if the snapshot was already the fixed
+    // point — min-label propagation is idempotent past convergence)
+    val resumed = checkpointDir.flatMap(d =>
+      DurableIters.latest(df.sparkSession, d, upTo = maxIters))
+    var labels = resumed.map(_._2.select(col("id"), col("cluster")))
+      .getOrElse(df.select(col(idCol).cast("long").as("id"))
+        .withColumn("cluster", col("id")).localCheckpoint(true))
     var converged = false
-    var i = 0
+    var i = resumed.map(_._1).getOrElse(0)
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncl")), Seq("dst"))
@@ -488,18 +495,21 @@ object Dedup {
       // carry a per-row `changed` flag through the checkpoint so
       // convergence is a scan of the materialized blocks — not a second
       // labels⋈labels join per iteration
-      val next = labels
+      val nextPlan = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("changed"))
-        .localCheckpoint(true)
+      val next = checkpointDir match {
+        case Some(d) => DurableIters.save(nextPlan, d, i + 1)
+        case None => nextPlan.localCheckpoint(true)
+      }
       converged = next.where(col("changed")).isEmpty
       // the superseded iteration's checkpoint blocks are dead once the
       // convergence check ran — free them now instead of letting them
       // pile up in the block manager until the context cleaner notices
       // (Dataset.unpersist can't reach localCheckpoint storage)
-      CheckpointShim.freeLocalCheckpoint(labels)
+      CheckpointShim.freeLocalCheckpointIfAny(labels)
       labels = next.drop("changed")
       i += 1
     }
@@ -526,15 +536,21 @@ object Dedup {
     * left join, no transitive chase.
     */
   def duplicateClustersStar(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 16): DataFrame = {
-    var edges = pairs
+      maxIters: Int = 16, checkpointDir: Option[String] = None): DataFrame = {
+    // durable mode: the loop state is the (shrinking) rewired edge set —
+    // each round commits a DurableIters snapshot; a re-run resumes from
+    // the highest committed round (one extra fixed-point-detection round
+    // if it was already converged)
+    val resumed = checkpointDir.flatMap(d =>
+      DurableIters.latest(df.sparkSession, d, upTo = maxIters))
+    var edges = resumed.map(_._2).getOrElse(pairs
       .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     var converged = edges.limit(1).isEmpty
-    var i = 0
+    var i = resumed.map(_._1).getOrElse(0)
     while (!converged && i < maxIters) {
       // large-star over the symmetric view; the output (v, m) is
       // naturally big→small oriented because v > u ≥ m
@@ -549,17 +565,20 @@ object Dedup {
       // small-star on the oriented output: every dst is < src, so the
       // group minimum needs no self-comparison; (u, m) keeps u attached
       val minS = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val next = large.join(minS, Seq("src"))
+      val nextPlan = large.join(minS, Seq("src"))
         .where(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionAll(minS.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+      val next = checkpointDir match {
+        case Some(d) => DurableIters.save(nextPlan, d, i + 1)
+        case None => nextPlan.localCheckpoint(true)
+      }
       // both sides are distinct sets: equal counts + empty one-sided
       // anti-join ⇔ identical edge sets (exact, no hash-sum shortcut)
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("src", "dst"), "left_anti").limit(1).isEmpty
-      CheckpointShim.freeLocalCheckpoint(edges)
+      CheckpointShim.freeLocalCheckpointIfAny(edges)
       edges = next
       i += 1
     }
@@ -571,7 +590,7 @@ object Dedup {
       .join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("r"), col("id")).as("cluster"))
       .localCheckpoint(true)
-    CheckpointShim.freeLocalCheckpoint(edges)
+    CheckpointShim.freeLocalCheckpointIfAny(edges)
     result
   }
 

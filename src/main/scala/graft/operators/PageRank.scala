@@ -51,12 +51,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** @param checkpointDir when set, every iteration commits a durable
+    *   [[DurableIters]] parquet snapshot under this directory and a
+    *   re-run with the same directory RESUMES from the highest committed
+    *   iteration (`None` keeps the in-memory localCheckpoint fast path —
+    *   one materialization for the whole stacked loop, but no
+    *   executor-loss restart point).
+    */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
-    val (r, handles) = build(edges, srcCol, dstCol, iters, scale)
-    val out = r.localCheckpoint(true)
-    handles.foreach(_.unpersist(false))
-    out
+      iters: Int = 5, scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = checkpointDir match {
+    case None =>
+      val (r, handles) = build(edges, srcCol, dstCol, iters, scale)
+      val out = r.localCheckpoint(true)
+      handles.foreach(_.unpersist(false))
+      out
+    case Some(dir) =>
+      val spark = edges.sparkSession
+      val (eod, nodes, base, baseTerm) = prepare(edges, srcCol, dstCol, scale)
+      // fixed-point integer iterations are bit-deterministic, so a run
+      // resumed from a committed round is identical to an uninterrupted
+      // one — DurableItersSpec proves it (and that the snapshot is
+      // actually what the resumed run reads)
+      val (done, r0) = DurableIters.latest(spark, dir, upTo = iters) match {
+        case Some((k, snap)) => (k, snap)
+        case None => (0, nodes.withColumn("r", lit(base)))
+      }
+      var r = r0
+      for (i <- done + 1 to iters)
+        r = DurableIters.save(iterate(eod, nodes, r, baseTerm, 1), dir, i)
+      val out = r.select(col("node"), col("r").as("pr_fx"))
+      Seq(eod, nodes).foreach(_.unpersist(false))
+      out
   }
 
   /** Everything [[ranks]] does except the final checkpoint: returns the
@@ -68,6 +94,17 @@ object PageRank {
   private[graft] def build(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1, "iters must be positive")
+    val (eod, nodes, base, baseTerm) = prepare(edges, srcCol, dstCol, scale)
+    val r = iterate(eod, nodes, nodes.withColumn("r", lit(base)), baseTerm, iters)
+      .select(col("node"), col("r").as("pr_fx"))
+    (r, Seq(eod, nodes))
+  }
+
+  /** The persisted, pre-partitioned loop inputs plus the integer base
+    * masses — shared by the localCheckpoint and durable paths.
+    */
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      scale: Long): (DataFrame, DataFrame, Long, Long) = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // ONE pipeline builds the degree-annotated distinct edge list with a
     // single exchange: repartition on src FIRST — hash(src) satisfies the
@@ -98,19 +135,20 @@ object PageRank {
       s"node count $n exceeds scale=$scale — base mass scale/n would be 0; raise scale")
     val base = scale / n
     val baseTerm = (15L * base) / 100L
-    (iterate(eod, nodes, base, baseTerm, iters), Seq(eod, nodes))
+    (eod, nodes, base, baseTerm)
   }
 
   /** The iteration loop over pre-partitioned inputs: `eod` (src, dst, od)
     * hash-partitioned on `src`, `nodes` (node) hash-partitioned on
-    * `node`, both with the session shuffle-partition count. Package-
-    * private so PlanSpec can count exchanges on the un-checkpointed plan
-    * (the public [[ranks]] returns a checkpointed LogicalRDD whose plan
-    * is opaque).
+    * `node`, both with the session shuffle-partition count; `rInit` is
+    * the (node, r) rank state to start from. Returns the (node, r) state
+    * after `iters` more rounds. Package-private so PlanSpec can count
+    * exchanges on the un-checkpointed plan (the public [[ranks]] returns
+    * a checkpointed/file-rooted frame whose plan is opaque).
     */
   private[graft] def iterate(eod: DataFrame, nodes: DataFrame,
-      base: Long, baseTerm: Long, iters: Int): DataFrame = {
-    var r = nodes.withColumn("r", lit(base))
+      rInit: DataFrame, baseTerm: Long, iters: Int): DataFrame = {
+    var r = rInit.select(col("node"), col("r"))
     for (_ <- 1 to iters) {
       val summed = eod
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
@@ -120,6 +158,6 @@ object PageRank {
         .select(col("node"), (lit(baseTerm) +
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
     }
-    r.select(col("node"), col("r").as("pr_fx"))
+    r
   }
 }

@@ -32,4 +32,19 @@ object CheckpointShim {
         s"${leaves.size}; free each source checkpoint individually")
     leaves.head.rdd.unpersist(blocking)
   }
+
+  /** [[freeLocalCheckpoint]] for loops that alternate between local
+    * checkpoints and durable (file-rooted) snapshots: frees the single
+    * checkpointed leaf when there is one, no-ops when the frame is
+    * rooted elsewhere (a parquet snapshot has nothing to unpersist).
+    * Still rejects multi-checkpoint plans for the same reason as the
+    * strict variant.
+    */
+  def freeLocalCheckpointIfAny(ds: Dataset[_], blocking: Boolean = false): Unit = {
+    val leaves = ds.queryExecution.analyzed.collect { case lr: LogicalRDD => lr }
+    require(leaves.size <= 1,
+      s"freeLocalCheckpointIfAny found ${leaves.size} checkpointed leaves; " +
+        "free each source checkpoint individually")
+    leaves.foreach(_.rdd.unpersist(blocking))
+  }
 }
