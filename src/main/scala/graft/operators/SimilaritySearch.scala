@@ -12,6 +12,10 @@ import graft.functions.VectorOps
   *    cosine reranks inside the probed buckets — the 100 TB path (bucket
   *    column can be partition/bucket key of the stored table so probes
   *    become partition pruning).
+  *  - `ivfTopK`/`knnJoinIvf`: KMeans coarse cells + nprobe + exact
+  *    rerank — probes become partition pruning on a cell-keyed table.
+  *  - `fitPq`/`pqEncode`/`pqTopK`: product quantization with ADC scan +
+  *    exact rerank — the compressed-storage path (m ints per vector).
   */
 object SimilaritySearch {
 
@@ -183,6 +187,92 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Product-quantization codebooks: the vector space split into `m`
+    * equal subspaces, each with its own seeded-KMeans codebook of
+    * `codesPerSub` centroids over the corresponding slice of the
+    * (caller-sampled) training vectors — [[fitIvf]] per slice, same
+    * determinism. Returns one (cid, centroid) list per subspace, the
+    * input shape of [[pqEncode]]/[[pqTopK]].
+    */
+  def fitPq(df: DataFrame, vecCol: String, dim: Int, m: Int,
+      codesPerSub: Int = 16, seed: Long = 42L,
+      maxIter: Int = 5): Seq[Seq[(Int, Seq[Double])]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      fitIvf(df.select(slice(col(vecCol).cast("array<double>"),
+        s * sub + 1, sub).as("subv")), "subv", codesPerSub, seed + s, maxIter)
+    }
+  }
+
+  /** Encode every vector to its `m` PQ codes (argmin sub-distance per
+    * subspace, the same ||c||²−2·v·c literal-fold trick as
+    * [[assignToCentroids]] — one codegen'd dot per code). The 100 TB
+    * point: persist (id, pq_code) as the SCAN table — m small ints per
+    * vector instead of dim floats (16-64× smaller), so the ADC candidate
+    * scan reads codes only and the full vectors are fetched for nothing
+    * but the bounded rerank set.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = cb.head._2.length
+      val sliced = slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
+      val structs = cb.map { case (cid, c) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) *
+          VectorOps.dot(sliced, array(c.map(lit): _*))).as("d"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(structs: _*)).getField("cid")
+    }
+    df.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** PQ-ADC top-k with exact rerank: the query builds `m` driver-side
+    * lookup tables (per-subspace L2² from its slice to every code
+    * centroid — m×codesPerSub doubles, folded into the plan as
+    * literals), each row's approximate distance is m O(1) array
+    * lookups summed — never a vector op — and the `rerank` best
+    * candidates get the exact cosine. Candidate selection is a
+    * TakeOrdered over the codes scan, so with a persisted
+    * [[pqEncode]] table the whole ANN query reads m ints per row until
+    * the final `rerank`-sized exact pass. ADC ranks by L2 while the
+    * rerank ranks by cosine — `rerank ≫ k` absorbs the metric gap
+    * (SimilaritySpec measures the recall).
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String, queryId: Long,
+      k: Int, codebooks: Seq[Seq[(Int, Seq[Double])]],
+      rerank: Int = 50): DataFrame = {
+    val qVec = df.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
+    val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = cb.head._2.length
+      val qs = qVec.slice(s * sub, s * sub + sub)
+      val arr = new Array[Double](cb.map(_._1).max + 1)
+      cb.foreach { case (cid, c) =>
+        arr(cid) = c.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum }
+      arr.toSeq
+    }
+    val adc = luts.zipWithIndex.map { case (lut, s) =>
+      element_at(array(lut.map(lit): _*),
+        element_at(col("pq_code"), s + 1) + 1)
+    }.reduce(_ + _)
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
+    pqEncode(df, vecCol, codebooks)
+      .where(col(idCol) =!= queryId)
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(rerank)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorOps.cosineWithNorms(col(vecCol), col("qv"),
+          VectorOps.l2Norm(col(vecCol)), col("qn")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** IVF ANN end-to-end: quantize the table, probe the query's `nprobe`

@@ -66,6 +66,21 @@ object VectorQueries {
         k = 10, centroids, nprobe = 2)
     }),
 
+    // PQ-rerank ANN: 8 subspaces × 16-code codebooks (seeded KMeans on
+    // the same 1/16 hash sample as IVF), ADC candidate scan — per row,
+    // 8 O(1) literal-table lookups, never a vector op — then exact
+    // cosine on the 40 best. The compressed-storage scale path: a
+    // persisted pqEncode table reads 8 ints/vector until the bounded
+    // rerank. Centroid floats are engine-specific → rows-only.
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val codebooks = SimilaritySearch.fitPq(
+        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", dim = 64, m = 8, codesPerSub = 16, maxIter = 3)
+      SimilaritySearch.pqTopK(e, "embedding", "vec_id", queryId = 0L,
+        k = 10, codebooks, rerank = 40)
+    }),
+
     // Batch k-NN join: exact cosine top-5 neighbors for every 50th
     // vector — the many-queries retrieval shape (broadcast query batch,
     // one corpus scan, per-query top-k window).

@@ -107,6 +107,42 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 == 1.0) // probing every cell IS the exact search
   }
 
+  test("pqTopK: recall vs brute force, and rerank=all equals brute force exactly") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val n = e.count().toInt
+    val codebooks = SimilaritySearch.fitPq(e, "embedding", dim = 64, m = 8,
+      codesPerSub = 16, maxIter = 3)
+    val truth = SimilaritySearch.bruteForceTopK(e, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0))
+    // rerank over every row: the ADC order stops mattering and the exact
+    // cosine pass IS brute force — ids and order must match bit-for-bit
+    val full = SimilaritySearch.pqTopK(e, "embedding", "vec_id", 0L, 10,
+      codebooks, rerank = n).collect().map(_.getLong(0))
+    assert(full.toSeq == truth.toSeq)
+    // the production shape: a bounded rerank set still recovers most of
+    // the true top-10 (8×16 codebooks on 64-dim leave ample signal)
+    val approx = SimilaritySearch.pqTopK(e, "embedding", "vec_id", 0L, 10,
+      codebooks, rerank = 40).collect().map(_.getLong(0)).toSet
+    val recall = approx.intersect(truth.toSet).size.toDouble / truth.length
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+    // determinism: seeded codebooks + deterministic ADC → same answer
+    val again = SimilaritySearch.pqTopK(e, "embedding", "vec_id", 0L, 10,
+      SimilaritySearch.fitPq(e, "embedding", dim = 64, m = 8,
+        codesPerSub = 16, maxIter = 3), rerank = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == approx)
+  }
+
+  test("pqEncode emits m codes per row within each codebook's id range") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val codebooks = SimilaritySearch.fitPq(e, "embedding", dim = 64, m = 8,
+      codesPerSub = 16, maxIter = 2)
+    val codes = SimilaritySearch.pqEncode(e, "embedding", codebooks)
+      .select(col("pq_code")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(_.length == 8))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+  }
+
   test("knnJoin: IVF full probe equals brute force for every query in the batch") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val queries = e.where(col("vec_id") % 25 === 0)
