@@ -190,21 +190,76 @@ object SimilaritySearch {
   }
 
   /** Product-quantization codebooks: the vector space split into `m`
-    * equal subspaces, each with its own seeded-KMeans codebook of
-    * `codesPerSub` centroids over the corresponding slice of the
-    * (caller-sampled) training vectors — [[fitIvf]] per slice, same
-    * determinism. Returns one (cid, centroid) list per subspace, the
-    * input shape of [[pqEncode]]/[[pqTopK]].
+    * equal subspaces, each with its own `codesPerSub`-centroid codebook
+    * over the corresponding slice of the (caller-sampled) training
+    * vectors. Returns one (cid, centroid) list per subspace, the input
+    * shape of [[pqEncode]]/[[pqTopK]].
+    *
+    * All `m` codebooks train TOGETHER as one grouped Lloyd loop over an
+    * exploded (subspace, subvector) frame: seeded-hash initialization is
+    * one job, and each Lloyd round is ONE aggregate job that refines
+    * every codebook at once (assignment = per-subspace argmin via the
+    * ||c||²−2·v·c literal fold, re-estimation = a (s, code, pos) mean).
+    * Training the subspaces as m separate KMeans fits costs m× the
+    * per-job scheduling/codegen floor — ~40 jobs for m=8 — for the same
+    * arithmetic; the grouped loop is 1 + maxIter jobs regardless of m.
+    * Deterministic for a fixed seed and input partitioning.
     */
   def fitPq(df: DataFrame, vecCol: String, dim: Int, m: Int,
       codesPerSub: Int = 16, seed: Long = 42L,
       maxIter: Int = 5): Seq[Seq[(Int, Seq[Double])]] = {
+    import org.apache.spark.sql.expressions.Window
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      fitIvf(df.select(slice(col(vecCol).cast("array<double>"),
-        s * sub + 1, sub).as("subv")), "subv", codesPerSub, seed + s, maxIter)
-    }
+    val subRows = df.select(inline(array((0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col(vecCol).cast("array<double>"),
+        s * sub + 1, sub).as("subv"))): _*)))
+      .persist()
+    try {
+      // seeded init: the codesPerSub distinct sub-vectors per subspace
+      // that sort first by their salted hash — deterministic, spread
+      // uniformly over the data, one job for every subspace at once
+      val byHash = Window.partitionBy(col("s"))
+        .orderBy(xxhash64(col("subv"), lit(seed)), col("subv"))
+      var centroids: Map[Int, Vector[Seq[Double]]] = subRows
+        .dropDuplicates("s", "subv")
+        .withColumn("rn", row_number().over(byHash))
+        .where(col("rn") <= codesPerSub)
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) =>
+          s -> rows.sortBy(_.getInt(2)).map(_.getSeq[Double](1)).toVector }
+      for (_ <- 1 to maxIter) {
+        // per-row nearest code: a when-chain over the subspace id, each
+        // branch the same literal-folded argmin as assignToCentroids
+        val codeExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+          val structs = centroids(s).zipWithIndex.map { case (c, ci) =>
+            val cNormSq = c.map(x => x * x).sum
+            struct((lit(cNormSq) - lit(2.0) *
+              VectorOps.dot(col("subv"), array(c.map(lit): _*))).as("d"),
+              lit(ci).as("cid"))
+          }
+          when(col("s") === s,
+            array_min(array(structs: _*)).getField("cid")).otherwise(acc)
+        }
+        // re-estimate every codebook in ONE aggregate: (s, code, pos) mean
+        val means = subRows.withColumn("code", codeExpr)
+          .select(col("s"), col("code"), posexplode(col("subv")))
+          .groupBy(col("s"), col("code"), col("pos"))
+          .agg(avg(col("col")).as("mu"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+        centroids = centroids.map { case (s, cb) =>
+          s -> cb.zipWithIndex.map { case (old, ci) =>
+            means.getOrElse((s, ci), old) // empty cluster keeps its centroid
+          }
+        }
+      }
+      (0 until m).map(s => centroids(s).zipWithIndex.map {
+        case (c, ci) => ci -> c })
+    } finally subRows.unpersist(blocking = false)
   }
 
   /** Encode every vector to its `m` PQ codes (argmin sub-distance per
