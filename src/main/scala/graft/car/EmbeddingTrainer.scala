@@ -123,10 +123,12 @@ object EmbeddingTrainer {
       lit(t).as("tbl"), col("id"), col("pos"), col("value"))
     val resumed = checkpointDir.flatMap(d =>
       graft.operators.DurableIters.latest(spark, d, upTo = cfg.epochs))
+    // init stays LAZY: it is a pure hash projection off spark.range —
+    // recomputing it inside epoch 1's jobs costs less than the dedicated
+    // materialization job a checkpoint would spend on it
     var emb = resumed.map(_._2).getOrElse(
       tagged(initFlat(spark, numEntities, cfg.dim, cfg.seed), "e")
-        .unionAll(tagged(initFlat(spark, numRelations, cfg.dim, cfg.seed + 1), "r"))
-        .localCheckpoint(true))
+        .unionAll(tagged(initFlat(spark, numRelations, cfg.dim, cfg.seed + 1), "r")))
     val firstEpoch = resumed.map(_._1 + 1).getOrElse(1)
     def entFlat = emb.filter(col("tbl") === "e").drop("tbl")
     def relFlat = emb.filter(col("tbl") === "r").drop("tbl")

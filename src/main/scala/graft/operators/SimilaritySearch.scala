@@ -230,18 +230,29 @@ object SimilaritySearch {
         .map { case (s, rows) =>
           s -> rows.sortBy(_.getInt(2)).map(_.getSeq[Double](1)).toVector }
       for (_ <- 1 to maxIter) {
-        // per-row nearest code: a when-chain over the subspace id, each
-        // branch the same literal-folded argmin as assignToCentroids
-        val codeExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-          val structs = centroids(s).zipWithIndex.map { case (c, ci) =>
-            val cNormSq = c.map(x => x * x).sum
-            struct((lit(cNormSq) - lit(2.0) *
-              VectorOps.dot(col("subv"), array(c.map(lit): _*))).as("d"),
-              lit(ci).as("cid"))
-          }
-          when(col("s") === s,
-            array_min(array(structs: _*)).getField("cid")).otherwise(acc)
+        // per-row nearest code: ONE codesPerSub-term argmin shared by
+        // every subspace — each term picks its centroid/norm out of flat
+        // (s × code)-indexed typedLit literals with the row's own `s`.
+        // Two codegen properties matter: the literals live in the
+        // references array (not inlined doubles), so the generated
+        // source is byte-identical across Lloyd rounds and fitPq calls
+        // and the codegen cache hits; and the expression is K terms, not
+        // m×K when-chain branches. Subspaces whose codebook came up
+        // short of codesPerSub pad with +∞ norms that can never win.
+        val normsFlat = typedLit((0 until m).flatMap(s =>
+          (0 until codesPerSub).map(ci =>
+            centroids(s).lift(ci).map(c => c.map(x => x * x).sum)
+              .getOrElse(Double.PositiveInfinity))))
+        val centsFlat = typedLit((0 until m).flatMap(s =>
+          (0 until codesPerSub).map(ci =>
+            centroids(s).lift(ci).getOrElse(Seq.fill(sub)(0.0)))))
+        val structs = (0 until codesPerSub).map { ci =>
+          val idx = col("s") * codesPerSub + ci + 1
+          struct((element_at(normsFlat, idx) - lit(2.0) *
+            VectorOps.dot(col("subv"), element_at(centsFlat, idx))).as("d"),
+            lit(ci).as("cid"))
         }
+        val codeExpr = array_min(array(structs: _*)).getField("cid")
         // re-estimate every codebook in ONE aggregate: (s, code, pos) mean
         val means = subRows.withColumn("code", codeExpr)
           .select(col("s"), col("code"), posexplode(col("subv")))
@@ -262,9 +273,12 @@ object SimilaritySearch {
     } finally subRows.unpersist(blocking = false)
   }
 
-  /** Encode every vector to its `m` PQ codes (argmin sub-distance per
-    * subspace, the same ||c||²−2·v·c literal-fold trick as
-    * [[assignToCentroids]] — one codegen'd dot per code). The 100 TB
+  /** Encode every vector to its `m` PQ codes via the
+    * [[graft.functions.expressions.PqCodes]] expression — the codebooks
+    * ride the codegen references (one tight primitive loop, a one-line
+    * generated call whose source is identical for every codebook), where
+    * a composed argmin would constant-fold m×codesPerSub centroid
+    * literals into seconds of per-codebook Janino compile. The 100 TB
     * point: persist (id, pq_code) as the SCAN table — m small ints per
     * vector instead of dim floats (16-64× smaller), so the ADC candidate
     * scan reads codes only and the full vectors are fetched for nothing
@@ -272,18 +286,11 @@ object SimilaritySearch {
     */
   def pqEncode(df: DataFrame, vecCol: String,
       codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
-    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = cb.head._2.length
-      val sliced = slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
-      val structs = cb.map { case (cid, c) =>
-        val cNormSq = c.map(x => x * x).sum
-        struct((lit(cNormSq) - lit(2.0) *
-          VectorOps.dot(sliced, array(c.map(lit): _*))).as("d"),
-          lit(cid).as("cid"))
-      }
-      array_min(array(structs: _*)).getField("cid")
-    }
-    df.withColumn("pq_code", array(codes: _*))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    df.withColumn("pq_code", ColumnShim.column(
+      graft.functions.expressions.PqCodes(
+        ColumnShim.expression(col(vecCol).cast("array<double>")),
+        codebooks.map(_.sortBy(_._1).map(_._2)))))
   }
 
   /** PQ-ADC top-k with exact rerank: the query builds `m` driver-side
@@ -312,8 +319,7 @@ object SimilaritySearch {
       arr.toSeq
     }
     val adc = luts.zipWithIndex.map { case (lut, s) =>
-      element_at(array(lut.map(lit): _*),
-        element_at(col("pq_code"), s + 1) + 1)
+      element_at(typedLit(lut), element_at(col("pq_code"), s + 1) + 1)
     }.reduce(_ + _)
     val q = df.where(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
@@ -328,6 +334,81 @@ object SimilaritySearch {
           VectorOps.l2Norm(col(vecCol)), col("qn")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Batch k-NN join, PQ-pruned: every query of a bounded batch scores
+    * the corpus by ADC over its PQ codes — per (row, query):
+    * m element_at picks into the literal codebook (centroid components
+    * and norms folded into the plan) + m short dots against the query's
+    * broadcast slices, never a full-vector op — then the per-query
+    * `rerank` best candidates get the exact cosine. Same broadcast-batch
+    * + query-partitioned-window shape as [[knnJoinBruteForce]]; with a
+    * persisted [[pqEncode]] table the candidate stage reads m ints per
+    * corpus row. ADC ranks by L2, the rerank by cosine — `rerank ≫ k`
+    * absorbs the metric gap.
+    */
+  def knnJoinPq(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, codebooks: Seq[Seq[(Int, Seq[Double])]],
+      rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val sub = codebooks.head.head._2.length
+    // literal codebook tables: per subspace, centroid components as
+    // array<array<double>> and ||c||² as array<double>, indexed by code
+    val cents = codebooks.map(cb =>
+      typedLit(cb.sortBy(_._1).map(_._2)))
+    val cNorms = codebooks.map(cb =>
+      typedLit(cb.sortBy(_._1).map { case (_, c) => c.map(x => x * x).sum }))
+    // the textbook ADC split: each QUERY row precomputes its m lookup
+    // tables (distance from its slice to every code centroid) ONCE —
+    // m×codesPerSub dots on the bounded batch — so the |Q|×|C| candidate
+    // stage below is m array picks + adds per pair, with no dot, slice,
+    // or allocation in the hot loop
+    val lutCols = (0 until m).map { s =>
+      val qSlice = slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
+      array((0 until codebooks(s).length).map(ci =>
+        element_at(cNorms(s), ci + 1) - lit(2.0) *
+          VectorOps.dot(qSlice, element_at(cents(s), ci + 1))): _*)
+        .as(s"__lut$s")
+    }
+    val qLuts = queries.select(col(idCol).as("query_id") +: lutCols: _*)
+    val adc = (0 until m).map { s =>
+      element_at(col(s"__lut$s"), element_at(col("pq_code"), s + 1) + 1)
+    }.reduce(_ + _)
+    // the |Q|×|C| stage stays SKINNY: ids + the adc scalar only. The
+    // LUTs, query vectors, and corpus vectors must NOT ride the pair
+    // rows into the top-`rerank` window's shuffle — with them a
+    // |Q|×|C| candidate set shuffles gigabytes of repeated payload;
+    // without, the rank-filter's map-side WindowGroupLimit leaves
+    // ~rerank skinny rows per (query, input-partition).
+    val cands = pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+      "v", codebooks)
+      .join(broadcast(qLuts), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    val byQueryAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val top = cands
+      .withColumn("arank", row_number().over(byQueryAdc))
+      .where(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // vectors re-enter only for the bounded rerank set: corpus side by
+    // equi-join on the candidate ids, query side re-broadcast
+    val qVecs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
+    val reranked = top
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineWithNorms(col("v"), col("qv"),
+          VectorOps.l2Norm(col("v")), col("qn")).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
   }
 
   /** IVF ANN end-to-end: quantize the table, probe the query's `nprobe`

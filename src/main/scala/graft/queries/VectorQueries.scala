@@ -104,6 +104,20 @@ object VectorQueries {
         "embedding", "vec_id", k = 5, centroids, nprobe = 2)
     }),
 
+    // PQ-pruned k-NN join: same query batch, candidates by ADC over the
+    // 8-int code column (m element_at picks + short dots per pair, never
+    // a full-vector op), per-query top-25 reranked exactly. Centroid
+    // floats are engine-specific → rows-only.
+    "knn_join_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val codebooks = SimilaritySearch.fitPq(
+        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", dim = 64, m = 8, codesPerSub = 16, maxIter = 3)
+      SimilaritySearch.knnJoinPq(
+        e, e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 5, codebooks, rerank = 25)
+    }),
+
     // Semantic dedup (SemDeDup shape): cosine near-dup pairs blocked by
     // IVF cells from a real KMeans coarse quantizer — the blocking that
     // keeps the pair space Σ per-cell n² instead of global n². Centroid

@@ -133,6 +133,32 @@ class SimilaritySpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("knnJoinPq: rerank=all equals the brute-force join for every query") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val n = e.count().toInt
+    val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
+    val codebooks = SimilaritySearch.fitPq(e, "embedding", dim = 64, m = 8,
+      codesPerSub = 16, maxIter = 2)
+    val truth = SimilaritySearch
+      .knnJoinBruteForce(e, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = SimilaritySearch
+      .knnJoinPq(e, queries, "embedding", "vec_id", k = 5, codebooks, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == truth)
+    // bounded rerank: every query still gets k rows, ranks 1..k
+    val approx = SimilaritySearch
+      .knnJoinPq(e, queries, "embedding", "vec_id", k = 5, codebooks, rerank = 25)
+      .collect()
+    val perQuery = approx.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.map(_.getLong(2)).sorted.toSeq == (1L to 5L)))
+    // and recalls a solid share of the true neighbor pairs
+    val approxPairs = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthPairs = truth.map(t => (t._1, t._2))
+    val recall = approxPairs.intersect(truthPairs).size.toDouble / truthPairs.size
+    assert(recall >= 0.5, s"knnJoinPq recall too low: $recall")
+  }
+
   test("pqEncode emits m codes per row within each codebook's id range") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val codebooks = SimilaritySearch.fitPq(e, "embedding", dim = 64, m = 8,
