@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes straight to this process's stdout instead
+// of through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks any JSON parse of Bench/Verify's machine-readable lines
+// (BENCH_r07..r09 all recorded parsed=null from the prefixed line).
+run / outputStrategy := Some(StdoutOutput)
 // sun.jnu.encoding follows the OS locale (a -D flag is too late); a
 // UTF-8 locale is required to open the reference's non-ASCII file names
 Test / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")

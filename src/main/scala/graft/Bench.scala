@@ -54,19 +54,22 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.nonEmpty)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
     println(full)
     // the full line routinely exceeds the driver's log-tail capture
     // window (r5/r6/r8 all recorded parsed=null from a truncated line) —
     // persist it as a FILE too, so the complete per-query map survives
-    // any capture length
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+    // any capture length. Subset (profiling) runs go to a SCRATCH file:
+    // the canonical BENCH.json must only ever hold full-suite results,
+    // or cross-commit totals stop being comparable.
+    val benchFile = if (wanted.isEmpty) "BENCH.json" else "BENCH_scratch.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}") }
-    // compact headline AGAIN as the LAST line: a short trailing line
-    // always survives a tail capture whole
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
+      System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}") }
+    // the full line AGAIN as the LAST line: a tail capture keeps the end
+    // of the log, so a last-line parser sees the complete per-query map
+    println(full)
     spark.stop()
   }
 }

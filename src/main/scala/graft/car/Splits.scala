@@ -14,6 +14,25 @@ object Splits {
     (train, dev)
   }
 
+  /** R1, oracle form — deterministic fraction split by an md5 gate on a
+    * unique key: a row lands in train iff the first 16 bits of
+    * `md5(key)` fall below `trainFraction · 2¹⁶`. Same uniform marginal
+    * as [[shuffledSplit]]'s seeded RNG, but a pure function of the key —
+    * bit-identical across engines, retries, partitionings, and AQE
+    * re-plans (and replayable by a SQL oracle), which is what a 100 TB
+    * pipeline actually wants from a "random" split: re-running a failed
+    * stage must not reshuffle rows between train and dev. The md5 gate is
+    * the same construction [[graft.operators.CorpusPrep.mixtureSample]]
+    * and the R3 edge-sample oracle use.
+    */
+  def hashSplit(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      trainFraction: Double): (DataFrame, DataFrame) = {
+    val gate = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val thresh = lit(trainFraction) * lit(65536)
+    (df.where(gate < thresh), df.where(gate >= thresh))
+  }
+
   /** R2 — sequential split by an ordering column. The reference slices
     * `.loc[:n]` / `.loc[n:]`, which puts row n in BOTH halves (quirk X1);
     * `overlapBoundary = true` reproduces that, the default gives an exact

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlier handling for numeric feature columns — the clamping /
+  * robust-scaling pass a training-data pipeline runs between ingest and
+  * normalization (the reference's pipeline normalizes raw columns
+  * directly, data.py:107-125; real corpus features need the tails tamed
+  * first or min-max collapses the useful range onto a few outliers).
+  *
+  * Everything here is the two-job shape the engine uses for all fitted
+  * transforms (see [[graft.car.Normalize]]): ONE aggregate pass computes
+  * the per-group statistics (exact `percentile` — a sort-based aggregate
+  * whose group state is bounded by group size; swap in
+  * `approx_percentile` for groups that don't fit, the A14→A18 trade
+  * documented in AggregateQueries), then the stats re-enter the plan as
+  * a broadcast-joined stats table and the clamp itself is a pure
+  * codegen'd projection. No driver loop, no per-column pass, no second
+  * scan per statistic.
+  */
+object Outliers {
+
+  /** Winsorize `valueCol` within each group: values below the group's
+    * `lo` quantile clamp up to it, values above `hi` clamp down. Returns
+    * the input columns plus `<valueCol>_w`. The stats side is
+    * aggregate-sized (one row per group) — broadcast by construction;
+    * with millions of groups drop the hint and the join degrades
+    * gracefully to a shuffle on the group key.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val gcols = groupCols.map(col)
+    val stats = df.groupBy(gcols: _*).agg(
+      expr(s"percentile($valueCol, $lo)").as("__w_lo"),
+      expr(s"percentile($valueCol, $hi)").as("__w_hi"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__w_lo")), col("__w_hi")))
+      .drop("__w_lo", "__w_hi")
+  }
+
+  /** Robust z-score: (x − median) / MAD within each group, the
+    * outlier-insensitive alternative to [[graft.car.Normalize]]'s
+    * mean/stddev z-score (one wild row moves a mean arbitrarily far; the
+    * median moves by at most one rank). Two aggregate passes by
+    * necessity — MAD is a quantile OF deviations from a quantile — each
+    * the same broadcast-stats shape as [[winsorize]]. Groups whose MAD
+    * is 0 (over half the values identical) fall back to scale 1 so the
+    * column yields 0, not ±inf — the same constant-column rule
+    * Normalize.fit applies.
+    */
+  def robustZScore(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      out: String = "rz"): DataFrame = {
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__adev", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(gcols: _*)
+      .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+    dev.drop("__adev")
+      .join(broadcast(mad), groupCols)
+      .withColumn(out, (col(valueCol) - col("__med")) /
+        when(col("__mad") === 0.0, lit(1.0)).otherwise(col("__mad")))
+      .drop("__med", "__mad")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable summary sketches — the pre-aggregation layer a 100 TB
+  * pipeline leans on when exact per-key state is too big or must compose
+  * across shards/partitions/time windows without a re-scan.
+  *
+  *  - [[hllRollup]]: per-group HyperLogLog distinct-count sketches
+  *    (Spark's `hll_sketch_agg`, an Apache DataSketches HLL) plus the
+  *    union of those same sketches — the point is that the rollup row
+  *    comes from MERGING the per-group sketches (register-wise max, an
+  *    exact lattice join), never from re-scanning the data. That is the
+  *    pattern that lets daily shard sketches answer "distinct over any
+  *    date range" at constant cost.
+  *  - [[cmsFit]]/[[cmsEstimate]]/[[cmsHeavyHitters]]: a count-min sketch
+  *    as a (depth × width) counter TABLE built in one aggregate pass.
+  *    Counters are additive, so shard sketches merge by summing the
+  *    matching cells — and the estimate's one-sided guarantee
+  *    (est ≥ true, always; est ≤ true + εN with probability 1−δ) is
+  *    what makes "count anything later" possible in bounded memory
+  *    when the key universe (n-grams, URLs) is unbounded.
+  *
+  * Both sketches are deterministic here — HLL hashes are fixed by the
+  * library, CMS rows are seeded `xxhash64` — so results are stable
+  * across runs, retries, and partitionings (rows-only in the oracle
+  * gate: no SQL engine replays the hash functions).
+  */
+object Sketches {
+
+  /** Per-group approximate distinct counts plus an `__all` rollup row
+    * computed by MERGING the group sketches (`hll_union_agg`), not by
+    * re-aggregating the input. `lgConfigK` is the DataSketches accuracy
+    * knob (2^k registers; 12 ≈ 1.6% RSE in ~4 KB per sketch).
+    */
+  def hllRollup(df: DataFrame, valueCol: String, groupCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgConfigK)").as("__sk"))
+    val groups = perGroup.select(col(groupCol).cast("string").as("grp"),
+      expr("hll_sketch_estimate(__sk)").as("n_distinct_est"))
+    val rollup = perGroup.agg(
+      expr(s"hll_sketch_estimate(hll_union_agg(__sk, $lgConfigK))")
+        .as("n_distinct_est"))
+      .select(lit("__all").as("grp"), col("n_distinct_est"))
+    groups.unionByName(rollup)
+  }
+
+  /** The (d, bucket, cnt) counter table of a depth×width count-min
+    * sketch over `termCol` (one count per input row): row `d` buckets a
+    * term by `xxhash64(term, seed+d) mod width`. ONE exchange — the
+    * depth replication is a map-side Expand (`inline`), the counts a
+    * partial+final aggregate over ≤ depth·width cells. Shard sketches
+    * merge by summing matching cells; `cnt` is additive.
+    */
+  def cmsFit(df: DataFrame, termCol: String, width: Int, depth: Int,
+      seed: Long = 42L): DataFrame = {
+    require(width > 0 && depth > 0, s"need positive width/depth, got $width x $depth")
+    df.select(inline(array((0 until depth).map(d =>
+      struct(lit(d).as("d"),
+        pmod(xxhash64(col(termCol), lit(seed + d)), lit(width.toLong))
+          .as("bucket"))): _*)))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `terms` (one row per distinct term in its
+    * `termCol`) against a fitted counter table: min over the depth rows
+    * of the term's bucket counts. The counter table is ≤ depth·width
+    * rows — broadcast by construction. A term the sketch never saw reads
+    * 0-count cells (left join + coalesce), estimating 0, not null.
+    * Hash parameters must match the [[cmsFit]] call.
+    */
+  def cmsEstimate(terms: DataFrame, counters: DataFrame, termCol: String,
+      width: Int, depth: Int, seed: Long = 42L): DataFrame = {
+    val probes = terms.select(col(termCol)).distinct()
+      .select(col(termCol), inline(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          pmod(xxhash64(col(termCol), lit(seed + d)), lit(width.toLong))
+            .as("bucket"))): _*)))
+    probes.join(broadcast(counters), Seq("d", "bucket"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Top-`k` terms by CMS estimate (ties broken by term). Candidates
+    * default to the input's own distinct terms; at scale the candidate
+    * set comes from somewhere bounded (a sample, a prior window's heavy
+    * hitters) while the sketch summarizes the full stream — the sketch
+    * is the part that never grows with the key universe.
+    */
+  def cmsHeavyHitters(df: DataFrame, termCol: String, k: Int,
+      width: Int = 2048, depth: Int = 4, seed: Long = 42L): DataFrame = {
+    val counters = cmsFit(df, termCol, width, depth, seed)
+    cmsEstimate(df, counters, termCol, width, depth, seed)
+      .orderBy(col("est").desc, col(termCol).asc)
+      .limit(k)
+  }
+}

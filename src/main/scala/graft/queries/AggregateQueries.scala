@@ -231,6 +231,35 @@ object AggregateQueries {
           count(lit(1)).as("n"))
     }),
 
+    // A19 — per-group winsorization: tails of l_extendedprice clamp to
+    // the group's exact [p05, p95] (percentile ↔ quantile_cont, the A14
+    // equivalence). Fitted-transform shape: one stats aggregate,
+    // broadcast back, codegen'd clamp projection — no second scan.
+    "a19_winsorize" -> ((s, dir) => {
+      graft.operators.Outliers.winsorize(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice", Seq("l_returnflag"), lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_w"), 4).as("price_w"))
+    }),
+
+    // A20 — robust z-score: (x − median) / MAD per group — the
+    // outlier-insensitive scaling A2's mean/stddev z-score breaks on
+    // (one wild row moves a mean arbitrarily; a median by one rank).
+    // MAD is a quantile OF deviations from a quantile: two aggregate
+    // passes by necessity, each the same broadcast-stats shape.
+    "a20_robust_z" -> ((s, dir) => {
+      graft.operators.Outliers.robustZScore(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice", Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("rz"), 4).as("rz"))
+    }),
+
     // A13 — training-loss reductions as dataflow (first.py:54,
     // tabnet.py:277-289): MSE, L1, and the combined λ·CE + (1−λ)·MSE
     // shape with a deterministic pseudo-probability.
@@ -498,6 +527,28 @@ object AggregateQueries {
               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
               CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1""",
+    "a19_winsorize" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+              round(least(greatest(l.l_extendedprice, s.lo), s.hi), 4) AS price_w
+         FROM lineitem l JOIN (
+           SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
+    "a20_robust_z" ->
+      """WITH med AS (SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.5) AS m
+                FROM lineitem GROUP BY 1),
+         dev AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                  l.l_extendedprice, med.m,
+                  abs(l.l_extendedprice - med.m) AS adev
+                FROM lineitem l JOIN med USING (l_returnflag)),
+         mad AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS md
+                FROM dev GROUP BY 1)
+         SELECT d.l_orderkey, d.l_linenumber,
+                round((d.l_extendedprice - d.m) /
+                      (CASE WHEN mad.md = 0 THEN 1.0 ELSE mad.md END), 4) AS rz
+         FROM dev d JOIN mad USING (l_returnflag)""",
     "a13_loss" ->
       """WITH s AS (SELECT l_returnflag,
              l_extendedprice AS target,

@@ -124,10 +124,15 @@ object GraphQueries {
       DenseId.withOrderedId(relabelInput(s, dir), "local_id", "node")
     }),
 
-    // R1 — seeded shuffled 70/30 split (utils.py:210-219). Deterministic for
-    // a fixed seed+partitioning but not SQL-expressible → rows-only.
+    // R1 — shuffled 70/30 split (utils.py:210-219), as an ORACLE row: the
+    // train half of the md5-gate split on the unique order key — the same
+    // uniform marginal as randomSplit's seeded RNG but a pure function of
+    // the key, so DuckDB replays it bit-for-bit and a retried stage can
+    // never move a row between train and dev
+    // ([[graft.car.Splits.shuffledSplit]] keeps Spark's randomSplit as
+    // the library API).
     "r1_split_train" -> ((s, dir) => {
-      Tables.orders(s, dir).randomSplit(Array(0.7, 0.3), seed = 42)(0)
+      graft.car.Splits.hashSplit(Tables.orders(s, dir), col("o_orderkey"), 0.7)._1
     }),
 
     // R3 — uniform edge sample w/o replacement (samples.py:15-18), as an
@@ -369,6 +374,10 @@ object GraphQueries {
          SELECT src, dst, rel FROM e
          WHERE CAST(('0x' || substr(md5(CAST(CAST(src AS BIGINT) * 1000000 + dst AS VARCHAR)), 1, 4))
                AS INTEGER) < 0.1 * 65536""",
+    "r1_split_train" ->
+      """SELECT * FROM orders
+         WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+               AS INTEGER) < 0.7 * 65536""",
     "graph_pagerank" -> PageRankOracle,
     "g5_mean_agg" ->
       """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,

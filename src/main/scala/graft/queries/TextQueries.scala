@@ -644,6 +644,31 @@ object TextQueries {
           count(lit(1)).as("n_docs"))
     }),
 
+    // Sketch-union rollup: per-source HLL distinct-text sketches whose
+    // UNION (register-wise max — an exact merge, no re-scan) yields the
+    // corpus-wide row — the mergeable pre-aggregation pattern that lets
+    // per-shard/per-day sketches answer any-range distinct queries at
+    // constant cost at 100 TB. DataSketches binary → rows-only
+    // (SketchesSpec pins merged ≡ direct-global and the error vs exact).
+    "sketch_union_rollup" -> ((s, dir) => {
+      graft.operators.Sketches.hllRollup(
+        Tables.documents(s, dir), "text", "source")
+        .select(col("grp"), col("n_distinct_est"))
+    }),
+
+    // Count-min-sketch heavy hitters: token counts estimated from a
+    // 4×2048 counter table built in one aggregate pass — bounded memory
+    // for an unbounded key universe, additive across shards. Seeded
+    // xxhash64 rows → deterministic but engine-specific → rows-only
+    // (SketchesSpec proves est ≥ exact always and measures the +εN side).
+    "heavy_hitters_cms" -> ((s, dir) => {
+      graft.operators.Sketches.cmsHeavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .where(col("token") =!= ""),
+        "token", k = 20, width = 2048, depth = 4)
+    }),
+
     // Mixture sampling: deterministic per-source downsampling to target
     // weights (1.0 / 0.5 / 0.2 tiers over the 20 sources) via an md5
     // uniform gate — reproducible across engines, runs and retries.

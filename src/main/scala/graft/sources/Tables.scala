@@ -24,28 +24,56 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read it as a raw nanosecond long
-    * (`ts_ns`); downstream time logic works on epoch arithmetic, which is
-    * also the cheapest form at scale (pure codegen'd long math, no tz).
+  /** `events` exposes `ts` as a raw nanosecond epoch long (`ts_ns`);
+    * downstream time logic works on epoch arithmetic, which is also the
+    * cheapest form at scale (pure codegen'd long math, no tz).
     *
-    * SESSION REQUIREMENT: `spark.sql.legacy.parquet.nanosAsLong=true`
-    * must be set when the session is BUILT (the engine's entry points —
-    * Bench/Verify/Run/Explain — and the test harness all do). It is not
-    * set here: the conf is consulted again at scan-execution time, so a
-    * set-and-restore inside this loader cannot be correctly scoped, and
-    * a permanent set would silently change how the CALLER's other
-    * nanos-typed parquet reads behave — a library must not mutate its
-    * host session. The require turns the otherwise-cryptic
-    * PARQUET_TYPE_ILLEGAL action-time failure into an immediate,
-    * actionable one.
+    * The stored encoding has varied across testdata generations — INT64
+    * TIMESTAMP(NANOS) (readable only as a long, with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` set when the session is
+    * BUILT) vs TIMESTAMP(MICROS) (read as a timestamp type) — so the
+    * loader normalizes whatever the footer declares to the same `ts_ns`:
+    *  - long (nanos file + conf): already nanoseconds, rename only;
+    *  - TIMESTAMP_NTZ (micros file, isAdjustedToUTC=false): wall-clock
+    *    micros since epoch via `timestampdiff` against the epoch NTZ
+    *    literal — pure calendar arithmetic, no session-timezone
+    *    dependence (a tz-sensitive cast would shift rows between hour
+    *    buckets on a non-UTC session);
+    *  - TIMESTAMP (micros file read as instant): `unix_micros`, which is
+    *    tz-independent by definition.
+    * µs→ns is ×1000, exact in int64 for any plausible epoch. The conf is
+    * NOT set here: it is consulted again at scan-execution time, so a
+    * set-and-restore inside this loader cannot be correctly scoped, and a
+    * permanent set would silently change the CALLER's other parquet
+    * reads — a library must not mutate its host session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .exists(_.equalsIgnoreCase("true")),
-      "events.parquet stores ts as INT64 TIMESTAMP(NANOS): build the session " +
-        "with spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events doc)")
-    load(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+          throw new IllegalArgumentException(
+            "events.parquet stores ts as INT64 TIMESTAMP(NANOS): build the " +
+              "session with spark.sql.legacy.parquet.nanosAsLong=true " +
+              "(see Tables.events doc)", e)
+      }
+    val tsNs = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")
+      case TimestampType => expr("unix_micros(ts) * 1000")
+      case t => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $t — expected long (nanosAsLong), " +
+          "timestamp_ntz, or timestamp")
+    }
+    // select keeps ts_ns in ts's ordinal position, like the rename did
+    raw.select(raw.columns.map {
+      case "ts" => tsNs.cast(LongType).as("ts_ns")
+      case c => col(c)
+    }: _*)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

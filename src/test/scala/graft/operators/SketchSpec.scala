@@ -24,4 +24,70 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.01, s"${r.getString(0)}: approx $a vs exact $e")
     }
   }
+
+  test("hllRollup: merged __all row equals a direct global sketch, within 5% of exact") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+    val rollup = Sketches.hllRollup(docs, "text", "source").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // mergeability is EXACT: union of per-group sketches carries the same
+    // registers as one sketch over all rows (register-wise max is
+    // associative), so the estimates must be identical, not just close
+    val direct = docs
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(text, 12))")).head().getDouble(0)
+    assert(rollup("__all") === direct,
+      s"merged ${rollup("__all")} != direct-global $direct")
+    val exact = docs.select(col("text")).distinct().count().toDouble
+    assert(math.abs(rollup("__all") - exact) / exact < 0.05,
+      s"merged estimate ${rollup("__all")} vs exact $exact")
+    // per-group rows estimate each group's own distinct count
+    val exactPer = docs.groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exactPer.foreach { case (g, e) =>
+      assert(math.abs(rollup(g) - e) / e < 0.05, s"$g: ${rollup(g)} vs $e")
+    }
+  }
+
+  test("CMS: estimate >= exact always; equals exact when width dwarfs the vocabulary") {
+    import spark.implicits._
+    // skewed synthetic counts through a DELIBERATELY colliding sketch
+    val terms = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i")).toDF("term")
+    val exact = terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tight = Sketches.cmsEstimate(terms,
+      Sketches.cmsFit(terms, "term", width = 8, depth = 3), "term",
+      width = 8, depth = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight.keySet == exact.keySet)
+    // the one-sided CMS guarantee is deterministic: collisions only ADD
+    exact.foreach { case (t, e) =>
+      assert(tight(t) >= e, s"$t: est ${tight(t)} < exact $e")
+    }
+    assert(tight.exists { case (t, v) => v > exact(t) },
+      "width=8 over 40 terms must collide somewhere")
+    // a wide sketch (2048 ≫ 40 terms) should be collision-free per row
+    val wide = Sketches.cmsEstimate(terms,
+      Sketches.cmsFit(terms, "term", width = 2048, depth = 4), "term",
+      width = 2048, depth = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, e) => assert(wide(t) == e, s"$t: ${wide(t)} != $e") }
+  }
+
+  test("CMS heavy hitters surface the true top terms and merge additively across shards") {
+    import spark.implicits._
+    val terms = (1 to 30).flatMap(i => Seq.fill(i * i)(s"w$i")).toDF("term")
+    val top = Sketches.cmsHeavyHitters(terms, "term", k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.map(_._1).toSeq == Seq("w30", "w29", "w28", "w27", "w26"))
+    assert(top.head._2 == 900L) // exact at this width — no collisions
+    // additivity: summing two half-corpus counter tables ≡ one full fit
+    val (h1, h2) = (terms.limit(4000), terms.exceptAll(terms.limit(4000)))
+    val mergedCounters = Sketches.cmsFit(h1, "term", 64, 3)
+      .unionByName(Sketches.cmsFit(h2, "term", 64, 3))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val merged = Sketches.cmsEstimate(terms, mergedCounters, "term", 64, 3)
+    val full = Sketches.cmsEstimate(terms,
+      Sketches.cmsFit(terms, "term", 64, 3), "term", 64, 3)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
 }
