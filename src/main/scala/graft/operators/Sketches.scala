@@ -41,7 +41,11 @@ object Sketches {
     val groups = perGroup.select(col(groupCol).cast("string").as("grp"),
       expr("hll_sketch_estimate(__sk)").as("n_distinct_est"))
     val rollup = perGroup.agg(
-      expr(s"hll_sketch_estimate(hll_union_agg(__sk, $lgConfigK))")
+      // hll_union_agg's optional 2nd arg is the BOOLEAN
+      // allowDifferentLgConfigK, NOT a lgConfigK — the per-group sketches
+      // above already share this rollup's lgConfigK, so the default
+      // (strict) union is what we want.
+      expr("hll_sketch_estimate(hll_union_agg(__sk))")
         .as("n_distinct_est"))
       .select(lit("__all").as("grp"), col("n_distinct_est"))
     groups.unionByName(rollup)
