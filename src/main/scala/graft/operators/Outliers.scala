@@ -50,16 +50,28 @@ object Outliers {
     * is 0 (over half the values identical) fall back to scale 1 so the
     * column yields 0, not ±inf — the same constant-column rule
     * Normalize.fit applies.
+    *
+    * The fitted statistics are snapped to `statScale` decimal places
+    * before they re-enter the plan. Quantile INTERPOLATION is the one
+    * step whose floating-point expression differs across engines (and
+    * could differ across Spark versions): `lower + (higher−lower)·frac`
+    * vs `lower·(1−frac) + higher·frac` land an ulp apart, and the
+    * division then amplifies that ulp past the consumer's rounding
+    * boundary. The true interpolated value of ≤2-dp inputs has ≤4
+    * decimal places, so a 6-dp snap is exact on the real statistic while
+    * collapsing the expression-order noise — making the transform a pure
+    * function of the data (stable across retries, engine swaps, and the
+    * DuckDB oracle), same motive as [[graft.car.Splits.hashSplit]].
     */
   def robustZScore(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      out: String = "rz"): DataFrame = {
+      out: String = "rz", statScale: Int = 6): DataFrame = {
     val gcols = groupCols.map(col)
     val med = df.groupBy(gcols: _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), statScale).as("__med"))
     val dev = df.join(broadcast(med), groupCols)
       .withColumn("__adev", abs(col(valueCol) - col("__med")))
     val mad = dev.groupBy(gcols: _*)
-      .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+      .agg(round(expr("percentile(__adev, 0.5)"), statScale).as("__mad"))
     dev.drop("__adev")
       .join(broadcast(mad), groupCols)
       .withColumn(out, (col(valueCol) - col("__med")) /

@@ -257,7 +257,10 @@ object AggregateQueries {
             col("l_returnflag"), col("l_extendedprice")),
         "l_extendedprice", Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("rz"), 4).as("rz"))
+          // + 0.0 collapses IEEE −0.0 to 0.0 (the g5 oracle trick):
+          // a hair-below-zero rz rounds to −0.0 in one engine and 0.0
+          // in the other, and the 4-dp canon keeps the sign
+          (round(col("rz"), 4) + lit(0.0)).as("rz"))
     }),
 
     // A13 — training-loss reductions as dataflow (first.py:54,
@@ -537,17 +540,17 @@ object AggregateQueries {
            FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
     "a20_robust_z" ->
       """WITH med AS (SELECT l_returnflag,
-                  quantile_cont(l_extendedprice, 0.5) AS m
+                  round(quantile_cont(l_extendedprice, 0.5), 6) AS m
                 FROM lineitem GROUP BY 1),
          dev AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
                   l.l_extendedprice, med.m,
                   abs(l.l_extendedprice - med.m) AS adev
                 FROM lineitem l JOIN med USING (l_returnflag)),
-         mad AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS md
+         mad AS (SELECT l_returnflag, round(quantile_cont(adev, 0.5), 6) AS md
                 FROM dev GROUP BY 1)
          SELECT d.l_orderkey, d.l_linenumber,
                 round((d.l_extendedprice - d.m) /
-                      (CASE WHEN mad.md = 0 THEN 1.0 ELSE mad.md END), 4) AS rz
+                      (CASE WHEN mad.md = 0 THEN 1.0 ELSE mad.md END), 4) + 0.0 AS rz
          FROM dev d JOIN mad USING (l_returnflag)""",
     "a13_loss" ->
       """WITH s AS (SELECT l_returnflag,
