@@ -26,6 +26,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A throwing query must still surface in the correctness gate
+        // as a FAILING row, never as silence (round 10: a broken
+        // sketch_union_rollup simply had no row). The sentinel parquet
+        // can't match any oracle schema, so the driver reports a
+        // schema/row mismatch with the error text in plain sight.
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
       // queries are independent — release per-query persisted blocks
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
