@@ -148,10 +148,15 @@ object GraphQueries {
       edges(s, dir).where(gate < lit(0.1) * lit(65536))
     }),
 
-    // R4 — negative sampling by entity corruption (samples.py:19-32), made
-    // deterministic: the corrupt tail is picked by hashing the positive
-    // triplet into the entity vocabulary instead of rand() — same
-    // distribution class, reproducible across runs and executors.
+    // R4 — negative sampling by entity corruption (samples.py:19-32), as
+    // an ORACLE row: the reference's two rand() calls per positive — the
+    // head/tail coin (p>0.5) and the replacement entity draw — become
+    // two independently-salted md5 draws on the positive triplet, the
+    // same engine-portable gate as R1/R3. Same distribution class, but a
+    // pure function of the triplet: reproducible across runs, executors,
+    // retries, AND replayable bit-for-bit by the DuckDB oracle
+    // ([[graft.car.Triplets.negativeSample]] keeps the seeded-xxhash64
+    // form as the library API).
     "r4_negsample" -> ((s, dir) => {
       // DenseId output is an eager localCheckpoint: the count and the
       // broadcast below read cheap checkpointed blocks — no cache to leak.
@@ -172,13 +177,27 @@ object GraphQueries {
           col("t_name").as("relation"),
           concat(col("t_name"), lit(":"), col("t_value")).as("tail_entity"))
         .distinct()
-      val corruptId = pmod(
-        xxhash64(col("head_entity"), col("relation"), col("tail_entity")),
-        lit(vocabSize)).as("corrupt_id")
-      val neg = pos.withColumn("corrupt_id", corruptId)
+      val key = concat(col("head_entity"), lit("|"), col("relation"),
+        lit("|"), col("tail_entity"))
+      // two DECORRELATED draws via distinct salts — one md5 feeding both
+      // would tie the coin's parity to the entity pick (the round-9
+      // lesson from the xxhash64 form, Triplets.negativeSample)
+      val corruptHead =
+        pmod(conv(substring(md5(concat(key, lit("#coin"))), 1, 4), 16, 10)
+          .cast("long"), lit(2L)) === 0
+      val corruptId =
+        pmod(conv(substring(md5(concat(key, lit("#ent"))), 1, 8), 16, 10)
+          .cast("long"), lit(vocabSize)).as("corrupt_id")
+      val neg = pos
+        .withColumn("corrupt_head", corruptHead)
+        .withColumn("corrupt_id", corruptId)
         .join(broadcast(vocab), col("corrupt_id") === col("entity_id"))
-        .select(col("head_entity"), col("relation"),
-          col("entity").as("tail_entity"))
+        .select(
+          when(col("corrupt_head"), col("entity"))
+            .otherwise(col("head_entity")).as("head_entity"),
+          col("relation"),
+          when(!col("corrupt_head"), col("entity"))
+            .otherwise(col("tail_entity")).as("tail_entity"))
       pos.withColumn("label", lit(1L))
         .unionByName(neg.withColumn("label", lit(0L)))
     }),
@@ -378,6 +397,37 @@ object GraphQueries {
       """SELECT * FROM orders
          WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
                AS INTEGER) < 0.7 * 65536""",
+    // replays r4's two salted md5 draws exactly: '#coin' parity picks
+    // head vs tail, '#ent' mod |vocab| picks the replacement entity from
+    // the same dense_rank-ordered vocabulary DenseId builds
+    "r4_negsample" ->
+      """WITH a AS (
+           SELECT c_custkey AS row_id, 'c_nationkey' AS name, CAST(c_nationkey AS VARCHAR) AS value FROM customer
+           UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer
+           UNION ALL SELECT c_custkey, 'acct_bucket', CAST(CAST(floor(c_acctbal/1000) AS BIGINT) AS VARCHAR) FROM customer),
+         vocab AS (
+           SELECT concat(name, ':', value) AS entity,
+                  CAST(dense_rank() OVER (ORDER BY name, value) AS BIGINT) - 1 AS entity_id
+           FROM (SELECT DISTINCT name, value FROM a)),
+         pos AS (
+           SELECT DISTINCT concat(a.name, ':', a.value) AS head_entity,
+                  b.name AS relation,
+                  concat(b.name, ':', b.value) AS tail_entity
+           FROM a JOIN a b ON a.row_id = b.row_id AND a.name <> b.name),
+         drawn AS (
+           SELECT head_entity, relation, tail_entity,
+                  CAST(('0x' || substr(md5(concat(head_entity, '|', relation, '|', tail_entity) || '#coin'), 1, 4))
+                    AS BIGINT) % 2 = 0 AS corrupt_head,
+                  CAST(('0x' || substr(md5(concat(head_entity, '|', relation, '|', tail_entity) || '#ent'), 1, 8))
+                    AS BIGINT) % (SELECT count(*) FROM vocab) AS corrupt_id
+           FROM pos)
+         SELECT head_entity, relation, tail_entity, CAST(1 AS BIGINT) AS label FROM pos
+         UNION ALL
+         SELECT CASE WHEN d.corrupt_head THEN v.entity ELSE d.head_entity END AS head_entity,
+                d.relation,
+                CASE WHEN NOT d.corrupt_head THEN v.entity ELSE d.tail_entity END AS tail_entity,
+                CAST(0 AS BIGINT) AS label
+         FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
     "g5_mean_agg" ->
       """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
