@@ -50,16 +50,19 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw =
-      try load(spark, dir, "events")
-      catch {
-        case e: Throwable
-            if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
-          throw new IllegalArgumentException(
-            "events.parquet stores ts as INT64 TIMESTAMP(NANOS): build the " +
-              "session with spark.sql.legacy.parquet.nanosAsLong=true " +
-              "(see Tables.events doc)", e)
-      }
+    // Up-front footer check, not a catch on Spark's error text: depending
+    // on version, a NANOS column surfaces as a schema-read failure OR a
+    // scan-EXECUTION failure (PARQUET_TYPE_ILLEGAL) — a message-text
+    // catch around load() misses the latter entirely and is brittle
+    // across Spark versions besides. Reading the footer's declared
+    // logical type is one metadata read and version-independent.
+    if (tsDeclaredNanos(spark, dir) &&
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      throw new IllegalArgumentException(
+        "events.parquet stores ts as INT64 TIMESTAMP(NANOS): build the " +
+          "session with spark.sql.legacy.parquet.nanosAsLong=true " +
+          "(see Tables.events doc)")
+    val raw = load(spark, dir, "events")
     val tsNs = raw.schema("ts").dataType match {
       case LongType => col("ts")
       case TimestampNTZType =>
@@ -75,6 +78,38 @@ object Tables {
       case c => col(c)
     }: _*)
   }
+  /** Does the events parquet footer declare `ts` as TIMESTAMP(NANOS)?
+    * One footer read of one file (all parts of a dataset share the
+    * writer schema); any failure to inspect returns false and lets the
+    * normal load path produce its own error.
+    */
+  private def tsDeclaredNanos(spark: SparkSession, dir: String): Boolean =
+    try {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+            .getOrElse(root)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      } finally reader.close()
+    } catch { case _: Throwable => false }
+
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
