@@ -214,6 +214,11 @@ object SimilaritySearch {
     val subRows = df.select(inline(array((0 until m).map(s =>
       struct(lit(s).as("s"), slice(col(vecCol).cast("array<double>"),
         s * sub + 1, sub).as("subv"))): _*)))
+      // codebooks fit on a sample-sized frame (same rationale as
+      // fitIvf): every Lloyd job over 32 near-empty partitions pays 32
+      // tasks of scheduler overhead for microseconds of arithmetic —
+      // bound the task count before the persist
+      .coalesce(8)
       .persist()
     try {
       // seeded init: the codesPerSub distinct sub-vectors per subspace
@@ -336,45 +341,101 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Batch k-NN join, PQ-pruned: every query of a bounded batch scores
-    * the corpus by ADC over its PQ codes — per (row, query):
-    * m element_at picks into the literal codebook (centroid components
-    * and norms folded into the plan) + m short dots against the query's
-    * broadcast slices, never a full-vector op — then the per-query
-    * `rerank` best candidates get the exact cosine. Same broadcast-batch
-    * + query-partitioned-window shape as [[knnJoinBruteForce]]; with a
-    * persisted [[pqEncode]] table the candidate stage reads m ints per
-    * corpus row. ADC ranks by L2, the rerank by cosine — `rerank ≫ k`
-    * absorbs the metric gap.
+  /** Batch k-NN join over a FULL ADC scan: every query of a bounded
+    * batch scores every corpus code — per (row, query) m element_at
+    * picks into its precomputed LUT, never a full-vector op — then the
+    * per-query `rerank` best candidates get the exact cosine. Same
+    * broadcast-batch + query-partitioned-window shape as
+    * [[knnJoinBruteForce]]; with a persisted [[pqEncode]] table the
+    * candidate stage reads m ints per corpus row. ADC ranks by L2, the
+    * rerank by cosine — `rerank ≫ k` absorbs the metric gap.
+    *
+    * The |Q|×|C| candidate product is this form's inherent cost: exact
+    * over the code table (rerank=all ≡ brute force, SimilaritySpec), but
+    * every query still touches every corpus row — compression without
+    * pruning. The scale path is [[knnJoinIvfPq]], which bounds the ADC
+    * to each query's probed coarse cells.
     */
+  /** The query-side half of the textbook ADC split, shared by
+    * [[knnJoinPq]] and [[knnJoinIvfPq]]: each QUERY row precomputes its
+    * `m` lookup tables (distance from its slice to every code centroid)
+    * ONCE — m×codesPerSub dots on the bounded batch — so the candidate
+    * stage is m array picks + adds per (row, query) pair, with no dot,
+    * slice, or allocation in the hot loop. Returns the per-subspace
+    * `__lut<s>` columns (centroid components and ||c||² folded into the
+    * plan as literal tables indexed by code).
+    */
+  /** The whole m×codesPerSub table as ONE `array<array<double>>`
+    * expression (`__lut2d[s][ci]` = L2² from the vector's subspace-`s`
+    * slice to code `ci`), built with nested `transform` lambdas over the
+    * FLAT literal codebook. The naive alternative — m separate array
+    * columns of codesPerSub scalar dot-expressions — is m×codesPerSub
+    * distinct expression trees; at m=64×16 that is ~1000 trees whose
+    * analysis + Janino compile costs >10 s of DRIVER time before a row
+    * moves (measured — it was most of knn_join_pq's wall clock). The
+    * LUT frame is query-batch-sized, so the interpreted higher-order
+    * lambda is irrelevant at runtime; only the per-CANDIDATE path
+    * ([[pqAdc]]'s m codegen'd picks) needs codegen. Codebooks that came
+    * up short of the max code count pad with +∞-norm entries — codes
+    * never index them.
+    */
+  private def pqLut2d(vec: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): org.apache.spark.sql.Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head._2.length
+    val cps = codebooks.map(_.length).max
+    val sorted = codebooks.map(_.sortBy(_._1).map(_._2))
+    val centsFlat = typedLit(sorted.flatMap(cb =>
+      cb.padTo(cps, Seq.fill(sub)(0.0))))
+    val normsFlat = typedLit(sorted.flatMap(cb =>
+      cb.map(c => c.map(x => x * x).sum).padTo(cps, Double.PositiveInfinity)))
+    val v = vec.cast("array<double>")
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(cps - 1)), ci => {
+        val idx = s * cps + ci + lit(1)
+        element_at(normsFlat, idx) - lit(2.0) *
+          aggregate(
+            zip_with(slice(v, s * lit(sub) + lit(1), lit(sub)),
+              element_at(centsFlat, idx), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)
+      }))
+  }
+
+  /** Append each row's RESIDUAL from its coarse cell's centroid —
+    * `__resid = v − centroid[cell]` (centroid table folded in as a
+    * literal, the subtraction one codegen'd zip_with). Residuals are
+    * what IVFPQ actually quantizes: within a cell they span only the
+    * cell's diameter, not the whole space, so the same m×codesPerSub
+    * codebook budget spends its resolution where the candidates
+    * actually are. Feed this frame to [[fitPq]] (on `__resid`) and to
+    * [[knnJoinIvfPq]]'s corpus-side encoding.
+    */
+  def cellResiduals(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centArr = typedLit(centroids.sortBy(_._1).map(_._2))
+    assignToCentroids(df, vecCol, centroids)
+      .withColumn("__resid",
+        zip_with(col(vecCol).cast("array<double>"),
+          element_at(centArr, col("cell") + 1), (a, b) => a - b))
+  }
+
+  /** Approximate L2² of a coded corpus row to a query: sum of m
+    * `__lut2d` picks indexed by the row's `pq_code` — the HOT path, m
+    * codegen'd array reads + adds per (row, query) pair, no lambda. */
+  private def pqAdc(m: Int): org.apache.spark.sql.Column =
+    (0 until m).map { s =>
+      element_at(element_at(col("__lut2d"), s + 1),
+        element_at(col("pq_code"), s + 1) + 1)
+    }.reduce(_ + _)
+
   def knnJoinPq(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, codebooks: Seq[Seq[(Int, Seq[Double])]],
       rerank: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = codebooks.length
-    val sub = codebooks.head.head._2.length
-    // literal codebook tables: per subspace, centroid components as
-    // array<array<double>> and ||c||² as array<double>, indexed by code
-    val cents = codebooks.map(cb =>
-      typedLit(cb.sortBy(_._1).map(_._2)))
-    val cNorms = codebooks.map(cb =>
-      typedLit(cb.sortBy(_._1).map { case (_, c) => c.map(x => x * x).sum }))
-    // the textbook ADC split: each QUERY row precomputes its m lookup
-    // tables (distance from its slice to every code centroid) ONCE —
-    // m×codesPerSub dots on the bounded batch — so the |Q|×|C| candidate
-    // stage below is m array picks + adds per pair, with no dot, slice,
-    // or allocation in the hot loop
-    val lutCols = (0 until m).map { s =>
-      val qSlice = slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
-      array((0 until codebooks(s).length).map(ci =>
-        element_at(cNorms(s), ci + 1) - lit(2.0) *
-          VectorOps.dot(qSlice, element_at(cents(s), ci + 1))): _*)
-        .as(s"__lut$s")
-    }
-    val qLuts = queries.select(col(idCol).as("query_id") +: lutCols: _*)
-    val adc = (0 until m).map { s =>
-      element_at(col(s"__lut$s"), element_at(col("pq_code"), s + 1) + 1)
-    }.reduce(_ + _)
+    val qLuts = queries.select(col(idCol).as("query_id"),
+      pqLut2d(col(vecCol), codebooks).as("__lut2d"))
+    val adc = pqAdc(m)
     // the |Q|×|C| stage stays SKINNY: ids + the adc scalar only. The
     // LUTs, query vectors, and corpus vectors must NOT ride the pair
     // rows into the top-`rerank` window's shuffle — with them a
@@ -406,6 +467,99 @@ object SimilaritySearch {
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     reranked.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Batch k-NN join, IVF-PQ with residual encoding: the coarse
+    * quantizer composed with the code scan — the FAISS IVFPQ shape, and
+    * the form that survives 100×. The corpus is assigned to IVF cells
+    * and PQ-encoded on its RESIDUALS (`codebooks` must come from
+    * [[fitPq]] over [[cellResiduals]]' `__resid` — residuals span a
+    * cell's diameter, not the whole space, so the codebook budget
+    * resolves the distances that actually rank candidates); each query
+    * explodes to its `nprobe` nearest cells (declarative sort-slice-
+    * explode over the literal centroid table, no driver loop) carrying
+    * per-(query, cell) residual ADC LUTs, and the candidate stage is a
+    * broadcast hash join on the CELL key — a query scores only the codes
+    * inside its probed cells, |Q|·|C|·(nprobe/kCells) pairs instead of
+    * [[knnJoinPq]]'s flat |Q|×|C| product. With the code table stored
+    * partitioned/bucketed by cell the probe join is partition pruning,
+    * and each partition holds m ints per vector: scan volume drops by
+    * BOTH the cell fraction and the PQ compression before a single full
+    * vector is touched.
+    *
+    * The ADC carries the per-(query, cell) `||q−c||²` term: LUT sums
+    * alone omit it, and it varies ACROSS a query's probed cells, so
+    * without it candidates from different cells would not be comparable.
+    * With it, adc ≈ ‖q − (c + r̂)‖² — the true L2 to the reconstruction.
+    * Per-query top-`rerank` ADC candidates (skinny rows — ids + adc
+    * scalar only into the window shuffle) then get the exact cosine,
+    * same rerank discipline as [[knnJoinPq]].
+    *
+    * Recall knobs: `nprobe` bounds which cells are seen (misses cost
+    * recall like [[knnJoinIvf]]), `rerank ≫ k` absorbs the ADC→cosine
+    * metric gap (SimilaritySpec pins recall@10 ≥ 0.9 at the bench
+    * configuration so speed can't silently trade it away).
+    */
+  def knnJoinIvfPq(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], nprobe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val centArr = typedLit(centroids.sortBy(_._1).map(_._2))
+    // corpus side: coarse cell + m-int residual codes; full vectors
+    // leave the plan here and re-enter only for the bounded rerank set
+    val coded = pqEncode(
+      cellResiduals(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+        "v", centroids),
+      "__resid", codebooks)
+      .select(col("cell"), col("neighbor_id"), col("pq_code"))
+    // query side: probed cells first, then per-(query, cell) LUTs over
+    // the query's residual from THAT cell's centroid — the same frame
+    // carries ||q−c||² so cross-cell candidates stay comparable
+    val cellDists = centroids.map { case (cid, c) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct(
+        (lit(cNormSq) - lit(2.0) * VectorOps.dot(col(vecCol), array(c.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }
+    val qCells = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      explode(slice(array_sort(array(cellDists: _*)), 1, nprobe)
+        .getField("cid")).as("cell"))
+    val qRes = zip_with(col("__qv"), element_at(centArr, col("cell") + 1),
+      (a, b) => a - b)
+    val qLuts = qCells.select(
+      col("query_id"), col("cell"),
+      VectorOps.dot(qRes, qRes).as("__qres_n2"),
+      pqLut2d(qRes, codebooks).as("__lut2d"))
+    val cands = coded.join(broadcast(qLuts), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (pqAdc(m) + col("__qres_n2")).as("adc"))
+    val byQueryAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val top = cands
+      .withColumn("arank", row_number().over(byQueryAdc))
+      .where(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVecs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
+    val rerankedIvf = top
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineWithNorms(col("v"), col("qv"),
+          VectorOps.l2Norm(col("v")), col("qn")).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rerankedIvf.withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 4).as("cosine"))
