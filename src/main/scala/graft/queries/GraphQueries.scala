@@ -148,6 +148,17 @@ object GraphQueries {
       edges(s, dir).where(gate < lit(0.1) * lit(65536))
     }),
 
+    // R7 — structure/supervision edge split (samples.py:52-60: half the
+    // sampled edges carry messages, half are supervision targets), as an
+    // ORACLE row: the 50/50 md5-gate split on the edge key via the same
+    // hashSplit the R1 oracle uses — engine-replayable and retry-stable
+    // where randomSplit is not ([[graft.car.Triplets
+    // .structureSupervisionSplit]] keeps the seeded randomSplit API).
+    "r7_structure_split" -> ((s, dir) => {
+      graft.car.Splits.hashSplit(edges(s, dir),
+        col("src").cast("long") * lit(1000000L) + col("dst"), 0.5)._1
+    }),
+
     // R4 — negative sampling by entity corruption (samples.py:19-32), as
     // an ORACLE row: the reference's two rand() calls per positive — the
     // head/tail coin (p>0.5) and the replacement entity draw — become
@@ -397,6 +408,11 @@ object GraphQueries {
       """SELECT * FROM orders
          WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
                AS INTEGER) < 0.7 * 65536""",
+    "r7_structure_split" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst, 'supplies' AS rel FROM lineitem)
+         SELECT src, dst, rel FROM e
+         WHERE CAST(('0x' || substr(md5(CAST(CAST(src AS BIGINT) * 1000000 + dst AS VARCHAR)), 1, 4))
+               AS INTEGER) < 0.5 * 65536""",
     // replays r4's two salted md5 draws exactly: '#coin' parity picks
     // head vs tail, '#ent' mod |vocab| picks the replacement entity from
     // the same dense_rank-ordered vocabulary DenseId builds

@@ -141,6 +141,26 @@ object VectorQueries {
         nprobe = 6, rerank = 50)
     }),
 
+    // ANN index maintenance (the ingest half of the IVF-PQ stack): apply
+    // offline-fitted quantizers to every vector — cell by nearest
+    // centroid, m-int residual codes — producing the (id, cell, pq_code)
+    // table knn_join_pq probes. The SAME stateless function body runs as
+    // a Structured Streaming pipeline for continuous embedding ingest
+    // (AnnIndexStreamSpec proves batch ≡ stream and watermarked
+    // re-delivery dedup); stored partitioned by cell, probes become
+    // partition pruning. KMeans floats are engine-specific → rows-only.
+    "ann_index_rows" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8, maxIter = 3)
+      val codebooks = SimilaritySearch.fitPq(
+        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
+        "__resid", dim = 64, m = 16, codesPerSub = 16, maxIter = 2)
+      graft.streaming.AnnIndexStream.indexRows(
+        e, "embedding", "vec_id", centroids, codebooks)
+    }),
+
     // Semantic dedup (SemDeDup shape): cosine near-dup pairs blocked by
     // IVF cells from a real KMeans coarse quantizer — the blocking that
     // keeps the pair space Σ per-cell n² instead of global n². Centroid
