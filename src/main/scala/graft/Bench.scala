@@ -37,6 +37,13 @@ object Bench {
       // or checkpointed so storage memory never bleeds into the next
       // query's execution memory (cleanup is outside the timed section)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // broadcast/shuffle blocks are only released by ContextCleaner
+      // AFTER their driver references are garbage-collected — 140
+      // queries of accumulated broadcasts otherwise inflate later
+      // queries (measured: graph_pagerank 10.1s in-suite vs ~5s solo
+      // warm). One explicit GC per query keeps the suite's tail
+      // comparable to isolated runs; also outside the timed section.
+      System.gc()
       (name, dt, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
