@@ -502,6 +502,15 @@ object SimilaritySearch {
     * recall like [[knnJoinIvf]]), `rerank ≫ k` absorbs the ADC→cosine
     * metric gap (SimilaritySpec pins recall@10 ≥ 0.9 at the bench
     * configuration so speed can't silently trade it away).
+    *
+    * Broadcast budget: each (query, cell) row carries its LUT —
+    * m·codesPerSub doubles (~8 KB at m=64×16), an ~30× inflation over
+    * the raw vector. The broadcast is |Q|·nprobe·lutBytes, so a
+    * 100k-query batch at nprobe=6 is ~5 GB: beyond ~10k queries per
+    * call, CHUNK the query batch and union the results — the corpus
+    * side (the expensive, cell-partitioned scan) is unchanged per
+    * chunk, and the LUT stays the textbook per-query precompute
+    * instead of degrading to per-pair dot products.
     */
   def knnJoinIvfPq(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
