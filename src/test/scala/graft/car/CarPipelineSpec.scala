@@ -153,4 +153,21 @@ class CarPipelineSpec extends SparkSpec {
     val (tr3, dv3) = Splits.sequentialSplit(df, "id", 0.7, overlapBoundary = true)
     assert(tr3.intersect(dv3).count() == 1) // the reference's double-counted row
   }
+
+  test("R1 md5-gate: hashSplit partitions the input even with null keys") {
+    import org.apache.spark.sql.functions.{col, when}
+    val df = spark.range(200).toDF("id")
+      // every 10th key null — md5(null) is null, which satisfies NEITHER
+      // gate; the coalesced sentinel must keep those rows in the split
+      .select(when(col("id") % 10 =!= 0, col("id")).as("key"), col("id"))
+    val (tr, dv) = Splits.hashSplit(df, col("key"), 0.7)
+    assert(tr.count() + dv.count() == 200, "null-key rows fell out of the split")
+    assert(tr.intersect(dv).count() == 0)
+    // all null-key rows hash the same sentinel → they travel together
+    val nullSides = Seq(tr, dv).map(_.where(col("key").isNull).count())
+    assert(nullSides.contains(0L) && nullSides.sum == 20)
+    // pure function of the key: re-partitioned input yields the same halves
+    val (tr2, _) = Splits.hashSplit(df.repartition(7), col("key"), 0.7)
+    assert(tr2.select("id").exceptAll(tr.select("id")).count() == 0)
+  }
 }
