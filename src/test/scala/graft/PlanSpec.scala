@@ -50,6 +50,32 @@ class PlanSpec extends SparkSpec {
     assert(badW.isEmpty)
   }
 
+  test("knnJoinIvfPq candidate stage plans a hash join on the cell key, never a nested-loop product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch
+    import spark.implicits._
+    // tiny deterministic corpus; what matters is the PLAN, not the data
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => (i * (j + 1) % 7).toFloat))).toDF("id", "v")
+    val centroids = SimilaritySearch.fitIvf(vecs, "v", k = 2)
+    val codebooks = SimilaritySearch.fitPq(
+      SimilaritySearch.cellResiduals(vecs, "v", centroids),
+      "__resid", dim = 4, m = 2, codesPerSub = 4, maxIter = 1)
+    val joined = SimilaritySearch.knnJoinIvfPq(vecs,
+      vecs.where(col("id") <= 3), "v", "id", k = 2, centroids, codebooks,
+      nprobe = 1, rerank = 5)
+    // the flat knnJoinPq's |Q|x|C| product was a BroadcastNestedLoopJoin;
+    // the composition must replace it with an equi-join on `cell` — the
+    // shape that becomes partition pruning over a cell-partitioned table
+    val bad = joined.queryExecution.sparkPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"non-equi candidate join in IVF-PQ plan:\n${joined.queryExecution.sparkPlan}")
+  }
+
   test("r2_seq_split plans as TakeOrdered (per-partition top-k), not a global sort") {
     val df = SparkEntry.queries("r2_seq_split")(spark, dir)
     val plan = df.queryExecution.sparkPlan.toString
