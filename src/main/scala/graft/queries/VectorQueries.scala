@@ -141,6 +141,18 @@ object VectorQueries {
         nprobe = 6, rerank = 50)
     }),
 
+    // k-NN GRAPH construction by NN-descent — the all-pairs complement
+    // of the per-query ANN joins: every vector's 10 best cosine
+    // neighbors in n·k² candidate scores per round instead of brute
+    // force's n², via the 2-hop "neighbor of my neighbor" frontier.
+    // All equi-joins + per-src windows; KnnGraphSpec pins monotone
+    // recall and the >= 0.8 convergence floor. Seeded-hash init →
+    // deterministic, but engine-specific → rows-only.
+    "knn_graph" -> ((s, dir) => {
+      graft.operators.KnnGraph.nnDescent(
+        Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 3)
+    }),
+
     // ANN index maintenance (the ingest half of the IVF-PQ stack): apply
     // offline-fitted quantizers to every vector — cell by nearest
     // centroid, m-int residual codes — producing the (id, cell, pq_code)
