@@ -262,6 +262,33 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("the IVF-PQ code table stored by cell is probe-prunable and reconstructs the ADC scan") {
+    import graft.streaming.AnnIndexStream
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 4)
+    val codebooks = SimilaritySearch.fitPq(
+      SimilaritySearch.cellResiduals(e, "embedding", centroids),
+      "__resid", dim = 64, m = 8, codesPerSub = 16, maxIter = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_store").toString
+    // the maintained index table: (vec_id, cell, pq_code), cell-partitioned
+    AnnIndexStream.indexRows(e, "embedding", "vec_id", centroids, codebooks)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("cell") === 1)
+    val scan = probed.queryExecution.executedPlan.toString
+    // a probe must be DIRECTORY pruning over the code table — the 100 TB
+    // claim of the IVF-PQ composition — not a post-scan filter
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    assert(probed.count() > 0)
+    // and the stored codes are exactly what the inline encoding computes
+    val stored = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("pq_code").toSeq)).toSet
+    val inline = AnnIndexStream.indexRows(e, "embedding", "vec_id",
+        centroids, codebooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(stored == inline)
+  }
+
   test("centroid assignment picks the nearest cell") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.9f, 0.0f)), (2L, Seq(0.0f, 1.1f))).toDF("id", "v")
