@@ -41,6 +41,29 @@ object Outliers {
       .drop("__w_lo", "__w_hi")
   }
 
+  /** [[winsorize]] for MANY columns in ONE aggregate pass: all 2k
+    * percentiles come from a single groupBy (one shuffle of the input,
+    * total), one broadcast stats join feeds every clamp, and each
+    * `<col>_w` is a pure codegen'd projection. Calling the single-column
+    * form per feature costs k full scans + k shuffles for identical
+    * output — the difference between a feature-prep step that reads a
+    * 100 TB table once and one that reads it per feature.
+    */
+  def winsorizeAll(df: DataFrame, valueCols: Seq[String],
+      groupCols: Seq[String], lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    require(valueCols.nonEmpty, "need at least one value column")
+    val gcols = groupCols.map(col)
+    val aggs = valueCols.flatMap(c => Seq(
+      expr(s"percentile($c, $lo)").as(s"__w_lo_$c"),
+      expr(s"percentile($c, $hi)").as(s"__w_hi_$c")))
+    val stats = df.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    valueCols.foldLeft(df.join(broadcast(stats), groupCols)) { (acc, c) =>
+      acc.withColumn(s"${c}_w",
+        least(greatest(col(c), col(s"__w_lo_$c")), col(s"__w_hi_$c")))
+    }.drop(valueCols.flatMap(c => Seq(s"__w_lo_$c", s"__w_hi_$c")): _*)
+  }
+
   /** Robust z-score: (x − median) / MAD within each group, the
     * outlier-insensitive alternative to [[graft.car.Normalize]]'s
     * mean/stddev z-score (one wild row moves a mean arbitrarily far; the

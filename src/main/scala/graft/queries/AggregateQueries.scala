@@ -245,6 +245,23 @@ object AggregateQueries {
           round(col("l_extendedprice_w"), 4).as("price_w"))
     }),
 
+    // A19b — MULTI-column winsorize in one aggregate pass: all four
+    // group percentiles from a single groupBy (one shuffle total, where
+    // per-column calls pay one scan + shuffle per feature), one
+    // broadcast stats join, codegen'd clamps. OutliersSpec pins the
+    // ≤1-shuffle plan; this row pins the values against DuckDB.
+    "a19b_winsorize_multi" -> ((s, dir) => {
+      graft.operators.Outliers.winsorizeAll(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice"), col("l_quantity")),
+        Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"),
+        lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_w"), 4).as("price_w"),
+          round(col("l_quantity_w"), 4).as("qty_w"))
+    }),
+
     // A20 — robust z-score: (x − median) / MAD per group — the
     // outlier-insensitive scaling A2's mean/stddev z-score breaks on
     // (one wild row moves a mean arbitrarily; a median by one rank).
@@ -537,6 +554,17 @@ object AggregateQueries {
            SELECT l_returnflag,
                   quantile_cont(l_extendedprice, 0.05) AS lo,
                   quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
+    "a19b_winsorize_multi" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+              round(least(greatest(l.l_extendedprice, s.plo), s.phi), 4) AS price_w,
+              round(least(greatest(l.l_quantity, s.qlo), s.qhi), 4) AS qty_w
+         FROM lineitem l JOIN (
+           SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.05) AS plo,
+                  quantile_cont(l_extendedprice, 0.95) AS phi,
+                  quantile_cont(l_quantity, 0.05) AS qlo,
+                  quantile_cont(l_quantity, 0.95) AS qhi
            FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
     "a20_robust_z" ->
       """WITH med AS (SELECT l_returnflag,

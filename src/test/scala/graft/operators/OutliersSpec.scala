@@ -36,6 +36,34 @@ class OutliersSpec extends SparkSpec {
       .collect().forall(_.getDouble(0) == 7.0))
   }
 
+  test("winsorizeAll ≡ per-column winsorize, in ONE aggregate exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val two = frame.withColumn("y", col("x") * 2 + 1)
+    val all = Outliers.winsorizeAll(two, Seq("x", "y"), Seq("g"), lo = 0.1, hi = 0.9)
+    val perCol = Outliers.winsorize(
+      Outliers.winsorize(two, "x", Seq("g"), lo = 0.1, hi = 0.9),
+      "y", Seq("g"), lo = 0.1, hi = 0.9)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("g"), r.getAs[Double]("x"), r.getAs[Double]("x_w"),
+        r.getAs[Double]("y_w"))
+    assert(all.collect().map(key).sorted.toSeq ==
+      perCol.collect().map(key).sorted.toSeq)
+    // the whole stats side is ONE aggregate pass regardless of column
+    // count — per-column calls pay one scan + aggregate per feature. On
+    // a real (multi-partition parquet) input: exactly one shuffle, and
+    // one aggregate subtree feeding the broadcast.
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))
+    val wide = Outliers.winsorizeAll(li,
+      Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+    wide.count() // materialize so AQE's final plan is inspectable
+    val shuffles = wide.queryExecution.executedPlan.collectWithSubqueries {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 1, s"expected at most 1 shuffle, got ${shuffles.size}")
+  }
+
   test("robustZScore centers on the median, scales by MAD, and survives MAD=0") {
     val out = Outliers.robustZScore(frame, "x", Seq("g"))
     // group a: median 6, deviations [5,4,3,2,1,0,1,2,3,4,994] → MAD 3
