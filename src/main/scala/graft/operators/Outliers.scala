@@ -101,4 +101,35 @@ object Outliers {
         when(col("__mad") === 0.0, lit(1.0)).otherwise(col("__mad")))
       .drop("__med", "__mad")
   }
+
+  /** [[robustZScore]] for MANY columns in the SAME two aggregate
+    * passes: one groupBy computes every column's median, one computes
+    * every MAD-of-deviations, two broadcast joins feed all the
+    * codegen'd `<col>_rz` projections. Per-column calls cost 2k scans +
+    * 2k shuffles for identical output; MAD being a quantile OF
+    * deviations from a quantile makes two passes the floor — this form
+    * reaches it for any column count. Statistics snap to `statScale`
+    * decimals for the same engine-portability reason as the
+    * single-column form.
+    */
+  def robustZScoreAll(df: DataFrame, valueCols: Seq[String],
+      groupCols: Seq[String], statScale: Int = 6): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val gcols = groupCols.map(col)
+    val medAggs = valueCols.map(c =>
+      round(expr(s"percentile($c, 0.5)"), statScale).as(s"__med_$c"))
+    val med = df.groupBy(gcols: _*).agg(medAggs.head, medAggs.tail: _*)
+    val dev = valueCols.foldLeft(df.join(broadcast(med), groupCols)) { (acc, c) =>
+      acc.withColumn(s"__adev_$c", abs(col(c) - col(s"__med_$c")))
+    }
+    val madAggs = valueCols.map(c =>
+      round(expr(s"percentile(__adev_$c, 0.5)"), statScale).as(s"__mad_$c"))
+    val mad = dev.groupBy(gcols: _*).agg(madAggs.head, madAggs.tail: _*)
+    valueCols.foldLeft(
+      dev.drop(valueCols.map(c => s"__adev_$c"): _*)
+        .join(broadcast(mad), groupCols)) { (acc, c) =>
+      acc.withColumn(s"${c}_rz", (col(c) - col(s"__med_$c")) /
+        when(col(s"__mad_$c") === 0.0, lit(1.0)).otherwise(col(s"__mad_$c")))
+    }.drop(valueCols.flatMap(c => Seq(s"__med_$c", s"__mad_$c")): _*)
+  }
 }

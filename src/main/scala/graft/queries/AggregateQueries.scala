@@ -262,6 +262,21 @@ object AggregateQueries {
           round(col("l_quantity_w"), 4).as("qty_w"))
     }),
 
+    // A20b — MULTI-column robust z-score: every column's median + MAD
+    // from the same TWO aggregate passes (the floor — MAD is a quantile
+    // of deviations from a quantile), vs 2 passes per column. Same
+    // 6dp-snap + signed-zero discipline as A20.
+    "a20b_robust_z_multi" -> ((s, dir) => {
+      graft.operators.Outliers.robustZScoreAll(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice"), col("l_quantity")),
+        Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (round(col("l_extendedprice_rz"), 4) + lit(0.0)).as("price_rz"),
+          (round(col("l_quantity_rz"), 4) + lit(0.0)).as("qty_rz"))
+    }),
+
     // A20 — robust z-score: (x − median) / MAD per group — the
     // outlier-insensitive scaling A2's mean/stddev z-score breaks on
     // (one wild row moves a mean arbitrarily; a median by one rank).
@@ -566,6 +581,26 @@ object AggregateQueries {
                   quantile_cont(l_quantity, 0.05) AS qlo,
                   quantile_cont(l_quantity, 0.95) AS qhi
            FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
+    "a20b_robust_z_multi" ->
+      """WITH med AS (SELECT l_returnflag,
+                  round(quantile_cont(l_extendedprice, 0.5), 6) AS pm,
+                  round(quantile_cont(l_quantity, 0.5), 6) AS qm
+                FROM lineitem GROUP BY 1),
+         dev AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                  l.l_extendedprice, l.l_quantity, med.pm, med.qm,
+                  abs(l.l_extendedprice - med.pm) AS padev,
+                  abs(l.l_quantity - med.qm) AS qadev
+                FROM lineitem l JOIN med USING (l_returnflag)),
+         mad AS (SELECT l_returnflag,
+                  round(quantile_cont(padev, 0.5), 6) AS pmd,
+                  round(quantile_cont(qadev, 0.5), 6) AS qmd
+                FROM dev GROUP BY 1)
+         SELECT d.l_orderkey, d.l_linenumber,
+                round((d.l_extendedprice - d.pm) /
+                      (CASE WHEN mad.pmd = 0 THEN 1.0 ELSE mad.pmd END), 4) + 0.0 AS price_rz,
+                round((d.l_quantity - d.qm) /
+                      (CASE WHEN mad.qmd = 0 THEN 1.0 ELSE mad.qmd END), 4) + 0.0 AS qty_rz
+         FROM dev d JOIN mad USING (l_returnflag)""",
     "a20_robust_z" ->
       """WITH med AS (SELECT l_returnflag,
                   round(quantile_cont(l_extendedprice, 0.5), 6) AS m

@@ -64,6 +64,31 @@ class OutliersSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected at most 1 shuffle, got ${shuffles.size}")
   }
 
+  test("robustZScoreAll ≡ per-column robustZScore, in two aggregate passes total") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val two = frame.withColumn("y", col("x") * 3 - 2)
+    val all = Outliers.robustZScoreAll(two, Seq("x", "y"), Seq("g"))
+    val perCol = Outliers.robustZScore(
+      Outliers.robustZScore(two, "x", Seq("g"), out = "x_rz"),
+      "y", Seq("g"), out = "y_rz")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("g"), r.getAs[Double]("x"), r.getAs[Double]("x_rz"),
+        r.getAs[Double]("y_rz"))
+    assert(all.collect().map(key).sorted.toSeq ==
+      perCol.collect().map(key).sorted.toSeq)
+    // two stat aggregates total (median pass + MAD pass), never 2k
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))
+    val wide = Outliers.robustZScoreAll(li,
+      Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+    wide.count()
+    val shuffles = wide.queryExecution.executedPlan.collectWithSubqueries {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 2, s"expected at most 2 shuffles, got ${shuffles.size}")
+  }
+
   test("robustZScore centers on the median, scales by MAD, and survives MAD=0") {
     val out = Outliers.robustZScore(frame, "x", Seq("g"))
     // group a: median 6, deviations [5,4,3,2,1,0,1,2,3,4,994] → MAD 3
