@@ -125,6 +125,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winsorizeAll: row-preserving, clamped values stay inside the data's range") {
+    import spark.implicits._
+    import graft.operators.Outliers
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-1e4, 1e4), Gen.choose(-1e3, 1e3)))
+      .suchThat(_.length >= 4)
+    samples(gen, 4).foreach { rows =>
+      val df = rows.toDF("g", "x", "y")
+      val out = Outliers.winsorizeAll(df, Seq("x", "y"), Seq("g"),
+        lo = 0.1, hi = 0.9)
+      assert(out.count() == rows.length.toLong) // clamp never drops/dups rows
+      // clamped values are bounded by the group's own extremes, and the
+      // clamp is monotone: order of x_w follows order of x within a group
+      val byG = out.collect().groupBy(_.getAs[String]("g"))
+      byG.foreach { case (_, rs) =>
+        val xs = rs.map(_.getAs[Double]("x")); val ws = rs.map(_.getAs[Double]("x_w"))
+        assert(ws.min >= xs.min - 1e-9 && ws.max <= xs.max + 1e-9)
+        val sorted = rs.sortBy(_.getAs[Double]("x"))
+        sorted.map(_.getAs[Double]("x_w")).sliding(2).foreach {
+          case Array(a, b) => assert(a <= b + 1e-12)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("robustZScoreAll: zero for constant columns, sign follows deviation from the median") {
+    import spark.implicits._
+    import graft.operators.Outliers
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1e3, 1e3)).suchThat(_.length >= 5)
+    samples(gen, 4).foreach { xs =>
+      val df = xs.map(x => ("g", x, 7.0)).toDF("g", "x", "c")
+      val out = Outliers.robustZScoreAll(df, Seq("x", "c"), Seq("g")).collect()
+      assert(out.length == xs.length)
+      // constant column: MAD=0 falls back to scale 1 → rz exactly 0
+      assert(out.forall(_.getAs[Double]("c_rz") == 0.0))
+      // x_rz is a positive affine map of x (median/MAD snap included):
+      // strictly order-preserving, centered near the median
+      val pairs = out.map(r => (r.getAs[Double]("x"), r.getAs[Double]("x_rz")))
+        .sortBy(_._1)
+      pairs.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
   test("negative sampling: rate·|pos| negatives, ids within vocabulary") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(
