@@ -44,7 +44,15 @@ object KnnGraph {
       .withColumn("__nm", VectorOps.l2Norm(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = vecs.count()
+      // The long cast nulls any non-numeric id, and every such row would
+      // collapse onto one null node — a silently wrong graph. Piggyback
+      // the guard on the count pass the bucket sizing needs anyway.
+      val firstRow = vecs.agg(count(lit(1)).as("n"),
+        count(when(col("id").isNull, 1)).as("badIds")).head()
+      val n = firstRow.getLong(0)
+      require(firstRow.getLong(1) == 0L,
+        s"nnDescent: ${firstRow.getLong(1)} rows have a null/non-numeric " +
+          s"'$idCol' after cast to long; fix or filter the id column")
       val nBuckets = math.max(1L, n / (k + 1L))
       // two independent seeded bucketings; all ordered pairs in a bucket
       val ids = vecs.select(col("id"))
@@ -86,6 +94,89 @@ object KnnGraph {
       }
       graph.withColumn("rank", row_number().over(bySrc).cast("long"))
         .select(col("src").as("id"), col("dst").as("neighbor_id"),
+          col("rank"), round(col("cos"), 4).as("cosine"))
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Graph-guided beam search over a k-NN graph — the search half that
+    * makes [[nnDescent]]'s artifact a consumable index (the HNSW-family
+    * idea, flat single-layer form): each query starts from a small
+    * shared set of entry nodes, repeatedly expands its current beam one
+    * graph hop (score the neighbors-of-beam against the query, keep the
+    * per-query best `beam`), and returns the top-k after `hops` rounds.
+    * The reference's own retrieval need is the analogue
+    * (evaluate.py:111-191 candidate ranking).
+    *
+    * Scale shape: after the seed round NOTHING scans the corpus — a hop
+    * is an equi-join of the skinny (query, node) beam against the edge
+    * list, one vector equi-join to score ≤ |Q|·beam·2k frontier rows,
+    * and a per-query top-beam window; per-hop work is independent of
+    * corpus size, which is the entire point of graph-guided search at
+    * 100 TB (the graph + vectors co-partition by node id; the query
+    * batch broadcasts). Evicted-then-revisited nodes may be re-scored —
+    * idempotent, and the anti-join against the CURRENT beam keeps the
+    * common case pruned without carrying an ever-growing visited set.
+    *
+    * Deterministic: hash-picked seeds, id-tie-broken windows — same
+    * output on any partitioning or retry. `graph` takes [[nnDescent]]'s
+    * output shape (`id, neighbor_id, …`); edges are walked undirected,
+    * doubling each node's out-degree with its in-links exactly like the
+    * descent frontier.
+    */
+  def graphSearch(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, beam: Int = 20, hops: Int = 3,
+      seedsPerQuery: Int = 8, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 0 && seedsPerQuery >= 1,
+      s"need k >= 1, beam >= k, hops >= 0, seeds >= 1; " +
+        s"got k=$k beam=$beam hops=$hops seeds=$seedsPerQuery")
+    import org.apache.spark.sql.expressions.Window
+    val vecs = vectors.select(col(idCol).cast("long").as("node_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nm", VectorOps.l2Norm(col("__v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qv = queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("__qv"))
+        .withColumn("__qn", VectorOps.l2Norm(col("__qv")))
+      val byQuery = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node_id").asc)
+      def topN(scored: DataFrame, n: Int): DataFrame = scored
+        .withColumn("__rk", row_number().over(byQuery))
+        .where(col("__rk") <= n).drop("__rk")
+      def score(cand: DataFrame): DataFrame = cand
+        .join(vecs, Seq("node_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .where(col("node_id") =!= col("query_id"))
+        .select(col("query_id"), col("node_id"),
+          VectorOps.cosineWithNorms(col("__v"), col("__qv"),
+            col("__nm"), col("__qn")).as("cos"))
+      // shared entry points: the nodes sorting first by salted hash —
+      // deterministic, uniform over the corpus, one skinny global
+      // top-N (TakeOrdered over ids, not a data scan per query)
+      val seeds = vecs.select(col("node_id"))
+        .orderBy(xxhash64(col("node_id"), lit(seed)), col("node_id"))
+        .limit(seedsPerQuery)
+      var beamState = topN(
+        score(qv.select(col("query_id")).crossJoin(broadcast(seeds))), beam)
+        .localCheckpoint(true)
+      val und = graph.select(col("id").as("node_id"), col("neighbor_id"))
+        .unionAll(graph.select(col("neighbor_id").as("node_id"),
+          col("id").as("neighbor_id")))
+      for (_ <- 1 to hops) {
+        val frontier = beamState.select(col("query_id"), col("node_id"))
+          .join(und, Seq("node_id"))
+          .select(col("query_id"), col("neighbor_id").as("node_id"))
+          .distinct()
+          .join(beamState.select(col("query_id"), col("node_id")),
+            Seq("query_id", "node_id"), "left_anti")
+        val next = topN(score(frontier).unionAll(beamState), beam)
+          .localCheckpoint(true)
+        CheckpointShim.freeLocalCheckpointIfAny(beamState)
+        beamState = next
+      }
+      topN(beamState, k)
+        .withColumn("rank", row_number().over(byQuery).cast("long"))
+        .select(col("query_id"), col("node_id").as("neighbor_id"),
           col("rank"), round(col("cos"), 4).as("cosine"))
     } finally vecs.unpersist(blocking = false)
   }

@@ -27,14 +27,20 @@ object Outliers {
     * aggregate-sized (one row per group) — broadcast by construction;
     * with millions of groups drop the hint and the join degrades
     * gracefully to a shuffle on the group key.
+    *
+    * The fitted percentiles snap to `statScale` decimals before they
+    * re-enter the plan — the same quantile-interpolation ulp discipline
+    * as [[robustZScore]]: a clamp boundary an ulp apart across engines
+    * flips a value that lands exactly on it, and the consumer's 4-dp
+    * rounding then diverges. 6 dp is exact on ≤2-dp inputs.
     */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95, statScale: Int = 6): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
     val gcols = groupCols.map(col)
     val stats = df.groupBy(gcols: _*).agg(
-      expr(s"percentile($valueCol, $lo)").as("__w_lo"),
-      expr(s"percentile($valueCol, $hi)").as("__w_hi"))
+      round(expr(s"percentile($valueCol, $lo)"), statScale).as("__w_lo"),
+      round(expr(s"percentile($valueCol, $hi)"), statScale).as("__w_hi"))
     df.join(broadcast(stats), groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("__w_lo")), col("__w_hi")))
@@ -50,13 +56,14 @@ object Outliers {
     * 100 TB table once and one that reads it per feature.
     */
   def winsorizeAll(df: DataFrame, valueCols: Seq[String],
-      groupCols: Seq[String], lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      groupCols: Seq[String], lo: Double = 0.05, hi: Double = 0.95,
+      statScale: Int = 6): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
     require(valueCols.nonEmpty, "need at least one value column")
     val gcols = groupCols.map(col)
     val aggs = valueCols.flatMap(c => Seq(
-      expr(s"percentile($c, $lo)").as(s"__w_lo_$c"),
-      expr(s"percentile($c, $hi)").as(s"__w_hi_$c")))
+      round(expr(s"percentile($c, $lo)"), statScale).as(s"__w_lo_$c"),
+      round(expr(s"percentile($c, $hi)"), statScale).as(s"__w_hi_$c")))
     val stats = df.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
     valueCols.foldLeft(df.join(broadcast(stats), groupCols)) { (acc, c) =>
       acc.withColumn(s"${c}_w",

@@ -506,19 +506,25 @@ object SimilaritySearch {
     * Broadcast budget: each (query, cell) row carries its LUT —
     * m·codesPerSub doubles (~8 KB at m=64×16), an ~30× inflation over
     * the raw vector. The broadcast is |Q|·nprobe·lutBytes, so a
-    * 100k-query batch at nprobe=6 is ~5 GB: beyond ~10k queries per
-    * call, CHUNK the query batch and union the results — the corpus
-    * side (the expensive, cell-partitioned scan) is unchanged per
-    * chunk, and the LUT stays the textbook per-query precompute
-    * instead of degrading to per-pair dot products.
+    * 100k-query batch at nprobe=6 is ~5 GB. The budget is ENFORCED:
+    * batches beyond `batchSize` queries (default 10k ≈ 500 MB at the
+    * bench config) are split by a deterministic id hash and the chunk
+    * results unioned — each chunk's LUT broadcast stays bounded, the
+    * corpus side (the expensive, cell-partitioned scan) is unchanged
+    * per chunk, and the LUT stays the textbook per-query precompute
+    * instead of degrading to per-pair dot products. Chunking is
+    * result-invariant (per-query top-k never looks across queries);
+    * SimilaritySpec asserts chunked ≡ unchunked literally. The one
+    * up-front cost is a count() of the query side — query batches are
+    * tiny next to the corpus, and a silent multi-GB driver broadcast
+    * is the alternative. Callers chunking a RECOMPUTED corpus should
+    * persist/store the coded table once (see [[graft.streaming
+    * .AnnIndexStream.indexRows]]) so chunks don't re-encode it.
     */
   def knnJoinIvfPq(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
       codebooks: Seq[Seq[(Int, Seq[Double])]], nprobe: Int = 2,
-      rerank: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = codebooks.length
-    val centArr = typedLit(centroids.sortBy(_._1).map(_._2))
+      rerank: Int = 50, batchSize: Int = 10000): DataFrame = {
     // corpus side: coarse cell + m-int residual codes; full vectors
     // leave the plan here and re-enter only for the bounded rerank set
     val coded = pqEncode(
@@ -527,6 +533,84 @@ object SimilaritySearch {
         "v", centroids),
       "__resid", codebooks)
       .select(col("cell"), col("neighbor_id"), col("pq_code"))
+    chunkedByQueryId(queries, idCol, batchSize) { q =>
+      ivfPqRank(coded, corpus, q, vecCol, idCol, k, centroids, codebooks,
+        nprobe, rerank)
+    }
+  }
+
+  /** [[knnJoinIvfPq]] against a MAINTAINED code table (the
+    * `(id, cell, pq_code)` rows [[graft.streaming.AnnIndexStream
+    * .indexRows]] produces, stored `partitionBy("cell")`): the corpus is
+    * never re-encoded, and the union of the batch's probed cells is
+    * pushed as a literal IN-list on `cell` BEFORE the probe join — with
+    * the table cell-partitioned, the scan is static directory pruning
+    * (no reliance on runtime DPP), reading nprobe-ish cells' worth of
+    * m-int codes out of the full index. SimilaritySpec pins both the
+    * pruned file set and stored ≡ inline results. `corpus` is still
+    * needed for the exact-cosine rerank of the bounded candidate set
+    * (the code table holds codes, not vectors). The probed-cell
+    * collection is one tiny job over the query batch (≤ kCells rows).
+    */
+  def knnJoinIvfPqStored(codeTable: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], nprobe: Int = 2,
+      rerank: Int = 50, batchSize: Int = 10000): DataFrame = {
+    val probed = probedCells(queries, vecCol, centroids, nprobe)
+    val coded = codeTable
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_code"))
+      .where(col("cell").isin(probed: _*))
+    chunkedByQueryId(queries, idCol, batchSize) { q =>
+      ivfPqRank(coded, corpus, q, vecCol, idCol, k, centroids, codebooks,
+        nprobe, rerank)
+    }
+  }
+
+  /** The distinct cells any query in the batch probes — the partition
+    * IN-list for a cell-partitioned code table. Bounded by the centroid
+    * count regardless of batch size.
+    */
+  def probedCells(queries: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int): Seq[Int] = {
+    val cellDists = centroids.map { case (cid, c) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct(
+        (lit(cNormSq) - lit(2.0) * VectorOps.dot(col(vecCol), array(c.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }
+    queries
+      .select(explode(slice(array_sort(array(cellDists: _*)), 1, nprobe)
+        .getField("cid")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+  }
+
+  /** Split a query batch into ≤`batchSize` deterministic id-hash chunks
+    * and union `f` over them — the broadcast-budget enforcement for the
+    * per-(query, cell) LUT joins. Result-invariant: per-query top-k
+    * never looks across queries. Costs one count() of the query side.
+    */
+  private def chunkedByQueryId(queries: DataFrame, idCol: String,
+      batchSize: Int)(f: DataFrame => DataFrame): DataFrame = {
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    val nQueries = queries.count()
+    if (nQueries <= batchSize) f(queries)
+    else {
+      val nChunks = ((nQueries + batchSize - 1) / batchSize).toInt
+      (0 until nChunks).map { i =>
+        f(queries.where(pmod(xxhash64(col(idCol)), lit(nChunks)) === i))
+      }.reduce(_ unionAll _)
+    }
+  }
+
+  private def ivfPqRank(coded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], nprobe: Int,
+      rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val centArr = typedLit(centroids.sortBy(_._1).map(_._2))
     // query side: probed cells first, then per-(query, cell) LUTs over
     // the query's residual from THAT cell's centroid — the same frame
     // carries ||q−c||² so cross-cell candidates stay comparable

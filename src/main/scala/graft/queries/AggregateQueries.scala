@@ -567,8 +567,8 @@ object AggregateQueries {
               round(least(greatest(l.l_extendedprice, s.lo), s.hi), 4) AS price_w
          FROM lineitem l JOIN (
            SELECT l_returnflag,
-                  quantile_cont(l_extendedprice, 0.05) AS lo,
-                  quantile_cont(l_extendedprice, 0.95) AS hi
+                  round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+                  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
            FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
     "a19b_winsorize_multi" ->
       """SELECT l.l_orderkey, l.l_linenumber,
@@ -576,10 +576,10 @@ object AggregateQueries {
               round(least(greatest(l.l_quantity, s.qlo), s.qhi), 4) AS qty_w
          FROM lineitem l JOIN (
            SELECT l_returnflag,
-                  quantile_cont(l_extendedprice, 0.05) AS plo,
-                  quantile_cont(l_extendedprice, 0.95) AS phi,
-                  quantile_cont(l_quantity, 0.05) AS qlo,
-                  quantile_cont(l_quantity, 0.95) AS qhi
+                  round(quantile_cont(l_extendedprice, 0.05), 6) AS plo,
+                  round(quantile_cont(l_extendedprice, 0.95), 6) AS phi,
+                  round(quantile_cont(l_quantity, 0.05), 6) AS qlo,
+                  round(quantile_cont(l_quantity, 0.95), 6) AS qhi
            FROM lineitem GROUP BY 1) s USING (l_returnflag)""",
     "a20b_robust_z_multi" ->
       """WITH med AS (SELECT l_returnflag,

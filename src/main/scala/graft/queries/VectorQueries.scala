@@ -153,6 +153,23 @@ object VectorQueries {
         Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 3)
     }),
 
+    // Graph-guided beam search over the NN-descent graph (the HNSW-
+    // family search half, flat form): seed every 50th vector from 8
+    // shared hash-picked entry nodes, expand 3 hops along graph edges
+    // keeping the best 20 per query, return top-10. After seeding,
+    // per-hop work is corpus-size-INDEPENDENT (≤ |Q|·beam·2k skinny
+    // rows/hop — the scale contrast with IVF's n·nprobe/kCells scan);
+    // KnnGraphSpec pins recall ≥ IVF-at-half-the-corpus and
+    // determinism. Engine-specific graph + seeds → rows-only.
+    "graph_search_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val graph = graft.operators.KnnGraph.nnDescent(
+        e, "embedding", "vec_id", k = 10, iters = 3)
+      graft.operators.KnnGraph.graphSearch(graph, e,
+        e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 10, beam = 20, hops = 3)
+    }),
+
     // ANN index maintenance (the ingest half of the IVF-PQ stack): apply
     // offline-fitted quantizers to every vector — cell by nearest
     // centroid, m-int residual codes — producing the (id, cell, pq_code)
@@ -160,7 +177,10 @@ object VectorQueries {
     // a Structured Streaming pipeline for continuous embedding ingest
     // (AnnIndexStreamSpec proves batch ≡ stream and watermarked
     // re-delivery dedup); stored partitioned by cell, probes become
-    // partition pruning. KMeans floats are engine-specific → rows-only.
+    // partition pruning (PlanSpec pins the pruned scan). KMeans floats
+    // are engine-specific → rows-only. The library row carries
+    // `pq_code array<int>`; the query projects it to a dash-joined
+    // scalar so the rows-only checker can sort/hash the cell.
     "ann_index_rows" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
@@ -170,7 +190,9 @@ object VectorQueries {
         SimilaritySearch.cellResiduals(sample, "embedding", centroids),
         "__resid", dim = 64, m = 16, codesPerSub = 16, maxIter = 2)
       graft.streaming.AnnIndexStream.indexRows(
-        e, "embedding", "vec_id", centroids, codebooks)
+          e, "embedding", "vec_id", centroids, codebooks)
+        .select(col("vec_id"), col("cell"),
+          concat_ws("-", col("pq_code").cast("array<string>")).as("pq_code"))
     }),
 
     // Semantic dedup (SemDeDup shape): cosine near-dup pairs blocked by

@@ -53,4 +53,49 @@ object AnnIndexStream {
       vectors.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(idCol),
       vecCol, idCol, centroids, codebooks)
+
+  /** Per-cell residual statistics of `vectors` under the coarse
+    * quantizer: `(cell, n, mean_resid_norm)` — how far the cell's
+    * members sit from their centroid, on average. Run once on the FIT
+    * sample to freeze the baseline, then periodically on fresh arrivals;
+    * [[quantizerDrift]] compares the two. One aggregate pass, group
+    * state is two scalars per cell. On a stream, apply the same body per
+    * micro-batch (`foreachBatch`) or swap the groupBy for a windowed
+    * aggregation — the metric is an ordinary mergeable mean.
+    */
+  def residualStats(vectors: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    SimilaritySearch.cellResiduals(
+      vectors.select(col(vecCol).as("__v")), "__v", centroids)
+      .select(col("cell"),
+        graft.functions.VectorOps.l2Norm(col("__resid")).as("__rn"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("__rn")).as("mean_resid_norm"))
+
+  /** The REFIT TRIGGER for the streaming index's offline-fitted
+    * quantizers: [[indexRows]] applies fit-time centroids forever, so a
+    * drifted embedding distribution silently degrades recall (vectors
+    * land in cells whose centroid no longer represents them, residuals
+    * grow, the PQ codebooks resolve less of the distance). This joins
+    * the current window's [[residualStats]] against the fit-time
+    * baseline per cell: `drift_ratio` = current/fit mean residual norm,
+    * and `refit` flags a cell whose ratio exceeds `threshold` (or that
+    * the fit never saw members of). Operational contract: when flagged
+    * cells hold a meaningful share of current `n`, refit both quantizers
+    * on a fresh sample and rebuild the code table — the index rows are a
+    * pure function of (vectors, quantizers), so a rebuild is one batch
+    * [[indexRows]] pass, not a stateful migration. Both stats frames are
+    * cell-count-sized: the join is trivially broadcast.
+    */
+  def quantizerDrift(current: DataFrame, baseline: DataFrame,
+      threshold: Double = 1.25): DataFrame = {
+    require(threshold > 0, s"need threshold > 0, got $threshold")
+    current.select(col("cell"), col("n"),
+        col("mean_resid_norm").as("current_norm"))
+      .join(broadcast(baseline.select(col("cell"),
+        col("mean_resid_norm").as("fit_norm"))), Seq("cell"), "left")
+      .withColumn("drift_ratio", col("current_norm") / col("fit_norm"))
+      .withColumn("refit",
+        col("fit_norm").isNull || col("drift_ratio") > lit(threshold))
+  }
 }

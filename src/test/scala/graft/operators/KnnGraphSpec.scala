@@ -35,6 +35,48 @@ class KnnGraphSpec extends SparkSpec {
     assert(recalls.last >= 0.8, s"converged recall too low: $recalls")
   }
 
+  test("graphSearch: recall at least matches IVF at comparable candidate budget, deterministic") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.where(pmod(col("vec_id"), lit(25)) === 0)
+    val truth = SimilaritySearch
+      .knnJoinBruteForce(e, queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graph = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 10, iters = 3)
+    val got = KnnGraph.graphSearch(graph, e, queries, "embedding", "vec_id",
+      k = 10, beam = 20, hops = 4, seedsPerQuery = 8)
+      .collect()
+    val perQuery = got.groupBy(_.getLong(0))
+    assert(perQuery.size == 20)
+    assert(perQuery.values.forall(_.map(_.getLong(2)).sorted.toSeq == (1L to 10L)))
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gRecall = gotPairs.intersect(truth).size.toDouble / truth.size
+    // Budget honesty on a 500-vector corpus: graph search scores
+    // ≤ seeds + hops·beam·2k frontier rows per query — a bound set by
+    // the CONFIG, not the corpus (the 100 TB argument: per-hop work is
+    // corpus-size-independent, while IVF's per-query scan n·nprobe/
+    // kCells grows linearly with n). At n=500 any config-sized budget
+    // is near the whole corpus, so the comparison below is the
+    // at-this-SF sanity floor, not the scale claim: IVF probing HALF
+    // the corpus (nprobe=4 of 8, ~250 scored/query, measured recall
+    // 0.775) must not beat the graph walk (measured grid: beam=10/
+    // hops=2 → 0.49, 20/3 → 0.845, 20/4 → 0.905, 40/4 → 0.99 —
+    // recall is bought by hops·beam, the HNSW knob, not by corpus
+    // scans). Both sides deterministic (seeded KMeans / seeded hash).
+    val centroids = SimilaritySearch.fitIvf(e, "embedding", k = 8, maxIter = 3)
+    val ivf = SimilaritySearch
+      .knnJoinIvf(e, queries, "embedding", "vec_id", k = 10, centroids, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = ivf.intersect(truth).size.toDouble / truth.size
+    assert(gRecall >= ivfRecall,
+      s"graph-guided recall $gRecall below IVF $ivfRecall")
+    assert(gRecall >= 0.85, s"graph-guided recall too low: $gRecall")
+    // determinism: same seeds, same graph -> bit-identical result
+    val again = KnnGraph.graphSearch(graph, e, queries, "embedding", "vec_id",
+      k = 10, beam = 20, hops = 4, seedsPerQuery = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("nnDescent: k rows per node with ranks 1..k, deterministic across runs") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val g1 = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 5, iters = 2)

@@ -212,6 +212,70 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"knnJoinIvfPq recall@10 too low: $recall")
   }
 
+  test("knnJoinIvfPq: enforced batch chunking returns the unchunked result exactly") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.where(pmod(col("vec_id"), lit(25)) === 0)
+    val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+    val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 4, maxIter = 2)
+    val codebooks = SimilaritySearch.fitPq(
+      SimilaritySearch.cellResiduals(sample, "embedding", centroids),
+      "__resid", dim = 64, m = 8, codesPerSub = 16, maxIter = 1)
+    def run(batchSize: Int) = SimilaritySearch
+      .knnJoinIvfPq(e, queries, "embedding", "vec_id", k = 5, centroids,
+        codebooks, nprobe = 2, rerank = 25, batchSize = batchSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val unchunked = run(batchSize = 1000000)
+    // batchSize=2 forces many hash chunks over this query batch; per-query
+    // top-k never looks across queries, so the union must be IDENTICAL —
+    // the broadcast-budget enforcement cannot perturb results
+    val chunked = run(batchSize = 2)
+    assert(chunked == unchunked)
+    assert(chunked.map(_._1).size > 2) // really exercised >1 chunk
+  }
+
+  test("knnJoinIvfPqStored probes the cell-partitioned code table with a pruned scan, results ≡ inline") {
+    import graft.streaming.AnnIndexStream
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
+    val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+    val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8, maxIter = 2)
+    val codebooks = SimilaritySearch.fitPq(
+      SimilaritySearch.cellResiduals(sample, "embedding", centroids),
+      "__resid", dim = 64, m = 8, codesPerSub = 16, maxIter = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_probe").toString
+    AnnIndexStream.indexRows(e, "embedding", "vec_id", centroids, codebooks)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val probed = SimilaritySearch.probedCells(queries, "embedding", centroids, nprobe = 2)
+    assert(probed.nonEmpty && probed.size <= 8)
+    // the scan the stored probe join performs: static IN-list on the
+    // partition column — the files read must come ONLY from probed-cell
+    // directories, and the plan must show the predicate as a
+    // PartitionFilter (directory pruning), not a post-scan Filter
+    val prunedScan = stored.where(col("cell").isin(probed: _*))
+    val planStr = prunedScan.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"), planStr)
+    val filesRead = prunedScan.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    val cellDirsRead = filesRead.map(f =>
+      f.split("/").find(_.startsWith("cell=")).get.stripPrefix("cell=").toInt).toSet
+    assert(cellDirsRead == probed.toSet,
+      s"scan read cells $cellDirsRead, probed $probed")
+    // and the maintained-index probe returns exactly the inline result
+    val inline = SimilaritySearch
+      .knnJoinIvfPq(e, queries, "embedding", "vec_id", k = 5, centroids,
+        codebooks, nprobe = 2, rerank = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromStore = SimilaritySearch
+      .knnJoinIvfPqStored(stored, e, queries, "embedding", "vec_id", k = 5,
+        centroids, codebooks, nprobe = 2, rerank = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fromStore == inline)
+  }
+
   test("pqEncode emits m codes per row within each codebook's id range") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val codebooks = SimilaritySearch.fitPq(e, "embedding", dim = 64, m = 8,

@@ -58,4 +58,34 @@ class AnnIndexStreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("quantizerDrift: stable distribution stays unflagged, a shifted one trips the refit trigger") {
+    import spark.implicits._
+    val fitDf = vecs.toDF()
+    val centroids = SimilaritySearch.fitIvf(fitDf, "embedding", k = 2)
+    val baseline = AnnIndexStream.residualStats(fitDf, "embedding", centroids)
+
+    // same distribution re-measured against its own fit: every cell's
+    // ratio is exactly 1 and nothing asks for a refit
+    val stable = AnnIndexStream
+      .quantizerDrift(baseline, baseline, threshold = 1.25)
+      .collect()
+    assert(stable.length == 2)
+    assert(stable.forall(r => math.abs(r.getAs[Double]("drift_ratio") - 1.0) < 1e-12))
+    assert(stable.forall(!_.getAs[Boolean]("refit")))
+
+    // drifted arrivals: every vector shifted off the fit-time manifold —
+    // residual norms grow in every cell, the ratio clears the threshold,
+    // and the metric demands a refit
+    val shifted = fitDf.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(6.0f)).as("embedding"))
+    val drifted = AnnIndexStream.quantizerDrift(
+      AnnIndexStream.residualStats(shifted, "embedding", centroids),
+      baseline, threshold = 1.25).collect()
+    assert(drifted.exists(_.getAs[Boolean]("refit")),
+      s"shifted distribution not flagged: ${drifted.mkString(", ")}")
+    assert(drifted.filter(_.getAs[Boolean]("refit"))
+      .forall(r => r.isNullAt(r.fieldIndex("drift_ratio")) ||
+        r.getAs[Double]("drift_ratio") > 1.25))
+  }
 }
