@@ -23,8 +23,19 @@ object Bench {
     if (unknown.nonEmpty)
       System.err.println(
         s"[bench] no such queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    // SPARK_GRAFT_WARMUP=1: run each query once untimed before the
+    // timed run — the solo-warm baseline that separates a query's real
+    // cost from one-off JIT/codegen/scan-cache warmup, so an in-suite
+    // regression is attributable (in-suite vs solo-warm numbers for the
+    // suite's slowest queries are recorded in SCALE.md)
+    val warmup = sys.env.get("SPARK_GRAFT_WARMUP").contains("1")
     // deterministic (sorted) execution order for comparable timings
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (warmup) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
       val t0 = System.nanoTime()
       // a broken query must bench as BROKEN, not as "fast": record the
       // error per query instead of swallowing it into a bogus timing
