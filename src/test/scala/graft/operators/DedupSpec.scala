@@ -68,6 +68,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("bench-config pair recall: MinHash-LSH ≡ exact Jaccard pairs; SimHash captures most") {
+    // The CORRECTNESS-style derived check for the two rows-only LSH
+    // queries (dedup_minhash / dedup_simhash run verbatim): against the
+    // exact inverted-index Jaccard oracle (dedup_ngram_jaccard's
+    // config), the banded MinHash at the bench defaults (8 bands × 2
+    // rows, threshold 0.5) must recover the exact pair set — its
+    // candidates are exact-verified, so lsh ⊆ exact ALWAYS holds, and
+    // at this banding the S-curve leaves no 0.5+ pair unbucketed
+    // (measured: 28/28 on the sf0.001 documents; seeded hashing makes
+    // the number deterministic, so a banding regression cannot hide
+    // in a rows-only count). SimHash bounds a DIFFERENT metric
+    // (Hamming ≤ 3 on 64-bit signatures ≈ cosine on term vectors, not
+    // Jaccard), so it is pinned looser: ≥ 70% of the Jaccard pairs
+    // (measured 21/28, plus 6 legitimate cosine-near pairs Jaccard
+    // scores below 0.5).
+    val realDocs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val exact = Dedup.shingleJaccardPairs(realDocs, "text", "doc_id",
+      shingleLen = 5, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.minHashLshPairs(realDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted pairs the exact oracle rejects: ${lsh -- exact}")
+    val lshRecall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(lshRecall >= 0.95, s"MinHash-LSH pair recall too low: $lshRecall")
+    val sim = Dedup.simHashPairs(realDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simRecall = sim.intersect(exact).size.toDouble / exact.size
+    assert(simRecall >= 0.7, s"SimHash pair recall too low: $simRecall")
+  }
+
   test("SimHash: identical docs at Hamming 0; near dups within 3") {
     val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
