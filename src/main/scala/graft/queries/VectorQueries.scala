@@ -195,6 +195,29 @@ object VectorQueries {
           concat_ws("-", col("pq_code").cast("array<string>")).as("pq_code"))
     }),
 
+    // Quantizer drift report (the refit trigger for the streaming ANN
+    // index): per-cell mean residual norm of the FULL table vs the
+    // fit-time baseline frozen on the 1/16 fit sample — ratio ≈ 1 when
+    // the sample represents the distribution, `refit` flags cells whose
+    // arrivals drifted off the fit manifold. Both stats frames are
+    // cell-count-sized; the whole query is two aggregate passes + a
+    // broadcast join. KMeans floats are engine-specific → rows-only.
+    "ann_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 4, maxIter = 2)
+      val baseline = graft.streaming.AnnIndexStream.residualStats(
+        sample, "embedding", centroids)
+      graft.streaming.AnnIndexStream.quantizerDrift(
+        graft.streaming.AnnIndexStream.residualStats(e, "embedding", centroids),
+        baseline)
+        .select(col("cell"), col("n"),
+          round(col("current_norm"), 4).as("current_norm"),
+          round(col("fit_norm"), 4).as("fit_norm"),
+          round(col("drift_ratio"), 4).as("drift_ratio"), col("refit"))
+    }),
+
     // Semantic dedup (SemDeDup shape): cosine near-dup pairs blocked by
     // IVF cells from a real KMeans coarse quantizer — the blocking that
     // keeps the pair space Σ per-cell n² instead of global n². Centroid

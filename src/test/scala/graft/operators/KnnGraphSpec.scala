@@ -77,6 +77,24 @@ class KnnGraphSpec extends SparkSpec {
     assert(again == got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("graphSearch over a STORED graph equals the inline result (build/search split)") {
+    // production shape: the graph is built once (expensive), persisted,
+    // and searched many times — the search half must consume the stored
+    // artifact unchanged
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
+    val graph = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 10, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_graph").toString
+    graph.write.mode("overwrite").parquet(dir)
+    val inline = KnnGraph.graphSearch(graph, e, queries, "embedding", "vec_id",
+      k = 5, beam = 10, hops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = KnnGraph.graphSearch(spark.read.parquet(dir), e, queries,
+      "embedding", "vec_id", k = 5, beam = 10, hops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == inline && stored.nonEmpty)
+  }
+
   test("nnDescent: k rows per node with ranks 1..k, deterministic across runs") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val g1 = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 5, iters = 2)
