@@ -180,4 +180,67 @@ object KnnGraph {
           col("rank"), round(col("cos"), 4).as("cosine"))
     } finally vecs.unpersist(blocking = false)
   }
+
+  /** Incremental INSERT of a bounded batch of new vectors into an
+    * existing k-NN graph — the maintenance half that keeps a corpus-
+    * scale graph current without the full [[nnDescent]] rebuild (the
+    * graph analogue of [[graft.streaming.AnnIndexStream.indexRows]]'s
+    * ingest role, and the standard HNSW insertion recipe: search first,
+    * then link both directions). Three bounded edge sources merge:
+    *
+    *  1. new→old: each new vector [[graphSearch]]es the EXISTING graph
+    *     for its k best old neighbors — per-insert cost is the walk's
+    *     corpus-size-independent budget, never an old-corpus scan;
+    *  2. old→new: the reverse of those edges challenges the affected
+    *     old nodes' lists — only nodes a new vector actually reached
+    *     re-rank (≤ |B|·k of them), the rest of the graph's edges pass
+    *     through untouched;
+    *  3. new↔new: exact top-k within the batch
+    *     ([[SimilaritySearch.knnJoinBruteForce]] — the batch is
+    *     bounded by contract, like a query batch, so |B|² broadcast
+    *     pairs are the cheap part).
+    *
+    * One per-src top-k window over the union yields the updated graph
+    * in [[nnDescent]]'s output shape. Ids must be disjoint (enforced) —
+    * an id collision would silently merge two nodes' neighborhoods.
+    * Quality contract (KnnGraphSpec): recall of insert-then-measure
+    * tracks the full rebuild within a few points; repeated large-batch
+    * insertion without a periodic rebuild degrades like any
+    * incrementally-maintained index and the same spec documents the
+    * re-descent refresh (`nnDescent` over the merged corpus).
+    */
+  def insert(graph: DataFrame, oldVectors: DataFrame, newVectors: DataFrame,
+      vecCol: String, idCol: String, k: Int, beam: Int = 20, hops: Int = 3,
+      seedsPerQuery: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oldIds = oldVectors.select(col(idCol).cast("long").as("id"))
+    val newIds = newVectors.select(col(idCol).cast("long").as("id"))
+    require(newIds.join(oldIds, Seq("id"), "left_semi").limit(1).isEmpty,
+      s"insert: new '$idCol' values collide with existing graph nodes")
+    // 1. new→old via beam search over the existing graph
+    val newOld = graphSearch(graph, oldVectors, newVectors, vecCol, idCol,
+      k, beam, hops, seedsPerQuery, seed)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("cos"))
+    // 3. new↔new exact within the bounded batch
+    val newNew = SimilaritySearch
+      .knnJoinBruteForce(newVectors, newVectors, vecCol, idCol, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("cos"))
+    // 2. old→new: the reverse edges challenge affected old nodes only
+    val oldNew = newOld.select(col("dst").as("src"), col("src").as("dst"),
+      col("cos"))
+    val incumbent = graph.select(col("id").as("src"),
+      col("neighbor_id").as("dst"), col("cosine").as("cos"))
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    incumbent.unionAll(newOld).unionAll(oldNew).unionAll(newNew)
+      // a node pair can arrive from two sources (e.g. new↔new and a
+      // search that walked through the batch-mate) — dedup before rank
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(bySrc).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("src").as("id"), col("dst").as("neighbor_id"),
+        col("rank"), col("cos").as("cosine"))
+  }
 }

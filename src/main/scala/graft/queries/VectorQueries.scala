@@ -195,6 +195,22 @@ object VectorQueries {
           concat_ws("-", col("pq_code").cast("array<string>")).as("pq_code"))
     }),
 
+    // Incremental k-NN graph maintenance: build the graph on the 90%
+    // resident corpus, then INSERT the 10% batch — search-then-link
+    // (new→old via beam walk, reverse edges re-rank only the reached
+    // old nodes, exact new↔new within the bounded batch), never a
+    // rebuild. KnnGraphSpec pins recall-tracks-rebuild and the
+    // id-collision guard. Engine-specific graph → rows-only.
+    "knn_graph_insert" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val old = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val fresh = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val oldGraph = graft.operators.KnnGraph.nnDescent(
+        old, "embedding", "vec_id", k = 10, iters = 2)
+      graft.operators.KnnGraph.insert(oldGraph, old, fresh,
+        "embedding", "vec_id", k = 10, beam = 10, hops = 2)
+    }),
+
     // Quantizer drift report (the refit trigger for the streaming ANN
     // index): per-cell mean residual norm of the FULL table vs the
     // fit-time baseline frozen on the 1/16 fit sample — ratio ≈ 1 when

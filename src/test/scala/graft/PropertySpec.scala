@@ -141,7 +141,12 @@ class PropertySpec extends SparkSpec {
       val byG = out.collect().groupBy(_.getAs[String]("g"))
       byG.foreach { case (_, rs) =>
         val xs = rs.map(_.getAs[Double]("x")); val ws = rs.map(_.getAs[Double]("x_w"))
-        assert(ws.min >= xs.min - 1e-9 && ws.max <= xs.max + 1e-9)
+        // boundary tolerance 1e-6, not ulp-level: the fitted percentiles
+        // snap to statScale=6 decimals (the cross-engine quantile-
+        // interpolation discipline), so a clamp boundary may sit up to
+        // 5e-7 outside the group's true range — invisible at the
+        // oracle's 4-dp rounding, visible to an exact range check
+        assert(ws.min >= xs.min - 1e-6 && ws.max <= xs.max + 1e-6)
         val sorted = rs.sortBy(_.getAs[Double]("x"))
         sorted.map(_.getAs[Double]("x_w")).sliding(2).foreach {
           case Array(a, b) => assert(a <= b + 1e-12)

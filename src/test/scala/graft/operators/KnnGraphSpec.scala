@@ -95,6 +95,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(stored == inline && stored.nonEmpty)
   }
 
+  test("insert: incremental batch insertion tracks the full rebuild; id collisions rejected") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val old = e.where(col("vec_id") < 450)
+    val fresh = e.where(col("vec_id") >= 450)
+    val oldGraph = KnnGraph.nnDescent(old, "embedding", "vec_id", k = 10, iters = 3)
+    val merged = KnnGraph.insert(oldGraph, old, fresh, "embedding", "vec_id",
+      k = 10, beam = 20, hops = 3)
+      .persist()
+    // shape: every node (old AND new) keeps exactly k ranked edges
+    val perNode = merged.collect().groupBy(_.getLong(0))
+    assert(perNode.size == 500)
+    assert(perNode.values.forall(_.map(_.getLong(2)).sorted.toSeq == (1L to 10L)))
+    // quality: recall vs the exact 500-node graph must track the full
+    // rebuild within a few points (the batch is 10% of the corpus —
+    // far above a realistic ingest tick, so this is the stress case)
+    val truth = SimilaritySearch.knnJoinBruteForce(e, e, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 10, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mergedPairs = merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuildRecall = rebuilt.intersect(truth).size.toDouble / truth.size
+    val insertRecall = mergedPairs.intersect(truth).size.toDouble / truth.size
+    assert(insertRecall >= rebuildRecall - 0.1,
+      s"insert recall $insertRecall trails rebuild $rebuildRecall by > 0.1")
+    merged.unpersist(false)
+    // colliding ids must be rejected, not silently merged
+    intercept[IllegalArgumentException] {
+      KnnGraph.insert(oldGraph, old, old.limit(1), "embedding", "vec_id", k = 10)
+    }
+  }
+
   test("nnDescent: k rows per node with ranks 1..k, deterministic across runs") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val g1 = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 5, iters = 2)
