@@ -243,4 +243,58 @@ object KnnGraph {
       .select(col("src").as("id"), col("dst").as("neighbor_id"),
         col("rank"), col("cos").as("cosine"))
   }
+
+  /** Incremental REMOVAL of a bounded id batch from a k-NN graph — the
+    * other half of [[insert]]'s maintenance pair. Deleting a node drops
+    * its own adjacency row AND punches holes in every list that pointed
+    * at it; only those AFFECTED nodes (≤ |removed|·k by construction)
+    * re-search the pruned graph to refill toward k — the rest of the
+    * graph passes through untouched, so per-delete cost follows the
+    * batch size, never the corpus. `vectors` is the pre-removal corpus;
+    * survivors are derived. Removing unknown ids is a no-op (idempotent
+    * retries), and no output edge touches a removed id.
+    *
+    * A node that lost edges can legitimately end below k when the walk
+    * cannot reach enough of the pruned graph; the periodic re-descent
+    * (a fresh [[nnDescent]]) is the documented full-quality refresh,
+    * exactly like the ANN index's quantizer refit.
+    */
+  def remove(graph: DataFrame, vectors: DataFrame, removeIds: DataFrame,
+      vecCol: String, idCol: String, k: Int, beam: Int = 20, hops: Int = 3,
+      seedsPerQuery: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val removed = removeIds.select(col(idCol).cast("long").as("id")).distinct()
+    // the removal batch is bounded by contract (an ingest tick, not a
+    // corpus) — broadcast both prune joins
+    val kept = graph
+      .join(broadcast(removed.select(col("id"))), Seq("id"), "left_anti")
+      .join(broadcast(removed.select(col("id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+      .select(col("id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("cos"))
+    // nodes whose lists lost a neighbor: they re-search the pruned graph
+    val affected = graph
+      .join(broadcast(removed.select(col("id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("id"))
+      .join(broadcast(removed), Seq("id"), "left_anti")
+      .distinct()
+    val survivors = vectors
+      .join(broadcast(removed.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti")
+    val keptAsGraph = kept.select(col("src").as("id"),
+      col("dst").as("neighbor_id"))
+    val refill = graphSearch(keptAsGraph, survivors,
+      survivors.join(affected.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+      vecCol, idCol, k, beam, hops, seedsPerQuery, seed)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("cos"))
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    kept.unionAll(refill)
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(bySrc).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("src").as("id"), col("dst").as("neighbor_id"),
+        col("rank"), col("cos").as("cosine"))
+  }
 }

@@ -211,6 +211,20 @@ object VectorQueries {
         "embedding", "vec_id", k = 10, beam = 10, hops = 2)
     }),
 
+    // The other maintenance half: REMOVE a 10% id batch from the graph
+    // built on the full corpus — surviving edges pass through, only
+    // nodes that lost a neighbor re-search the pruned graph to refill
+    // (≤ |removed|·k of them). No output edge touches a removed id
+    // (spec-pinned). Engine-specific graph → rows-only.
+    "knn_graph_remove" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val graph = graft.operators.KnnGraph.nnDescent(
+        e, "embedding", "vec_id", k = 10, iters = 2)
+      graft.operators.KnnGraph.remove(graph, e,
+        e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
+        "embedding", "vec_id", k = 10, beam = 10, hops = 2)
+    }),
+
     // Quantizer drift report (the refit trigger for the streaming ANN
     // index): per-cell mean residual norm of the FULL table vs the
     // fit-time baseline frozen on the 1/16 fit sample — ratio ≈ 1 when

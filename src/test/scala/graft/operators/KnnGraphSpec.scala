@@ -126,6 +126,50 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("remove: pruned graph never references removed ids, affected nodes refill, tracks rebuild") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val graph = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 10, iters = 3)
+    val removedIds = (0L until 500L by 10L) // 50 nodes, 10% of the corpus
+    val pruned = KnnGraph.remove(graph, e, removedIds.toDF("vec_id"),
+      "embedding", "vec_id", k = 10, beam = 20, hops = 3)
+      .persist()
+    val rows = pruned.collect()
+    val removedSet = removedIds.toSet
+    // no output edge touches a removed id, on either endpoint
+    assert(rows.forall(r => !removedSet.contains(r.getLong(0)) &&
+      !removedSet.contains(r.getLong(1))))
+    // every survivor still has a ranked list (refill reached them all)
+    val perNode = rows.groupBy(_.getLong(0))
+    assert(perNode.size == 450)
+    perNode.values.foreach { es =>
+      val ranks = es.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"ranks not dense: $ranks")
+    }
+    // quality: recall vs the exact 450-node graph tracks a full rebuild
+    val survivors = e.where(!col("vec_id").isin(removedIds: _*))
+    val truth = SimilaritySearch
+      .knnJoinBruteForce(survivors, survivors, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = KnnGraph.nnDescent(survivors, "embedding", "vec_id", k = 10, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prunedPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuildRecall = rebuilt.intersect(truth).size.toDouble / truth.size
+    val removeRecall = prunedPairs.intersect(truth).size.toDouble / truth.size
+    assert(removeRecall >= rebuildRecall - 0.1,
+      s"remove recall $removeRecall trails rebuild $rebuildRecall by > 0.1")
+    pruned.unpersist(false)
+    // removing unknown ids is a no-op on the edge set (idempotent
+    // retries). Ranks are compared as pairs+cosines, not numbers: the
+    // merge re-ranks from the graph's 4-dp stored cosines, so exact
+    // ties may renumber — the neighbor lists themselves are identical
+    val noop = KnnGraph.remove(graph, e, Seq(9999L).toDF("vec_id"),
+      "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val orig = graph.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(noop == orig)
+  }
+
   test("nnDescent: k rows per node with ranks 1..k, deterministic across runs") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val g1 = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 5, iters = 2)
