@@ -40,10 +40,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AggregateQueries.queries ++
       FunctionQueries.queries ++ GraphQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ StreamQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ StreamQueries.queries ++
+      WarehouseQueries.queries ++ BpeQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AggregateQueries.oracleSql ++
       FunctionQueries.oracleSql ++ GraphQueries.oracleSql ++
-      TextQueries.oracleSql ++ VectorQueries.oracleSql ++ StreamQueries.oracleSql
+      TextQueries.oracleSql ++ VectorQueries.oracleSql ++ StreamQueries.oracleSql ++
+      WarehouseQueries.oracleSql
 }

@@ -39,6 +39,21 @@ object Splits {
     (df.where(gate < thresh), df.where(gate >= thresh))
   }
 
+  /** K-fold assignment from the same deterministic md5 gate as
+    * [[hashSplit]]: `fold = gate % k`, a pure function of the key —
+    * every retry, engine, and partitioning assigns a row to the same
+    * fold, and the folds partition the input exactly (nulls travel via
+    * the same sentinel). The 16-bit gate's bias toward low folds is
+    * ≤ k/65536 — negligible for any sane k.
+    */
+  def kfold(df: DataFrame, keyCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds; got $k")
+    val gate = conv(substring(md5(
+      coalesce(keyCol.cast("string"), lit("\u0000__null_key__"))), 1, 4), 16, 10)
+      .cast("int")
+    df.withColumn("fold", gate % k)
+  }
+
   /** R2 — sequential split by an ordering column. The reference slices
     * `.loc[:n]` / `.loc[n:]`, which puts row n in BOTH halves (quirk X1);
     * `overlapBoundary = true` reproduces that, the default gives an exact

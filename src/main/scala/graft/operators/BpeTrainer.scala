@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** BPE tokenizer training + encoding over a distributed corpus — the
+  * real version of TextOps' "BPE-ish" regex token count: learn the
+  * merge table from corpus statistics (Sennrich et al., ACL'16), then
+  * tokenize documents with it.
+  *
+  * Scale shape — the standard production split: the 100 TB part is ONE
+  * distributed pass (explode → word hash-aggregate → top-`maxWords`
+  * TakeOrdered); the merge loop then runs on the collected
+  * word-FREQUENCY dictionary, which is vocabulary-sized (bounded by
+  * `maxWords`, the same bounded-collect discipline as `Vocab`'s JSON
+  * artifact) — this is exactly how practical BPE trainers work, because
+  * pair statistics are a pure function of word counts, not of the
+  * corpus layout. Encoding is distributed again: a broadcast rank
+  * table + per-partition word→tokens memo (each distinct word encodes
+  * once per partition, not once per occurrence).
+  *
+  * Determinism: ties in pair frequency break lexicographically on
+  * (left, right); word-count ties in the `maxWords` cap break on the
+  * word — same merges on any partitioning, retry, or engine.
+  */
+object BpeTrainer {
+
+  /** One distributed pass: whitespace words → counts → top `maxWords`
+    * by (count desc, word asc). The only corpus-sized stage.
+    */
+  def wordCounts(df: DataFrame, textCol: String, maxWords: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ", -1)).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxWords)
+
+  /** Learn up to `numMerges` merges from the corpus. Stops early when
+    * no adjacent pair remains (every word fully merged).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1 << 16): Seq[(String, String)] = {
+    val counts = wordCounts(df, textCol, maxWords).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(counts, numMerges)
+  }
+
+  /** The merge loop on a word-frequency dictionary (driver-side by
+    * design — see the scaladoc above). Exposed for tests and for
+    * callers that already hold counts.
+    */
+  def trainFromCounts(counts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"need numMerges >= 0; got $numMerges")
+    var words: Array[(Array[String], Long)] =
+      counts.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergeAll(syms, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Merge every (left-to-right, non-overlapping) occurrence of `pair`. */
+  private def mergeAll(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Greedy rank-order encoding of one word: repeatedly merge the
+    * lowest-rank adjacent pair (all its occurrences, left to right)
+    * until none applies — the standard BPE inference rule, guaranteed
+    * lossless (`tokens.mkString == word`, pinned in BpeSpec).
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else syms = mergeAll(syms, bestPair)
+    }
+    syms
+  }
+
+  /** Distributed encoding: broadcast rank table, per-partition
+    * word→tokens memo. Returns (idCol, tokens array<string>).
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+            .toArray
+          (id, toks)
+        }
+      }.toDF(idCol, "tokens")
+  }
+
+  /** The learned merge table as a frame: (rank, left, right). */
+  def mergesDF(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, numMerges, maxWords).zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+  }
+}

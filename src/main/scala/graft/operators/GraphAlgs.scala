@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.CheckpointShim
+import org.apache.spark.storage.StorageLevel
+
+/** Whole-graph analytics beyond [[PageRank]]: triangle counting and
+  * multi-source BFS — the two classic building blocks the reference's
+  * graph stage (graph.py's adjacency statistics) implies but computes
+  * only degree-deep. Both are pure DataFrame dataflows: equi-joins and
+  * hash aggregates, no driver-side adjacency and no nested-loop node.
+  *
+  * Triangle counting uses the degree-ordered orientation (each
+  * undirected edge points from its lower-(degree, id) endpoint to the
+  * higher): every triangle is generated exactly once, and a node's
+  * oriented out-degree is O(sqrt(|E|)) even on power-law graphs, so
+  * the wedge self-join's fan-out is bounded where a naive id-ordered
+  * join would square the hottest hub's degree. This is the standard
+  * MapReduce formulation (Suri & Vassilvitskii, WWW'11) expressed as
+  * two joins + one aggregate.
+  *
+  * BFS is the PageRank-style iterated dataflow: a `(node, dist)` state
+  * frame, one frontier equi-join + min-aggregate per hop, with
+  * per-iteration plan truncation (checkpoint) so the lineage stays
+  * flat — identical executor-side shape at any graph size.
+  */
+object GraphAlgs {
+
+  /** Canonicalize an undirected edge list: drop self-loops, dedup both
+    * orientations into `a < b`.
+    */
+  def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  /** All triangles of an undirected graph, one row per triangle with
+    * vertices sorted ascending — the exactly-once enumeration the
+    * per-node counts and the clustering-coefficient numerator both
+    * consume.
+    *
+    * @param edges undirected edges (any orientation/dup mix)
+    */
+  def triangles(edges: DataFrame, srcCol: String = "a", dstCol: String = "b"): DataFrame = {
+    val e = canonical(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // orient each edge from lower (deg, id) to higher (deg, id)
+      val oriented = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("v"))
+      // wedges u→v, u→w with (v, w) ordered in the SAME total order the
+      // orientation uses, so the closing edge is probed exactly once
+      val ov = oriented.select(col("u"), col("v"))
+      val ow = oriented.select(col("u").as("u"), col("v").as("w"))
+      val wedges = ov.join(ow, Seq("u")).where(col("v") < col("w"))
+      // the closing edge (v, w) exists oriented either v→w or w→v;
+      // canonical probe on (min, max) covers both — and since (v, w)
+      // is already id-canonical here, the probe is a plain equi-join
+      val closing = e.select(col("a").as("v"), col("b").as("w"))
+      wedges
+        .join(closing, Seq("v", "w"))
+        .select(array_sort(array(col("u"), col("v"), col("w"))).as("__t"))
+        .select(col("__t")(0).as("t1"), col("__t")(1).as("t2"), col("__t")(2).as("t3"))
+    } finally e.unpersist()
+  }
+
+  /** Per-node triangle participation counts (only nodes in ≥ 1
+    * triangle appear).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "a", dstCol: String = "b"): DataFrame = {
+    val t = triangles(edges, srcCol, dstCol)
+    t.select(col("t1").as("node"))
+      .unionAll(t.select(col("t2")))
+      .unionAll(t.select(col("t3")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any seed, bounded by
+    * `maxHops`. Edges are treated as DIRECTED (`src → dst`); pass a
+    * symmetrized frame for undirected semantics.
+    *
+    * @return (node, dist) for every node reachable within `maxHops`
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0; got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = seeds.select(col(nodeCol).as("node")).distinct()
+        .withColumn("dist", lit(0)).localCheckpoint(true)
+      var hop = 0
+      while (hop < maxHops) {
+        val expanded = dist.join(e, dist("node") === e("src"))
+          .select(e("dst").as("node"), (dist("dist") + 1).as("dist"))
+        val next = dist.unionAll(expanded)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        CheckpointShim.freeLocalCheckpointIfAny(dist)
+        dist = next
+        hop += 1
+      }
+      dist
+    } finally e.unpersist()
+  }
+}

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.car.Splits
+import graft.operators.{GraphAlgs, InvertedIndex, Scd, StringJoin, TimeSeries}
+import graft.sources.Tables
+
+/** Warehouse-maintenance + graph-analytics extensions: SCD2 dimension
+  * history (build, incremental merge, as-of lookup), gap-filled
+  * time-series interpolation, triangle counting, multi-source BFS,
+  * edit-distance similarity join, positional phrase search, and k-fold
+  * assignment. Every query here carries a DuckDB oracle — including
+  * `scd2_apply`, whose oracle is the FULL-log rebuild: the hash match
+  * itself proves incremental merge ≡ batch rebuild.
+  */
+object WarehouseQueries {
+
+  /** Events as an SCD change log: `event_type` is the tracked state,
+    * µs epoch the clock, `event_id` the unique tiebreak.
+    */
+  private def changeLog(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"),
+      expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+      col("event_type").as("state"))
+
+  /** 2024-01-15T00:00:00Z in epoch µs — mid-span of the events table,
+    * the base/batch boundary for the incremental-merge queries.
+    */
+  private val SplitUs = 1705276800000000L
+
+  /** Market-basket adjacency: consecutive parts (by part key) within
+    * an order — a deterministic SPARSE projection of the co-purchase
+    * graph (full per-order cliques on random data degenerate toward a
+    * complete graph; adjacency keeps degree ~ basket size).
+    */
+  private[graft] def basketEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    li.withColumn("__prev", lag(col("l_partkey"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("__prev").as("a"), col("l_partkey").as("b"))
+  }
+
+  private val HistorySql =
+    """WITH log AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                event_type AS state FROM events),
+       r AS (SELECT *, CASE WHEN lag(state) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id)
+               IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS ch FROM log),
+       runs AS (SELECT user_id, state, min(ts_us) AS valid_from FROM (
+           SELECT *, sum(ch) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM r)
+         GROUP BY user_id, run, state),
+       hist AS (SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+         FROM runs)
+       SELECT user_id, state, valid_from, valid_to,
+              (valid_to IS NULL) AS is_current FROM hist"""
+
+  private val BasketEdgeSql =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       eg AS (SELECT l_orderkey, l_partkey AS b,
+                lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS a
+              FROM li),
+       e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+             FROM eg WHERE a IS NOT NULL AND a <> b)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 run-length history from the raw change log: two per-key
+    // windows + one hash aggregate, nothing global.
+    "scd2_history" -> ((s, dir) => {
+      Scd.buildHistory(changeLog(s, dir), "user_id", "ts_us", "event_id", "state")
+    }),
+
+    // Incremental merge: history(base) + newer batch, re-deriving ONLY
+    // affected keys' open runs. The oracle is the full-log rebuild —
+    // a hash match proves merge ≡ rebuild on real data every round.
+    "scd2_apply" -> ((s, dir) => {
+      val log = changeLog(s, dir)
+      val base = Scd.buildHistory(log.where(col("ts_us") < SplitUs),
+        "user_id", "ts_us", "event_id", "state")
+      Scd.applyChanges(base, log.where(col("ts_us") >= SplitUs),
+        "user_id", "ts_us", "event_id", "state")
+    }),
+
+    // Point-in-time state: one range predicate against the history.
+    "scd2_asof" -> ((s, dir) => {
+      val hist = Scd.buildHistory(changeLog(s, dir), "user_id", "ts_us", "event_id", "state")
+      Scd.asOf(hist, lit(SplitUs)).select(col("user_id"), col("state"), col("valid_from"))
+    }),
+
+    // Per-user hourly series, gaps linearly interpolated on the dense
+    // hour grid (sequence+explode, two ignoreNulls windows). Values run
+    // in µ-unit integer fixed-point end to end: the hourly mean
+    // accumulates in DECIMAL (order-independent, unlike a double sum)
+    // and divides as integers, so every row is bit-exact across
+    // engines, partitionings, and retries.
+    "ts_interpolate" -> ((s, dir) => {
+      val NanosPerHour = 3600L * 1000L * 1000L * 1000L
+      val obs = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr(s"ts_ns div $NanosPerHour").as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("__sd"),
+          count(lit(1)).as("__n"))
+        .select(col("user_id"), col("h"),
+          expr("cast(__sd * 1000000 as bigint) div __n").as("v6"))
+      TimeSeries.gapFillLinear(obs, "user_id", "h", "v6", integral = true)
+        .select(col("user_id"), col("h"), col("v6").as("value_micro"),
+          col("interpolated"))
+    }),
+
+    // Degree-oriented triangle counting on the basket graph.
+    "graph_triangles" -> ((s, dir) => {
+      GraphAlgs.triangleCounts(basketEdges(s, dir))
+    }),
+
+    // Multi-source BFS (≤ 4 hops) from the low-key part nodes over the
+    // symmetrized basket graph.
+    "graph_bfs" -> ((s, dir) => {
+      val e = GraphAlgs.canonical(basketEdges(s, dir), "a", "b")
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .where(col("node") <= 10)
+      GraphAlgs.bfs(sym, seeds, maxHops = 4)
+    }),
+
+    // Lossless q-gram-pruned edit-distance self-join on part names.
+    "dedup_editdist" -> ((s, dir) => {
+      StringJoin.editDistancePairs(
+          Tables.part(s, dir).select(col("p_name")), "p_name", maxDist = 2)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+    }),
+
+    // Phrase search ("table value") via the positional inverted index.
+    "text_phrase_search" -> ((s, dir) => {
+      val idx = InvertedIndex.positional(Tables.documents(s, dir), "doc_id", "text")
+      InvertedIndex.phraseMatches(idx, "doc_id", Seq("table", "value"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+    }),
+
+    // Deterministic 5-fold assignment from the md5 gate.
+    "r9_kfold" -> ((s, dir) => {
+      Splits.kfold(Tables.orders(s, dir), col("o_orderkey"), 5)
+        .select(col("o_orderkey"), col("fold"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "scd2_history" -> HistorySql,
+    // incremental merge ≡ batch rebuild: the oracle IS the full rebuild
+    "scd2_apply" -> HistorySql,
+    "scd2_asof" ->
+      s"""WITH log AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  event_type AS state FROM events),
+         r AS (SELECT *, CASE WHEN lag(state) OVER
+                 (PARTITION BY user_id ORDER BY ts_us, event_id)
+                 IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS ch FROM log),
+         runs AS (SELECT user_id, state, min(ts_us) AS valid_from FROM (
+             SELECT *, sum(ch) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM r)
+           GROUP BY user_id, run, state),
+         hist AS (SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+           FROM runs)
+         SELECT user_id, state, valid_from FROM hist
+         WHERE valid_from <= $SplitUs
+           AND (valid_to IS NULL OR valid_to > $SplitUs)""",
+    "ts_interpolate" ->
+      """WITH obs AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                    // count(*) AS v FROM events
+                GROUP BY 1, 2),
+         span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM obs GROUP BY 1),
+         grid AS (SELECT user_id, u.h FROM span, unnest(generate_series(lo, hi)) AS u(h)),
+         j AS (SELECT g.user_id, g.h, o.v FROM grid g
+               LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h),
+         w AS (SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+           FROM j)
+         SELECT user_id, h,
+                CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + ((nv - pv) * (h - ps)) // (ns - ps) END AS value_micro,
+                (v IS NULL) AS interpolated
+         FROM w""",
+    "graph_triangles" ->
+      s"""WITH $BasketEdgeSql,
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+               JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM t
+               UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node""",
+    "graph_bfs" -> {
+      val head =
+        s"""WITH $BasketEdgeSql,
+           sym AS (SELECT a AS src, b AS dst FROM e
+                   UNION ALL SELECT b AS src, a AS dst FROM e),
+           d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM sym WHERE src <= 10)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+           d$i AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d${i - 1}
+               UNION ALL SELECT sym.dst AS node, d${i - 1}.dist + 1 AS dist
+               FROM d${i - 1} JOIN sym ON sym.src = d${i - 1}.node)
+             GROUP BY node)"""
+      }.mkString
+      head + steps + "\n           SELECT node, CAST(dist AS INTEGER) AS dist FROM d4"
+    },
+    "dedup_editdist" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+         SELECT a.s AS a, b.s AS b,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.s < b.s
+         WHERE levenshtein(a.s, b.s) <= 2""",
+    "text_phrase_search" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         toks AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+                  FROM x, unnest(generate_series(1, len(toks))) AS u(i)
+                  WHERE toks[u.i] <> ''),
+         m AS (SELECT t0.doc_id FROM toks t0
+               JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+               WHERE t0.tok = 'table' AND t1.tok = 'value')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id""",
+    "r9_kfold" ->
+      """SELECT o_orderkey,
+                CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 5 AS fold
+         FROM orders"""
+  )
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class GraphAlgsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic random graph on n nodes (undirected, no self-loops). */
+  private def randomEdges(n: Int, m: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    (1 to m).flatMap { _ =>
+      val a = rnd.nextInt(n).toLong
+      val b = rnd.nextInt(n).toLong
+      if (a == b) None else Some((a, b))
+    }.distinct
+  }
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      x <- nodes; y <- nodes if y > x && canon((x, y))
+      z <- nodes if z > y && canon((x, z)) && canon((y, z))
+    } yield (x, y, z)).toSet
+  }
+
+  test("triangles ≡ brute force on a random graph (messy input orientations)") {
+    val edges = randomEdges(40, 300, seed = 7)
+    // feed duplicates, reversed orientations, and a self-loop
+    val messy = (edges ++ edges.map(_.swap) ++ Seq((5L, 5L))).toDF("a", "b")
+    val got = GraphAlgs.triangles(messy)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteTriangles(edges))
+    assert(got.nonEmpty, "degenerate fixture: no triangles to check")
+  }
+
+  test("triangles are emitted exactly once each") {
+    val edges = randomEdges(30, 200, seed = 11).toDF("a", "b")
+    val t = GraphAlgs.triangles(edges)
+    assert(t.count() == t.distinct().count())
+  }
+
+  test("triangleCounts sums per-vertex participation") {
+    // one triangle + a pendant edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val counts = GraphAlgs.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      maxHops: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (d <- 1 to maxHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d)
+    }
+    dist
+  }
+
+  test("bfs ≡ brute force on a random directed graph") {
+    val raw = randomEdges(60, 150, seed = 23)
+    val seeds = Set(0L, 1L, 2L)
+    val got = GraphAlgs.bfs(raw.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === bruteBfs(raw.distinct, seeds, 3))
+  }
+
+  test("bfs at maxHops = 0 returns exactly the seeds") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphAlgs.bfs(e, Seq(1L).toDF("node"), maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0))
+  }
+}

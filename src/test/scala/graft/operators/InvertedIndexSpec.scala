@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the quick brown dog"),
+    (2L, "quick brown quick brown quick"),
+    (3L, "brown quick"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  private def index = InvertedIndex.positional(docs, "doc_id", "text")
+
+  test("positional index records every occurrence with its offset") {
+    val quick = index.where($"token" === "quick")
+      .as[(Long, Int, String)].collect().map(r => (r._1, r._2)).toSet
+    assert(quick === Set((1L, 1), (1L, 7), (2L, 0), (2L, 2), (2L, 4), (3L, 1)))
+  }
+
+  test("two-word phrase matches adjacency only") {
+    val m = InvertedIndex.phraseMatches(index, "doc_id", Seq("quick", "brown"))
+      .as[(Long, Int)].collect().toSet
+    assert(m === Set((1L, 1), (1L, 7), (2L, 0), (2L, 2)))
+  }
+
+  test("three-word phrase chains the position joins") {
+    val m = InvertedIndex.phraseMatches(index, "doc_id", Seq("quick", "brown", "fox"))
+      .as[(Long, Int)].collect().toSet
+    assert(m === Set((1L, 1)))
+  }
+
+  test("overlapping occurrences all match") {
+    val m = InvertedIndex.phraseMatches(index, "doc_id", Seq("quick", "brown", "quick"))
+      .as[(Long, Int)].collect().toSet
+    assert(m === Set((2L, 0), (2L, 2)))
+  }
+
+  test("single-word phrase degenerates to the posting list") {
+    val m = InvertedIndex.phraseMatches(index, "doc_id", Seq("fox"))
+      .as[(Long, Int)].collect().toSet
+    assert(m === Set((1L, 3)))
+  }
+}
