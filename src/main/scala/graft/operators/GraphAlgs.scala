@@ -90,30 +90,50 @@ object GraphAlgs {
     * `maxHops`. Edges are treated as DIRECTED (`src → dst`); pass a
     * symmetrized frame for undirected semantics.
     *
+    * Frontier-only dataflow: each hop joins ONLY the newly-discovered
+    * nodes against the adjacency (not the whole distance table), then
+    * anti-joins the known set — per-hop work is frontier-adjacency-
+    * sized, which is what keeps a 4-hop sweep cheap when the reached
+    * set has already saturated. Terminates early once a frontier comes
+    * back empty (the emptiness probe is free: the frontier is an eager
+    * checkpoint, so it is a driver-side metadata question, not a
+    * recompute).
+    *
     * @return (node, dist) for every node reachable within `maxHops`
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       srcCol: String = "src", dstCol: String = "dst",
       nodeCol: String = "node"): DataFrame = {
     require(maxHops >= 0, s"need maxHops >= 0; got $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // ONE shuffle for the adjacency: repartition on src, then dedup —
+    // hashpartitioning(src) already clusters (src, dst), so the
+    // dropDuplicates aggregate runs in place (no second exchange), and
+    // the layout is exactly what every hop's equi-join needs
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var dist = seeds.select(col(nodeCol).as("node")).distinct()
+      // each hop's frontier is checkpointed ONCE and never re-copied:
+      // the running distance table stays a lazy union of the frontier
+      // checkpoints (plan size linear in hops, every leaf materialized),
+      // so a hop costs exactly one materialization (its own frontier)
+      var frontier = seeds.select(col(nodeCol).as("node")).distinct()
         .withColumn("dist", lit(0)).localCheckpoint(true)
+      val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
       var hop = 0
-      while (hop < maxHops) {
-        val expanded = dist.join(e, dist("node") === e("src"))
-          .select(e("dst").as("node"), (dist("dist") + 1).as("dist"))
-        val next = dist.unionAll(expanded)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      while (hop < maxHops && !frontier.isEmpty) {
+        val known = frontiers.reduce(_ unionAll _).select(col("node"))
+        val discovered = frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(known, Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop + 1))
           .localCheckpoint(true)
-        CheckpointShim.freeLocalCheckpointIfAny(dist)
-        dist = next
+        frontiers += discovered
+        frontier = discovered
         hop += 1
       }
-      dist
+      frontiers.reduce(_ unionAll _)
     } finally e.unpersist()
   }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.car.Splits
 import graft.operators.{GraphAlgs, InvertedIndex, Scd, StringJoin, TimeSeries}
@@ -36,12 +35,18 @@ object WarehouseQueries {
     * complete graph; adjacency keeps degree ~ basket size).
     */
   private[graft] def basketEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-    li.withColumn("__prev", lag(col("l_partkey"), 1).over(w))
-      .where(col("__prev").isNotNull)
-      .select(col("__prev").as("a"), col("l_partkey").as("b"))
+    // one hash-aggregate pass (collect_set partially aggregates
+    // map-side) replaces the distinct + per-order window the lag
+    // formulation would cost: consecutive pairs of each order's SORTED
+    // distinct part set — identical semantics, one shuffle, no sort
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+      .where(size(col("__ps")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ps) - 2), i -> struct(__ps[i] AS a, __ps[i+1] AS b))"))
+        .as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
   }
 
   private val HistorySql =
@@ -119,11 +124,13 @@ object WarehouseQueries {
     // Multi-source BFS (≤ 4 hops) from the low-key part nodes over the
     // symmetrized basket graph.
     "graph_bfs" -> ((s, dir) => {
-      val e = GraphAlgs.canonical(basketEdges(s, dir), "a", "b")
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      val seeds = sym.select(col("src").as("node")).distinct()
-        .where(col("node") <= 10)
+      // no canonical() pass: basket pairs are already a < b, and bfs's
+      // one-shuffle adjacency dedup subsumes the cross-order distinct
+      val be = basketEdges(s, dir)
+      val sym = be.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(be.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = sym.select(col("src").as("node"))
+        .where(col("node") <= 10).distinct()
       GraphAlgs.bfs(sym, seeds, maxHops = 4)
     }),
 

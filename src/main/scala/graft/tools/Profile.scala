@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for slow queries (local iteration only). */
@@ -13,43 +14,50 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+    def time[T](label: String, reps: Int = 3)(f: => T): Unit = {
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[profile] $label%-40s rep$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
-    val docs = graft.sources.Tables.documents(spark, dir)
-    time("docs.count")(docs.count())
 
-    // simhash stages
-    import org.apache.spark.sql.graftshim.ColumnShim
-    val sig = ColumnShim.column(graft.functions.expressions.SimHash64(
-      ColumnShim.expression(split(col("text"), " "))))
-    val sigs = docs.select(col("doc_id").cast("long").as("doc"), sig.as("sig"))
-    time("simhash signatures")(sigs.count())
-    time("simhash full")(graft.operators.Dedup.simHashPairs(docs, "text", "doc_id").count())
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.count() // warm the scan
 
-    // ngram stages
-    val sh = {
-      import spark.implicits._
-      docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val toks = text.split(' ')
-          val out = scala.collection.mutable.Set.empty[String]
-          if (toks.length <= 5) out += toks.mkString(" ")
-          else toks.sliding(5).foreach(w => out += w.mkString(" "))
-          out.iterator.map(g => (id, g))
-        }.toDF("doc", "g")
+    def edgesWindow: DataFrame = {
+      val d = li.distinct()
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+      d.withColumn("__prev", lag(col("l_partkey"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col("__prev").as("a"), col("l_partkey").as("b"))
     }
-    time("shingle rows")(sh.count())
-    val cached = sh.cache()
-    time("shingle rows cached")(cached.count())
-    val inter = cached.join(cached.select(col("doc").as("doc2"), col("g")), Seq("g"))
-      .where(col("doc") < col("doc2"))
-      .groupBy("doc", "doc2").agg(count(lit(1)).as("inter"))
-    time("shingle self-join")(inter.count())
-    time("ngram full")(graft.operators.Dedup.shingleJaccardPairs(docs, "text", "doc_id", 5, 0.5).count())
+    def edgesAgg: DataFrame =
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+        .where(size(col("__ps")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__ps) - 2), i -> struct(__ps[i] AS a, __ps[i+1] AS b))"))
+          .as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+
+    time("edges window form")(edgesWindow.count())
+    time("edges collect_set form")(edgesAgg.count())
+
+    def symOf(be: DataFrame) = be.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(be.select(col("b").as("src"), col("a").as("dst")))
+
+    time("adjacency distinct+repartition") {
+      val e = symOf(edgesAgg).distinct().repartition(col("src"))
+      e.count()
+    }
+    time("adjacency repartition+dropDup") {
+      val e = symOf(edgesAgg).repartition(col("src")).dropDuplicates(Seq("src", "dst"))
+      e.count()
+    }
+    time("bfs full (query)")(graft.SparkEntry.queries("graph_bfs")(spark, dir).count())
+    time("triangles full (query)")(graft.SparkEntry.queries("graph_triangles")(spark, dir).count())
     spark.stop()
   }
 }
