@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.car.Splits
-import graft.operators.{GraphAlgs, InvertedIndex, Scd, StringJoin, TimeSeries}
+import graft.operators.{Association, DataQuality, GraphAlgs, InvertedIndex, Scd, StringJoin, TimeSeries}
 import graft.sources.Tables
 
 /** Warehouse-maintenance + graph-analytics extensions: SCD2 dimension
@@ -148,6 +148,55 @@ object WarehouseQueries {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
     }),
 
+    // Row-grain temporal enrichment: every event joined to its
+    // dimension state AT ITS OWN TIMESTAMP — key equi-join + interval
+    // predicate (per-key histories are small, so this never becomes a
+    // true range-join blowup).
+    "scd2_enrich" -> ((s, dir) => {
+      val hist = Scd.buildHistory(changeLog(s, dir), "user_id", "ts_us", "event_id", "state")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("__t"))
+        .join(hist, Seq("user_id"))
+        .where(col("valid_from") <= col("__t") &&
+          (col("valid_to").isNull || col("valid_to") > col("__t")))
+        .select(col("event_id"), col("user_id"), col("state"))
+    }),
+
+    // Connected components of the basket graph via the same large-star/
+    // small-star contraction the dedup clusters use — O(log² n) rounds.
+    "graph_components" -> ((s, dir) => {
+      val e = GraphAlgs.canonical(basketEdges(s, dir), "a", "b")
+      val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b"))).distinct()
+      graft.operators.Dedup.duplicateClustersStar(nodes, "node",
+        e.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    }),
+
+    // Declarative data-quality report: all predicate rules in ONE
+    // aggregate pass per table, plus a uniqueness and a referential
+    // check — exact integer counts throughout.
+    "dq_report" -> ((s, dir) => {
+      import DataQuality.{Check, duplicates, orphans, report}
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      report(o, Seq(
+          Check("orders_null_custkey", col("o_custkey").isNull),
+          Check("orders_nonpositive_total", col("o_totalprice") <= 0),
+          Check("orders_null_date", col("o_orderdate").isNull)))
+        .unionByName(report(l, Seq(
+          Check("lineitem_bad_discount", col("l_discount") < 0 || col("l_discount") > 1),
+          Check("lineitem_nonpositive_qty", col("l_quantity") <= 0))))
+        .unionByName(duplicates(o, "orders_dup_orderkey", Seq("o_orderkey")))
+        .unionByName(orphans(o, "o_custkey", Tables.customer(s, dir), "c_custkey",
+          "orders_orphan_custkey"))
+    }),
+
+    // Pairwise frequent itemsets over order baskets, exact support
+    // counts (confidence/lift are one integer-column expression away).
+    "basket_rules" -> ((s, dir) => {
+      Association.pairSupports(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+    }),
+
     // Deterministic 5-fold assignment from the md5 gate.
     "r9_kfold" -> ((s, dir) => {
       Splits.kfold(Tables.orders(s, dir), col("o_orderkey"), 5)
@@ -240,6 +289,62 @@ object WarehouseQueries {
                JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
                WHERE t0.tok = 'table' AND t1.tok = 'value')
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id""",
+    "scd2_enrich" ->
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  event_type AS state FROM events),
+         r AS (SELECT *, CASE WHEN lag(state) OVER
+                 (PARTITION BY user_id ORDER BY ts_us, event_id)
+                 IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS ch FROM log),
+         runs AS (SELECT user_id, state, min(ts_us) AS valid_from FROM (
+             SELECT *, sum(ch) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM r)
+           GROUP BY user_id, run, state),
+         hist AS (SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+           FROM runs)
+         SELECT e.event_id, e.user_id, h.state
+         FROM events e JOIN hist h ON h.user_id = e.user_id
+           AND h.valid_from <= epoch_us(e.ts)
+           AND (h.valid_to IS NULL OR h.valid_to > epoch_us(e.ts))""",
+    "graph_components" -> {
+      s"""WITH RECURSIVE $BasketEdgeSql,
+         sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         nodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT reach.node, s.dst FROM reach JOIN sym s ON reach.r = s.src)
+         SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster
+         FROM reach GROUP BY node"""
+    },
+    "dq_report" ->
+      """SELECT 'orders_null_custkey' AS rule,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL SELECT 'orders_nonpositive_total',
+                CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         UNION ALL SELECT 'orders_null_date',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         UNION ALL SELECT 'lineitem_bad_discount',
+                CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem_nonpositive_qty',
+                CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'orders_dup_orderkey',
+                CAST(sum(n - 1) AS BIGINT) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+         UNION ALL SELECT 'orders_orphan_custkey',
+                CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer)""",
+    "basket_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         sz AS (SELECT b, count(*) AS s FROM d GROUP BY b),
+         cap AS (SELECT d.b, d.i FROM d JOIN sz ON sz.b = d.b AND sz.s <= 1000),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM cap GROUP BY i),
+         p AS (SELECT a.i AS ia, bb.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+               FROM cap a JOIN cap bb ON a.b = bb.b AND a.i < bb.i GROUP BY 1, 2)
+         SELECT ia AS item_a, ib AS item_b, n_ab, x.n AS n_a, y.n AS n_b
+         FROM p JOIN ic x ON x.i = p.ia JOIN ic y ON y.i = p.ib
+         WHERE n_ab >= 2""",
     "r9_kfold" ->
       """SELECT o_orderkey,
                 CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))

@@ -241,4 +241,36 @@ class PlanSpec extends SparkSpec {
       .orderBy("id").as[(String, Long)].collect().toSeq
     assert(got == Seq("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
   }
+
+  test("editDistancePairs: the gram candidate stage is equi-joined; the only non-equi join is the short-string band") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("dedup_editdist")(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"cartesian product in dedup_editdist:\n$plan")
+    // exactly ONE nested-loop join is expected and documented: the
+    // length-banded fallback block for strings too short to gram-index
+    val bnl = plan.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.size <= 1,
+      s"unexpected extra nested-loop joins in dedup_editdist:\n$plan")
+  }
+
+  test("basket_rules plans only equi-joins (pair blow-up rides the basket key)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("basket_rules")(spark, dir)
+    val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"non-equi join in basket_rules:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("scd2_history windows all partition by the dimension key") {
+    val df = SparkEntry.queries("scd2_history")(spark, dir)
+    val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"partitionless WindowExec in scd2_history:\n${df.queryExecution.sparkPlan}")
+  }
 }
