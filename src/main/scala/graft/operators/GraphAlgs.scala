@@ -78,13 +78,12 @@ object GraphAlgs {
   /** Per-node triangle participation counts (only nodes in ≥ 1
     * triangle appear).
     */
-  def triangleCounts(edges: DataFrame, srcCol: String = "a", dstCol: String = "b"): DataFrame = {
-    val t = triangles(edges, srcCol, dstCol)
-    t.select(col("t1").as("node"))
-      .unionAll(t.select(col("t2")))
-      .unionAll(t.select(col("t3")))
+  def triangleCounts(edges: DataFrame, srcCol: String = "a", dstCol: String = "b"): DataFrame =
+    // explode, not a 3-way union of selects: a union would re-run the
+    // whole wedge join once per branch (only exchanges get reused)
+    triangles(edges, srcCol, dstCol)
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-  }
 
   /** Multi-source BFS: minimum hop distance from any seed, bounded by
     * `maxHops`. Edges are treated as DIRECTED (`src → dst`); pass a
