@@ -126,9 +126,13 @@ object WarehouseQueries {
     "graph_bfs" -> ((s, dir) => {
       // no canonical() pass: basket pairs are already a < b, and bfs's
       // one-shuffle adjacency dedup subsumes the cross-order distinct
+      // checkpoint the symmetrized pairs once: both the seed scan and
+      // bfs's adjacency build read it, instead of re-running the edge
+      // aggregation per consumer
       val be = basketEdges(s, dir)
       val sym = be.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(be.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
       val seeds = sym.select(col("src").as("node"))
         .where(col("node") <= 10).distinct()
       GraphAlgs.bfs(sym, seeds, maxHops = 4)
@@ -165,7 +169,11 @@ object WarehouseQueries {
     // Connected components of the basket graph via the same large-star/
     // small-star contraction the dedup clusters use — O(log² n) rounds.
     "graph_components" -> ((s, dir) => {
+      // one checkpoint: the node union and the contraction's pair input
+      // both read the canonical edges, which would otherwise re-run the
+      // whole edge aggregation three times
       val e = GraphAlgs.canonical(basketEdges(s, dir), "a", "b")
+        .localCheckpoint(true)
       val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b"))).distinct()
       graft.operators.Dedup.duplicateClustersStar(nodes, "node",
         e.select(col("a").as("doc_a"), col("b").as("doc_b")))
