@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -34,6 +34,28 @@ object SimilaritySearch {
     val q = df.where(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
     df.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorOps.cosineWithNorms(col(vecCol), col("qv"),
+          VectorOps.l2Norm(col(vecCol)), col("qn")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Filtered exact search: same scan as [[bruteForceTopK]] but the
+    * CANDIDATE set is restricted by a metadata predicate (the query
+    * vector is looked up unfiltered) — the "filtered vector search"
+    * every retrieval stack needs (search within a language / license /
+    * label). The filter sits directly on the candidate scan, so it
+    * pushes into the parquet reader; with the vector table partitioned
+    * or z-ordered on the filter column it becomes partition pruning
+    * BEFORE any distance math.
+    */
+  def bruteForceTopKFiltered(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, candidateFilter: Column): DataFrame = {
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), VectorOps.l2Norm(col(vecCol)).as("qn"))
+    df.where(col(idCol) =!= queryId).where(candidateFilter)
       .crossJoin(broadcast(q))
       .select(col(idCol),
         round(VectorOps.cosineWithNorms(col(vecCol), col("qv"),

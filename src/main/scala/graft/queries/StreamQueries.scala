@@ -48,6 +48,22 @@ object StreamQueries {
             .as("avg_value"))
     }),
 
+    // Hopping (sliding) 1h/30m window per event_type — every event in
+    // exactly two windows; the batch body IS the streaming body
+    // (EventStreams.hoppingAggregation), oracle-checked here.
+    "stream_hopping_agg" -> ((s, dir) => {
+      graft.streaming.EventStreams.hoppingAggregation(
+        graft.streaming.EventStreams.withEventTime(Tables.events(s, dir)))
+    }),
+
+    // Native session windows (gap 30 min) per user — the built-in
+    // counterpart of the custom sessionize state machine; same body on
+    // a stream under a watermark (EventStreams.sessionWindowCounts).
+    "stream_session_window" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionWindowAggregation(
+        graft.streaming.EventStreams.withEventTime(Tables.events(s, dir)))
+    }),
+
     // Windowed top-k leaderboard batch equivalent: per-hour top-3 users
     // by event count with a deterministic tie-break. The streaming form
     // is EventStreams.hourlyUserCounts (watermarked, append-mode) with
@@ -215,6 +231,25 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stream_hopping_agg" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+         w AS (SELECT ((t // 1800000000) - k.k) * 1800 AS win_epoch, event_type
+               FROM ev, unnest(generate_series(0, 1)) AS k(k))
+         SELECT win_epoch, event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM w GROUP BY 1, 2""",
+    "stream_session_window" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         d AS (SELECT user_id, t,
+                 -- STRICT >: Spark's session_window merges events exactly
+                 -- gap apart (next.start <= prev.end is inclusive)
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                      > 1800000000 THEN 1 ELSE 0 END AS brk FROM ev),
+         s AS (SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
+         SELECT min(t) // 1000000 AS sess_epoch, user_id,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events),

@@ -24,6 +24,15 @@ object VectorQueries {
         Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10)
     }),
 
+    // Filtered vector search: exact top-k restricted to the query's own
+    // label class — the metadata predicate pushes into the candidate
+    // scan before any distance math.
+    "sim_topk_filtered" -> ((s, dir) => {
+      SimilaritySearch.bruteForceTopKFiltered(
+        Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10,
+        candidateFilter = col("label") === 2)
+    }),
+
     // Vector stats per label: mean L2 norm + count (the sanity aggregate a
     // pipeline runs before/after normalizing embeddings).
     "vec_norm_stats" -> ((s, dir) => {
@@ -330,6 +339,20 @@ object VectorQueries {
                   unnest(generate_series(1, len(e.embedding))) AS i,
                   e.embedding, q.qv
                 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         dots AS (SELECT vec_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY vec_id)
+         SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "sim_topk_filtered" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 0 AND e.label = 2),
          dots AS (SELECT vec_id,
                   sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
                   sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,

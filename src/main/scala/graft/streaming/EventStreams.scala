@@ -77,6 +77,45 @@ object EventStreams {
       .where(col("rank") <= k)
   }
 
+  /** Hopping (sliding) window per event_type: size 1 h, slide 30 min —
+    * every event lands in exactly size/slide windows. Static or
+    * streaming input; the streaming form ([[hoppingCounts]]) bounds
+    * state with a watermark exactly like the tumbling aggregate (state
+    * ∝ open windows × event types, scaled by the size/slide overlap
+    * factor — the price of overlap is state, not shuffle count).
+    */
+  def hoppingAggregation(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(expr("unix_micros(window.start) div 1000000").as("win_epoch"),
+        col("event_type"), col("n_events"))
+
+  /** Streaming form of [[hoppingAggregation]] under a 30-min watermark. */
+  def hoppingCounts(stream: DataFrame): DataFrame =
+    hoppingAggregation(stream.withWatermark("event_time", "30 minutes"))
+
+  /** Native session windows per user (gap 30 min): consecutive events
+    * closer than the gap merge into one session. Static or streaming
+    * input; on streams, Spark's session_window state merges windows
+    * incrementally and the watermark closes sessions — the built-in
+    * counterpart of the custom [[sessionize]]
+    * (flatMapGroupsWithState), kept alongside it because the custom
+    * form also emits OPEN sessions, which session_window cannot.
+    */
+  def sessionWindowAggregation(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(expr("unix_micros(session_window.start) div 1000000").as("sess_epoch"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming form of [[sessionWindowAggregation]]; the watermark both
+    * bounds state and decides when a session is final.
+    */
+  def sessionWindowCounts(stream: DataFrame): DataFrame =
+    sessionWindowAggregation(stream.withWatermark("event_time", "30 minutes"))
+
   /** Streaming exact dedup: keep each key's first occurrence, with state
     * BOUNDED by the watermark horizon (dropDuplicatesWithinWatermark
     * expires keys older than the watermark) — the only shape under which
