@@ -85,6 +85,40 @@ object GraphAlgs {
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
 
+  /** Bounded single/multi-source shortest paths (Bellman-Ford rounds):
+    * minimum total edge weight from any seed over paths of at most
+    * `rounds` edges. Unlike [[bfs]], a settled node can still improve
+    * in a later round, so every round relaxes the FULL distance table
+    * against the adjacency — one equi-join + one min-aggregate, the
+    * same single-exchange-per-iteration shape as [[PageRank]]. Integer
+    * weights keep every cost exact and engine/retry-invariant.
+    * Parallel edges collapse to their cheapest weight up front.
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
+      nodeCol: String = "node"): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0; got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = seeds.select(col(nodeCol).as("node")).distinct()
+        .withColumn("cost", lit(0L)).localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val relaxed = dist.join(e, dist("node") === e("src"))
+          .select(e("dst").as("node"), (dist("cost") + e("w")).as("cost"))
+        val next = dist.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint(true)
+        CheckpointShim.freeLocalCheckpointIfAny(dist)
+        dist = next
+      }
+      dist
+    } finally e.unpersist()
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed, bounded by
     * `maxHops`. Edges are treated as DIRECTED (`src → dst`); pass a
     * symmetrized frame for undirected semantics.

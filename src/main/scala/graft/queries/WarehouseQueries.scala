@@ -138,6 +138,38 @@ object WarehouseQueries {
       GraphAlgs.bfs(sym, seeds, maxHops = 4)
     }),
 
+    // Bounded weighted shortest paths over the affinity-weighted basket
+    // graph (weight inverse to co-occurrence count, integer-exact):
+    // 4 Bellman-Ford relaxation rounds from the low-key seeds.
+    "graph_sssp" -> ((s, dir) => {
+      val we = basketEdges(s, dir)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .select(col("a"), col("b"),
+          (expr("1000 div (c + 1)") + lit(1L)).as("w"))
+        .localCheckpoint(true)
+      val sym = we.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(we.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val seeds = sym.select(col("src").as("node"))
+        .where(col("node") <= 10).distinct()
+      GraphAlgs.ssspBounded(sym, seeds, rounds = 4)
+    }),
+
+    // Funnel latency: per-user first-view → first-purchase delay,
+    // exact interpolated median/p90 over the converting users.
+    "funnel_latency" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", expr("ts_ns div 1000"))).as("v"),
+          min(when(col("event_type") === "purchase", expr("ts_ns div 1000"))).as("p"))
+        .where(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"))
+        .select(expr("(p - v) div 1000000").as("delta_s"))
+      u.agg(
+        round(expr("percentile(delta_s, 0.5)"), 4).as("median_s"),
+        round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"),
+        count(lit(1)).as("n_converted"))
+    }),
+
     // Lossless q-gram-pruned edit-distance self-join on part names.
     "dedup_editdist" -> ((s, dir) => {
       StringJoin.editDistancePairs(
@@ -282,6 +314,37 @@ object WarehouseQueries {
       }.mkString
       head + steps + "\n           SELECT node, CAST(dist AS INTEGER) AS dist FROM d4"
     },
+    "graph_sssp" -> {
+      val head =
+        s"""WITH $BasketEdgeSql,
+           we AS (SELECT least(a, b) AS a, greatest(a, b) AS b,
+                    CAST(1000 // (count(*) + 1) + 1 AS BIGINT) AS w
+                  FROM eg WHERE a IS NOT NULL AND a <> b GROUP BY 1, 2),
+           sym AS (SELECT a AS src, b AS dst, w FROM we
+                   UNION ALL SELECT b AS src, a AS dst, w FROM we),
+           d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+                  FROM sym WHERE src <= 10)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+           d$i AS (SELECT node, min(cost) AS cost FROM (
+               SELECT node, cost FROM d${i - 1}
+               UNION ALL SELECT sym.dst AS node, d${i - 1}.cost + sym.w AS cost
+               FROM d${i - 1} JOIN sym ON sym.src = d${i - 1}.node)
+             GROUP BY node)"""
+      }.mkString
+      head + steps + "\n           SELECT node, cost FROM d4"
+    },
+    "funnel_latency" ->
+      """WITH u AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+           FROM events GROUP BY user_id),
+         d AS (SELECT (p - v) // 1000000 AS delta_s FROM u
+               WHERE v IS NOT NULL AND p IS NOT NULL AND p > v)
+         SELECT round(quantile_cont(delta_s, 0.5), 4) AS median_s,
+                round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
+                CAST(count(*) AS BIGINT) AS n_converted
+         FROM d""",
     "dedup_editdist" ->
       """WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
          SELECT a.s AS a, b.s AS b,

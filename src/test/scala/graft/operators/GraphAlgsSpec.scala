@@ -73,6 +73,29 @@ class GraphAlgsSpec extends SparkSpec {
     assert(got === bruteBfs(raw.distinct, seeds, 3))
   }
 
+  test("ssspBounded ≡ brute-force Bellman-Ford rounds (parallel edges keep cheapest)") {
+    val rnd = new Random(31)
+    val raw = (1 to 200).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, (1 + rnd.nextInt(9)).toLong)
+    }.filter(e => e._1 != e._2)
+    val seeds = Set(0L, 5L)
+    val rounds = 3
+    // brute force: dist over exactly <= rounds edge relaxations
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = raw.flatMap { case (s, d, w) =>
+        dist.get(s).map(c => d -> (c + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val got = GraphAlgs.ssspBounded(raw.toDF("src", "dst", "w"),
+        seeds.toSeq.toDF("node"), rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got === dist)
+    assert(got.values.exists(_ > 0), "degenerate fixture")
+  }
+
   test("bfs at maxHops = 0 returns exactly the seeds") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val got = GraphAlgs.bfs(e, Seq(1L).toDF("node"), maxHops = 0)
