@@ -116,6 +116,23 @@ object WarehouseQueries {
           col("interpolated"))
     }),
 
+    // Time-series anomaly flags: per-user hourly means (exact µ-unit
+    // integers) scored by the user's own median/MAD robust z — the a20
+    // decimal discipline applied per group key.
+    "ts_anomaly" -> ((s, dir) => {
+      val NanosPerHour = 3600L * 1000L * 1000L * 1000L
+      val obs = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr(s"ts_ns div $NanosPerHour").as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("__sd"),
+          count(lit(1)).as("__n"))
+        .select(col("user_id"), col("h"),
+          expr("cast(__sd * 1000000 as bigint) div __n").cast("double").as("v"))
+      graft.operators.Outliers.robustZScore(obs, "v", Seq("user_id"))
+        .where(abs(col("rz")) > 3)
+        .select(col("user_id"), col("h"),
+          (round(col("rz"), 4) + lit(0.0)).as("rz"))
+    }),
+
     // Degree-oriented triangle counting on the basket graph.
     "graph_triangles" -> ((s, dir) => {
       GraphAlgs.triangleCounts(basketEdges(s, dir))
@@ -290,6 +307,23 @@ object WarehouseQueries {
                      ELSE pv + ((nv - pv) * (h - ps)) // (ns - ps) END AS value_micro,
                 (v IS NULL) AS interpolated
          FROM w""",
+    "ts_anomaly" ->
+      """WITH obs AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                       // count(*) AS DOUBLE) AS v
+                FROM events GROUP BY 1, 2),
+         med AS (SELECT user_id, round(quantile_cont(v, 0.5), 6) AS m
+                 FROM obs GROUP BY 1),
+         dev AS (SELECT o.user_id, o.h, o.v, med.m, abs(o.v - med.m) AS adev
+                 FROM obs o JOIN med USING (user_id)),
+         mad AS (SELECT user_id, round(quantile_cont(adev, 0.5), 6) AS md
+                 FROM dev GROUP BY 1)
+         SELECT d.user_id, d.h,
+                round((d.v - d.m) /
+                      (CASE WHEN mad.md = 0 THEN 1.0 ELSE mad.md END), 4) + 0.0 AS rz
+         FROM dev d JOIN mad USING (user_id)
+         WHERE abs((d.v - d.m) /
+                   (CASE WHEN mad.md = 0 THEN 1.0 ELSE mad.md END)) > 3""",
     "graph_triangles" ->
       s"""WITH $BasketEdgeSql,
          t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
