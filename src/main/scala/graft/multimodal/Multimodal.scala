@@ -258,4 +258,97 @@ object Multimodal {
       .repartition(partitions, col("media_id"))
     decode(media).toDF()
   }
+
+  /** Perceptual 64-bit difference hash per image. `decoded = false`
+    * marks payloads no installed codec reads — their hash derives from
+    * the byte checksum (deterministic, but NOT perceptual: two distinct
+    * undecodable payloads never hash near each other).
+    */
+  final case class ImageHash(media_id: Long, dhash: Long, decoded: Boolean)
+
+  /** dHash: area-averaged 9×8 grayscale grid; bit (y,x) set iff
+    * cell(y,x) < cell(y,x+1). All-integer luminance/average math over
+    * the decoded raster — no Graphics2D rendering pipeline — so hashes
+    * are bit-identical across JVMs, executors, and retries. Small
+    * pixel-level perturbations flip at most a few of the 64 gradient
+    * bits, which is exactly what the banded Hamming join
+    * ([[graft.operators.Dedup.hammingPairs64]]) needs from a signature.
+    * Same mapPartitions batch shape (and codec init discipline) as
+    * [[decode]].
+    */
+  def dHash64(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img != null) ImageHash(r.media_id, dHashOf(img), decoded = true)
+        else ImageHash(r.media_id, contentChecksum(r.payload), decoded = false)
+      }
+    }
+  }
+
+  private[multimodal] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = Array.ofDim[Long](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh) // ≥1 pixel for tiny images
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            // integer BT.601 luma
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        cells(gy)(gx) = if (n > 0) sum / n else 0L
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var bit = 0
+    var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < gw - 1) {
+        if (cells(yy)(xx) < cells(yy)(xx + 1)) hash |= (1L << bit)
+        bit += 1
+        xx += 1
+      }
+      yy += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate pairs: perceptual dHash + the banded Hamming
+    * join — the multimodal arm of the dedup family. Only DECODED images
+    * participate (stub hashes are checksums, not perceptual; pairing
+    * them would conflate byte-equality with visual similarity — exact
+    * byte dups are [[graft.operators.Dedup.exact]]'s job). Returns
+    * (media_a, media_b, hamming); no false negatives at Hamming ≤ 3
+    * with the default 4 × 16-bit bands.
+    */
+  def imageNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingPairs64(
+        dHash64(media).filter(_.decoded).toDF(), "media_id", "dhash", maxHamming)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
 }

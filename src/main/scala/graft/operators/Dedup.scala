@@ -260,7 +260,23 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sig = ColumnShim.column(SimHash64(
       ColumnShim.expression(split(col(textCol), " "))))
-    val sigs = df.select(col(idCol).cast("long").as("doc"), sig.as("sig"))
+    hammingPairs64(df.select(col(idCol).cast("long").as("doc"), sig.as("sig")),
+      "doc", "sig", maxHamming)
+  }
+
+  /** Banded Hamming pair join over any precomputed 64-bit signature
+    * column (SimHash, image dHash, …): candidates share one of the 4
+    * 16-bit segments, so every pair at Hamming ≤ 3 is caught with no
+    * false negatives (pigeonhole); the exact `bit_count(xor)` filter
+    * runs only on candidates. The signature-equality shape of
+    * [[simHashPairs]], factored out so non-text signatures (e.g.
+    * [[graft.multimodal.Multimodal.dHash64]] perceptual image hashes)
+    * reuse the same banding instead of an all-pairs comparison.
+    */
+  def hammingPairs64(sigs0: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = sigs0.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).cast("long").as("sig"))
     val segments = sigs.select(col("doc"), col("sig"),
         explode(array((0 until 4).map { seg =>
           struct(lit(seg).as("seg"),

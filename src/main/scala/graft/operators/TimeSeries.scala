@@ -63,4 +63,44 @@ object TimeSeries {
           .as(valCol),
         col("__obs").isNull.as("interpolated"))
   }
+
+  /** Bounded exponentially-weighted moving average with α = 1/2 over
+    * the last `terms` observations per key — trend smoothing in exact
+    * integer arithmetic. Weights are the powers of two
+    * 2^(terms-1-k) for lag k, so with a fixed-point (µ-unit long)
+    * value column both the weighted numerator and the
+    * present-weight denominator are exact int64 sums — bit-identical
+    * across engines, partitionings, and retries, and replayable by a
+    * SQL oracle as `terms` unrolled `lag()` reads (the same
+    * fixed-point discipline as [[gapFillLinear]]'s `integral` mode and
+    * PageRank).
+    *
+    * Series starts normalize by the weights actually present (pandas
+    * `ewm(adjust=True)` semantics), so the first row's EWMA is the
+    * observation itself. Row-wise over the observation sequence —
+    * resample to a regular grid first (e.g. hourly sums) if spacing
+    * matters. One per-key window partition; lag depth is `terms`
+    * compiled column reads, not an iteration.
+    *
+    * @param valCol integral (fixed-point) column
+    * @return df + `ewmaNumCol` (Σ value·2^(terms-1-k)) and
+    *         `ewmaDenCol` (Σ present 2^(terms-1-k)); the caller
+    *         finishes with num/den at its output scale
+    */
+  def ewmaPow2Bounded(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valCol: String, terms: Int = 8,
+      ewmaNumCol: String = "ewma_num", ewmaDenCol: String = "ewma_den"): DataFrame = {
+    require(terms >= 1 && terms <= 62,
+      s"terms must be in [1, 62] (weights are 2^(terms-1-k)); got $terms")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val lagged = (0 until terms).map { k =>
+      (lag(col(valCol), k).over(w), 1L << (terms - 1 - k))
+    }
+    df.withColumn(ewmaNumCol,
+        lagged.map { case (v, wt) => coalesce(v * lit(wt), lit(0L)) }
+          .reduce(_ + _))
+      .withColumn(ewmaDenCol,
+        lagged.map { case (v, wt) =>
+          when(v.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _))
+  }
 }

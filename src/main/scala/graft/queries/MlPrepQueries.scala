@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import graft.operators.{Discretize, IncrementalAgg, IntervalJoin, TargetEncode, TimeSeries}
+import graft.car.Splits
+
+/** Feature-prep and incremental-maintenance extension queries: the
+  * leakage-safe/model-input side of the training-data pipeline
+  * (target encoding, quantile binning, EWMA trend smoothing) plus the
+  * warehouse shapes that keep 100 TB pipelines incremental (mergeable
+  * rollup maintenance, binned large×large interval joins).
+  *
+  * Same conventions as the rest of the gate suite: exact decimal /
+  * integer fixed-point accumulation, one double division at the end,
+  * round(…, 4) on both engines.
+  */
+object MlPrepQueries {
+
+  private val Day: Long = 86400000000L // µs
+
+  /** Wall-clock epoch µs of a TIMESTAMP_NTZ column — pure calendar
+    * arithmetic, no session-timezone dependence (Tables.events
+    * discipline); equals DuckDB's `epoch_us` on the same naive value.
+    */
+  private def epochUs(c: String) =
+    expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $c)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Out-of-fold target encoding (TargetEncode): smoothed leave-fold-out
+    // label means per (category, fold) — the leakage-safe categorical
+    // encoder. Folds via the deterministic md5 gate (Splits.kfold), sums
+    // as exact DECIMAL(20,6), one double division at the end.
+    "target_encode" -> ((s, dir) => {
+      val o = Splits.kfold(Tables.orders(s, dir), col("o_orderkey"), 5)
+      TargetEncode.oofEncoding(o, "o_orderpriority", "o_totalprice", "fold",
+        smoothing = 10.0)
+    }),
+
+    // Equal-frequency discretization (Discretize): 10 quantile bins of
+    // l_extendedprice — one percentile-array aggregate to fit, codegen'd
+    // broadcast fold to assign, 6-dp cut snap (a19 discipline), strict
+    // value > cut bin rule on both engines.
+    "discretize_bins" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cuts = Discretize.fitQuantileBins(li, "l_extendedprice", k = 10)
+      Discretize.assignBins(li.select(col("l_extendedprice").as("v")), "v", cuts)
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("v")), 4).as("min_v"),
+          round(max(col("v")), 4).as("max_v"))
+    }),
+
+    // Bounded EWMA trend smoothing (TimeSeries.ewmaPow2Bounded): hourly
+    // per-type event-value sums as exact µ-unit longs, then the α=1/2
+    // 8-term EWMA as pure int64 window math — bit-exact across engines,
+    // replayable by 8 unrolled lag() reads in the oracle.
+    "ts_ewma" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("sum_micro"))
+      TimeSeries.ewmaPow2Bounded(hourly, Seq("event_type"), "hour_idx",
+          "sum_micro", terms = 8)
+        .select(col("event_type"), col("hour_idx"),
+          round(col("sum_micro").cast("double") / 1e6, 4).as("sum_value"),
+          round(col("ewma_num").cast("double") / col("ewma_den") / 1e6, 4)
+            .as("ewma_value"))
+    }),
+
+    // Incremental rollup maintenance (IncrementalAgg): state fit on 90%
+    // of events, the 10% delta batch merged in via the mergeable
+    // (count/sum/min/max) combiners — the oracle is the full rebuild, so
+    // the hash match IS the merge ≡ rebuild proof at the gate.
+    "agg_delta_merge" -> ((s, dir) => {
+      val keys = Seq("event_type", "hour_idx")
+      val ev = Tables.events(s, dir)
+        .withColumn("hour_idx", expr("(ts_ns div 1000) div 3600000000"))
+      val state = IncrementalAgg.fit(
+        ev.where(pmod(col("event_id"), lit(10)) =!= 0), keys, "value")
+      IncrementalAgg.report(
+        IncrementalAgg.applyDelta(state,
+          ev.where(pmod(col("event_id"), lit(10)) === 0), keys, "value"),
+        keys)
+    }),
+
+    // Binned large×large point-in-interval join (IntervalJoin): order
+    // windows [orderdate, orderdate + 1..5 days] × every lineitem
+    // shipdate — day-binned equi-join, NOT a nested loop; per-interval
+    // count + exact-decimal revenue sum.
+    "interval_join_points" -> ((s, dir) => {
+      // o_orderdate/l_shipdate are TIMESTAMP_NTZ in the testdata footers;
+      // wall-clock µs via calendar arithmetic (tz-independent — the
+      // Tables.events discipline), = DuckDB's epoch_us on naive timestamps.
+      val start = epochUs("o_orderdate")
+      val iv = Tables.orders(s, dir)
+        .where(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderkey"), start.as("s_us"),
+          (start + (expr("(o_orderkey div 20) % 5") + 1) * lit(Day)).as("e_us"))
+      val pts = Tables.lineitem(s, dir).select(
+        epochUs("l_shipdate").as("pt_us"), col("l_extendedprice"))
+      IntervalJoin.pointInInterval(pts, "pt_us", iv, "s_us", "e_us", Day)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_points"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+            .cast("double"), 4).as("sum_price"))
+    }),
+
+    // Binned interval-overlap join (IntervalJoin.intervalOverlap): two
+    // order-window sets, every overlapping pair claimed exactly once in
+    // the first shared bin — no dedup shuffle, no cartesian.
+    "interval_join_overlap" -> ((s, dir) => {
+      val start = epochUs("o_orderdate")
+      val a = Tables.orders(s, dir)
+        .where(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderkey").as("a_key"), start.as("a_s"),
+          (start + (expr("(o_orderkey div 20) % 5") + 1) * lit(Day)).as("a_e"))
+      val b = Tables.orders(s, dir)
+        .where(pmod(col("o_orderkey"), lit(20)) === 10)
+        .select(col("o_orderkey").as("b_key"), start.as("b_s"),
+          (start + (expr("(o_orderkey div 20) % 7") + 1) * lit(Day)).as("b_e"))
+      IntervalJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", Day)
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
+    })
+  )
+
+  /** 8 unrolled lag terms of the ts_ewma oracle, weights 2^(7-k). */
+  private val EwmaTerms: String = (0 until 8).map { k =>
+    val w = 1L << (7 - k)
+    if (k == 0) s"$w * sum_micro"
+    else s"coalesce($w * lag(sum_micro, $k) OVER w, 0)"
+  }.mkString(" + ")
+
+  private val EwmaDen: String = (0 until 8).map { k =>
+    val w = 1L << (7 - k)
+    if (k == 0) s"$w"
+    else s"CASE WHEN lag(sum_micro, $k) OVER w IS NULL THEN 0 ELSE $w END"
+  }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "target_encode" ->
+      """WITH f AS (SELECT o_orderpriority,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 5 AS fold,
+               CAST(o_totalprice AS DECIMAL(20,6)) AS y
+             FROM orders),
+         cell AS (SELECT o_orderpriority, fold, sum(y) AS fsum,
+                         count(y) AS fcnt
+                  FROM f GROUP BY 1, 2),
+         catt AS (SELECT o_orderpriority, sum(fsum) AS tsum, sum(fcnt) AS tcnt
+                  FROM cell GROUP BY 1),
+         g AS (SELECT sum(tsum) AS gsum, sum(tcnt) AS gcnt FROM catt)
+         SELECT cell.o_orderpriority, cell.fold, CAST(cell.fcnt AS BIGINT) AS n,
+                round((CAST(catt.tsum - cell.fsum AS DOUBLE)
+                       + 10.0 * (CAST(g.gsum AS DOUBLE) / g.gcnt))
+                      / (CAST(catt.tcnt - cell.fcnt AS DOUBLE) + 10.0), 4) AS enc
+         FROM cell JOIN catt USING (o_orderpriority) CROSS JOIN g""",
+    "discretize_bins" ->
+      """WITH cuts AS (SELECT round(unnest(quantile_cont(l_extendedprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS c
+               FROM lineitem),
+         b AS (SELECT l_extendedprice AS v,
+                 (SELECT count(*) FROM cuts WHERE v > c) AS bin
+               FROM lineitem)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+                round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
+         FROM b GROUP BY bin""",
+    "ts_ewma" ->
+      s"""WITH h AS (SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 AS sum_micro
+             FROM events GROUP BY 1, 2)
+         SELECT event_type, hour_idx,
+                round(CAST(sum_micro AS DOUBLE) / 1e6, 4) AS sum_value,
+                round(CAST($EwmaTerms AS DOUBLE) / ($EwmaDen) / 1e6, 4)
+                  AS ewma_value
+         FROM h
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx)""",
+    "agg_delta_merge" ->
+      """WITH e AS (SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(value AS DECIMAL(20,6)) AS y
+             FROM events)
+         SELECT event_type, hour_idx, CAST(count(y) AS BIGINT) AS n,
+                round(CAST(sum(y) AS DOUBLE), 4) AS sum_value,
+                round(CAST(sum(y) AS DOUBLE) / count(y), 4) AS mean_value,
+                round(CAST(min(y) AS DOUBLE), 4) AS min_value,
+                round(CAST(max(y) AS DOUBLE), 4) AS max_value
+         FROM e GROUP BY 1, 2""",
+    "interval_join_points" ->
+      """WITH iv AS (SELECT o_orderkey, epoch_us(o_orderdate) AS s_us,
+               epoch_us(o_orderdate)
+                 + ((o_orderkey // 20) % 5 + 1) * 86400000000 AS e_us
+             FROM orders WHERE o_orderkey % 20 = 0),
+         p AS (SELECT epoch_us(l_shipdate) AS pt_us, l_extendedprice
+               FROM lineitem)
+         SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_points,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS sum_price
+         FROM iv JOIN p ON p.pt_us >= iv.s_us AND p.pt_us <= iv.e_us
+         GROUP BY o_orderkey""",
+    "interval_join_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_key, epoch_us(o_orderdate) AS a_s,
+               epoch_us(o_orderdate)
+                 + ((o_orderkey // 20) % 5 + 1) * 86400000000 AS a_e
+             FROM orders WHERE o_orderkey % 20 = 0),
+         b AS (SELECT o_orderkey AS b_key, epoch_us(o_orderdate) AS b_s,
+               epoch_us(o_orderdate)
+                 + ((o_orderkey // 20) % 7 + 1) * 86400000000 AS b_e
+             FROM orders WHERE o_orderkey % 20 = 10),
+         j AS (SELECT a_key, b_key FROM a JOIN b
+                 ON a_s <= b_e AND b_s <= a_e)
+         SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
+                min(b_key) AS first_b
+         FROM j GROUP BY a_key"""
+  )
+}

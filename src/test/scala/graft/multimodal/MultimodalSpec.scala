@@ -120,4 +120,63 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(1L).zero_crossings - 880L) <= 2L, f(1L).zero_crossings)
     assert(f(2L).n_samples == -1L) // explicit miss, never fabricated stats
   }
+
+  // deterministic gradient test image with an optional per-pixel tweak
+  private def gradientPng(w: Int, h: Int, invert: Boolean = false,
+      noiseAt: Seq[(Int, Int)] = Nil): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255) / (w - 1)
+      val v = if (invert) 255 - base else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    noiseAt.foreach { case (x, y) =>
+      val v = (img.getRGB(x, y) & 0xff) ^ 0x10
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("dHash64: perceptual — resilient to pixel noise, far for different content, " +
+      "resolution-invariant for the same content") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", gradientPng(64, 48), "t"),
+      Multimodal.MediaRow(2L, "image", gradientPng(64, 48,
+        noiseAt = Seq((5, 5), (30, 20), (60, 40))), "t"),
+      Multimodal.MediaRow(3L, "image", gradientPng(64, 48, invert = true), "t"),
+      Multimodal.MediaRow(4L, "image", gradientPng(128, 96), "t"), // same scene, 2×
+      Multimodal.MediaRow(5L, "image", "junk bytes".getBytes, "t")
+    ).toDS()
+    val h = Multimodal.dHash64(media).collect().map(r => r.media_id -> r).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L).decoded && !h(5L).decoded)
+    assert(ham(h(1L).dhash, h(2L).dhash) <= 3,
+      s"noise moved the hash ${ham(h(1L).dhash, h(2L).dhash)} bits")
+    assert(h(1L).dhash == h(4L).dhash, "same scene at 2x resolution must agree")
+    assert(ham(h(1L).dhash, h(3L).dhash) > 16,
+      "inverted gradient should be far")
+    // deterministic across runs
+    val again = Multimodal.dHash64(media).collect().map(r => r.media_id -> r.dhash).toMap
+    assert(again(1L) == h(1L).dhash && again(5L) == h(5L).dhash)
+  }
+
+  test("imageNearDuplicates: banded Hamming join finds the noisy twin, " +
+      "skips stubs and distinct scenes") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", gradientPng(64, 48), "t"),
+      Multimodal.MediaRow(2L, "image", gradientPng(64, 48,
+        noiseAt = Seq((10, 10))), "t"),
+      Multimodal.MediaRow(3L, "image", gradientPng(64, 48, invert = true), "t"),
+      Multimodal.MediaRow(4L, "image", "junk A".getBytes, "t"),
+      Multimodal.MediaRow(5L, "image", "junk B".getBytes, "t")
+    ).toDS()
+    val pairs = Multimodal.imageNearDuplicates(media)
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
 }

@@ -51,4 +51,45 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(spans === Set((1L, 0L, 5L, 6L), (2L, 7L, 7L, 1L)))
   }
+
+  private def ewmaOf(vals: Seq[Long], terms: Int = 4): Seq[Double] = {
+    val df = vals.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+      .toDF("k", "t", "v")
+    TimeSeries.ewmaPow2Bounded(df, Seq("k"), "t", "v", terms)
+      .orderBy(col("t"))
+      .select(col("ewma_num").cast("double") / col("ewma_den"))
+      .as[Double].collect().toSeq
+  }
+
+  test("ewma: first row is the observation itself; constant series stays put") {
+    assert(ewmaOf(Seq(42L)).head == 42.0)
+    assert(ewmaOf(Seq(7L, 7L, 7L, 7L, 7L, 7L)).forall(_ == 7.0))
+  }
+
+  test("ewma matches the hand-computed α=1/2 adjusted weights") {
+    // terms=4 → weights 8,4,2,1 over lags 0..3
+    val got = ewmaOf(Seq(10L, 20L, 30L, 40L, 50L))
+    val exp = Seq(
+      10.0,                                     // 8·10/8
+      (8 * 20 + 4 * 10) / 12.0,                 // two terms present
+      (8 * 30 + 4 * 20 + 2 * 10) / 14.0,
+      (8 * 40 + 4 * 30 + 2 * 20 + 1 * 10) / 15.0,
+      (8 * 50 + 4 * 40 + 2 * 30 + 1 * 20) / 15.0) // window slid past 10
+    assert(got == exp)
+  }
+
+  test("ewma partitions by key: series do not bleed into each other") {
+    val df = Seq(("a", 0L, 100L), ("b", 0L, 0L), ("a", 1L, 100L), ("b", 1L, 0L))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.ewmaPow2Bounded(df, Seq("k"), "t", "v", 4)
+      .select(col("k"), col("ewma_num").cast("double") / col("ewma_den"))
+      .as[(String, Double)].collect().toSet
+    assert(out == Set(("a", 100.0), ("b", 0.0)))
+  }
+
+  test("ewma rejects out-of-range terms") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaPow2Bounded(obs, Seq("k"), "t", "v", terms = 63)
+    }
+  }
 }
