@@ -85,6 +85,30 @@ object GraphAlgs {
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
 
+  /** Local clustering coefficient per node:
+    * `2·triangles(v) / (deg(v)·(deg(v)-1))` — how close each node's
+    * neighborhood is to a clique, the standard community-structure
+    * signal. Pure composition: [[triangleCounts]] (degree-oriented, so
+    * wedge fan-out stays bounded) plus one degree aggregate over a
+    * checkpointed canonical edge set shared by both consumers — the
+    * expensive part IS the triangle join; the coefficient adds one
+    * keys-sized join. Degree-1 and isolated-in-triangle nodes get
+    * coefficient 0 (no possible wedge), never a division by zero.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "a",
+      dstCol: String = "b", scale: Int = 4): DataFrame = {
+    val e = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(e), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+              / (col("deg") * (col("deg") - lit(1))), scale))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Bounded single/multi-source shortest paths (Bellman-Ford rounds):
     * minimum total edge weight from any seed over paths of at most
     * `rounds` edges. Unlike [[bfs]], a settled node can still improve

@@ -63,12 +63,21 @@ object IncrementalAgg {
 
   /** Finisher: derive presentation columns (mean from the exact
     * sum/count pair) without touching the mergeable state layout.
+    *
+    * The mean is µ-unit integer fixed-point — `(sum·10⁶) div n`, then
+    * one exact double conversion — NOT `round(double_sum / n, k)`:
+    * divisions by small counts land on exact half-way k-dp values
+    * (e.g. 1512.12/32 = 47.25375) where Spark's HALF_UP and an
+    * oracle's nearest-double rounding disagree on the last digit.
+    * Integer division is bit-identical everywhere (the ts_anomaly /
+    * PageRank discipline); found by the sf0.1 gate sweep.
     */
   def report(state: DataFrame, keyCols: Seq[String], outScale: Int = 4): DataFrame =
     state.select(keyCols.map(col) ++ Seq(
       col("n"),
       round(col("sum").cast("double"), outScale).as("sum_value"),
-      round((col("sum").cast("double") / col("n")), outScale).as("mean_value"),
+      (expr("cast(cast(sum * 1000000 as bigint) div n as double)") / lit(1e6))
+        .as("mean_value"),
       round(col("vmin").cast("double"), outScale).as("min_value"),
       round(col("vmax").cast("double"), outScale).as("max_value")): _*)
 }

@@ -50,6 +50,37 @@ object IntervalJoin {
     sequence(lo, guarded)
   }
 
+  /** Points with their `__bin` key — the storable left side of
+    * [[joinBinned]]. Persist it bucketed by `__bin`
+    * ([[Layout.writeBucketed]]) and the repeated join reads it with no
+    * exchange (IntervalJoinSpec pins the zero-shuffle plan).
+    */
+  def binPoints(points: DataFrame, ptCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive; got $binWidth")
+    points.withColumn("__bin", floorDiv(col(ptCol), binWidth).cast("long"))
+  }
+
+  /** Intervals replicated to every bin they span — the storable right
+    * side of [[joinBinned]].
+    */
+  def binIntervals(intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive; got $binWidth")
+    intervals.withColumn("__bin",
+      explode(binSeq(col(startCol), col(endCol), binWidth)))
+  }
+
+  /** The join stage over pre-binned sides (from [[binPoints]] /
+    * [[binIntervals]], inline or read back from bucketed storage):
+    * equi-join on `__bin`, exact containment re-check, bin key
+    * dropped.
+    */
+  def joinBinned(binnedPoints: DataFrame, ptCol: String,
+      binnedIntervals: DataFrame, startCol: String, endCol: String): DataFrame =
+    binnedPoints.join(binnedIntervals, Seq("__bin"))
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+
   /** Each point row joined to every interval row whose
     * `[startCol, endCol]` (inclusive) contains `ptCol`. All columns of
     * both inputs survive; the two inputs must not share column names.
@@ -58,15 +89,9 @@ object IntervalJoin {
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive; got $binWidth")
-    val p = points.withColumn("__bin", floorDiv(col(ptCol), binWidth).cast("long"))
-    val iv = intervals.withColumn("__bin",
-      explode(binSeq(col(startCol), col(endCol), binWidth)))
-    p.join(iv, Seq("__bin"))
-      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
-      .drop("__bin")
-  }
+      binWidth: Long): DataFrame =
+    joinBinned(binPoints(points, ptCol, binWidth), ptCol,
+      binIntervals(intervals, startCol, endCol, binWidth), startCol, endCol)
 
   /** Every (left, right) pair whose closed intervals overlap
     * (`lStart <= rEnd && rStart <= lEnd`), each pair emitted EXACTLY

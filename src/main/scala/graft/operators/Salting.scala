@@ -51,4 +51,30 @@ object Salting {
         sum(col("__n")).as("n"),
         (sum(col("__s")) / sum(col("__n"))).as("avg_value")),
       saltBy = saltBy)
+
+  /** Pre-join skew report: for a planned equi-join `left ⋈ right` on
+    * `keyCols`, the keys whose output contribution `cnt_left ×
+    * cnt_right` exceeds `minPairs` — the rows that will concentrate in
+    * single reduce tasks (or blow the output up) BEFORE the join runs.
+    * The operational check you run at 100 TB before committing to a
+    * shuffle: its cost is two map-side-combined counts plus an
+    * equi-join of the two (already keys-sized) count tables, so the
+    * report is key-cardinality work, never data-sized. Feed flagged
+    * keys to [[saltedAggregate]], AQE skew handling, or a broadcast
+    * carve-out.
+    *
+    * Exact counts, not samples — a sample-based estimate misses the
+    * moderate-key × moderate-key products that still dominate output
+    * size, and exact per-key counts are one cheap aggregate anyway.
+    */
+  def joinSkewReport(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], minPairs: Long): DataFrame = {
+    require(minPairs >= 1, s"minPairs must be >= 1; got $minPairs")
+    val k = keyCols.map(col)
+    val lc = left.groupBy(k: _*).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(k: _*).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, keyCols)
+      .withColumn("n_pairs", col("n_left") * col("n_right"))
+      .where(col("n_pairs") >= minPairs)
+  }
 }

@@ -41,13 +41,16 @@ object MlPrepQueries {
     }),
 
     // Equal-frequency discretization (Discretize): 10 quantile bins of
-    // l_extendedprice — one percentile-array aggregate to fit, codegen'd
-    // broadcast fold to assign, 6-dp cut snap (a19 discipline), strict
-    // value > cut bin rule on both engines.
+    // l_extendedprice — one percentile-array aggregate to fit (exact,
+    // to match the oracle; approx_percentile is the documented 100 TB
+    // swap), then the codegen'd literal-cuts assignment (cuts are k-1
+    // bounded stats — the Lloyd-state collect pattern). 6-dp cut snap
+    // (a19 discipline), strict value > cut bin rule on both engines.
     "discretize_bins" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val cuts = Discretize.fitQuantileBins(li, "l_extendedprice", k = 10)
-      Discretize.assignBins(li.select(col("l_extendedprice").as("v")), "v", cuts)
+      val cuts = Discretize.cutsOf(
+        Discretize.fitQuantileBins(li, "l_extendedprice", k = 10))
+      Discretize.assignBinsLit(li.select(col("l_extendedprice").as("v")), "v", cuts)
         .groupBy(col("bin").cast("long").as("bin"))
         .agg(count(lit(1)).as("n_rows"),
           round(min(col("v")), 4).as("min_v"),
@@ -126,6 +129,17 @@ object MlPrepQueries {
       IntervalJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", Day)
         .groupBy(col("a_key"))
         .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
+    }),
+
+    // Pre-join skew report (Salting.joinSkewReport): exact per-key
+    // cnt_left × cnt_right for a planned lineitem self-join on
+    // l_partkey — the keys that will dominate the shuffle, computed
+    // from two keys-sized count tables BEFORE paying for the join.
+    "join_skew_report" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.Salting.joinSkewReport(
+        li, li.where(col("l_quantity") > 25), Seq("l_partkey"),
+        minPairs = 900L)
     })
   )
 
@@ -189,7 +203,8 @@ object MlPrepQueries {
              FROM events)
          SELECT event_type, hour_idx, CAST(count(y) AS BIGINT) AS n,
                 round(CAST(sum(y) AS DOUBLE), 4) AS sum_value,
-                round(CAST(sum(y) AS DOUBLE) / count(y), 4) AS mean_value,
+                CAST(CAST(sum(y) * 1000000 AS BIGINT) // count(y) AS DOUBLE)
+                  / 1e6 AS mean_value,
                 round(CAST(min(y) AS DOUBLE), 4) AS min_value,
                 round(CAST(max(y) AS DOUBLE), 4) AS max_value
          FROM e GROUP BY 1, 2""",
@@ -218,6 +233,14 @@ object MlPrepQueries {
                  ON a_s <= b_e AND b_s <= a_e)
          SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
                 min(b_key) AS first_b
-         FROM j GROUP BY a_key"""
+         FROM j GROUP BY a_key""",
+    "join_skew_report" ->
+      """WITH lc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_left
+               FROM lineitem GROUP BY 1),
+         rc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_right
+               FROM lineitem WHERE l_quantity > 25 GROUP BY 1)
+         SELECT l_partkey, n_left, n_right, n_left * n_right AS n_pairs
+         FROM lc JOIN rc USING (l_partkey)
+         WHERE n_left * n_right >= 900"""
   )
 }

@@ -138,6 +138,31 @@ object WarehouseQueries {
       GraphAlgs.triangleCounts(basketEdges(s, dir))
     }),
 
+    // Local clustering coefficient over the basket graph — triangle
+    // counts + one degree aggregate on a shared checkpointed edge set;
+    // exact integer inputs, one double division rounded at 4dp.
+    "graph_clustering" -> ((s, dir) => {
+      GraphAlgs.clusteringCoefficients(basketEdges(s, dir))
+    }),
+
+    // Keyed snapshot diff (SnapshotDiff.changes): derive the CDC feed
+    // between yesterday's and today's full order snapshots — one
+    // full-outer join on (key, 8-byte row hash) classifies
+    // insert/delete/update. Today's snapshot is simulated
+    // deterministically: keys %97==0 deleted, %13==0 repriced (+1.0),
+    // %89==3 re-inserted under a shifted key.
+    "snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val surviving = o.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(13)) === 0,
+            col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+      val inserted = o.where(pmod(col("o_orderkey"), lit(89)) === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+      graft.operators.SnapshotDiff.changes(
+        o, surviving.unionByName(inserted), Seq("o_orderkey"))
+    }),
+
     // Multi-source BFS (≤ 4 hops) from the low-key part nodes over the
     // symmetrized basket graph.
     "graph_bfs" -> ((s, dir) => {
@@ -332,6 +357,46 @@ object WarehouseQueries {
          n AS (SELECT x AS node FROM t
                UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node""",
+    "graph_clustering" ->
+      s"""WITH $BasketEdgeSql,
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+               JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM t
+               UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+         tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY node)
+         SELECT deg.node, deg.deg, coalesce(tc.n_tri, 0) AS n_tri,
+                CASE WHEN deg.deg >= 2
+                  THEN round(2.0 * coalesce(tc.n_tri, 0)
+                             / (deg.deg * (deg.deg - 1)), 4)
+                  ELSE 0.0 END AS coeff
+         FROM deg LEFT JOIN tc USING (node)""",
+    "snapshot_diff" ->
+      """WITH newsnap AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 89 = 3)
+         SELECT o_orderkey, change FROM (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                       WHEN n.o_orderkey IS NULL THEN 'delete'
+                       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                       THEN 'update' END AS change
+           FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
+         WHERE change IS NOT NULL""",
     "graph_bfs" -> {
       val head =
         s"""WITH $BasketEdgeSql,

@@ -151,6 +151,49 @@ class PlanSpec extends SparkSpec {
     assert(bhj.nonEmpty, qe.sparkPlan.toString)
   }
 
+  test("interval joins plan as equi-joins on the bin key — no nested-loop product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (name <- Seq("interval_join_points", "interval_join_overlap")) {
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val bad = qe.sparkPlan.collectWithSubqueries {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"non-equi join in $name:\n${qe.sparkPlan}")
+    }
+  }
+
+  test("target encoding re-attaches via broadcast hash join — no fact-side shuffle for the probe") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val o = graft.car.Splits.kfold(
+      graft.sources.Tables.orders(spark, dir), col("o_orderkey"), 5)
+    val enc = graft.operators.TargetEncode.oofEncoding(
+      o, "o_orderpriority", "o_totalprice", "fold")
+    val applied = graft.operators.TargetEncode.applyEncoding(
+      o, enc, "o_orderpriority", "fold", fallbackPrior = 0.0)
+    val bhj = applied.queryExecution.sparkPlan.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, applied.queryExecution.sparkPlan.toString)
+  }
+
+  test("discretize assignment adds zero exchanges beyond the cut fit itself") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).select(col("id").cast("double").as("v"))
+    val cuts = graft.operators.Discretize.fitQuantileBins(df, "v", 10)
+    val assigned = graft.operators.Discretize.assignBins(df, "v", cuts)
+    def exchanges(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.sparkPlan.collectWithSubqueries {
+        case e: ShuffleExchangeExec => e
+      }.length
+    // the fact-side scan → assign path is map-only: every exchange in the
+    // assigned plan already existed in the (broadcast 1-row) fit subtree
+    assert(exchanges(assigned) == exchanges(cuts),
+      assigned.queryExecution.sparkPlan.toString)
+  }
+
   test("zorder_key is a pure map plan: one scan, no exchange") {
     val plan = SparkEntry.queries("zorder_key")(spark, dir)
       .queryExecution.sparkPlan.toString

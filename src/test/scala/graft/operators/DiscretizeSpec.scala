@@ -52,4 +52,30 @@ class DiscretizeSpec extends SparkSpec {
       Discretize.fitQuantileBins(Seq(1.0).toDF("v"), "v", k = 1)
     }
   }
+
+  test("literal-cuts assignment ≡ the plan-pure array fold, nulls included") {
+    import spark.implicits._
+    val df = ((0 until 500).map(i =>
+      Some(math.floorMod(i * 2654435761L, 997L).toDouble)) :+ None)
+      .toDF("v")
+    val cuts = Discretize.fitQuantileBins(df, "v", k = 7)
+    val hof = Discretize.assignBins(df, "v", cuts)
+      .collect().map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq
+    val lit = Discretize.assignBinsLit(df, "v", Discretize.cutsOf(cuts))
+      .collect().map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq
+    assert(lit == hof)
+  }
+
+  test("approx fit lands within one rank-error band of the exact cuts") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i =>
+      math.floorMod(i * 387420489L, 2000L).toDouble).toDF("v")
+    val exact = Discretize.cutsOf(Discretize.fitQuantileBins(df, "v", 10))
+    val approx = Discretize.cutsOf(
+      Discretize.fitQuantileBinsApprox(df, "v", 10, accuracy = 10000))
+    // 2000 distinct uniform values, accuracy 10000 → ≤ 1 rank off
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 2.0, s"exact=$e approx=$a")
+    }
+  }
 }

@@ -102,4 +102,21 @@ class GraphAlgsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(1L -> 0))
   }
+
+  test("clusteringCoefficients: known values on a kite graph, zero for leaves") {
+    // triangle 1-2-3 plus edge 3-4 (a leaf) and chain 4-5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphAlgs.clusteringCoefficients(e)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))  // both neighbors connected
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, round4(2.0 / 6))))  // 1 of 3 possible wedges
+    assert(got(4L) == ((2L, 0L, 0.0)))  // neighbors 3,5 not adjacent
+    assert(got(5L) == ((1L, 0L, 0.0)))  // degree-1: no wedge, no div-zero
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -60,6 +60,35 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
   }
 
+  test("bucketed-by-bin storage: the stored join is exchange-free and ≡ inline") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val iv = intervals(1L, 60)
+    val inline = IntervalJoin.pointInInterval(points, "pt", iv, "s", "e", 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(IntervalJoin.binPoints(points, "pt", 64L),
+        "ij_pts_bkt", "__bin", 4, sortCols = Seq("__bin"))
+      Layout.writeBucketed(IntervalJoin.binIntervals(iv, "s", "e", 64L),
+        "ij_iv_bkt", "__bin", 4, sortCols = Seq("__bin"))
+      val stored = IntervalJoin.joinBinned(spark.table("ij_pts_bkt"), "pt",
+        spark.table("ij_iv_bkt"), "s", "e")
+      val exchanges = stored.queryExecution.executedPlan.collectWithSubqueries {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed interval join still shuffles:\n${stored.queryExecution.executedPlan}")
+      val got = stored.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == inline.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ij_pts_bkt")
+      spark.sql("DROP TABLE IF EXISTS ij_iv_bkt")
+    }
+  }
+
   test("corrupt interval (end < start) fails loudly, not silently empty") {
     import spark.implicits._
     val pts = Seq((1L, 5L)).toDF("pid", "pt")

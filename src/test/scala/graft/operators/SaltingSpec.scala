@@ -30,4 +30,23 @@ class SaltingSpec extends SparkSpec {
     // roughly uniform: no bucket more than 2x the mean
     assert(spread.map(_.getLong(1)).max < 2 * 10000 / 16)
   }
+
+  test("joinSkewReport flags exactly the keys whose pair product clears the bar") {
+    import spark.implicits._
+    // key counts — a: 3×4=12, b: 2×1=2, c: 5×0 (right-absent), d: 1×10=10
+    val left = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("c") ++
+      Seq("d")).zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "x")
+    val right = (Seq.fill(4)("a") ++ Seq("b") ++ Seq.fill(10)("d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "y")
+    val got = Salting.joinSkewReport(left, right, Seq("k"), minPairs = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set("a", "d")) // b under bar; c absent from right
+    assert(got("a") == ((3L, 4L, 12L)))
+    assert(got("d") == ((1L, 10L, 10L)))
+    // the report's product equals the true join output size per key
+    val joined = left.join(right, "k").groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, (_, _, p)) => assert(joined(k) == p) }
+  }
 }
