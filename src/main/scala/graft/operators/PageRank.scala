@@ -147,17 +147,68 @@ object PageRank {
     * a checkpointed/file-rooted frame whose plan is opaque).
     */
   private[graft] def iterate(eod: DataFrame, nodes: DataFrame,
-      rInit: DataFrame, baseTerm: Long, iters: Int): DataFrame = {
+      rInit: DataFrame, baseTerm: Long, iters: Int): DataFrame =
+    iterateTeleport(eod, nodes.withColumn("bt", lit(baseTerm)), rInit, iters)
+
+  /** [[iterate]] with a PER-NODE integer teleport term (`bt` column on
+    * the node table) — the uniform case is `bt = baseTerm` everywhere;
+    * personalized PageRank sets it only on the seed set. Same
+    * one-exchange-per-round shape: the `bt` column rides the
+    * pre-partitioned node table through the teleport join.
+    */
+  private[graft] def iterateTeleport(eod: DataFrame, nodesBt: DataFrame,
+      rInit: DataFrame, iters: Int): DataFrame = {
     var r = rInit.select(col("node"), col("r"))
     for (_ <- 1 to iters) {
       val summed = eod
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div od").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      r = nodes.join(summed, Seq("node"), "left")
-        .select(col("node"), (lit(baseTerm) +
+      r = nodesBt.join(summed, Seq("node"), "left")
+        .select(col("node"), (col("bt") +
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
     }
     r
+  }
+
+  /** Personalized PageRank: teleport mass lands ONLY on the seed set
+    * (uniformly), so ranks measure proximity to the seeds instead of
+    * global importance — the "related items" / local-relevance scoring
+    * over the same exact-integer dataflow as [[ranks]]. Seeds outside
+    * the graph's node set are ignored (they could neither receive nor
+    * route mass). Mass conservation still bounds every sum below
+    * `scale`, so the overflow argument of [[ranks]] carries over
+    * unchanged, and results stay bit-identical across partitionings
+    * and engines.
+    *
+    * Same plan shape as [[ranks]]: the seed flag is folded into the
+    * pre-partitioned node table by one broadcast join before the loop;
+    * each round still pays exactly one shuffle.
+    */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val (eod, nodes, _, _) = prepare(edges, srcCol, dstCol, scale)
+    val seedN = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nS = seedN.count()
+    require(nS > 0, "personalizedRanks: no seed appears in the graph")
+    require(nS <= scale,
+      s"seed count $nS exceeds scale=$scale — per-seed base mass would be 0")
+    val base = scale / nS
+    val baseTerm = (15L * base) / 100L
+    val nodesBt = nodes
+      .join(broadcast(seedN.withColumn("__s", lit(1))), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(baseTerm)).otherwise(lit(0L)).as("bt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rInit = nodesBt.select(col("node"),
+      when(col("bt") > 0, lit(base)).otherwise(lit(0L)).as("r"))
+    val r = iterateTeleport(eod, nodesBt, rInit, iters)
+      .select(col("node"), col("r").as("ppr_fx"))
+    val out = r.localCheckpoint(true)
+    Seq(eod, nodes, nodesBt).foreach(_.unpersist(false))
+    out
   }
 }

@@ -105,6 +105,21 @@ object GraphQueries {
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
     }),
 
+    // Personalized PageRank: teleport restricted to the low-key supplier
+    // seeds — local relevance to the seed set over the same supply graph,
+    // same exact-integer dataflow (3 unrolled CTE iterations in the
+    // oracle, bit-for-bit).
+    "graph_ppr" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val seeds = Tables.lineitem(s, dir)
+        .where(col("l_suppkey") <= 10)
+        .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct()
+      graft.operators.PageRank.personalizedRanks(e, "src", "dst", seeds,
+        iters = 3)
+    }),
+
     // R2 — sequential split by an ordering column (samples.py:96-117,
     // the fixed form — quirk X1's overlap lives in Splits as a flag).
     // "first 1000 in key order" is exactly orderBy+limit: Spark plans it
@@ -445,6 +460,7 @@ object GraphQueries {
                 CAST(0 AS BIGINT) AS label
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
+    "graph_ppr" -> PprOracle,
     "g5_mean_agg" ->
       """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
                   vec_id % 37 AS tail_id FROM embeddings),
@@ -584,5 +600,34 @@ object GraphQueries {
                         GROUP BY e.dst) s$i ON nodes.node = s$i.node, c)"""
     }.mkString
     head + steps + "\n         SELECT node, CAST(r AS BIGINT) AS pr_fx FROM it5"
+  }
+
+  private val PprOracle: String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         seeds AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+                   FROM lineitem WHERE l_suppkey <= 10),
+         sc AS (SELECT count(*) AS ns FROM seeds),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         it0 AS (SELECT nodes.node,
+                   CASE WHEN seeds.node IS NOT NULL
+                     THEN 1000000000000 // sc.ns ELSE 0 END AS r
+                 FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node, sc)"""
+    val steps = (1 to 3).map { i =>
+      s""",
+         it$i AS (SELECT nodes.node,
+               CASE WHEN seeds.node IS NOT NULL
+                 THEN (15 * (1000000000000 // sc.ns)) // 100 ELSE 0 END
+               + (85 * COALESCE(s$i.m, 0)) // 100 AS r
+             FROM nodes
+             LEFT JOIN seeds ON nodes.node = seeds.node
+             LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.od) AS m
+                        FROM e JOIN it${i - 1} p ON e.src = p.node
+                        JOIN outdeg o ON e.src = o.src
+                        GROUP BY e.dst) s$i ON nodes.node = s$i.node, sc)"""
+    }.mkString
+    head + steps + "\n         SELECT node, CAST(r AS BIGINT) AS ppr_fx FROM it3"
   }
 }

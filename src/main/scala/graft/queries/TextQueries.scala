@@ -229,6 +229,31 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Per-document out-of-vocabulary rate against the corpus top-20
+    // vocabulary (the synthetic corpus has ~31 distinct tokens; a real
+    // vocab is top-k for larger k, same plan) — the tokenizer-coverage
+    // audit run before committing a vocab:
+    // one explode feeds both the vocabulary fit (deterministic
+    // (count desc, token) cutoff) and the per-doc probe, which re-joins
+    // the keys-sized vocab as a broadcast. Rate is truncating integer
+    // fixed-point (ppm) — identical doubles on both engines, no
+    // round-half ties (the agg_delta_merge lesson).
+    "text_oov_rate" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(20)
+        .select(col("token"), lit(1).as("__v"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (expr("cast((n_oov * 1000000) div n_tokens as double)") / lit(1e6))
+            .as("oov_rate"))
+    }),
+
     // Duplicate-cluster resolution: shingle-Jaccard pairs → connected
     // components (min-label propagation) → one cluster id per doc. The
     // step that turns near-dup PAIRS into a deduped corpus.
@@ -851,6 +876,22 @@ object TextQueries {
                 round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
          FROM pairs JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
          WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""",
+    "text_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents)
+               WHERE t <> ''),
+         vocab AS (SELECT token FROM (
+                 SELECT token, count(*) AS n FROM toks GROUP BY token
+                 ORDER BY n DESC, token ASC LIMIT 20)),
+         j AS (SELECT toks.doc_id,
+                 CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END AS oov
+               FROM toks LEFT JOIN vocab ON toks.token = vocab.token)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST((sum(oov) * 1000000) // count(*) AS DOUBLE) / 1e6
+                  AS oov_rate
+         FROM j GROUP BY doc_id""",
     "text_wordfreq" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

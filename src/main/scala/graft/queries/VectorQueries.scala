@@ -17,6 +17,16 @@ import graft.sources.Tables
 object VectorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multimodal decode plumbing as a gate query: binary payloads
+    // (document text bytes — the stub arm; real image/audio payloads
+    // take the same path through javax.imageio/sampled, spec-proven)
+    // batched per partition, one feature row per media item. Checksums
+    // are engine-specific → rows-only.
+    "media_features" -> ((s, dir) => {
+      graft.multimodal.Multimodal.documentFeatures(
+        s, Tables.documents(s, dir), partitions = 32)
+    }),
+
     // Brute-force exact cosine top-10 for the vector with vec_id = 0 — the
     // ANN correctness baseline: one scan + 1-row broadcast, no shuffle.
     "sim_topk_bruteforce" -> ((s, dir) => {

@@ -66,4 +66,35 @@ class PageRankSpec extends SparkSpec {
     assert(total <= Scale)
     assert(total > Scale / 2) // and the decay from dangling mass is bounded too
   }
+
+  test("personalized: seeding every node reproduces uniform PageRank exactly") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val allNodes = edges.select(col("src").as("n"))
+      .unionAll(edges.select(col("dst"))).distinct()
+    val uniform = PageRank.ranks(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ppr = PageRank.personalizedRanks(edges, "src", "dst", allNodes, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr == uniform)
+  }
+
+  test("personalized: mass stays in the seed's component; unknown seeds rejected") {
+    import spark.implicits._
+    // two disconnected cycles
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val ppr = PageRank.personalizedRanks(edges, "src", "dst",
+        Seq("a").toDF("node"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr("a") > 0 && ppr("b") > 0)
+    assert(ppr("x") == 0 && ppr("y") == 0)
+    // seed ranks dominate: proximity, not global importance
+    assert(ppr("a") > ppr("x"))
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(edges, "src", "dst",
+        Seq("nope").toDF("node"), iters = 2)
+    }
+  }
 }
