@@ -143,6 +143,51 @@ object GraphAlgs {
     } finally e.unpersist()
   }
 
+  /** Time-respecting earliest arrival over a temporal edge list
+    * `(src, dst, t)`: the minimum time at which each node can be
+    * reached from any seed along a path whose edge times never
+    * decrease — an edge is usable only at `t ≥` the arrival time at
+    * its source. The temporal-graph reachability primitive (information
+    * / contagion / supply propagation), where static BFS overcounts:
+    * a path through an edge that fired BEFORE you arrived does not
+    * exist.
+    *
+    * Same bounded-round dataflow as [[ssspBounded]] — one equi-join +
+    * one min aggregate per round, arrival table checkpointed per round
+    * so the lineage stays flat. Times are exact longs (epoch µs or any
+    * integral clock): min() over int64 is partition-order-invariant,
+    * so results are engine/retry-identical and a SQL oracle unrolls
+    * the rounds bit-for-bit.
+    *
+    * @param startTime seeds become active at this time (their arrival)
+    * @return (node, arrival) for every node reachable within `rounds`
+    *         time-respecting hops
+    */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      startTime: Long = 0L, srcCol: String = "src", dstCol: String = "dst",
+      tCol: String = "t", nodeCol: String = "node"): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0; got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(tCol).cast("long").as("t"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst", "t")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var arr = seeds.select(col(nodeCol).as("node")).distinct()
+        .withColumn("arrival", lit(startTime)).localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val stepped = arr.join(e, arr("node") === e("src") && e("t") >= arr("arrival"))
+          .select(e("dst").as("node"), e("t").as("arrival"))
+        val next = arr.unionAll(stepped)
+          .groupBy(col("node")).agg(min(col("arrival")).as("arrival"))
+          .localCheckpoint(true)
+        CheckpointShim.freeLocalCheckpointIfAny(arr)
+        arr = next
+      }
+      arr
+    } finally e.unpersist()
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed, bounded by
     * `maxHops`. Edges are treated as DIRECTED (`src → dst`); pass a
     * symmetrized frame for undirected semantics.

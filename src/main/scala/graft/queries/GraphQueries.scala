@@ -105,6 +105,24 @@ object GraphQueries {
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
     }),
 
+    // Time-respecting earliest arrival over the temporal supply graph:
+    // supplier↔part edges stamped with the shipment time — a node is
+    // reached only along paths whose edge times never decrease (static
+    // BFS would count paths through edges that fired before arrival).
+    // Exact µs longs; 3 unrolled rounds in the oracle, bit-for-bit.
+    "graph_temporal_reach" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("sn"),
+        concat(lit("p"), col("l_partkey")).as("pn"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)")
+          .as("t"))
+      val e = b.select(col("sn").as("src"), col("pn").as("dst"), col("t"))
+        .unionAll(b.select(col("pn").as("src"), col("sn").as("dst"), col("t")))
+      val seeds = Tables.lineitem(s, dir).where(col("l_suppkey") <= 10)
+        .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct()
+      graft.operators.GraphAlgs.earliestArrival(e, seeds, rounds = 3)
+    }),
+
     // Personalized PageRank: teleport restricted to the low-key supplier
     // seeds — local relevance to the seed set over the same supply graph,
     // same exact-integer dataflow (3 unrolled CTE iterations in the
@@ -461,6 +479,7 @@ object GraphQueries {
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
     "graph_ppr" -> PprOracle,
+    "graph_temporal_reach" -> TemporalReachOracle,
     "g5_mean_agg" ->
       """WITH e AS (SELECT vec_id % 11 AS head_id, vec_id % 3 AS relation_id,
                   vec_id % 37 AS tail_id FROM embeddings),
@@ -629,5 +648,29 @@ object GraphQueries {
                         GROUP BY e.dst) s$i ON nodes.node = s$i.node, sc)"""
     }.mkString
     head + steps + "\n         SELECT node, CAST(r AS BIGINT) AS ppr_fx FROM it3"
+  }
+
+  private val TemporalReachOracle: String = {
+    val head =
+      """WITH b AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS sn,
+                  'p' || CAST(l_partkey AS VARCHAR) AS pn,
+                  epoch_us(l_shipdate) AS t FROM lineitem),
+         e AS (SELECT DISTINCT src, dst, t FROM (
+                 SELECT sn AS src, pn AS dst, t FROM b
+                 UNION ALL SELECT pn AS src, sn AS dst, t FROM b)),
+         a0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node,
+                  CAST(0 AS BIGINT) AS arrival
+                FROM lineitem WHERE l_suppkey <= 10)"""
+    val steps = (1 to 3).map { i =>
+      s""",
+         a$i AS (SELECT node, min(arrival) AS arrival FROM (
+               SELECT node, arrival FROM a${i - 1}
+               UNION ALL
+               SELECT e.dst AS node, e.t AS arrival
+               FROM a${i - 1} JOIN e ON e.src = a${i - 1}.node
+                 AND e.t >= a${i - 1}.arrival)
+             GROUP BY node)"""
+    }.mkString
+    head + steps + "\n         SELECT node, arrival FROM a3"
   }
 }

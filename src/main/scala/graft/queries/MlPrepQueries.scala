@@ -131,6 +131,81 @@ object MlPrepQueries {
         .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
     }),
 
+    // Hashing-trick feature projection: two categoricals explode to
+    // namespaced feature strings, each lands in one of 32 signed buckets
+    // via the deterministic md5 gate (the engine-reproducible stand-in
+    // for murmur — same construction as kfold/mixture gates). Pure map +
+    // one keys-sized aggregate; d stays fixed as cardinality grows,
+    // which is the point of the trick at 100 TB.
+    "feature_hash" -> ((s, dir) => {
+      val g = conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
+      Tables.orders(s, dir)
+        .select(explode(array(
+          concat(lit("pri="), col("o_orderpriority")),
+          concat(lit("st="), col("o_orderstatus")))).as("f"))
+        .select((g % 32).as("bucket"),
+          when(pmod(g.divide(lit(32)).cast("int"), lit(2)) === 0, 1L)
+            .otherwise(-1L).as("sign"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_features"), sum(col("sign")).as("signed_sum"))
+    }),
+
+    // Rolling exact median over the hourly series (5-row window per
+    // type): robust trend smoothing next to ts_ewma's mean-based one.
+    // Window percentile over exact µ-unit longs; the median of ≤5 int64
+    // values is an exact double (or an exact .5 midpoint), so NO final
+    // rounding is applied — both engines emit bit-identical doubles
+    // (round(…,4) here would reintroduce the agg_delta_merge tie bug).
+    "ts_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("sum_micro"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+        .rowsBetween(-4, Window.currentRow)
+      hourly
+        .withColumn("__med", expr("percentile(sum_micro, 0.5)").over(w))
+        .select(col("event_type"), col("hour_idx"),
+          (col("__med") / lit(1e6)).as("rolling_median"))
+    }),
+
+    // Ranking-quality evaluation: nDCG@10 per supplier — the system
+    // ranking is parts by revenue, graded relevance is the (capped)
+    // distinct-order count, so the metric measures how well revenue
+    // ordering recovers demand ordering. Discipline: integer gains
+    // (2^rel − 1), discount weights as shared double literals
+    // (generated once, interpolated verbatim into BOTH engines), each
+    // term decimal-fixed before the sum (the text_lm_score pattern), one
+    // double division at the end. One shuffle on the supplier key; the
+    // two rankings are two window sorts over the same partitioning.
+    "rank_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val rel0 = li.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(least(countDistinct(col("l_orderkey")), lit(3L)).as("rel"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 6))).as("rev"))
+      val bySysRank = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("rev").desc, col("l_partkey").asc)
+      val byIdealRank = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("rel").desc, col("l_partkey").asc)
+      val wArr = array(NdcgW.map(lit): _*)
+      def term(rankCol: org.apache.spark.sql.Column) =
+        when(rankCol <= 10,
+          (expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+            * element_at(wArr, rankCol)).cast(DecimalType(20, 8)))
+      rel0.withColumn("sys_r", row_number().over(bySysRank))
+        .withColumn("ideal_r", row_number().over(byIdealRank))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(term(col("sys_r"))).as("__dcg"),
+          sum(term(col("ideal_r"))).as("__idcg"))
+        .select(col("l_suppkey"),
+          round(col("__dcg").cast("double"), 4).as("dcg"),
+          round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4)
+            .as("ndcg"))
+    }),
+
     // Pre-join skew report (Salting.joinSkewReport): exact per-key
     // cnt_left × cnt_right for a planned lineitem self-join on
     // l_partkey — the keys that will dominate the shuffle, computed
@@ -142,6 +217,16 @@ object MlPrepQueries {
         minPairs = 900L)
     })
   )
+
+  /** nDCG@10 discount weights 1/log2(r+1), r = 1..10 — ONE source of
+    * truth: the Spark literals and the oracle SQL list interpolate the
+    * same doubles (Double.toString round-trips exactly, so both
+    * engines parse the identical value).
+    */
+  private val NdcgW: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  private val NdcgWSql: String = NdcgW.mkString("[", ", ", "]")
 
   /** 8 unrolled lag terms of the ts_ewma oracle, weights 2^(7-k). */
   private val EwmaTerms: String = (0 until 8).map { k =>
@@ -234,6 +319,51 @@ object MlPrepQueries {
          SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
                 min(b_key) AS first_b
          FROM j GROUP BY a_key""",
+    "feature_hash" ->
+      """WITH f AS (SELECT 'pri=' || o_orderpriority AS f FROM orders
+               UNION ALL SELECT 'st=' || o_orderstatus FROM orders),
+         g AS (SELECT CAST(('0x' || substr(md5(f), 1, 4)) AS INTEGER) AS gate
+               FROM f)
+         SELECT gate % 32 AS bucket, CAST(count(*) AS BIGINT) AS n_features,
+                CAST(sum(CASE WHEN (gate // 32) % 2 = 0 THEN 1 ELSE -1 END)
+                     AS BIGINT) AS signed_sum
+         FROM g GROUP BY 1""",
+    "ts_rolling_median" ->
+      """WITH h AS (SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 AS sum_micro
+             FROM events GROUP BY 1, 2)
+         SELECT event_type, hour_idx,
+                quantile_cont(CAST(sum_micro AS DOUBLE), 0.5) OVER (
+                  PARTITION BY event_type ORDER BY hour_idx
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 1e6
+                  AS rolling_median
+         FROM h""",
+    "rank_ndcg" ->
+      s"""WITH rel0 AS (SELECT l_suppkey, l_partkey,
+               least(count(DISTINCT l_orderkey), 3) AS rel,
+               sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+             FROM lineitem GROUP BY 1, 2),
+         ranked AS (SELECT l_suppkey, rel,
+               row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY rev DESC, l_partkey ASC) AS sys_r,
+               row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY rel DESC, l_partkey ASC) AS ideal_r
+             FROM rel0),
+         terms AS (SELECT l_suppkey,
+               CASE WHEN sys_r <= 10 THEN CAST(
+                 CAST((1 << CAST(rel AS INT)) - 1 AS DOUBLE)
+                 * list_extract($NdcgWSql, sys_r) AS DECIMAL(20,8)) END AS dt,
+               CASE WHEN ideal_r <= 10 THEN CAST(
+                 CAST((1 << CAST(rel AS INT)) - 1 AS DOUBLE)
+                 * list_extract($NdcgWSql, ideal_r) AS DECIMAL(20,8)) END AS it
+             FROM ranked)
+         SELECT l_suppkey,
+                round(CAST(sum(dt) AS DOUBLE), 4) AS dcg,
+                round(CAST(sum(dt) AS DOUBLE) / CAST(sum(it) AS DOUBLE), 4)
+                  AS ndcg
+         FROM terms GROUP BY l_suppkey""",
     "join_skew_report" ->
       """WITH lc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_left
                FROM lineitem GROUP BY 1),

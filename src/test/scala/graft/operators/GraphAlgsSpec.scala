@@ -103,6 +103,38 @@ class GraphAlgsSpec extends SparkSpec {
     assert(got === Map(1L -> 0))
   }
 
+  test("earliestArrival ≡ brute force; time-ordering blocks static-BFS paths") {
+    // hand case first: a →(t=5) b →(t=3) c is NOT time-respecting
+    val hand = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L))
+      .toDF("src", "dst", "t")
+    val got = GraphAlgs.earliestArrival(hand, Seq(1L).toDF("node"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 4L -> 7L)) // c unreachable in time
+
+    // brute force on a deterministic random temporal graph
+    val edges = (0 until 60).map { i =>
+      (math.floorMod(i * 7 + 3, 12).toLong,
+        math.floorMod(i * 11 + 5, 12).toLong,
+        math.floorMod(i * 2654435761L, 50L))
+    }.filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 1L)
+    val rounds = 3
+    var best = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val stepped = for {
+        (n, a) <- best.toSeq
+        (s, d, t) <- edges if s == n && t >= a
+      } yield d -> t
+      best = (best.toSeq ++ stepped).groupBy(_._1)
+        .map { case (n, as) => n -> as.map(_._2).min }
+    }
+    val spark0 = GraphAlgs.earliestArrival(edges.toDF("src", "dst", "t"),
+        seeds.toDF("node"), rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(spark0 == best)
+    assert(best.size > seeds.size, "degenerate fixture")
+  }
+
   test("clusteringCoefficients: known values on a kite graph, zero for leaves") {
     // triangle 1-2-3 plus edge 3-4 (a leaf) and chain 4-5
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
