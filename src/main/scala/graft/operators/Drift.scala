@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Population Stability Index — the standard "did this feature's
+  * distribution move" monitor between a baseline snapshot (training
+  * time) and a current one (serving time):
+  *
+  * {{{ PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base) }}}
+  *
+  * over the BASELINE's equal-frequency bins ([[Discretize]] — the
+  * baseline owns the binning so a shifted current distribution shows
+  * up as unequal bin masses, not as different bins). Conventional
+  * read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * Scale shape: one quantile fit on the baseline + one
+  * codegen'd literal-cuts assignment and one k-bins aggregate per
+  * side — two scans total, no joins wider than the k-row bin tables.
+  * Laplace-smoothed proportions (`+1` per bin) keep empty bins off
+  * the ln(0) rail without changing the verdict at any real row count.
+  *
+  * Exactness: bin counts are exact integers; each bin's PSI term is
+  * decimal-fixed (DECIMAL(20,8)) before the k-term sum, so engines
+  * agree (the text_lm_score discipline).
+  */
+object Drift {
+
+  /** Per-bin drift rows: (bin, n_base, n_cur, psi_term) plus the
+    * summable term — [[psi]] is their sum.
+    */
+  def psiByBin(base: DataFrame, current: DataFrame, valueCol: String,
+      k: Int = 10): DataFrame = {
+    val cuts = Discretize.cutsOf(Discretize.fitQuantileBins(base, valueCol, k))
+    def binned(df: DataFrame) =
+      Discretize.assignBinsLit(df.select(col(valueCol)), valueCol, cuts)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val b = binned(base).select(col("bin"), col("n").as("n_base"))
+    val c = binned(current).select(col("bin"), col("n").as("n_cur"))
+    val joined = b.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cur")).as("__tc"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        (((col("n_cur") + 1).cast("double") / (col("__tc") + k)
+          - (col("n_base") + 1).cast("double") / (col("__tb") + k))
+          * log((col("n_cur") + 1).cast("double") / (col("__tc") + k)
+            / ((col("n_base") + 1).cast("double") / (col("__tb") + k))))
+          .cast(DecimalType(20, 8)).as("psi_term"))
+  }
+
+  /** The scalar PSI (1-row frame). */
+  def psi(base: DataFrame, current: DataFrame, valueCol: String,
+      k: Int = 10): DataFrame =
+    psiByBin(base, current, valueCol, k)
+      .agg(round(sum(col("psi_term")).cast("double"), 4).as("psi"))
+}

@@ -131,6 +131,19 @@ object MlPrepQueries {
         .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
     }),
 
+    // Distribution-drift monitor (Drift/PSI): the baseline (pre-1999
+    // shipments) owns the equal-frequency binning; the current slice's
+    // mass per bin drives the per-bin PSI terms. Exact bin counts,
+    // Laplace-smoothed proportions, decimal-fixed terms.
+    "drift_psi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val base = li.where(col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+      val cur = li.where(col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
+      graft.operators.Drift.psiByBin(base, cur, "l_extendedprice", k = 10)
+        .select(col("bin").cast("long").as("bin"), col("n_base"), col("n_cur"),
+          col("psi_term").cast("double").as("psi_term"))
+    }),
+
     // Hashing-trick feature projection: two categoricals explode to
     // namespaced feature strings, each lands in one of 32 signed buckets
     // via the deterministic md5 gate (the engine-reproducible stand-in
@@ -319,6 +332,33 @@ object MlPrepQueries {
          SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
                 min(b_key) AS first_b
          FROM j GROUP BY a_key""",
+    "drift_psi" ->
+      """WITH base AS (SELECT l_extendedprice AS v FROM lineitem
+               WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+         cur AS (SELECT l_extendedprice AS v FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
+         cuts AS (SELECT round(unnest(quantile_cont(v,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS c
+               FROM base),
+         bb AS (SELECT (SELECT count(*) FROM cuts WHERE v > c) AS bin,
+                       CAST(count(*) AS BIGINT) AS n_base
+                FROM base GROUP BY 1),
+         cc AS (SELECT (SELECT count(*) FROM cuts WHERE v > c) AS bin,
+                       CAST(count(*) AS BIGINT) AS n_cur
+                FROM cur GROUP BY 1),
+         j AS (SELECT coalesce(bb.bin, cc.bin) AS bin,
+                      coalesce(n_base, 0) AS n_base,
+                      coalesce(n_cur, 0) AS n_cur
+               FROM bb FULL OUTER JOIN cc ON bb.bin = cc.bin),
+         t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+         SELECT bin, n_base, n_cur,
+                CAST(CAST(
+                  (CAST(n_cur + 1 AS DOUBLE) / (tc + 10)
+                   - CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+                  * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                       / (CAST(n_base + 1 AS DOUBLE) / (tb + 10)))
+                  AS DECIMAL(20,8)) AS DOUBLE) AS psi_term
+         FROM j CROSS JOIN t""",
     "feature_hash" ->
       """WITH f AS (SELECT 'pri=' || o_orderpriority AS f FROM orders
                UNION ALL SELECT 'st=' || o_orderstatus FROM orders),

@@ -51,6 +51,32 @@ class IncrementalAggSpec extends SparkSpec {
     assert(canon(state) == canon(IncrementalAgg.fit(rows(0, 500), keys, "v")))
   }
 
+  test("bucketed-by-key state: the merge join reads state with no exchange on its side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // single-column key so the bucket spec covers the full join key
+      val state = IncrementalAgg.fit(rows(0, 300), Seq("k1"), "v")
+      Layout.writeBucketed(state, "agg_state_bkt", "k1", 4,
+        sortCols = Seq("k1"))
+      val merged = IncrementalAgg.applyDelta(spark.table("agg_state_bkt"),
+        rows(300, 400), Seq("k1"), "v")
+      val plan = merged.queryExecution.executedPlan
+      val badExchange = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.child.collectWithSubqueries {
+          case f: FileSourceScanExec => f
+        }.nonEmpty => e
+      }
+      assert(badExchange.isEmpty,
+        s"bucketed state still re-shuffles before the merge join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS agg_state_bkt")
+    }
+  }
+
   test("report derives mean from the exact sum/count pair") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1.0), ("a", 1L, 2.0)).toDF("k1", "k2", "v")
