@@ -67,4 +67,34 @@ object Layout {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Compact a small-file parquet directory into ~`targetBytes` output
+    * files — the maintenance pass every incremental pipeline needs:
+    * streaming sinks and per-batch appends write one file per task per
+    * trigger, and a 100 TB table fragmented into millions of KB-files
+    * pays NameNode/listing/open overhead that dwarfs the scan itself.
+    *
+    * The output file count is sized from the directory's ACTUAL bytes
+    * (file-index metadata — no data read), and rows are redistributed
+    * with a round-robin `repartition(n)`, which splits as well as
+    * coalesces: `coalesce(n)` alone cannot split a skewed source file
+    * and chains the reader onto few tasks. Writes to a fresh directory
+    * and never deletes the source — swap is the caller's (atomic-
+    * rename / metastore) concern.
+    *
+    * @return the number of output files written
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      destDir: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes >= (1L << 20), s"targetBytes unreasonably small: $targetBytes")
+    val df = spark.read.parquet(srcDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1L,
+      (bytes + BigInt(targetBytes) - 1) / BigInt(targetBytes) match {
+        case b if b > Int.MaxValue => Int.MaxValue.toLong
+        case b => b.toLong
+      }).toInt
+    df.repartition(n).write.mode("errorifexists").parquet(destDir)
+    n
+  }
 }

@@ -131,6 +131,14 @@ object MlPrepQueries {
         .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
     }),
 
+    // Order-invariant dataset fingerprint (Fingerprint): one exact
+    // decimal sum of per-row md5 hashes — same integer on any engine,
+    // partitioning, or row order; the copy-verification primitive.
+    "dataset_fingerprint" -> ((s, dir) => {
+      graft.operators.Fingerprint.of(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
     // Distribution-drift monitor (Drift/PSI): the baseline (pre-1999
     // shipments) owns the equal-frequency binning; the current slice's
     // mass per bin drives the per-bin PSI terms. Exact bin counts,
@@ -332,6 +340,14 @@ object MlPrepQueries {
          SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
                 min(b_key) AS first_b
          FROM j GROUP BY a_key""",
+    "dataset_fingerprint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(o_custkey AS VARCHAR) || '|' ||
+                    o_orderstatus || '|' || o_orderpriority), 1, 15))
+                  AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
+         FROM orders""",
     "drift_psi" ->
       """WITH base AS (SELECT l_extendedprice AS v FROM lineitem
                WHERE l_shipdate < TIMESTAMP '1999-01-01'),

@@ -81,4 +81,22 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("compact: many tiny files collapse to few, data multiset preserved") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_compact_src").toString
+    val dest = src + "_out"
+    // 64 tiny files (one per partition)
+    (0L until 2000L).map(i => (i, s"payload $i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 64)
+    val n = Layout.compact(spark, src, dest, targetBytes = 1L << 20)
+    // a few KB of data at a 1 MB target → far fewer files than the source
+    assert(parquetFiles(dest) == n && n < 64, s"wrote $n files")
+    val a = spark.read.parquet(src).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(dest).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
