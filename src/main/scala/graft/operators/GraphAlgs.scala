@@ -143,6 +143,43 @@ object GraphAlgs {
     } finally e.unpersist()
   }
 
+  /** Bounded k-core peeling: iteratively delete nodes of degree < k
+    * (with the edge set shrinking as their edges vanish) for `rounds`
+    * iterations — the density filter that separates a graph's cohesive
+    * core from its tendrils (spam/bot subgraph triage, community
+    * pre-filtering). Full decomposition runs until fixpoint; bounded
+    * rounds are the distributed contract (same as [[bfs]]/
+    * [[ssspBounded]]) — each round is one degree aggregate + two
+    * semi-joins over a monotonically SHRINKING edge set, checkpointed
+    * per round so lineage stays flat. On most graphs the peel
+    * converges in a handful of rounds (each round removes every node
+    * whose degree fell below k, not one node at a time).
+    *
+    * @return (node, deg) for nodes surviving `rounds` peels, with
+    *         their degree in the surviving subgraph
+    */
+  def kCoreBounded(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "a", dstCol: String = "b"): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k rounds=$rounds")
+    var e = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val survivors = deg.where(col("deg") >= k)
+      val next = e
+        .join(survivors.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(survivors.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint(true)
+      CheckpointShim.freeLocalCheckpointIfAny(e)
+      e = next
+    }
+    // report nodes of the SURVIVING edge set with their final degrees —
+    // a node whose edges all vanished in the last round is already gone
+    // here (the next round would peel it anyway)
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Time-respecting earliest arrival over a temporal edge list
     * `(src, dst, t)`: the minimum time at which each node can be
     * reached from any seed along a path whose edge times never

@@ -51,6 +51,36 @@ object Sketches {
     groups.unionByName(rollup)
   }
 
+  /** Approximate distinct counts over TRAILING slot windows: one HLL
+    * sketch per (group, slot), then `hll_union_agg` over a sliding
+    * row frame — the mergeable-sketch answer to "unique users in the
+    * trailing 24 h, every hour". An exact COUNT(DISTINCT) over a
+    * sliding window either recounts the raw window per slot (w×
+    * re-reads) or holds every distinct key in window state; sketches
+    * make each slot a ~KB blob and the slide a union of `window`
+    * blobs, so state is slots×KB regardless of key cardinality — the
+    * only shape that survives 100 TB of events. One shuffle on
+    * (group, slot); the window pass unions slot-count-sized blobs.
+    *
+    * @param window trailing slot count (current slot inclusive)
+    * @return (group, slot, n_in_slot, distinct_trailing_est)
+    */
+  def hllTrailingDistinct(df: DataFrame, valueCol: String, groupCol: String,
+      slotCol: String, window: Int, lgConfigK: Int = 12): DataFrame = {
+    require(window >= 1, s"window must be >= 1; got $window")
+    import org.apache.spark.sql.expressions.Window
+    val perSlot = df.groupBy(col(groupCol), col(slotCol))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgConfigK)").as("__sk"),
+        count(lit(1)).as("n_in_slot"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(slotCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    perSlot
+      .withColumn("__u", expr("hll_union_agg(__sk)").over(w))
+      .withColumn("distinct_trailing_est",
+        expr("hll_sketch_estimate(__u)").cast("long"))
+      .drop("__sk", "__u")
+  }
+
   /** The (d, bucket, cnt) counter table of a depth×width count-min
     * sketch over `termCol` (one count per input row): row `d` buckets a
     * term by `xxhash64(term, seed+d) mod width`. ONE exchange — the

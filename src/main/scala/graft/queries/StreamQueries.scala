@@ -21,6 +21,19 @@ object StreamQueries {
   private val NanosPerHour = 3600L * 1000L * 1000L * 1000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Trailing-window distinct users (6 h, per type) via mergeable HLL
+    // sketches: one ~KB sketch per (type, hour), the slide is a window
+    // union of 6 blobs — state is slots×KB regardless of user
+    // cardinality, the only sliding-distinct shape that scales.
+    // DataSketches hashes are engine-specific → rows-only; SketchSpec
+    // pins ≤5% error vs the exact trailing distinct.
+    "trailing_distinct" -> ((s, dir) => {
+      graft.operators.Sketches.hllTrailingDistinct(
+        Tables.events(s, dir)
+          .withColumn("hour_idx", expr(s"ts_ns div $NanosPerHour")),
+        "user_id", "event_type", "hour_idx", window = 6)
+    }),
+
     // Tumbling 1-hour window: count + sum/avg per (window, event_type).
     "stream_hourly_agg" -> ((s, dir) => {
       Tables.events(s, dir)

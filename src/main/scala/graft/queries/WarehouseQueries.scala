@@ -145,6 +145,14 @@ object WarehouseQueries {
       GraphAlgs.clusteringCoefficients(basketEdges(s, dir))
     }),
 
+    // Bounded k-core peeling (k=30, inside the scale-stable degree band,
+    // 3 rounds) over the basket graph — the density filter: each round removes every node whose degree
+    // fell below k and restricts the shrinking edge set. Exact integer
+    // degrees; the oracle unrolls the peels.
+    "graph_kcore" -> ((s, dir) => {
+      GraphAlgs.kCoreBounded(basketEdges(s, dir), k = 30, rounds = 3)
+    }),
+
     // Keyed snapshot diff (SnapshotDiff.changes): derive the CDC feed
     // between yesterday's and today's full order snapshots — one
     // full-outer join on (key, 8-byte row hash) classifies
@@ -357,6 +365,25 @@ object WarehouseQueries {
          n AS (SELECT x AS node FROM t
                UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node""",
+    "graph_kcore" -> {
+      val head = s"WITH $BasketEdgeSql,\n         e0 AS (SELECT a, b FROM e)"
+      val steps = (1 to 3).map { i =>
+        s""",
+           d$i AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT a AS node FROM e${i - 1}
+                       UNION ALL SELECT b FROM e${i - 1})
+                 GROUP BY node),
+           s$i AS (SELECT node FROM d$i WHERE deg >= 30),
+           e$i AS (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+                 JOIN s$i sa ON e${i - 1}.a = sa.node
+                 JOIN s$i sb ON e${i - 1}.b = sb.node)"""
+      }.mkString
+      head + steps +
+        """
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+           GROUP BY node"""
+    },
     "graph_clustering" ->
       s"""WITH $BasketEdgeSql,
          t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

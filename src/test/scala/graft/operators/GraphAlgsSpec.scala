@@ -103,6 +103,42 @@ class GraphAlgsSpec extends SparkSpec {
     assert(got === Map(1L -> 0))
   }
 
+  test("kCoreBounded ≡ brute-force peel; triangle survives k=2, tendrils go") {
+    // triangle 1-2-3 with tendril 3-4-5
+    val kite = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core = GraphAlgs.kCoreBounded(kite, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // brute force on a layered graph: K6 hub (0..5, degree 5 inside),
+    // a middle ring 6..11 with exactly 3 links each (2 ring + 1 hub —
+    // peels once its hub support thins), and degree-1 fringe 12..17 —
+    // so the 3-core keeps the hub and the peel has real work per round
+    val hub = for { a <- 0L until 6L; b <- (a + 1) until 6L } yield (a, b)
+    val ring = (0 until 6).flatMap { i =>
+      Seq((6L + i, 6L + (i + 1) % 6), (6L + i, i.toLong % 3))
+    }
+    val fringe = (0 until 6).map(i => (12L + i, (6L + i)))
+    val raw = (hub ++ ring ++ fringe)
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val rounds = 4
+    var es = raw.toSet
+    for (_ <- 1 to rounds) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expect = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = GraphAlgs.kCoreBounded(raw.toDF("a", "b"), k = 3, rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    assert(expect.nonEmpty && expect.size < 22, "degenerate fixture")
+  }
+
   test("earliestArrival ≡ brute force; time-ordering blocks static-BFS paths") {
     // hand case first: a →(t=5) b →(t=3) c is NOT time-respecting
     val hand = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L))

@@ -92,4 +92,35 @@ class SketchSpec extends SparkSpec {
       Sketches.cmsFit(terms, "term", 64, 3), "term", 64, 3)
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
+
+  test("hllTrailingDistinct: sliding union estimate within 5% of the exact " +
+      "trailing distinct; window=1 degenerates to per-slot") {
+    import spark.implicits._
+    // (group, slot, user): users overlap across slots so trailing
+    // distinct < sum of per-slot distinct
+    val rows = for {
+      g <- Seq("a", "b"); slot <- 0L until 8L; i <- 0 until 120
+    } yield (g, slot, math.floorMod(i * 31 + slot * 40, 300L))
+    val df = rows.toDF("g", "slot", "u")
+    val est = Sketches.hllTrailingDistinct(df, "u", "g", "slot", window = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val exact = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      (0L until 8L).map { s =>
+        val win = rs.filter(r => r._2 <= s && r._2 > s - 3).map(_._3).distinct.size
+        (g, s) -> win
+      }
+    }
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(math.abs(e - ex) <= math.max(1, ex / 20), s"$k est=$e exact=$ex")
+    }
+    // window = 1 reduces to the plain per-slot estimate
+    val w1 = Sketches.hllTrailingDistinct(df, "u", "g", "slot", window = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val perSlot = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._3).distinct.size }
+    perSlot.foreach { case (k, ex) =>
+      assert(math.abs(w1(k) - ex) <= math.max(1, ex / 20), s"$k")
+    }
+  }
 }
