@@ -87,6 +87,51 @@ object TimeSeries {
     *         `ewmaDenCol` (Σ present 2^(terms-1-k)); the caller
     *         finishes with num/den at its output scale
     */
+  /** Per-key closed-form OLS trend — slope, intercept-free fit
+    * quality (r²), and point count for every key in ONE aggregate
+    * pass (the grouped-regression shape: k keys ≠ k fits).
+    *
+    * Every sum (Σx, Σy, Σxy, Σx², Σy²) accumulates as exact
+    * DECIMAL(38,0) over INTEGRAL x and y — order/partition-invariant
+    * and engine-reproducible, with the final slope/r² the only double
+    * arithmetic (on identical exact inputs → identical doubles; no
+    * round() applied, so no half-way ties either). Shift x per key
+    * before calling (e.g. hours since the key's first observation) to
+    * keep x moments small; y in fixed-point µ-units per the house
+    * discipline.
+    *
+    * r² is null when y is constant (Syy = 0 — fit quality undefined;
+    * a double 0/0 would be engine-dependent NaN traffic), slope null
+    * when x is constant.
+    */
+  def olsTrend(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    // 19-digit factors multiply into an EXACT decimal(38,0) product —
+    // no precision cap in either engine (DuckDB's HUGEINT mirror tops
+    // out at the same 38 digits)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = col(xCol).cast(dec19)
+    val y = col(yCol).cast(dec19)
+    val g = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+    // centered second moments combine in DOUBLE over the exact decimal
+    // sums (each converted once) — decimal products of near-38-digit
+    // moments would overflow the decimal domain, and identical double
+    // ops on identical inputs stay engine-reproducible
+    def d(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    val sxxC = n * d("__sxx") - d("__sx") * d("__sx")
+    val syyC = n * d("__syy") - d("__sy") * d("__sy")
+    val sxyC = n * d("__sxy") - d("__sx") * d("__sy")
+    g.select(keyCols.map(col) ++ Seq(
+      col("n"),
+      when(sxxC > 0, sxyC / sxxC).as("slope"),
+      when(sxxC > 0 && syyC > 0, sxyC * sxyC / (sxxC * syyC)).as("r2")): _*)
+  }
+
   def ewmaPow2Bounded(df: DataFrame, keyCols: Seq[String], orderCol: String,
       valCol: String, terms: Int = 8,
       ewmaNumCol: String = "ewma_num", ewmaDenCol: String = "ewma_den"): DataFrame = {

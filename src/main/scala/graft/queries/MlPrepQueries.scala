@@ -171,6 +171,24 @@ object MlPrepQueries {
         .agg(count(lit(1)).as("n_features"), sum(col("sign")).as("signed_sum"))
     }),
 
+    // Per-group OLS trend (TimeSeries.olsTrend): slope + r² of the
+    // hourly value sums per type in ONE aggregate pass — sums exact
+    // DECIMAL, x shifted to hours-since-first per group, the final
+    // slope/r² the only double math (identical inputs → identical
+    // doubles, no rounding).
+    "ts_trend" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("sum_micro"))
+      val w = Window.partitionBy(col("event_type"))
+      val shifted = hourly.withColumn("x",
+        col("hour_idx") - min(col("hour_idx")).over(w))
+      TimeSeries.olsTrend(shifted, Seq("event_type"), "x", "sum_micro")
+    }),
+
     // Rolling exact median over the hourly series (5-row window per
     // type): robust trend smoothing next to ts_ewma's mean-based one.
     // Window percentile over exact µ-unit longs; the median of ≤5 int64
@@ -384,6 +402,35 @@ object MlPrepQueries {
                 CAST(sum(CASE WHEN (gate // 32) % 2 = 0 THEN 1 ELSE -1 END)
                      AS BIGINT) AS signed_sum
          FROM g GROUP BY 1""",
+    "ts_trend" ->
+      """WITH h AS (SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 AS sum_micro
+             FROM events GROUP BY 1, 2),
+         sft AS (SELECT event_type,
+               CAST(hour_idx - min(hour_idx) OVER (PARTITION BY event_type)
+                 AS HUGEINT) AS x,
+               CAST(sum_micro AS HUGEINT) AS y
+             FROM h),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+               CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+               CAST(CAST(sum(x * y) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(x * x) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(y * y) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+             FROM sft GROUP BY 1)
+         SELECT event_type, n,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+         FROM g""",
     "ts_rolling_median" ->
       """WITH h AS (SELECT event_type,
                epoch_us(ts) // 3600000000 AS hour_idx,

@@ -87,6 +87,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Set(("a", 100.0), ("b", 0.0)))
   }
 
+  test("olsTrend: exact line recovers slope with r2 = 1; constant y gives null r2") {
+    val line = (0L until 50L).map(x => ("k", x, 3 * x + 5)).toDF("g", "x", "y")
+    val fit = TimeSeries.olsTrend(line, Seq("g"), "x", "y").head()
+    assert(fit.getAs[Long]("n") == 50L)
+    assert(fit.getAs[Double]("slope") == 3.0)
+    assert(fit.getAs[Double]("r2") == 1.0)
+    val flat = (0L until 10L).map(x => ("k", x, 7L)).toDF("g", "x", "y")
+    val f = TimeSeries.olsTrend(flat, Seq("g"), "x", "y").head()
+    assert(f.getAs[Double]("slope") == 0.0)
+    assert(f.isNullAt(f.fieldIndex("r2"))) // Syy = 0: quality undefined
+    // constant x: slope undefined
+    val vert = Seq(("k", 1L, 1L), ("k", 1L, 5L)).toDF("g", "x", "y")
+    val v = TimeSeries.olsTrend(vert, Seq("g"), "x", "y").head()
+    assert(v.isNullAt(v.fieldIndex("slope")))
+  }
+
+  test("olsTrend: noisy line keeps slope near truth, 0 < r2 < 1, per-group isolation") {
+    val rows = (for { g <- Seq("up", "down"); x <- 0L until 40L } yield {
+      val noise = math.floorMod(x * 2654435761L, 7L) - 3 // deterministic ±3
+      (g, x, (if (g == "up") 10 * x else -10 * x) + noise)
+    }).toDF("g", "x", "y")
+    val fits = TimeSeries.olsTrend(rows, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(fits("up")._1 - 10.0) < 0.1)
+    assert(math.abs(fits("down")._1 + 10.0) < 0.1)
+    assert(fits("up")._2 > 0.99 && fits("up")._2 < 1.0)
+  }
+
   test("ewma rejects out-of-range terms") {
     intercept[IllegalArgumentException] {
       TimeSeries.ewmaPow2Bounded(obs, Seq("k"), "t", "v", terms = 63)
