@@ -58,4 +58,55 @@ object Drift {
       k: Int = 10): DataFrame =
     psiByBin(base, current, valueCol, k)
       .agg(round(sum(col("psi_term")).cast("double"), 4).as("psi"))
+
+  /** PSI for EVERY listed column in a shared set of passes — the
+    * whole-feature-table drift sweep, priced like one column
+    * (the winsorizeAll discipline: k columns ≠ k scans):
+    * ONE percentile-array aggregate over the baseline fits all cut
+    * sets, then each side pays ONE scan whose per-row work is the
+    * codegen'd per-column bin chain, exploded to (column, bin) rows
+    * for a single count aggregate. Everything after runs on
+    * cols×bins-sized tables. Null values are excluded from a
+    * column's distribution (they are a missingness signal, not a
+    * position in it — track them with DataQuality).
+    *
+    * @return (feature, psi) — one row per input column
+    */
+  def psiAll(base: DataFrame, current: DataFrame, cols: Seq[String],
+      k: Int = 10, statScale: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val qList = (1 until k).map(i => s"${i.toDouble / k}").mkString(",")
+    val fitRow = base.agg(
+      transform(expr(s"percentile(${cols.head}, array($qList))"),
+        c => round(c, statScale)).as(cols.head),
+      cols.tail.map(c =>
+        transform(expr(s"percentile($c, array($qList))"),
+          cq => round(cq, statScale)).as(c)): _*).head()
+    val cuts: Map[String, Seq[Double]] =
+      cols.map(c => c -> fitRow.getSeq[Double](fitRow.fieldIndex(c))).toMap
+    def binCounts(df: DataFrame, as: String) = df
+      .select(explode(array(cols.map { c =>
+        val bin = cuts(c).map(cv => when(col(c) > lit(cv), 1).otherwise(0))
+          .reduce(_ + _)
+        struct(lit(c).as("feature"),
+          when(col(c).isNotNull, bin).as("bin"))
+      }: _*)).as("cb"))
+      .select(col("cb.feature").as("feature"), col("cb.bin").as("bin"))
+      .where(col("bin").isNotNull)
+      .groupBy(col("feature"), col("bin")).agg(count(lit(1)).as(as))
+    val joined = binCounts(base, "n_base")
+      .join(binCounts(current, "n_cur"), Seq("feature", "bin"), "full_outer")
+      .select(col("feature"), col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.groupBy(col("feature"))
+      .agg(sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
+    val pB = (col("n_base") + 1).cast("double") / (col("__tb") + k)
+    val pC = (col("n_cur") + 1).cast("double") / (col("__tc") + k)
+    joined.join(broadcast(totals), Seq("feature"))
+      .select(col("feature"),
+        ((pC - pB) * log(pC / pB)).cast(DecimalType(20, 8)).as("__t"))
+      .groupBy(col("feature"))
+      .agg(round(sum(col("__t")).cast("double"), 4).as("psi"))
+  }
 }

@@ -152,6 +152,17 @@ object MlPrepQueries {
           col("psi_term").cast("double").as("psi_term"))
     }),
 
+    // Whole-feature-table PSI sweep (Drift.psiAll): four lineitem
+    // features in one fit aggregate + one binned scan per side — the
+    // winsorizeAll "k columns ≠ k scans" discipline applied to drift.
+    "drift_psi_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.Drift.psiAll(
+        li.where(col("l_shipdate") < to_timestamp(lit("1999-01-01"))),
+        li.where(col("l_shipdate") >= to_timestamp(lit("1999-01-01"))),
+        Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax"), k = 10)
+    }),
+
     // Hashing-trick feature projection: two categoricals explode to
     // namespaced feature strings, each lands in one of 32 signed buckets
     // via the deterministic md5 gate (the engine-reproducible stand-in
@@ -256,6 +267,43 @@ object MlPrepQueries {
         minPairs = 900L)
     })
   )
+
+  /** Per-feature PSI oracle block with CTE names suffixed by index —
+    * the single-column drift_psi SQL replayed per column, all CTEs in
+    * one WITH (DuckDB-friendly), results unioned.
+    */
+  private def psiAllOracle(cols: Seq[String]): String = {
+    val base = s"""base AS (SELECT ${cols.mkString(", ")} FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+         cur AS (SELECT ${cols.mkString(", ")} FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1999-01-01')"""
+    val blocks = cols.zipWithIndex.map { case (c, i) =>
+      s""",
+         cuts_$i AS (SELECT round(unnest(quantile_cont($c,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS cut
+             FROM base),
+         bb_$i AS (SELECT (SELECT count(*) FROM cuts_$i WHERE b.$c > cut) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_base
+               FROM base b WHERE b.$c IS NOT NULL GROUP BY 1),
+         cc_$i AS (SELECT (SELECT count(*) FROM cuts_$i WHERE u.$c > cut) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_cur
+               FROM cur u WHERE u.$c IS NOT NULL GROUP BY 1),
+         j_$i AS (SELECT coalesce(bb_$i.bin, cc_$i.bin) AS bin,
+                 coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+               FROM bb_$i FULL OUTER JOIN cc_$i ON bb_$i.bin = cc_$i.bin),
+         t_$i AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j_$i),
+         p_$i AS (SELECT '$c' AS feature,
+               round(CAST(sum(CAST(
+                 (CAST(n_cur + 1 AS DOUBLE) / (tc + 10)
+                  - CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+                 * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                      / (CAST(n_base + 1 AS DOUBLE) / (tb + 10)))
+                 AS DECIMAL(20,8))) AS DOUBLE), 4) AS psi
+             FROM j_$i CROSS JOIN t_$i)"""
+    }.mkString
+    val union = cols.indices.map(i => s"SELECT * FROM p_$i").mkString(" UNION ALL ")
+    s"WITH $base$blocks\n         $union"
+  }
 
   /** nDCG@10 discount weights 1/log2(r+1), r = 1..10 — ONE source of
     * truth: the Spark literals and the oracle SQL list interpolate the
@@ -366,6 +414,8 @@ object MlPrepQueries {
                     o_orderstatus || '|' || o_orderpriority), 1, 15))
                   AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
          FROM orders""",
+    "drift_psi_all" -> psiAllOracle(
+      Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax")),
     "drift_psi" ->
       """WITH base AS (SELECT l_extendedprice AS v FROM lineitem
                WHERE l_shipdate < TIMESTAMP '1999-01-01'),

@@ -24,6 +24,25 @@ class DriftSpec extends SparkSpec {
     assert(mild < big && mild < 0.25, s"PSI $mild for a mild shift")
   }
 
+  test("psiAll ≡ per-column psi; null values excluded from the distribution") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = this.uniform(800).withColumn("w", col("v") * 2)
+    val cur = this.uniform(500, shift = 120.0).withColumn("w", col("v") * 2 + 50)
+    val all = Drift.psiAll(base, cur, Seq("v", "w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(all("v") == Drift.psi(base.select("v"), cur.select("v"), "v")
+      .head().getDouble(0))
+    assert(all("w") == Drift.psi(base.select("w"), cur.select("w"), "w")
+      .head().getDouble(0))
+    // nulls in the current side do not move the PSI (excluded, not binned)
+    val curWithNulls = cur.unionAll(
+      this.uniform(50).select(lit(null).cast("double").as("v"),
+        lit(null).cast("double").as("w")))
+    val withNulls = Drift.psiAll(base, curWithNulls, Seq("v", "w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(withNulls == all)
+  }
+
   test("per-bin terms sum to the scalar PSI; baseline owns the bins") {
     val base = uniform(1000)
     val cur = uniform(400, shift = 200.0)
