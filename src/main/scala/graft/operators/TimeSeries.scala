@@ -87,6 +87,25 @@ object TimeSeries {
     *         `ewmaDenCol` (Σ present 2^(terms-1-k)); the caller
     *         finishes with num/den at its output scale
     */
+  /** Supervised lag-feature examples: each observation becomes a
+    * training row carrying its previous `lags` values as features —
+    * the standard autoregressive windowing that turns a series into
+    * (X, y) pairs for a forecaster. One per-key window partition; the
+    * lag depth is `lags` compiled column reads (no self-joins, no
+    * explode). Rows whose history window is incomplete are DROPPED
+    * (`requireFull = true`, the default — a padded/null feature row
+    * poisons most trainers silently) or kept with nulls otherwise.
+    */
+  def supervisedLags(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valCol: String, lags: Int, requireFull: Boolean = true): DataFrame = {
+    require(lags >= 1, s"need lags >= 1; got $lags")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val out = (1 to lags).foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"lag_$k", lag(col(valCol), k).over(w))
+    }
+    if (requireFull) out.where(col(s"lag_$lags").isNotNull) else out
+  }
+
   /** Per-key closed-form OLS trend — slope, intercept-free fit
     * quality (r²), and point count for every key in ONE aggregate
     * pass (the grouped-regression shape: k keys ≠ k fits).

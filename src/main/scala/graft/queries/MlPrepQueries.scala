@@ -182,6 +182,19 @@ object MlPrepQueries {
         .agg(count(lit(1)).as("n_features"), sum(col("sign")).as("signed_sum"))
     }),
 
+    // Supervised lag features (TimeSeries.supervisedLags): the hourly
+    // series windowed into autoregressive (lag_1..lag_3, y) training
+    // rows — incomplete-history rows dropped, exact µ-int values.
+    "ts_supervised_lags" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("y"))
+      TimeSeries.supervisedLags(hourly, Seq("event_type"), "hour_idx",
+        "y", lags = 3)
+    }),
+
     // Per-group OLS trend (TimeSeries.olsTrend): slope + r² of the
     // hourly value sums per type in ONE aggregate pass — sums exact
     // DECIMAL, x shifted to hours-since-first per group, the final
@@ -452,6 +465,18 @@ object MlPrepQueries {
                 CAST(sum(CASE WHEN (gate // 32) % 2 = 0 THEN 1 ELSE -1 END)
                      AS BIGINT) AS signed_sum
          FROM g GROUP BY 1""",
+    "ts_supervised_lags" ->
+      """WITH h AS (SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, hour_idx, y,
+               lag(y, 1) OVER w AS lag_1,
+               lag(y, 2) OVER w AS lag_2,
+               lag(y, 3) OVER w AS lag_3
+             FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx))
+         SELECT event_type, hour_idx, y, lag_1, lag_2, lag_3
+         FROM l WHERE lag_3 IS NOT NULL""",
     "ts_trend" ->
       """WITH h AS (SELECT event_type,
                epoch_us(ts) // 3600000000 AS hour_idx,

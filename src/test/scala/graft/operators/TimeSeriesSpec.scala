@@ -87,6 +87,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Set(("a", 100.0), ("b", 0.0)))
   }
 
+  test("supervisedLags: features are the prior values in order; short histories drop") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("a", 4L, 40L),
+      ("b", 1L, 7L), ("b", 2L, 8L)).toDF("g", "t", "y")
+    val rows = TimeSeries.supervisedLags(df, Seq("g"), "t", "y", lags = 2)
+      .select("g", "t", "y", "lag_1", "lag_2")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // 'a' yields rows at t=3,4 (full 2-lag history); 'b' has none
+    assert(rows.toSeq == Seq(("a", 3L, 30L, 20L, 10L), ("a", 4L, 40L, 30L, 20L)))
+    // requireFull=false keeps every row, nulls marking missing history
+    val all = TimeSeries.supervisedLags(df, Seq("g"), "t", "y", 2,
+      requireFull = false)
+    assert(all.count() == 6)
+    assert(all.where(col("lag_2").isNull).count() == 4)
+  }
+
   test("olsTrend: exact line recovers slope with r2 = 1; constant y gives null r2") {
     val line = (0L until 50L).map(x => ("k", x, 3 * x + 5)).toDF("g", "x", "y")
     val fit = TimeSeries.olsTrend(line, Seq("g"), "x", "y").head()
