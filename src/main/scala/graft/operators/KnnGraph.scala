@@ -35,11 +35,30 @@ import graft.functions.VectorOps
   */
 object KnnGraph {
 
+  /** Checked long cast for an id column: a null or non-numeric id
+    * raises at scan time instead of collapsing every such row onto one
+    * null node (a silently wrong graph / silently no-op removal).
+    * `try_cast` keeps the probe ANSI-safe; the guard rides the
+    * projection that needed the cast anyway — zero extra passes.
+    * [[nnDescent]] keeps its aggregate-piggybacked variant because it
+    * already pays a count pass for bucket sizing.
+    */
+  private def checkedLongId(idCol: String, fn: String) = {
+    val tried = expr(s"try_cast(`$idCol` as long)")
+    when(tried.isNull,
+      raise_error(concat(lit(s"$fn: null/non-numeric '$idCol' id: "),
+        coalesce(col(idCol).cast("string"), lit("null")))).cast("long"))
+      .otherwise(tried)
+  }
+
   def nnDescent(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int = 3, seed: Long = 42L): DataFrame = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
     import org.apache.spark.sql.expressions.Window
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    // try_cast: under ANSI a plain cast would throw CAST_INVALID_INPUT
+    // mid-scan; nulling instead lets the count-pass guard below own the
+    // error with an actionable message
+    val vecs = df.select(expr(s"try_cast(`$idCol` as long)").as("id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nm", VectorOps.l2Norm(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -130,12 +149,12 @@ object KnnGraph {
       s"need k >= 1, beam >= k, hops >= 0, seeds >= 1; " +
         s"got k=$k beam=$beam hops=$hops seeds=$seedsPerQuery")
     import org.apache.spark.sql.expressions.Window
-    val vecs = vectors.select(col(idCol).cast("long").as("node_id"),
+    val vecs = vectors.select(checkedLongId(idCol, "graphSearch").as("node_id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nm", VectorOps.l2Norm(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      val qv = queries.select(checkedLongId(idCol, "graphSearch").as("query_id"),
           col(vecCol).cast("array<double>").as("__qv"))
         .withColumn("__qn", VectorOps.l2Norm(col("__qv")))
       val byQuery = Window.partitionBy(col("query_id"))
@@ -213,8 +232,8 @@ object KnnGraph {
       vecCol: String, idCol: String, k: Int, beam: Int = 20, hops: Int = 3,
       seedsPerQuery: Int = 8, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val oldIds = oldVectors.select(col(idCol).cast("long").as("id"))
-    val newIds = newVectors.select(col(idCol).cast("long").as("id"))
+    val oldIds = oldVectors.select(checkedLongId(idCol, "insert").as("id"))
+    val newIds = newVectors.select(checkedLongId(idCol, "insert").as("id"))
     require(newIds.join(oldIds, Seq("id"), "left_semi").limit(1).isEmpty,
       s"insert: new '$idCol' values collide with existing graph nodes")
     // 1. new→old via beam search over the existing graph
@@ -263,7 +282,7 @@ object KnnGraph {
       vecCol: String, idCol: String, k: Int, beam: Int = 20, hops: Int = 3,
       seedsPerQuery: Int = 8, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val removed = removeIds.select(col(idCol).cast("long").as("id")).distinct()
+    val removed = removeIds.select(checkedLongId(idCol, "remove").as("id")).distinct()
     // the removal batch is bounded by contract (an ingest tick, not a
     // corpus) — broadcast both prune joins
     val kept = graph

@@ -170,6 +170,33 @@ class KnnGraphSpec extends SparkSpec {
     assert(noop == orig)
   }
 
+  test("null or non-numeric ids raise instead of collapsing onto a null node") {
+    import spark.implicits._
+    val vecs = Seq(("a", Array(1.0, 0.0)), ("b", Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val good = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val graph = KnnGraph.nnDescent(good, "embedding", "vec_id", k = 1, iters = 0)
+    // non-numeric string ids: graphSearch raises from the checked cast
+    val searchErr = intercept[Exception] {
+      KnnGraph.graphSearch(graph, vecs, vecs, "embedding", "vec_id",
+        k = 1, beam = 1, hops = 0, seedsPerQuery = 1).collect()
+    }
+    assert(searchErr.getMessage.contains("non-numeric"), searchErr.getMessage)
+    // null ids in a removal batch: raise, not a silent no-op
+    val removeErr = intercept[Exception] {
+      KnnGraph.remove(graph, good,
+        Seq[Option[Long]](None).toDF("vec_id"), "embedding", "vec_id", k = 1)
+        .collect()
+    }
+    assert(removeErr.getMessage.contains("vec_id"), removeErr.getMessage)
+    // nnDescent's aggregate-piggybacked guard fires too
+    val descentErr = intercept[Exception] {
+      KnnGraph.nnDescent(vecs, "embedding", "vec_id", k = 1, iters = 0).collect()
+    }
+    assert(descentErr.getMessage.contains("non-numeric"), descentErr.getMessage)
+  }
+
   test("nnDescent: k rows per node with ranks 1..k, deterministic across runs") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val g1 = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 5, iters = 2)
