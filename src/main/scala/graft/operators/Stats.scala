@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One-pass distributed statistics for feature understanding at corpus
+  * scale — the EDA layer a training-data pipeline runs before deciding
+  * what to keep, re-weight, or drop. Three shapes, one shared
+  * discipline: k columns (or k² pairs, or B replicates) never cost k
+  * scans — every operator here is one or two aggregate passes whose
+  * width, not depth, grows with the requested breadth (the
+  * `Outliers.winsorizeAll` / `Drift.psiAll` shape), and every
+  * accumulation is exact (DECIMAL / integer fixed-point) so results
+  * are partition-order invariant and oracle-reproducible; doubles
+  * appear only in the closed-form finish on identical exact inputs
+  * (the [[TimeSeries.olsTrend]] discipline).
+  *
+  *  - [[corrMatrix]]: all pairwise Pearson correlations of k integer-
+  *    valued columns from ONE aggregate (k first moments + k(k+1)/2
+  *    exact product moments), not k² corr() scans.
+  *  - [[chiSquareRelevance]]: χ² independence + Cramér's V of every
+  *    categorical feature against a label in one exploded counting
+  *    pass — the feature-relevance screen for stratification /
+  *    mixture design.
+  *  - [[bootstrapMeanCI]]: Poisson-bootstrap confidence intervals for
+  *    per-group means — the resampling scheme that works on a stream
+  *    of partitions (each row draws its replicate multiplicities
+  *    independently; nothing ever materializes a resampled copy of
+  *    the data), with a deterministic seedless md5 gate so retries,
+  *    partitionings, and the SQL oracle all reproduce the draws.
+  */
+object Stats {
+
+  private val dec19 = DecimalType(19, 0)
+
+  /** All pairwise Pearson correlations of `cols` in ONE aggregate pass.
+    *
+    * Contract (the [[TimeSeries.olsTrend]] one): columns hold integer
+    * values with ≤19 digits — pre-scale doubles to fixed-point µ-ints
+    * upstream. 19-digit factors multiply into exact DECIMAL(38,0)
+    * products, the ceiling both engines share. Rows with a null in ANY
+    * requested column are excluded (listwise deletion), so every pair
+    * shares the same n and the matrix is positive semi-definite.
+    *
+    * Shape: one aggregate emits k sums + k(k+1)/2 product sums; the
+    * single moments row then fans out to pair rows by exploding a
+    * LITERAL pair array against map-typed moment lookups — no second
+    * scan, no driver collect, no per-pair job. The finish
+    * (n·sxy − sx·sy) / √((n·sxx − sx²)·(n·syy − sy²)) runs in double
+    * on the exact sums, identically on any engine.
+    *
+    * @return (col_x, col_y, n, corr) for every unordered pair x < y in
+    *         `cols` order; corr is null for a zero-variance column.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns; got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val complete = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(col(c).cast(dec19)).as(s"__s_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(col(a).cast(dec19) * col(b).cast(dec19)).as(s"__p_${a}__$b")
+        }
+    val m = complete.agg(count(lit(1)).as("__n"), aggs: _*)
+    // map-typed lookups let the exploded pair rows pick their moments
+    // without a join; the exact decimal sums convert to double ONCE here
+    val sums = map(cols.flatMap(c =>
+      Seq(lit(c), col(s"__s_$c").cast("double"))): _*)
+    val prods = map(pairs.flatMap { case (a, b) =>
+      Seq(lit(s"$a|$b"), col(s"__p_${a}__$b").cast("double"))
+    }: _*)
+    val offDiag = array(pairs.collect { case (a, b) if a != b =>
+      struct(lit(a).as("x"), lit(b).as("y"))
+    }: _*)
+    val n = col("__n").cast("double")
+    // centered co-moment from the MATERIALIZED maps (the raw __s_/__p_
+    // columns are gone after the first select)
+    def cm(x: Column, y: Column) =
+      n * element_at(col("__prods"), concat(x, lit("|"), y)) -
+        element_at(col("__sums"), x) * element_at(col("__sums"), y)
+    m.select(col("__n"), sums.as("__sums"), prods.as("__prods"),
+        explode(offDiag).as("p"))
+      .select(col("p.x").as("col_x"), col("p.y").as("col_y"),
+        col("__n").as("n"),
+        when(cm(col("p.x"), col("p.x")) > 0 &&
+             cm(col("p.y"), col("p.y")) > 0,
+          cm(col("p.x"), col("p.y")) /
+            sqrt(cm(col("p.x"), col("p.x")) *
+                 cm(col("p.y"), col("p.y")))).as("corr"))
+  }
+
+  /** χ² test of independence + Cramér's V for every categorical
+    * feature against `labelCol`, all features in ONE exploded counting
+    * pass (k features ≠ k scans — the [[Drift.psiAll]] shape): each row
+    * emits k (feature, value, label) triples, one count aggregate
+    * builds every contingency table at once, and the marginals derive
+    * from the cell table (never a second data scan).
+    *
+    * Exactness: observed counts and marginals are exact integers; the
+    * per-cell term (o − e)²/e runs in double on those exact integers
+    * and snaps to DECIMAL(20,8) BEFORE the per-feature sum (the
+    * `text_bm25` discipline), so χ² is summation-order invariant and
+    * engine-reproducible. Rows where the feature value or the label is
+    * null are excluded per feature. Cramér's V =
+    * √(χ² / (n·min(r−1, c−1))) — the [0,1] effect size that lets
+    * features with different cardinalities rank against each other.
+    *
+    * @return (feature, n, r_levels, c_levels, dof, chi2, cramers_v)
+    */
+  def chiSquareRelevance(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need >= 1 feature column")
+    val triples = df.where(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__lbl"),
+        explode(array(featureCols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("string").as("v"))): _*)).as("fv"))
+      .where(col("fv.v").isNotNull)
+      .select(col("fv.f").as("feature"), col("fv.v").as("v"), col("__lbl"))
+    val cells = triples.groupBy(col("feature"), col("v"), col("__lbl"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // marginals from the cell table: feature-level totals are two
+    // aggregates over the (small) contingency cells, not data re-scans
+    val rowTot = cells.groupBy(col("feature"), col("v"))
+      .agg(sum(col("o")).as("rc"))
+    val colTot = cells.groupBy(col("feature"), col("__lbl"))
+      .agg(sum(col("o")).as("cc"))
+    val nTot = cells.groupBy(col("feature")).agg(sum(col("o")).as("n"),
+      countDistinct(col("v")).as("r_levels"),
+      countDistinct(col("__lbl")).as("c_levels"))
+    val e = col("rc").cast("double") * col("cc").cast("double") /
+      col("n").cast("double")
+    val term = ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .cast(DecimalType(20, 8))
+    // the FULL r×c grid, not just observed cells: a zero-observed cell
+    // still contributes (0−e)²/e = e (dropping them halves χ² exactly
+    // on a perfect-association table). The grid is marginal × marginal
+    // per feature — contingency-table sized, never data sized.
+    val grid = rowTot.join(colTot, Seq("feature"))
+      .join(cells, Seq("feature", "v", "__lbl"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val result = grid
+      .join(broadcast(nTot), Seq("feature"))
+      .groupBy(col("feature"))
+      .agg(first(col("n")).as("n"),
+        first(col("r_levels")).as("r_levels"),
+        first(col("c_levels")).as("c_levels"),
+        sum(term).as("__chi2d"))
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("chi2", col("__chi2d").cast("double"))
+      .withColumn("cramers_v",
+        when(col("dof") > 0,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("r_levels") - 1, col("c_levels") - 1).cast("double")))))
+      .select(col("feature"), col("n"), col("r_levels"), col("c_levels"),
+        col("dof").cast("long").as("dof"), col("chi2"), col("cramers_v"))
+    val out = result.localCheckpoint(true)
+    cells.unpersist(false)
+    out
+  }
+
+  /** Cumulative Poisson(1) CDF gates on a 16-bit md5 draw:
+    * floor(65536 · P(X ≤ k)) for k = 0..4; a draw ≥ the last gate gets
+    * multiplicity 5 (P(X > 5) ≈ 0.06%, negligible truncation shared by
+    * construction with any oracle that replays the same literals).
+    */
+  val PoissonGates16: Seq[Int] = Seq(24109, 48218, 60273, 64291, 65296)
+
+  /** Poisson-bootstrap confidence intervals for per-group means of an
+    * integer-valued (µ-int) column — the bootstrap that scales: instead
+    * of materializing B resampled datasets, every row draws B
+    * independent Poisson(1) multiplicities (the n→∞ limit of
+    * multinomial resampling) and each replicate's mean is
+    * Σwᵥ·v / Σwᵥ. One explode(×B) feeds one partial-aggregating
+    * groupBy — the shuffle carries groups×B skinny sum rows, never the
+    * data, and no executor ever holds a resample.
+    *
+    * Deterministic and oracle-reproducible: the multiplicity comes
+    * from a seedless 16-bit md5 gate on (id, replicate) against the
+    * integer [[PoissonGates16]] literals — exact integer comparisons,
+    * no doubles, so Spark, retries, AND a SQL oracle draw identical
+    * weights. Replicate means divide exact integer sums; the CI is the
+    * exact-interpolation percentile over the B replicate means (the
+    * `funnel_latency` discipline).
+    *
+    * @param replicates B, the bootstrap replicate count
+    * @return one row per group: (…groupCols, n_rows, mean_micro,
+    *         ci_lo, ci_mid, ci_hi) where mean_micro is the full-sample
+    *         mean of the µ-int column and the ci_* are the
+    *         (α/2, 0.5, 1−α/2) bootstrap quantiles of replicate means.
+    */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+      groupCols: Seq[String], replicates: Int = 50,
+      alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 2, s"need >= 2 replicates; got $replicates")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1); got $alpha")
+    val gate = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), col("b").cast("string"))), 1, 4), 16, 10).cast("int")
+    val w = PoissonGates16.zipWithIndex
+      .foldRight(lit(PoissonGates16.size): Column) { case ((g, k), rest) =>
+        when(gate < g, lit(k)).otherwise(rest)
+      }
+    val grp = groupCols.map(col)
+    val reps = df
+      .select(grp ++ Seq(col(idCol), col(valueCol).cast(dec19).as("__v")): _*)
+      .withColumn("b", explode(sequence(lit(1), lit(replicates))))
+      .withColumn("__w", w)
+      .groupBy(grp :+ col("b"): _*)
+      .agg(sum(col("__w") * col("__v")).as("__sw"),
+        sum(col("__w")).as("__nw"))
+      .withColumn("__mean",
+        when(col("__nw") > 0, col("__sw").cast("double") / col("__nw").cast("double")))
+    val ci = reps.groupBy(grp: _*)
+      .agg(expr(s"percentile(__mean, array(${alpha / 2}, 0.5, ${1 - alpha / 2}))")
+        .as("__q"))
+    val full = df.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col(valueCol).cast(dec19)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_micro"))
+    full.join(ci, groupCols)
+      .select(grp ++ Seq(col("n_rows"), col("mean_micro"),
+        col("__q").getItem(0).as("ci_lo"),
+        col("__q").getItem(1).as("ci_mid"),
+        col("__q").getItem(2).as("ci_hi")): _*)
+  }
+}

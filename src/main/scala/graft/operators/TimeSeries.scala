@@ -151,6 +151,83 @@ object TimeSeries {
       when(sxxC > 0 && syyC > 0, sxyC * sxyC / (sxxC * syyC)).as("r2")): _*)
   }
 
+  /** Two-sided CUSUM drift scores per key — the classic
+    * changepoint/level-shift detector (Page 1954), exactly windowed:
+    * the textbook recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − k) has the
+    * closed form S⁺ₜ = Pₜ − min_{j≤t} Pⱼ with Pₜ = Σ_{i≤t}(xᵢ − k)
+    * (and symmetrically S⁻ₜ = max_{j≤t} P'ⱼ − P'ₜ over P' = Σ(xᵢ+k)),
+    * so the "inherently sequential" statistic becomes TWO stacked
+    * window passes — a running sum, then a running min/max over it —
+    * sharing one partition sort. Integer-exact end to end on µ-int
+    * inputs: no recursion, no floats, identical on any engine,
+    * partitioning, or retry.
+    *
+    * Pass DEVIATIONS from the in-control level as `valCol` (x − µ₀ in
+    * µ-units): cusum_up accumulates runs above +k, cusum_down runs
+    * below −k, exactly the textbook two-sided chart.
+    *
+    * @param driftK    per-step drift allowance k (µ-units): shifts
+    *                  smaller than k never accumulate
+    * @param threshold alarm level h (µ-units) for the flag columns
+    * @return input + (cusum_up, cusum_down, flag_up, flag_down)
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valCol: String, driftK: Long, threshold: Long): DataFrame = {
+    require(driftK >= 0 && threshold > 0,
+      s"need driftK >= 0, threshold > 0; got k=$driftK h=$threshold")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__p_up", sum(col(valCol) - lit(driftK)).over(w))
+      .withColumn("__p_dn", sum(col(valCol) + lit(driftK)).over(w))
+      // least/greatest with 0: the closed form's min/max ranges over
+      // j = 0..t including the EMPTY prefix P₀ = 0 — dropping it
+      // understates S whenever every prefix sum is positive (resp.
+      // negative)
+      .withColumn("cusum_up",
+        col("__p_up") - least(min(col("__p_up")).over(w), lit(0L)))
+      .withColumn("cusum_down",
+        greatest(max(col("__p_dn")).over(w), lit(0L)) - col("__p_dn"))
+      .withColumn("flag_up", (col("cusum_up") > threshold).cast("int"))
+      .withColumn("flag_down", (col("cusum_down") > threshold).cast("int"))
+      .drop("__p_up", "__p_dn")
+  }
+
+  /** Seasonal-naive forecast backtest per key: MAE of the
+    * season-lag forecast (x̂ₜ = xₜ₋ₛ) against MAE of the one-step
+    * naive (x̂ₜ = xₜ₋₁), i.e. MASE's in-sample form — the sanity
+    * gate before shipping any fancier forecaster. Errors are exact
+    * integer |diffs| on µ-int values summed as DECIMAL; only rows
+    * where BOTH forecasts exist score, so the two MAEs share a
+    * denominator and the ratio is scale-free. One window pass (two
+    * compiled lag reads), one aggregate.
+    *
+    * @return (…keyCols, n_scored, mae_seasonal, mae_naive, mase)
+    *         with mase null when the naive MAE is 0
+    */
+  def backtestSeasonalNaive(df: DataFrame, keyCols: Seq[String],
+      orderCol: String, valCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"need season >= 2; got $season")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val scored = df
+      .withColumn("__fs", lag(col(valCol), season).over(w))
+      .withColumn("__fn", lag(col(valCol), 1).over(w))
+      .where(col("__fs").isNotNull && col("__fn").isNotNull)
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col(valCol) - col("__fs")).cast(dec)).as("__es"),
+        sum(abs(col(valCol) - col("__fn")).cast(dec)).as("__en"))
+      .select(keyCols.map(col) ++ Seq(
+        col("n_scored"),
+        (col("__es").cast("double") / col("n_scored").cast("double"))
+          .as("mae_seasonal"),
+        (col("__en").cast("double") / col("n_scored").cast("double"))
+          .as("mae_naive"),
+        when(col("__en") > 0,
+          col("__es").cast("double") / col("__en").cast("double"))
+          .as("mase")): _*)
+  }
+
   def ewmaPow2Bounded(df: DataFrame, keyCols: Seq[String], orderCol: String,
       valCol: String, terms: Int = 8,
       ewmaNumCol: String = "ewma_num", ewmaDenCol: String = "ewma_den"): DataFrame = {

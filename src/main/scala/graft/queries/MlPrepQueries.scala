@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{Discretize, IncrementalAgg, IntervalJoin, TargetEncode, TimeSeries}
+import graft.operators.{Discretize, IncrementalAgg, IntervalJoin, Stats, TargetEncode, TimeSeries}
 import graft.car.Splits
 
 /** Feature-prep and incremental-maintenance extension queries: the
@@ -195,6 +195,89 @@ object MlPrepQueries {
         "y", lags = 3)
     }),
 
+    // Two-sided CUSUM level-shift scores (TimeSeries.cusum) on hourly
+    // mean deviations per type: the sequential max(0, S+x−k) recursion
+    // unrolled into two stacked window passes via the prefix-sum
+    // closed form — integer-exact µ-units end to end, alarms at
+    // h = 100 units with k = 10 units/step allowance.
+    "ts_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("__s"), count(lit(1)).as("__n"))
+        // integer div (both operands positive → ≡ DuckDB //): `/` on
+        // longs would be double division
+        .withColumn("mean_micro", expr("__s div __n"))
+      val byType = Window.partitionBy(col("event_type"))
+      val dev = hourly
+        .withColumn("__tot", sum(col("mean_micro")).over(byType))
+        .withColumn("__cnt", count(lit(1)).over(byType))
+        .withColumn("dev", col("mean_micro") - expr("__tot div __cnt"))
+        .select(col("event_type"), col("hour_idx"), col("dev"))
+      TimeSeries.cusum(dev, Seq("event_type"), "hour_idx", "dev",
+        driftK = 10000000L, threshold = 100000000L)
+    }),
+
+    // Seasonal-naive backtest (TimeSeries.backtestSeasonalNaive):
+    // MASE of the 24-hour seasonal forecast vs the one-step naive on
+    // hourly value sums per type — exact integer |errors| summed as
+    // DECIMAL, shared denominator, double-only ratios.
+    "ts_backtest_mase" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("sum_micro"))
+      TimeSeries.backtestSeasonalNaive(hourly, Seq("event_type"),
+        "hour_idx", "sum_micro", season = 24)
+    }),
+
+    // One-pass pairwise Pearson matrix (Stats.corrMatrix): all 6
+    // correlations of the 4 µ-int lineitem measures from ONE aggregate
+    // (4 sums + 10 exact decimal product moments), fanned out to pair
+    // rows by exploding a literal pair array — k² corr() scans become
+    // one scan at any k. The olsTrend discipline: exact decimal sums,
+    // double-only closed-form finish on identical inputs.
+    "stats_corr_matrix" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_quantity").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("qty"),
+        (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("price"),
+        (col("l_discount").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("disc"),
+        (col("l_tax").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("tax"))
+      Stats.corrMatrix(li, Seq("qty", "price", "disc", "tax"))
+    }),
+
+    // χ² feature-relevance screen (Stats.chiSquareRelevance): both
+    // categorical order features against a high-value label in ONE
+    // exploded counting pass (the psiAll shape); exact integer
+    // contingency cells incl. zero-observed grid cells, per-cell terms
+    // snapped to DECIMAL(20,8) before the sum (text_bm25 discipline).
+    "feature_relevance_chi2" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).withColumn("lbl",
+        when(col("o_totalprice") >= 150000.0, lit("high")).otherwise(lit("low")))
+      Stats.chiSquareRelevance(o, Seq("o_orderpriority", "o_orderstatus"), "lbl")
+    }),
+
+    // Poisson-bootstrap mean CIs (Stats.bootstrapMeanCI): per-type
+    // event-value confidence intervals from 40 replicates, each row
+    // drawing its multiplicities via the seedless md5 gate against
+    // integer Poisson-CDF literals — the resampling scheme that never
+    // materializes a resample and that a SQL oracle replays exactly.
+    "stats_bootstrap_ci" -> ((s, dir) => {
+      val e = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long").as("v_micro"))
+      Stats.bootstrapMeanCI(e, "v_micro", "event_id", Seq("event_type"),
+        replicates = 40)
+    }),
+
     // Per-group OLS trend (TimeSeries.olsTrend): slope + r² of the
     // hourly value sums per type in ONE aggregate pass — sums exact
     // DECIMAL, x shifted to hours-since-first per group, the final
@@ -316,6 +399,127 @@ object MlPrepQueries {
     }.mkString
     val union = cols.indices.map(i => s"SELECT * FROM p_$i").mkString(" UNION ALL ")
     s"WITH $base$blocks\n         $union"
+  }
+
+  /** stats_corr_matrix oracle: exact HUGEINT moments (the ts_trend
+    * decimal discipline), then the SAME double closed form as
+    * Stats.corrMatrix — (n·pxy − sx·sy) / √((n·pxx − sx²)(n·pyy − sy²))
+    * — generated per pair so Spark and SQL can't drift apart.
+    */
+  private val CorrMatrixSql: String = {
+    val cols = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val names = cols.map(_._1)
+    val base = cols.map { case (a, c) =>
+      s"CAST(CAST($c AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS $a" }
+      .mkString(",\n           ")
+    val notNull = cols.map(c => s"${c._2} IS NOT NULL").mkString(" AND ")
+    val huge = names.map(a => s"CAST($a AS HUGEINT) AS $a").mkString(", ")
+    val sums = names.map(a =>
+      s"CAST(CAST(sum($a) AS DECIMAL(38,0)) AS DOUBLE) AS s_$a").mkString(",\n           ")
+    val pairsAll = for { i <- names.indices; j <- i until names.size }
+      yield (names(i), names(j))
+    val prods = pairsAll.map { case (a, b) =>
+      s"CAST(CAST(sum($a * $b) AS DECIMAL(38,0)) AS DOUBLE) AS p_${a}_$b" }
+      .mkString(",\n           ")
+    def cm(a: String, b: String) = {
+      val (x, y) = if (names.indexOf(a) <= names.indexOf(b)) (a, b) else (b, a)
+      s"(CAST(n AS DOUBLE) * p_${x}_$y - s_$a * s_$b)"
+    }
+    val rows = pairsAll.collect { case (a, b) if a != b =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+           CASE WHEN ${cm(a, a)} > 0 AND ${cm(b, b)} > 0
+             THEN ${cm(a, b)} / sqrt(${cm(a, a)} * ${cm(b, b)}) END AS corr
+         FROM g""" }.mkString("\n         UNION ALL ")
+    s"""WITH base AS (SELECT $base
+           FROM lineitem WHERE $notNull),
+         h AS (SELECT $huge FROM base),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           $sums,
+           $prods
+         FROM h)
+         $rows"""
+  }
+
+  /** feature_relevance_chi2 oracle: the full marginal×marginal grid
+    * (zero-observed cells included), per-cell (o−e)²/e snapped to
+    * DECIMAL(20,8) pre-sum — mirrors Stats.chiSquareRelevance term for
+    * term.
+    */
+  private val Chi2Sql: String = {
+    val feats = Seq("o_orderpriority", "o_orderstatus")
+    val t = feats.map(f =>
+      s"SELECT '$f' AS feature, CAST($f AS VARCHAR) AS v, lbl FROM b0 WHERE $f IS NOT NULL")
+      .mkString("\n           UNION ALL ")
+    val e = "(CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH b0 AS (SELECT o_orderpriority, o_orderstatus,
+             CASE WHEN o_totalprice >= 150000.0 THEN 'high' ELSE 'low' END AS lbl
+           FROM orders),
+         t AS ($t),
+         cells AS (SELECT feature, v, lbl, count(*) AS o FROM t GROUP BY 1, 2, 3),
+         rt AS (SELECT feature, v, sum(o) AS rc FROM cells GROUP BY 1, 2),
+         ct AS (SELECT feature, lbl, sum(o) AS cc FROM cells GROUP BY 1, 2),
+         nt AS (SELECT feature, sum(o) AS n,
+             count(DISTINCT v) AS r_levels, count(DISTINCT lbl) AS c_levels
+           FROM cells GROUP BY 1),
+         grid AS (SELECT rt.feature, rt.v, ct.lbl, rt.rc, ct.cc,
+             coalesce(cells.o, 0) AS o
+           FROM rt JOIN ct ON rt.feature = ct.feature
+           LEFT JOIN cells ON cells.feature = rt.feature
+             AND cells.v = rt.v AND cells.lbl = ct.lbl),
+         terms AS (SELECT g.feature, n, r_levels, c_levels, CAST(
+             (CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e) / $e
+             AS DECIMAL(20,8)) AS term
+           FROM grid g JOIN nt ON g.feature = nt.feature),
+         agg AS (SELECT feature, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(r_levels) AS BIGINT) AS r_levels,
+             CAST(max(c_levels) AS BIGINT) AS c_levels,
+             CAST(sum(term) AS DOUBLE) AS chi2
+           FROM terms GROUP BY 1)
+         SELECT feature, n, r_levels, c_levels,
+           CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof, chi2,
+           CASE WHEN (r_levels - 1) * (c_levels - 1) > 0
+             THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+               * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END
+             AS cramers_v
+         FROM agg"""
+  }
+
+  /** stats_bootstrap_ci oracle: replays the md5 Poisson gates
+    * (Stats.PoissonGates16 literals interpolated — one source of
+    * truth), exact HUGEINT weighted sums, quantile_cont over replicate
+    * means (the funnel_latency percentile parity).
+    */
+  private val BootstrapSql: String = {
+    val g = Stats.PoissonGates16
+    s"""WITH base AS (SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         reps AS (SELECT event_type, event_id, v, r.b
+           FROM base, (SELECT unnest(generate_series(1, 40)) AS b) r),
+         gate AS (SELECT event_type, b, v,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+               || CAST(b AS VARCHAR)), 1, 4)) AS INTEGER) AS u
+           FROM reps),
+         w AS (SELECT event_type, b, v,
+             CASE WHEN u < ${g(0)} THEN 0 WHEN u < ${g(1)} THEN 1
+                  WHEN u < ${g(2)} THEN 2 WHEN u < ${g(3)} THEN 3
+                  WHEN u < ${g(4)} THEN 4 ELSE 5 END AS w
+           FROM gate),
+         rm AS (SELECT event_type, b,
+             CASE WHEN sum(w) > 0
+               THEN CAST(CAST(sum(CAST(w AS HUGEINT) * v) AS DECIMAL(38,0))
+                      AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS m
+           FROM w GROUP BY 1, 2),
+         ci AS (SELECT event_type, quantile_cont(m, 0.025) AS ci_lo,
+             quantile_cont(m, 0.5) AS ci_mid, quantile_cont(m, 0.975) AS ci_hi
+           FROM rm GROUP BY 1),
+         f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(v AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_micro
+           FROM base GROUP BY 1)
+         SELECT f.event_type, n_rows, mean_micro, ci_lo, ci_mid, ci_hi
+         FROM f JOIN ci ON f.event_type = ci.event_type"""
   }
 
   /** nDCG@10 discount weights 1/log2(r+1), r = 1..10 — ONE source of
@@ -477,6 +681,54 @@ object MlPrepQueries {
              FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx))
          SELECT event_type, hour_idx, y, lag_1, lag_2, lag_3
          FROM l WHERE lag_3 IS NOT NULL""",
+    "ts_cusum" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, hour_idx, s // n AS mean_micro FROM h),
+         d AS (SELECT event_type, hour_idx,
+             CAST(mean_micro - (sum(mean_micro) OVER (PARTITION BY event_type)
+               // count(*) OVER (PARTITION BY event_type)) AS BIGINT) AS dev
+           FROM m),
+         p AS (SELECT event_type, hour_idx, dev,
+             sum(dev - 10000000) OVER w AS p_up,
+             sum(dev + 10000000) OVER w AS p_dn
+           FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         c AS (SELECT event_type, hour_idx, dev,
+             CAST(p_up - least(min(p_up) OVER w, 0) AS BIGINT) AS cusum_up,
+             CAST(greatest(max(p_dn) OVER w, 0) - p_dn AS BIGINT) AS cusum_down
+           FROM p WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, hour_idx, dev, cusum_up, cusum_down,
+           CAST(CASE WHEN cusum_up > 100000000 THEN 1 ELSE 0 END AS INTEGER)
+             AS flag_up,
+           CAST(CASE WHEN cusum_down > 100000000 THEN 1 ELSE 0 END AS INTEGER)
+             AS flag_down
+         FROM c""",
+    "ts_backtest_mase" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS sum_micro
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, sum_micro,
+             lag(sum_micro, 24) OVER w AS fs, lag(sum_micro, 1) OVER w AS fn
+           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx)),
+         s AS (SELECT event_type, count(*) AS n_scored,
+             CAST(CAST(sum(CAST(abs(sum_micro - fs) AS HUGEINT))
+               AS DECIMAL(38,0)) AS DOUBLE) AS es,
+             CAST(CAST(sum(CAST(abs(sum_micro - fn) AS HUGEINT))
+               AS DECIMAL(38,0)) AS DOUBLE) AS en
+           FROM l WHERE fs IS NOT NULL AND fn IS NOT NULL GROUP BY 1)
+         SELECT event_type, CAST(n_scored AS BIGINT) AS n_scored,
+           es / CAST(n_scored AS DOUBLE) AS mae_seasonal,
+           en / CAST(n_scored AS DOUBLE) AS mae_naive,
+           CASE WHEN en > 0 THEN es / en END AS mase
+         FROM s""",
+    "stats_corr_matrix" -> CorrMatrixSql,
+    "feature_relevance_chi2" -> Chi2Sql,
+    "stats_bootstrap_ci" -> BootstrapSql,
     "ts_trend" ->
       """WITH h AS (SELECT event_type,
                epoch_us(ts) // 3600000000 AS hour_idx,

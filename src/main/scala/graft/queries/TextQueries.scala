@@ -121,6 +121,22 @@ object TextQueries {
         shingleLen = 5, minJaccard = 0.5)
     }),
 
+    // Prefix-filtered set-similarity join (SetSimJoin, the SSJoin /
+    // All-Pairs / PPJoin discipline): exact token-set Jaccard ≥ 0.8
+    // pairs where the candidate index holds only each doc's globally
+    // RAREST |x|−⌈τ|x|⌉+1 tokens — provably lossless, so the oracle is
+    // the EXHAUSTIVE token-Jaccard join and a hash match proves the
+    // prefix filter dropped nothing. Scoped to ONE language partition
+    // (the realistic within-lang near-dup pass): the synthetic corpus
+    // is template-generated, so the cross-lang unigram pair set is
+    // quadratically dense (~9M qualifying pairs at sf0.1 even at
+    // τ=0.5) — that's a property of the fixture, not the operator.
+    "dedup_setsim_prefix" -> ((s, dir) => {
+      graft.operators.SetSimJoin.jaccardPrefixPairs(
+        Tables.documents(s, dir).where(col("lang") === "de"),
+        "text", "doc_id", minJaccard = 0.8)
+    }),
+
     // BM25 retrieval scoring (k1=1.2, b=0.75, the standard Robertson
     // parameters) for a fixed 3-term query — the ranking function
     // behind retrieval-based data curation (select pretraining docs by
@@ -876,6 +892,22 @@ object TextQueries {
                 round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
          FROM pairs JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
          WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""",
+    // EXHAUSTIVE token-set Jaccard — deliberately unfiltered: equality
+    // with the Spark side is the prefix-filter losslessness proof
+    "dedup_setsim_prefix" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents WHERE lang = 'de') WHERE t <> ''),
+         card AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+                   FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+         FROM pairs JOIN card ca ON doc_a = ca.doc_id
+                    JOIN card cb ON doc_b = cb.doc_id
+         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8""",
     "text_oov_rate" ->
       """WITH toks AS (SELECT doc_id, t AS token
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t

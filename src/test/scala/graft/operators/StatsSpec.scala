@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+
+  test("corrMatrix: exact hand values, one row per unordered pair") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x (corr -1), w uncorrelated-by-construction
+    val df = Seq(
+      (1L, 2L, -1L, 1L),
+      (2L, 4L, -2L, -1L),
+      (3L, 6L, -3L, -1L),
+      (4L, 8L, -4L, 1L)
+    ).toDF("x", "y", "z", "w")
+    val m = Stats.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(m.size == 6)
+    assert(m(("x", "y")) == (4L, 1.0))
+    assert(m(("x", "z")) == (4L, -1.0))
+    assert(m(("y", "z")) == (4L, -1.0))
+    assert(math.abs(m(("x", "w"))._2) < 1e-12) // balanced: exactly 0
+  }
+
+  test("corrMatrix: zero-variance column yields null corr; listwise null drop") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2L), Some(5L)),
+      (Some(2L), Some(4L), Some(5L)),
+      (Some(3L), None, Some(5L)), // null y: row excluded everywhere
+      (Some(4L), Some(8L), Some(5L))
+    ).toDF("x", "y", "c")
+    val rows = Stats.corrMatrix(df, Seq("x", "y", "c")).collect()
+    assert(rows.forall(_.getLong(2) == 3L)) // same n for every pair
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m(("x", "y")).getDouble(3) == 1.0)
+    assert(m(("x", "c")).isNullAt(3) && m(("y", "c")).isNullAt(3))
+  }
+
+  test("chiSquareRelevance: perfect association V=1, independence chi2=0") {
+    import spark.implicits._
+    // f1 == label (perfect); f2 balanced-independent of label
+    val df = (0 until 40).map { i =>
+      val lbl = if (i % 2 == 0) "pos" else "neg"
+      (lbl, lbl, if (i % 4 < 2) "a" else "b")
+    }.toDF("label", "f1", "f2")
+    val m = Stats.chiSquareRelevance(df, Seq("f1", "f2"), "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f1 = m("f1")
+    assert(f1.getAs[Long]("n") == 40 && f1.getAs[Long]("dof") == 1)
+    assert(math.abs(f1.getAs[Double]("chi2") - 40.0) < 1e-6) // chi2 = n
+    assert(math.abs(f1.getAs[Double]("cramers_v") - 1.0) < 1e-9)
+    val f2 = m("f2")
+    assert(math.abs(f2.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(f2.getAs[Double]("cramers_v")) < 1e-9)
+  }
+
+  test("chiSquareRelevance: per-feature null exclusion and level counts") {
+    import spark.implicits._
+    val df = Seq(
+      ("pos", Some("x"), "m"), ("neg", Some("y"), "m"),
+      ("pos", None, "n"), ("neg", Some("y"), "n")
+    ).toDF("label", "f1", "f2")
+    val m = Stats.chiSquareRelevance(df, Seq("f1", "f2"), "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("f1").getAs[Long]("n") == 3) // null f1 row excluded
+    assert(m("f2").getAs[Long]("n") == 4)
+    assert(m("f1").getAs[Long]("r_levels") == 2)
+    assert(m("f2").getAs[Long]("c_levels") == 2)
+  }
+
+  test("bootstrapMeanCI: deterministic, ordered bounds, covers the true mean") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, "g", (1000L + (i % 21) - 10)))
+      .toDF("id", "grp", "v") // values 990..1010, mean 1000-ish
+    val run = () => Stats.bootstrapMeanCI(df, "v", "id", Seq("grp"),
+      replicates = 50).collect().head
+    val r1 = run(); val r2 = run()
+    assert(r1.toString == r2.toString) // md5 draws: bit-identical reruns
+    val (lo, mid, hi) = (r1.getAs[Double]("ci_lo"),
+      r1.getAs[Double]("ci_mid"), r1.getAs[Double]("ci_hi"))
+    val mean = r1.getAs[Double]("mean_micro")
+    assert(lo <= mid && mid <= hi)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] misses mean $mean")
+    assert(hi - lo < 5.0, s"CI width ${hi - lo} implausibly wide for n=400")
+    assert(r1.getAs[Long]("n_rows") == 400)
+  }
+
+  test("bootstrapMeanCI: per-group isolation (one group's values don't leak)") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "a", 10L)) ++
+      (101 to 200).map(i => (i.toLong, "b", 2000000L))).toDF("id", "grp", "v")
+    val m = Stats.bootstrapMeanCI(df, "v", "id", Seq("grp"), replicates = 30)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // constant values: every replicate mean is exactly the constant
+    assert(m("a").getAs[Double]("ci_lo") == 10.0 &&
+      m("a").getAs[Double]("ci_hi") == 10.0)
+    assert(m("b").getAs[Double]("ci_lo") == 2000000.0 &&
+      m("b").getAs[Double]("ci_hi") == 2000000.0)
+  }
+}

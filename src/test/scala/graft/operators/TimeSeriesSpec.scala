@@ -135,4 +135,56 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.ewmaPow2Bounded(obs, Seq("k"), "t", "v", terms = 63)
     }
   }
+
+  test("cusum ≡ the textbook recursion on random deviations, per key") {
+    val rnd = new scala.util.Random(5)
+    val data = for (g <- Seq("a", "b"); t <- 1 to 60)
+      yield (g, t.toLong, (rnd.nextInt(21) - 10).toLong) // deviations -10..10
+    val (k, h) = (2L, 15L)
+    // direct recursion ground truth
+    val expect = data.groupBy(_._1).flatMap { case (g, rows) =>
+      var (su, sd) = (0L, 0L)
+      rows.sortBy(_._2).map { case (_, t, x) =>
+        su = math.max(0L, su + x - k)
+        sd = math.max(0L, sd - x - k)
+        (g, t) -> ((su, sd))
+      }
+    }
+    val got = TimeSeries.cusum(data.toDF("g", "t", "x").repartition(7),
+        Seq("g"), "t", "x", driftK = k, threshold = h)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("cusum_up"), r.getAs[Long]("cusum_down")))).toMap
+    assert(got == expect.toMap)
+  }
+
+  test("cusum flags a level shift upward, stays quiet in control") {
+    // in-control ±1 noise for 30 steps, then a +5 shift
+    val data = (1 to 50).map(t =>
+      ("s", t.toLong, if (t <= 30) (if (t % 2 == 0) 1L else -1L) else 5L))
+    val got = TimeSeries.cusum(data.toDF("g", "t", "x"), Seq("g"), "t", "x",
+        driftK = 2L, threshold = 10L)
+      .collect().map(r => r.getLong(1) -> r.getAs[Int]("flag_up")).toMap
+    assert((1 to 30).forall(t => got(t.toLong) == 0), "false alarm in control")
+    assert(got(50L) == 1, "shift never flagged")
+    // first alarm lands shortly after the shift: (5-2)=3/step, h=10 → t=34
+    assert(got(34L) == 1 && got(33L) == 0)
+  }
+
+  test("backtestSeasonalNaive: seasonal series scores far below naive (MASE << 1)") {
+    // period-4 sawtooth: seasonal-lag forecast is EXACT, naive is not
+    val data = for (g <- Seq("x"); t <- 1 to 40)
+      yield (g, t.toLong, Seq(0L, 10L, 20L, 10L)(t % 4))
+    val r = TimeSeries.backtestSeasonalNaive(data.toDF("g", "t", "v"),
+      Seq("g"), "t", "v", season = 4).collect().head
+    assert(r.getAs[Long]("n_scored") == 36) // 40 - season
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Double]("mae_naive") == 10.0)
+    assert(r.getAs[Double]("mase") == 0.0)
+    // anti-seasonal (alternating) series: season=4 ≡ lag-4 also exact…
+    // use a drifting line instead: seasonal error 4×, naive 1× → MASE 4
+    val line = (1 to 40).map(t => ("y", t.toLong, 10L * t))
+    val r2 = TimeSeries.backtestSeasonalNaive(line.toDF("g", "t", "v"),
+      Seq("g"), "t", "v", season = 4).collect().head
+    assert(r2.getAs[Double]("mase") == 4.0)
+  }
 }
