@@ -54,6 +54,17 @@ object Splits {
     df.withColumn("fold", gate % k)
   }
 
+  /** GROUPED k-fold: [[kfold]] gated on a group key instead of the row
+    * key, so every row of a group lands in the SAME fold — the
+    * leakage-safe CV split when rows within a group are correlated
+    * (all of one user's events, all chunks of one document): a model
+    * must never validate on a group it trained on. Pure hash of the
+    * group value — no group list is ever collected or shuffled, so it
+    * costs exactly one projected column at any scale.
+    */
+  def groupKfold(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      k: Int): DataFrame = kfold(df, groupCol, k)
+
   /** R2 — sequential split by an ordering column. The reference slices
     * `.loc[:n]` / `.loc[n:]`, which puts row n in BOTH halves (quirk X1);
     * `overlapBoundary = true` reproduces that, the default gives an exact

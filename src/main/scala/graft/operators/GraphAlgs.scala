@@ -275,4 +275,120 @@ object GraphAlgs {
       frontiers.reduce(_ unionAll _)
     } finally e.unpersist()
   }
+
+  /** EXACT per-node neighborhood function: |ball(v, r)| — how many
+    * nodes each v reaches within r hops — for every v and every
+    * r ≤ maxHops. This is the primitive behind effective-diameter /
+    * closeness-centrality estimates and "how connected is this
+    * corpus graph" audits. State is every (v, reached) pair — Σ|ball|
+    * rows — which is exactly why [[neighborhoodFunctionHll]] exists:
+    * this exact form is the audit-scale ground truth and the oracle
+    * surface; the sketch form is the 100 TB path.
+    *
+    * Same frontier-delta dataflow as [[bfs]], run from ALL nodes at
+    * once with (v, reached) keys: one equi-join + distinct + anti-join
+    * per hop, checkpointed lineage.
+    *
+    * @param edges DIRECTED edges (pass both orientations for an
+    *              undirected graph)
+    * @return (node, hop, ball_size) for hop = 0..maxHops, cumulative
+    *         (hop 0 is the node itself)
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0; got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      var frontier = nodes.withColumn("reached", col("node"))
+        .withColumn("dist", lit(0)).localCheckpoint(true)
+      val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
+      var hop = 0
+      while (hop < maxHops && !frontier.isEmpty) {
+        val known = frontiers.reduce(_ unionAll _)
+          .select(col("node"), col("reached"))
+        val discovered = frontier.join(e, frontier("reached") === e("src"))
+          .select(frontier("node"), e("dst").as("reached")).distinct()
+          .join(known, Seq("node", "reached"), "left_anti")
+          .withColumn("dist", lit(hop + 1))
+          .localCheckpoint(true)
+        frontiers += discovered
+        frontier = discovered
+        hop += 1
+      }
+      // cumulative ball sizes: per-(node, dist) new-node counts, then a
+      // running sum over the ≤ maxHops dist slots
+      import org.apache.spark.sql.expressions.Window
+      val newPerHop = frontiers.reduce(_ unionAll _)
+        .groupBy(col("node"), col("dist")).agg(count(lit(1)).as("__new"))
+      val w = Window.partitionBy(col("node")).orderBy(col("dist"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // a node may discover nothing at some hop but more later is
+      // impossible (frontier empty ⇒ done), yet hops can be SKIPPED in
+      // the output for nodes whose frontier died early — densify with a
+      // literal hop spine so every (node, 0..maxHops) row exists
+      val spine = nodes.withColumn("hop",
+        explode(sequence(lit(0), lit(maxHops))))
+      spine.join(newPerHop,
+          spine("node") === newPerHop("node") && col("dist") <= col("hop"), "left")
+        .groupBy(spine("node"), col("hop"))
+        .agg(sum(coalesce(col("__new"), lit(0L))).as("ball_size"))
+        .select(spine("node"), col("hop").cast("long").as("hop"),
+          col("ball_size"))
+    } finally e.unpersist()
+  }
+
+  /** HyperBall (Boldi & Vigna, the HLL-sketch neighborhood function):
+    * per-node reachable-set SKETCHES instead of reachable-set rows.
+    * Each node's state is one ~KB HLL blob no matter how large its
+    * ball; a hop is one edge equi-join (neighbors contribute their
+    * sketches) + one `hll_union_agg` — register-wise max, an exact
+    * lattice join, so re-delivered contributions are idempotent. State
+    * is nodes×KB and per-hop cost is |E| sketch merges: the ONLY shape
+    * that computes "how far is everything from everything" on a
+    * 100 TB graph, where [[neighborhoodFunction]]'s pair state is
+    * Σ|ball| ≈ n² rows. GraphAlgsSpec pins the estimates against the
+    * exact form (HLL at lgConfigK=12 ≈ 1.6% RSE).
+    *
+    * @return (node, hop, ball_est) for hop = 0..maxHops
+    */
+  def neighborhoodFunctionHll(edges: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      lgConfigK: Int = 12): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0; got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      var state = nodes.groupBy(col("node"))
+        .agg(expr(s"hll_sketch_agg(node, $lgConfigK)").as("__sk"))
+        .localCheckpoint(true)
+      // each hop's estimate rows are checkpointed (skinny: node, hop,
+      // long) BEFORE the sketch state they read from is freed — the
+      // sketch blobs live exactly one hop
+      def estimates(s: DataFrame, hop: Int): DataFrame = s.select(col("node"),
+        lit(hop.toLong).as("hop"),
+        expr("hll_sketch_estimate(__sk)").cast("long").as("ball_est"))
+        .localCheckpoint(true)
+      val out = scala.collection.mutable.ArrayBuffer(estimates(state, 0))
+      for (hop <- 1 to maxHops) {
+        val contrib = e.join(state, e("dst") === state("node"))
+          .select(e("src").as("node"), col("__sk"))
+        val next = state.unionAll(contrib)
+          .groupBy(col("node")).agg(expr("hll_union_agg(__sk)").as("__sk"))
+          .localCheckpoint(true)
+        CheckpointShim.freeLocalCheckpointIfAny(state)
+        state = next
+        out += estimates(state, hop)
+      }
+      out.reduce(_ unionAll _)
+    } finally e.unpersist()
+  }
 }

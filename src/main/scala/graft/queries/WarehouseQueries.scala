@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.car.Splits
-import graft.operators.{Association, DataQuality, GraphAlgs, InvertedIndex, Scd, StringJoin, TimeSeries}
+import graft.operators.{Association, Attribution, DataQuality, GraphAlgs, InvertedIndex, RecordLinkage, Scd, StringJoin, TimeSeries}
 import graft.sources.Tables
 
 /** Warehouse-maintenance + graph-analytics extensions: SCD2 dimension
@@ -291,6 +291,92 @@ object WarehouseQueries {
     "r9_kfold" -> ((s, dir) => {
       Splits.kfold(Tables.orders(s, dir), col("o_orderkey"), 5)
         .select(col("o_orderkey"), col("fold"))
+    }),
+
+    // GROUPED k-fold: fold hashed from l_orderkey, so all lines of an
+    // order share a fold — the leakage-safe split for correlated rows.
+    "r10_group_kfold" -> ((s, dir) => {
+      Splits.groupKfold(Tables.lineitem(s, dir), col("l_orderkey"), 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("fold"))
+    }),
+
+    // Exact per-node neighborhood function |ball(v, r)|, r ≤ 2, over
+    // the supplier co-order graph (consecutive suppliers per order —
+    // same sparse-adjacency rationale as basketEdges). The oracle
+    // unrolls the (node, reached) closure; GraphAlgs
+    // .neighborhoodFunctionHll is the sketch-state 100 TB path,
+    // spec-pinned against this exact form.
+    "graph_neighborhood" -> ((s, dir) => {
+      val se = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("__ss"))
+        .where(size(col("__ss")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__ss) - 2), i -> struct(__ss[i] AS a, __ss[i+1] AS b))"))
+          .as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .localCheckpoint(true)
+      val sym = se.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(se.select(col("b").as("src"), col("a").as("dst")))
+      GraphAlgs.neighborhoodFunction(sym, maxHops = 2)
+    }),
+
+    // HyperBall neighborhood function over the same supplier graph —
+    // the sketch-state 100 TB path (per-node ~KB HLL blobs, one edge
+    // join + union-agg per hop). Deterministic (fixed DataSketches
+    // hashing) but not SQL-expressible → rows-only; accuracy vs the
+    // exact form is GraphAlgsSpec-pinned (≤10%/node, ≤3% mean).
+    "graph_neighborhood_hll" -> ((s, dir) => {
+      val se = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("__ss"))
+        .where(size(col("__ss")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__ss) - 2), i -> struct(__ss[i] AS a, __ss[i+1] AS b))"))
+          .as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .localCheckpoint(true)
+      val sym = se.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(se.select(col("b").as("src"), col("a").as("dst")))
+      GraphAlgs.neighborhoodFunctionHll(sym, maxHops = 2)
+    }),
+
+    // Fellegi-Sunter record linkage: customer self-linkage blocked on
+    // key-range blocks of 10 (SIZE-stable at every sf — the blocking
+    // discipline: candidates are Σ_b |block|², so the caller bounds
+    // |block|, never |customer|); per-field agreement (segment,
+    // nation, balance band) with exact decimal log-likelihood weights
+    // and the match / possible / non-match decision rule.
+    "link_records" -> ((s, dir) => {
+      import RecordLinkage.FieldComparison
+      val c = Tables.customer(s, dir)
+        .withColumn("blk", expr("c_custkey div 10"))
+      RecordLinkage.linkScoredPairs(c, c, "c_custkey", "blk",
+        Seq(
+          FieldComparison("segment",
+            col("a_c_mktsegment") === col("b_c_mktsegment"),
+            BigDecimal("2.0"), BigDecimal("-1.5")),
+          FieldComparison("nation",
+            col("a_c_nationkey") === col("b_c_nationkey"),
+            BigDecimal("3.0"), BigDecimal("-0.5")),
+          FieldComparison("balance",
+            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 100.0,
+            BigDecimal("2.5"), BigDecimal("-1.0"))),
+        matchThreshold = BigDecimal("5.0"),
+        possibleThreshold = BigDecimal("1.0"), selfLink = true)
+    }),
+
+    // Linear multi-touch attribution: purchases credit the same
+    // user's view/click touches in a 1-day lookback, integer ppm
+    // credits summing to exactly 1e6 per conversion (remainder on the
+    // last touch), rolled up per channel.
+    "attribution_linear" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      Attribution.channelCredit(Attribution.creditTouches(
+        e, "user_id", "ts_us", "event_type", "event_id",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        model = "linear", lookbackUs = 86400000000L))
     })
   )
 
@@ -546,6 +632,92 @@ object WarehouseQueries {
       """SELECT o_orderkey,
                 CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
                      AS INTEGER) % 5 AS fold
-         FROM orders"""
+         FROM orders""",
+    "r10_group_kfold" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 5 AS fold
+         FROM lineitem""",
+    "graph_neighborhood" -> {
+      val head =
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+           eg AS (SELECT l_orderkey, l_suppkey AS b,
+                    lag(l_suppkey) OVER (PARTITION BY l_orderkey
+                      ORDER BY l_suppkey) AS a
+                  FROM li),
+           e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                 FROM eg WHERE a IS NOT NULL AND a <> b),
+           sym AS (SELECT a AS src, b AS dst FROM e
+                   UNION ALL SELECT b AS src, a AS dst FROM e),
+           nodes AS (SELECT DISTINCT src AS node FROM sym),
+           p0 AS (SELECT node, node AS reached FROM nodes)"""
+      val steps = (1 to 2).map { i =>
+        s""",
+           p$i AS (SELECT DISTINCT node, reached FROM (
+               SELECT node, reached FROM p${i - 1}
+               UNION ALL SELECT p${i - 1}.node, sym.dst AS reached
+               FROM p${i - 1} JOIN sym ON sym.src = p${i - 1}.reached))"""
+      }.mkString
+      val balls = (0 to 2).map { i =>
+        s"SELECT node, CAST($i AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS ball_size FROM p$i GROUP BY node"
+      }.mkString("\n           UNION ALL ")
+      head + steps + "\n           " + balls
+    },
+    "link_records" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+             c_custkey // 10 AS blk
+           FROM customer),
+         p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.blk AS block,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+               AS agree_segment,
+             CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END
+               AS agree_nation,
+             CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0 THEN 1 ELSE 0 END
+               AS agree_balance
+           FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey),
+         s AS (SELECT *, CAST(
+             CASE WHEN agree_segment = 1 THEN CAST(2.0 AS DECIMAL(12,6))
+                  ELSE CAST(-1.5 AS DECIMAL(12,6)) END
+           + CASE WHEN agree_nation = 1 THEN CAST(3.0 AS DECIMAL(12,6))
+                  ELSE CAST(-0.5 AS DECIMAL(12,6)) END
+           + CASE WHEN agree_balance = 1 THEN CAST(2.5 AS DECIMAL(12,6))
+                  ELSE CAST(-1.0 AS DECIMAL(12,6)) END
+           AS DECIMAL(12,6)) AS score FROM p)
+         SELECT id_a, id_b, block,
+           CAST(agree_segment AS BIGINT) AS agree_segment,
+           CAST(agree_nation AS BIGINT) AS agree_nation,
+           CAST(agree_balance AS BIGINT) AS agree_balance,
+           score,
+           CASE WHEN score >= CAST(5.0 AS DECIMAL(12,6)) THEN 'match'
+                WHEN score >= CAST(1.0 AS DECIMAL(12,6)) THEN 'possible'
+                ELSE 'non_match' END AS decision
+         FROM s""",
+    "attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         t AS (SELECT user_id, event_id AS touch_id, ts_us AS touch_ts,
+                 event_type AS touch_type
+               FROM e WHERE event_type IN ('view', 'click')),
+         c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+               FROM e WHERE event_type = 'purchase'),
+         p AS (SELECT c.user_id, conv_id, touch_id, touch_type, touch_ts
+               FROM c JOIN t ON c.user_id = t.user_id
+                 AND touch_ts < conv_ts
+                 AND touch_ts >= conv_ts - 86400000000),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, conv_id
+                   ORDER BY touch_ts, touch_id) AS pos,
+                 count(*) OVER (PARTITION BY user_id, conv_id) AS k
+               FROM p),
+         cr AS (SELECT user_id, conv_id, touch_type,
+                 CASE WHEN pos = k THEN 1000000 - (1000000 // k) * (k - 1)
+                      ELSE 1000000 // k END AS credit
+               FROM r)
+         SELECT touch_type,
+           CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+             || CAST(conv_id AS VARCHAR)) AS BIGINT) AS n_conversions_touched,
+           CAST(sum(credit) AS BIGINT) AS credit_ppm_total
+         FROM cr GROUP BY touch_type"""
   )
 }

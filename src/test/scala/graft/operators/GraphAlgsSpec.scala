@@ -187,4 +187,62 @@ class GraphAlgsSpec extends SparkSpec {
 
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("neighborhoodFunction: exact ball sizes on a path graph") {
+    // undirected path 1-2-3-4 (both orientations passed explicitly)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).flatMap { case (a, b) =>
+      Seq((a, b), (b, a))
+    }.toDF("src", "dst")
+    val got = GraphAlgs.neighborhoodFunction(und, maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == 16) // 4 nodes × 4 hop slots, densified
+    for (n <- 1L to 4L) assert(got((n, 0L)) == 1L)
+    assert(got((1L, 1L)) == 2L && got((2L, 1L)) == 3L &&
+      got((3L, 1L)) == 3L && got((4L, 1L)) == 2L)
+    assert(got((1L, 2L)) == 3L && got((2L, 2L)) == 4L &&
+      got((3L, 2L)) == 4L && got((4L, 2L)) == 3L)
+    for (n <- 1L to 4L) assert(got((n, 3L)) == 4L) // whole graph reached
+  }
+
+  test("neighborhoodFunction ≡ brute force on a random directed graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(140)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val maxHops = 3
+    // brute force: iterate reachable sets
+    var balls: Map[Long, Set[Long]] =
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> Set(n)).toMap
+    val expect = scala.collection.mutable.Map[(Long, Long), Long]()
+    for ((n, s) <- balls) expect((n, 0L)) = s.size.toLong
+    for (hop <- 1 to maxHops) {
+      balls = balls.map { case (n, s) =>
+        n -> (s ++ s.flatMap(r => edges.collect { case (`r`, d) => d }))
+      }
+      for ((n, s) <- balls) expect((n, hop.toLong)) = s.size.toLong
+    }
+    val got = GraphAlgs.neighborhoodFunction(edges.toDF("src", "dst"), maxHops)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect.toMap)
+  }
+
+  test("neighborhoodFunctionHll tracks the exact neighborhood function") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(900)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+      .persist()
+    val exact = GraphAlgs.neighborhoodFunction(edges, maxHops = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val est = GraphAlgs.neighborhoodFunctionHll(edges, maxHops = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.keySet == exact.keySet)
+    // lgConfigK=12 ⇒ ~1.6% RSE; allow 10% per-node, 3% on the mean
+    val ratios = exact.toSeq.map { case (k, v) =>
+      est(k).toDouble / math.max(v, 1L).toDouble }
+    assert(ratios.forall(r => r > 0.9 && r < 1.1),
+      s"worst ratios: ${ratios.sortBy(r => math.abs(r - 1)).takeRight(3)}")
+    val meanErr = ratios.map(r => math.abs(r - 1)).sum / ratios.size
+    assert(meanErr < 0.03, s"mean relative error $meanErr")
+    edges.unpersist()
+  }
 }
