@@ -39,8 +39,13 @@ object SetSimJoin {
     * `textCol`, prefix-filtered. Returns (doc_a, doc_b, jaccard) with
     * doc_a < doc_b and jaccard rounded to 4 dp.
     */
+  /** @param checkpoint materialize the result eagerly (default; the
+    *        pair set is small next to the scanned text and the
+    *        persisted token frame should release). PlanSpec passes
+    *        false to pin the join shape on the un-truncated plan.
+    */
   def jaccardPrefixPairs(df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, checkpoint: Boolean = true): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard in (0, 1]; got $minJaccard")
     // distinct word tokens per doc — reused by ordering, candidates,
@@ -82,8 +87,7 @@ object SetSimJoin {
           col("__inter") / (col("__na") + col("__nb") - col("__inter")))
         .where(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .localCheckpoint(true)
-      result
+      if (checkpoint) result.localCheckpoint(true) else result
     } finally toks.unpersist(false)
   }
 }

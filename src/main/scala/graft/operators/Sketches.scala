@@ -131,4 +131,71 @@ object Sketches {
       .orderBy(col("est").desc, col(termCol).asc)
       .limit(k)
   }
+
+  /** Equi-join OUTPUT-SIZE estimate from two CMS counter tables — the
+    * classic count-min inner-product estimator: the true join size is
+    * Σ_k cA(k)·cB(k), and for each depth row the bucket-wise dot
+    * product Σ_b A[d,b]·B[d,b] over-counts it only by hash collisions,
+    * so min over depth rows gives est ≥ true with
+    * est ≤ true + (e/width)·|A|·|B| w.h.p. The planning use: decide
+    * salting / broadcast / bucketing for a join WITHOUT running it,
+    * from two sketches that each cost one scan and merge additively
+    * across shards. Both sketches must share width/depth/seed.
+    *
+    * @return one row: (join_size_est, depth_estimates array — the
+    *         per-row dots, monotone evidence for the min)
+    */
+  def cmsJoinSizeEstimate(countersA: DataFrame, countersB: DataFrame,
+      depth: Int): DataFrame = {
+    require(depth > 0, s"need positive depth, got $depth")
+    val dots = countersA
+      .join(countersB.select(col("d"), col("bucket"), col("cnt").as("cntB")),
+        Seq("d", "bucket"))
+      .groupBy(col("d"))
+      .agg(sum(col("cnt") * col("cntB")).as("dot"))
+    // densify: a depth row with NO shared buckets dots to 0 (the min)
+    dots.sparkSession.range(depth).select(col("id").as("d"))
+      .join(dots, Seq("d"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("join_size_est"),
+        sort_array(collect_list(coalesce(col("dot"), lit(0L))))
+          .as("depth_estimates"))
+  }
+
+  /** Pairwise audience-overlap matrix from per-group HLL sketches:
+    * |A∩B| for every group pair by inclusion-exclusion over MERGED
+    * sketches (inter ≈ |A| + |B| − |A∪B|, clamped at 0), plus the
+    * estimated overlap Jaccard. The 100 TB point: the data is scanned
+    * ONCE to build G sketches; every pair answer is register math on
+    * ~KB blobs — the segment-overlap question ("how many users do
+    * these two cohorts share?") never re-touches the data, and the
+    * same sketches answer any future pair or union-of-pairs query.
+    * The pair join is G², on G sketch rows — broadcast-sized by
+    * construction.
+    *
+    * Inclusion-exclusion error compounds three estimates, so the
+    * relative error on SMALL intersections of LARGE sets is
+    * proportionally worse than HLL's per-set RSE — SketchSpec pins
+    * both the large-overlap accuracy and the near-disjoint behavior.
+    *
+    * @return (grp_a, grp_b, n_a_est, n_b_est, union_est,
+    *         intersect_est, jaccard_est) for grp_a < grp_b
+    */
+  def hllOverlapMatrix(df: DataFrame, valueCol: String, groupCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    val per = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgConfigK)").as("__sk"))
+    val a = per.select(col("grp").as("grp_a"), col("__sk").as("__ska"))
+    val b = per.select(col("grp").as("grp_b"), col("__sk").as("__skb"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .withColumn("n_a_est", expr("hll_sketch_estimate(__ska)").cast("long"))
+      .withColumn("n_b_est", expr("hll_sketch_estimate(__skb)").cast("long"))
+      .withColumn("union_est",
+        expr("hll_sketch_estimate(hll_union(__ska, __skb))").cast("long"))
+      .withColumn("intersect_est",
+        greatest(col("n_a_est") + col("n_b_est") - col("union_est"), lit(0L)))
+      .withColumn("jaccard_est",
+        round(col("intersect_est") / col("union_est"), 4))
+      .select(col("grp_a"), col("grp_b"), col("n_a_est"), col("n_b_est"),
+        col("union_est"), col("intersect_est"), col("jaccard_est"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -190,6 +190,45 @@ object TimeSeries {
       .withColumn("flag_up", (col("cusum_up") > threshold).cast("int"))
       .withColumn("flag_down", (col("cusum_down") > threshold).cast("int"))
       .drop("__p_up", "__p_dn")
+  }
+
+  /** Rolling Pearson correlation of two integer-valued series per key
+    * over a trailing row frame — "are these two signals still moving
+    * together?" as a continuous monitor (regime detection, feature
+    * stability). The [[olsTrend]] discipline applied to window frames:
+    * all five moments accumulate as exact DECIMAL window sums over the
+    * frame (order/partition-invariant), the closed-form corr is the
+    * only double math. One window pass, every moment sharing the one
+    * partition sort; frame state is five numbers regardless of window
+    * width.
+    *
+    * @param window trailing row count (current row inclusive)
+    * @return input + rolling_n + rolling_corr (null until the frame
+    *         has ≥2 rows or while either series is frame-constant)
+    */
+  def rollingCorr(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      xCol: String, yCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"need window >= 2; got $window")
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = col(xCol).cast(dec19)
+    val y = col(yCol).cast(dec19)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val out = df
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w)).withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+    val n = d(col("rolling_n"))
+    val cmxx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val cmyy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val cmxy = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    out.withColumn("rolling_corr",
+        when(col("rolling_n") >= 2 && cmxx > 0 && cmyy > 0,
+          cmxy / sqrt(cmxx * cmyy)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
   /** Seasonal-naive forecast backtest per key: MAE of the

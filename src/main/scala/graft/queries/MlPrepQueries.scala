@@ -220,6 +220,23 @@ object MlPrepQueries {
         driftK = 10000000L, threshold = 100000000L)
     }),
 
+    // Rolling 24h Pearson correlation (TimeSeries.rollingCorr)
+    // between hourly event volume and hourly mean value per type —
+    // the "are these signals still moving together" monitor. Exact
+    // decimal window moments, double-only closed form, all five
+    // moments sharing one partition sort.
+    "ts_rolling_corr" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+            .cast("long").as("__s"))
+        .withColumn("mean_micro", expr("__s div n_events")).drop("__s")
+      TimeSeries.rollingCorr(hourly, Seq("event_type"), "hour_idx",
+        "n_events", "mean_micro", window = 24)
+    }),
+
     // Seasonal-naive backtest (TimeSeries.backtestSeasonalNaive):
     // MASE of the 24-hour seasonal forecast vs the one-step naive on
     // hourly value sums per type — exact integer |errors| summed as
@@ -707,6 +724,36 @@ object MlPrepQueries {
            CAST(CASE WHEN cusum_down > 100000000 THEN 1 ELSE 0 END AS INTEGER)
              AS flag_down
          FROM c""",
+    "ts_rolling_corr" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               // count(*) AS mm
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, hour_idx, n_events,
+             CAST(mm AS BIGINT) AS mean_micro,
+             count(*) OVER w AS rn,
+             CAST(CAST(sum(CAST(n_events AS HUGEINT)) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(mm AS HUGEINT)) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(n_events AS HUGEINT) * mm) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(n_events AS HUGEINT) * n_events) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(mm AS HUGEINT) * mm) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS syy
+           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT event_type, hour_idx, n_events, mean_micro,
+           CAST(rn AS BIGINT) AS rolling_n,
+           CASE WHEN rn >= 2
+               AND (CAST(rn AS DOUBLE) * sxx - sx * sx) > 0
+               AND (CAST(rn AS DOUBLE) * syy - sy * sy) > 0
+             THEN (CAST(rn AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(rn AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(rn AS DOUBLE) * syy - sy * sy)) END AS rolling_corr
+         FROM m""",
     "ts_backtest_mase" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
              CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)

@@ -34,6 +34,39 @@ object StreamQueries {
         "user_id", "event_type", "hour_idx", window = 6)
     }),
 
+    // Pairwise audience overlap across event types (Sketches
+    // .hllOverlapMatrix): one data scan builds a user-set sketch per
+    // type; every pairwise |A∩B|/J(A,B) answer is inclusion-exclusion
+    // register math on ~KB blobs — the cohort-overlap question that
+    // never re-touches the data. Engine-specific hashes → rows-only;
+    // SketchSpec pins accuracy vs exact overlaps.
+    "audience_overlap" -> ((s, dir) => {
+      graft.operators.Sketches.hllOverlapMatrix(
+        Tables.events(s, dir), "user_id", "event_type")
+    }),
+
+    // CMS join-size planning estimate for the lineitem ⋈ lineitem
+    // self-join on l_partkey (Σ deg² — the skew question): two
+    // one-scan sketches, one counter-table dot product, no join run.
+    // join_skew_report computes the exact answer this estimates;
+    // SketchSpec pins est ≥ exact and the width error bound.
+    // Seeded xxhash64 buckets → rows-only.
+    "join_size_cms" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // width 64k: expected collision mass per depth row is
+      // |A|·|B|/width — at 2048 that was ~1.9× the true size; at 64k
+      // it's a few percent at sf0.01 (~30% at sf0.1, documented
+      // planning-grade), for a 256k-cell counter table
+      val sk = graft.operators.Sketches.cmsFit(li, "l_partkey", 65536, 4)
+        .localCheckpoint(true)
+      graft.operators.Sketches.cmsJoinSizeEstimate(sk, sk, depth = 4)
+        // checker-sortable projection: the rows-only harness can't
+        // sort/hash array cells (the ann_index_rows lesson)
+        .select(col("join_size_est"),
+          concat_ws(",", col("depth_estimates").cast("array<string>"))
+            .as("depth_estimates"))
+    }),
+
     // Tumbling 1-hour window: count + sum/avg per (window, event_type).
     "stream_hourly_agg" -> ((s, dir) => {
       Tables.events(s, dir)

@@ -308,6 +308,43 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-equi join in basket_rules:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("jaccardPrefixPairs plans only equi-joins (prefix/verify both ride token or doc keys)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val d = graft.sources.Tables.documents(spark, dir)
+    val df = graft.operators.SetSimJoin.jaccardPrefixPairs(
+      d, "text", "doc_id", minJaccard = 0.8, checkpoint = false)
+    val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"non-equi join in jaccardPrefixPairs:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("linkScoredPairs plans ONE hash equi-join on the block key — no nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.operators.RecordLinkage, RecordLinkage.FieldComparison
+    import org.apache.spark.sql.functions.{abs => cabs, col, expr}
+    val c = graft.sources.Tables.customer(spark, dir)
+      .withColumn("blk", expr("c_custkey div 10"))
+    val df = RecordLinkage.linkScoredPairs(c, c, "c_custkey", "blk",
+      Seq(FieldComparison("seg", col("a_c_mktsegment") === col("b_c_mktsegment"),
+        BigDecimal("2.0"), BigDecimal("-1.5"))),
+      BigDecimal("2.0"), BigDecimal("0.0"), selfLink = true)
+    val plan = df.queryExecution.sparkPlan
+    val bad = plan.collectWithSubqueries {
+      case x: CartesianProductExec => x
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"non-equi join in linkScoredPairs:\n$plan")
+    val joins = plan.collectWithSubqueries {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size == 1, s"expected exactly 1 equi-join, got ${joins.size}:\n$plan")
+  }
+
   test("scd2_history windows all partition by the dimension key") {
     val df = SparkEntry.queries("scd2_history")(spark, dir)
     val bad = df.queryExecution.sparkPlan.collectWithSubqueries {

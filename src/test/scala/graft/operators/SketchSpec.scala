@@ -123,4 +123,62 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(w1(k) - ex) <= math.max(1, ex / 20), s"$k")
     }
   }
+
+  test("cmsJoinSizeEstimate: >= exact always, == exact when width dwarfs the vocabulary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // skewed multiplicities: the case join planning cares about
+    val aRows = (1 to 2000).map(_ => s"k${rnd.nextInt(50)}").toDF("k")
+    val bRows = (1 to 3000).map(_ => s"k${rnd.nextInt(80)}").toDF("k")
+    val ca = aRows.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cb = bRows.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    def est(width: Int): Long = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsFit(aRows, "k", width, 4),
+      Sketches.cmsFit(bRows, "k", width, 4), depth = 4)
+      .collect().head.getLong(0)
+    val wide = est(4096)
+    assert(wide == exact, s"wide-sketch estimate $wide != exact $exact")
+    val narrow = est(16)
+    assert(narrow >= exact, s"CMS inner product must over-count: $narrow < $exact")
+    // and the error bound: + (e/width)·|A|·|B| with margin
+    assert(narrow <= exact + 3 * 2000L * 3000L / 16,
+      s"narrow estimate $narrow implausibly far above $exact")
+  }
+
+  test("hllOverlapMatrix: intersection estimates track exact overlaps") {
+    import spark.implicits._
+    // three overlapping cohorts: a = 1..2000, b = 1001..3000 (1000
+    // shared with a), c = 10001..12000 (disjoint from both)
+    val rows =
+      (1L to 2000L).map(("a", _)) ++ (1001L to 3000L).map(("b", _)) ++
+        (10001L to 12000L).map(("c", _))
+    val df = rows.toDF("g", "u")
+    val m = Sketches.hllOverlapMatrix(df, "u", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("intersect_est"), r.getAs[Long]("union_est")))).toMap
+    assert(m.size == 3)
+    val (iAB, uAB) = m(("a", "b"))
+    assert(math.abs(iAB - 1000L) <= 150, s"a∩b est $iAB vs exact 1000")
+    assert(math.abs(uAB - 3000L) <= 150, s"a∪b est $uAB vs exact 3000")
+    // disjoint pairs: inclusion-exclusion noise stays near zero and the
+    // clamp keeps it non-negative
+    val iAC = m(("a", "c"))._1
+    val iBC = m(("b", "c"))._1
+    assert(iAC >= 0 && iAC <= 200, s"a∩c est $iAC vs exact 0")
+    assert(iBC >= 0 && iBC <= 200, s"b∩c est $iBC vs exact 0")
+    // deterministic on re-run; across PARTITIONINGS the DataSketches
+    // HIP estimator is insertion-order-sensitive at the margin, so
+    // equality is only within the sketch's error band — document,
+    // don't over-pin
+    val rerun = Sketches.hllOverlapMatrix(df, "u", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("intersect_est")).toMap
+    assert(m.keySet.forall(k => rerun(k) == m(k)._1))
+    val m2 = Sketches.hllOverlapMatrix(df.repartition(13), "u", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("intersect_est")).toMap
+    assert(m.keySet.forall(k => math.abs(m2(k) - m(k)._1) <= 150),
+      s"partitioning drift beyond the error band: $m2 vs $m")
+  }
 }

@@ -170,6 +170,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(34L) == 1 && got(33L) == 0)
   }
 
+  test("rollingCorr ≡ per-frame Pearson computed by hand, per key") {
+    val rnd = new scala.util.Random(3)
+    val data = for (g <- Seq("a", "b"); t <- 1 to 30)
+      yield (g, t.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+    val window = 5
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.size.toDouble
+      if (xs.size < 2) return None
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val sxx = xs.map(a => a.toDouble * a.toDouble).sum
+      val syy = ys.map(a => a.toDouble * a.toDouble).sum
+      val (cxx, cyy, cxy) = (n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy)
+      if (cxx > 0 && cyy > 0) Some(cxy / math.sqrt(cxx * cyy)) else None
+    }
+    val expect = data.groupBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - window + 1), i + 1)
+        (g, sorted(i)._2) -> pearson(frame.map(_._3), frame.map(_._4))
+      }
+    }
+    val got = TimeSeries.rollingCorr(data.toDF("g", "t", "x", "y").repartition(5),
+        Seq("g"), "t", "x", "y", window)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(r.fieldIndex("rolling_corr"))) None
+         else Some(r.getAs[Double]("rolling_corr")))).toMap
+    expect.foreach { case (k, e) =>
+      (got(k), e) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"$k: $a vs $b")
+        case (a, b) => assert(a == b, s"$k: $a vs $b")
+      }
+    }
+  }
+
   test("backtestSeasonalNaive: seasonal series scores far below naive (MASE << 1)") {
     // period-4 sawtooth: seasonal-lag forecast is EXACT, naive is not
     val data = for (g <- Seq("x"); t <- 1 to 40)
