@@ -53,19 +53,53 @@ object Stats {
     * @return (col_x, col_y, n, corr) for every unordered pair x < y in
     *         `cols` order; corr is null for a zero-variance column.
     */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrFromState(corrState(df, cols), cols)
+
+  /** The MERGEABLE moment state behind [[corrMatrix]]: one row of
+    * (n, k sums, k(k+1)/2 product sums) as exact decimals. Because
+    * every entry is an exact sum, states merge by columnwise addition
+    * with NO approximation — yesterday's corpus state plus today's
+    * delta state is bit-identical to a full recompute
+    * ([[mergeCorrStates]]; the `agg_delta_merge` incremental-rollup
+    * discipline applied to second moments). That is what maintains a
+    * 100 TB correlation matrix without re-scanning history: shards/
+    * days keep their own one-row states, any union of them answers.
+    */
+  def corrState(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns; got ${cols.size}")
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val complete = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
-    val pairs = for {
-      i <- cols.indices; j <- i until cols.size
-    } yield (cols(i), cols(j))
+    val pairs = statePairs(cols)
     val aggs =
       cols.map(c => sum(col(c).cast(dec19)).as(s"__s_$c")) ++
         pairs.map { case (a, b) =>
           sum(col(a).cast(dec19) * col(b).cast(dec19)).as(s"__p_${a}__$b")
         }
-    val m = complete.agg(count(lit(1)).as("__n"), aggs: _*)
+    complete.agg(count(lit(1)).as("__n"), aggs: _*)
+  }
+
+  /** Columnwise-sum merge of [[corrState]] rows — exact, so
+    * merge ≡ rebuild (StatsSpec pins the equality; the gate's
+    * `corr_delta_merge` hash match against the full-rebuild oracle
+    * proves it end to end).
+    */
+  def mergeCorrStates(states: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = statePairs(cols)
+    val aggs = cols.map(c => sum(col(s"__s_$c")).as(s"__s_$c")) ++
+      pairs.map { case (a, b) => sum(col(s"__p_${a}__$b")).as(s"__p_${a}__$b") }
+    states.agg(sum(col("__n")).as("__n"), aggs: _*)
+  }
+
+  private def statePairs(cols: Seq[String]): Seq[(String, String)] =
+    for { i <- cols.indices; j <- i until cols.size } yield (cols(i), cols(j))
+
+  /** Closed-form pair correlations from a (possibly merged) one-row
+    * [[corrState]].
+    */
+  def corrFromState(state: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = statePairs(cols)
+    val m = state
     // map-typed lookups let the exploded pair rows pick their moments
     // without a join; the exact decimal sums convert to double ONCE here
     val sums = map(cols.flatMap(c =>

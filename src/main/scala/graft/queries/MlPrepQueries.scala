@@ -270,6 +270,32 @@ object MlPrepQueries {
       Stats.corrMatrix(li, Seq("qty", "price", "disc", "tax"))
     }),
 
+    // Incremental correlation maintenance: the corpus splits into a
+    // base and a delta (orderkey % 97), each builds its own one-row
+    // mergeable moment state, and the matrix comes from the MERGED
+    // state — the oracle is the FULL-rebuild SQL, so the hash match
+    // proves merge ≡ rebuild (the agg_delta_merge discipline applied
+    // to second moments).
+    "corr_delta_merge" -> ((s, dir) => {
+      val cs = Seq("qty", "price", "disc", "tax")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        (col("l_quantity").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("qty"),
+        (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("price"),
+        (col("l_discount").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("disc"),
+        (col("l_tax").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("tax"))
+      val base = Stats.corrState(
+        li.where(pmod(col("l_orderkey"), lit(97)) =!= 0), cs)
+      val delta = Stats.corrState(
+        li.where(pmod(col("l_orderkey"), lit(97)) === 0), cs)
+      Stats.corrFromState(
+        Stats.mergeCorrStates(base.unionByName(delta), cs), cs)
+    }),
+
     // χ² feature-relevance screen (Stats.chiSquareRelevance): both
     // categorical order features against a high-value label in ONE
     // exploded counting pass (the psiAll shape); exact integer
@@ -774,6 +800,8 @@ object MlPrepQueries {
            CASE WHEN en > 0 THEN es / en END AS mase
          FROM s""",
     "stats_corr_matrix" -> CorrMatrixSql,
+    // FULL rebuild as the oracle: the hash match proves merge ≡ rebuild
+    "corr_delta_merge" -> CorrMatrixSql,
     "feature_relevance_chi2" -> Chi2Sql,
     "stats_bootstrap_ci" -> BootstrapSql,
     "ts_trend" ->

@@ -39,6 +39,26 @@ class StatsSpec extends SparkSpec {
     assert(m(("x", "c")).isNullAt(3) && m(("y", "c")).isNullAt(3))
   }
 
+  test("corrState merge ≡ full rebuild, bit-exact, on any shard split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val full = Stats.corrMatrix(df, cols)
+      .collect().map(_.toString).sorted.toSeq
+    for (mod <- Seq(2, 7)) {
+      val a = Stats.corrState(df.where(col("id") % mod === 0), cols)
+      val b = Stats.corrState(df.where(col("id") % mod =!= 0), cols)
+      val merged = Stats.corrFromState(
+        Stats.mergeCorrStates(a.unionByName(b), cols), cols)
+        .collect().map(_.toString).sorted.toSeq
+      assert(merged == full, s"mod=$mod: merged state diverged from rebuild")
+    }
+  }
+
   test("chiSquareRelevance: perfect association V=1, independence chi2=0") {
     import spark.implicits._
     // f1 == label (perfect); f2 balanced-independent of label
