@@ -197,6 +197,83 @@ object Stats {
     out
   }
 
+  /** Exact per-group WEIGHTED quantiles — the survey-statistics /
+    * importance-weighted form of `percentile`: the q-quantile is the
+    * smallest value whose cumulative weight reaches q of the group's
+    * total (the lower weighted quantile, inclusive). One window pass
+    * (cumulative weight over the value order) + one aggregate; the
+    * threshold test is EXACT integer arithmetic — `100·cumw ≥ p·totw`
+    * with `p = qPct` — so no double q·total rounding can flip a
+    * boundary row on any engine (the md5-gate philosophy applied to
+    * quantile selection). Weights must be non-negative integers
+    * (counts, µ-int importance weights); ties on value resolve by the
+    * cumulative order of the value itself, which is well-defined
+    * because equal values are interchangeable at a quantile boundary.
+    *
+    * @param qPcts quantile percents (e.g. Seq(25, 50, 75))
+    * @return one row per group: (…groupCols, total_weight,
+    *         q<p> for each requested percent)
+    */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
+      s"quantile percents must be in [1, 100]; got $qPcts")
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val byVal = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(grp: _*)
+    val cum = df.where(col(weightCol) >= 0)
+      .withColumn("__cw", sum(col(weightCol)).over(byVal))
+      .withColumn("__tw", sum(col(weightCol)).over(all))
+    val qAggs = qPcts.map { p =>
+      min(when(col("__cw") * 100 >= col("__tw") * p, col(valueCol)))
+        .as(s"q$p")
+    }
+    cum.groupBy(grp: _*)
+      .agg(first(col("__tw")).as("total_weight"), qAggs: _*)
+  }
+
+  /** Decile lift / calibration table for a binary-label score — the
+    * model-eval staple: rank rows by score descending, cut into
+    * `buckets` equal-count bands, report each band's response rate
+    * and lift vs the base rate. Deterministic at any scale: the
+    * global rank comes from [[DenseId.withOrderedId]] (range-
+    * partitioned sort + zipWithIndex — NO partitionless window), ties
+    * break on `idCol`, and the band cut is integer math
+    * `rid·buckets div n`, so band membership can't wobble across
+    * engines or retries. Rates and lift are exact integer ppm
+    * (truncating div — both engines agree); lift_ppm = 1 000 000
+    * means "this band converts at exactly the base rate".
+    *
+    * @param scoreCol integer-valued score (µ-int; higher = better)
+    * @param labelCol 0/1 outcome
+    * @return one row per band 0..buckets−1 (0 = top scores):
+    *         (bucket, n_rows, n_pos, response_ppm, lift_ppm)
+    */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets; got $buckets")
+    val prep = df.select((-col(scoreCol)).cast("long").as("__neg"),
+      col(idCol).cast("long").as("__id"), col(labelCol).cast("long").as("__y"))
+    val ranked = DenseId.withOrderedId(prep, "__rid", "__neg", "__id")
+    val tot = ranked.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(__rid * $buckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
+        first(col("__n")).as("__n"), first(col("__pos")).as("__pos"))
+      .withColumn("response_ppm", expr("(n_pos * 1000000) div n_rows"))
+      // lift = (n_pos/n_rows)/(__pos/__n) in exact integer ppm; the
+      // int64 headroom (n_pos·__n·1e6) holds to ~10^12-row inputs —
+      // swap the literals to DECIMAL beyond that
+      .withColumn("lift_ppm",
+        when(col("__pos") > 0,
+          expr("(n_pos * __n * 1000000) div (n_rows * __pos)")))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        col("response_ppm"), col("lift_ppm"))
+  }
+
   /** Cumulative Poisson(1) CDF gates on a 16-bit md5 draw:
     * floor(65536 · P(X ≤ k)) for k = 0..4; a draw ≥ the last gate gets
     * multiplicity 5 (P(X > 5) ≈ 0.06%, negligible truncation shared by

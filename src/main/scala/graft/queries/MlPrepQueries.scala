@@ -307,6 +307,37 @@ object MlPrepQueries {
       Stats.chiSquareRelevance(o, Seq("o_orderpriority", "o_orderstatus"), "lbl")
     }),
 
+    // Decile lift table (Stats.liftTable): rank orders by total price,
+    // cut into 10 equal-count bands WITHOUT a partitionless window
+    // (DenseId rank), report each band's high-priority rate and lift
+    // in exact integer ppm. Price doesn't predict priority in this
+    // data, so the table shows the flat-lift negative control — the
+    // calibration read a model-eval pipeline needs to recognize.
+    "model_lift_table" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      Stats.liftTable(o, "score", "y", "o_orderkey", buckets = 10)
+    }),
+
+    // Exact grouped WEIGHTED quantiles (Stats.weightedQuantiles):
+    // quantity-weighted price quartiles per return flag — the
+    // survey/importance-weighted percentile. The threshold test is
+    // exact integer arithmetic (100·cumw ≥ p·totw), so no double
+    // q·total rounding can flip a boundary row on either engine.
+    "weighted_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("price_micro"),
+        col("l_quantity").cast("long").as("qty"))
+      Stats.weightedQuantiles(li, Seq("l_returnflag"), "price_micro",
+        "qty", Seq(25, 50, 75))
+    }),
+
     // Poisson-bootstrap mean CIs (Stats.bootstrapMeanCI): per-type
     // event-value confidence intervals from 40 replicates, each row
     // drawing its multiplicities via the seedless md5 gate against
@@ -804,6 +835,45 @@ object MlPrepQueries {
     "corr_delta_merge" -> CorrMatrixSql,
     "feature_relevance_chi2" -> Chi2Sql,
     "stats_bootstrap_ci" -> BootstrapSql,
+    "model_lift_table" ->
+      """WITH b AS (SELECT o_orderkey AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS score,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS y
+           FROM orders),
+         r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id) - 1
+                 AS rid FROM b),
+         t AS (SELECT count(*) AS n, sum(y) AS pos FROM r),
+         g AS (SELECT (rid * 10) // n AS bucket, count(*) AS n_rows,
+                 sum(y) AS n_pos, max(n) AS n, max(pos) AS pos
+               FROM r CROSS JOIN t GROUP BY 1)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_rows AS BIGINT) AS n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST((n_pos * 1000000) // n_rows AS BIGINT) AS response_ppm,
+           CAST(CASE WHEN pos > 0
+             THEN (n_pos * n * 1000000) // (n_rows * pos) END AS BIGINT)
+             AS lift_ppm
+         FROM g""",
+    "weighted_quantiles" ->
+      """WITH b AS (SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS price_micro,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem WHERE l_quantity >= 0),
+         c AS (SELECT l_returnflag, price_micro,
+             sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price_micro
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(qty) OVER (PARTITION BY l_returnflag) AS tw
+           FROM b)
+         SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cw * 100 >= tw * 25 THEN price_micro END)
+             AS BIGINT) AS q25,
+           CAST(min(CASE WHEN cw * 100 >= tw * 50 THEN price_micro END)
+             AS BIGINT) AS q50,
+           CAST(min(CASE WHEN cw * 100 >= tw * 75 THEN price_micro END)
+             AS BIGINT) AS q75
+         FROM c GROUP BY l_returnflag""",
     "ts_trend" ->
       """WITH h AS (SELECT event_type,
                epoch_us(ts) // 3600000000 AS hour_idx,

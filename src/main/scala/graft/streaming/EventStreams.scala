@@ -166,6 +166,26 @@ object EventStreams {
     intervalJoin(left.withWatermark(timeCol, watermark),
       right.withWatermark(timeCol, watermark), keyCol, timeCol, window)
 
+  /** Stream-STATIC dimension enrichment: join a streaming fact against
+    * a bounded dimension table. Spark broadcasts (or locally rescans)
+    * the static side per micro-batch, so there is NO join state to
+    * watermark and no stream-stream buffering — the cheapest possible
+    * enrichment shape, and the right one whenever the dimension is
+    * batch-maintained (e.g. an [[ScdStream]]-kept current snapshot).
+    * `how = "left"` (default) keeps facts with no dimension row (nulls)
+    * — an inner join would silently drop them, the classic
+    * late-dimension bug. Batch ≡ stream is EventStreamsSpec-pinned.
+    */
+  def enrichWithDimension(stream: DataFrame, dim: DataFrame,
+      keyCol: String, how: String = "left"): DataFrame = {
+    val clash = dim.columns.toSet.intersect(stream.columns.toSet) - keyCol
+    require(clash.isEmpty,
+      s"enrichWithDimension: dimension columns ${clash.mkString(", ")} " +
+        "collide with the stream — rename them before joining")
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(keyCol), how)
+  }
+
   /** Per-user running rollup (update-mode aggregation). */
   def userRollup(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

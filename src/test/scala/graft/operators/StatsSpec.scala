@@ -91,6 +91,51 @@ class StatsSpec extends SparkSpec {
     assert(m("f2").getAs[Long]("c_levels") == 2)
   }
 
+  test("weightedQuantiles ≡ expanded-multiset type-1 quantiles, per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val data = for (g <- Seq("a", "b"); _ <- 1 to 60)
+      yield (g, rnd.nextInt(500).toLong, rnd.nextInt(5).toLong) // weight 0..4
+    val pcts = Seq(25, 50, 90)
+    val expect = data.groupBy(_._1).map { case (g, rows) =>
+      val expanded = rows.flatMap(r => Seq.fill(r._3.toInt)(r._2)).sorted
+      g -> pcts.map { p =>
+        // smallest v with cumulative count >= p% of total
+        val need = (expanded.size * p + 99) / 100 // ceil
+        expanded((need - 1).max(0))
+      }
+    }
+    val got = Stats.weightedQuantiles(data.toDF("g", "v", "w").repartition(5),
+        Seq("g"), "v", "w", pcts)
+      .collect().map(r => r.getString(0) ->
+        pcts.indices.map(i => r.getLong(2 + i)).toSeq).toMap
+    expect.foreach { case (g, e) => assert(got(g) == e, s"$g: ${got(g)} vs $e") }
+    // uniform weights reduce to the plain discrete quantile
+    val uni = Stats.weightedQuantiles(
+      data.toDF("g", "v", "w").withColumn("w", lit(1L)), Seq("g"), "v", "w", Seq(50))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val s = rows.map(_._2).sorted
+      assert(uni(g) == s((s.size * 50 + 99) / 100 - 1))
+    }
+  }
+
+  test("liftTable: exact integer bands, rates, and lift on a hand example") {
+    import spark.implicits._
+    // 20 rows, score descending with id; positives: ids 1..5 and 6
+    val df = (1 to 20).map(i =>
+      (i.toLong, 1000L - i, if (i <= 6) 1L else 0L)).toDF("id", "score", "y")
+    val got = Stats.liftTable(df, "score", "y", "id", buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L) == ((5L, 5L, 1000000L, 3333333L))) // all positive
+    assert(got(1L) == ((5L, 1L, 200000L, 666666L)))
+    assert(got(2L) == ((5L, 0L, 0L, 0L)))
+    assert(got(3L) == ((5L, 0L, 0L, 0L)))
+  }
+
   test("bootstrapMeanCI: deterministic, ordered bounds, covers the true mean") {
     import spark.implicits._
     val df = (1 to 400).map(i => (i.toLong, "g", (1000L + (i % 21) - 10)))

@@ -182,4 +182,38 @@ class EventStreamsSpec extends SparkSpec {
       .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("n_events")).toMap
     assert(r == Map(1L -> 2, 2L -> 1, 3L -> 1))
   }
+
+  test("stream-static enrichment: stream ≡ batch, left join keeps orphan facts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val facts = Seq((10L, 1L), (11L, 2L), (12L, 99L)) // 99: no dim row
+    val batch = EventStreams.enrichWithDimension(
+        facts.toDF("event_id", "user_id"), dim, "user_id")
+      .select("event_id", "tier")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(batch == Set((10L, "gold"), (11L, "silver"), (12L, null)))
+
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData(facts: _*)
+    val q = EventStreams.enrichWithDimension(
+        mem.toDF().toDF("event_id", "user_id"), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // colliding non-key columns fail loudly, not silently shadow
+    intercept[IllegalArgumentException] {
+      EventStreams.enrichWithDimension(facts.toDF("event_id", "user_id"),
+        dim.withColumnRenamed("tier", "event_id"), "user_id")
+    }
+  }
 }
