@@ -53,6 +53,18 @@ object VectorOps {
     */
   def l2Normalize(v: Column): Column = scale(v, try_divide(lit(1.0), l2Norm(v)))
 
+  /** Matryoshka truncation (MRL-style embeddings): keep the first `d`
+    * dimensions and re-normalize — the storage/latency knob for
+    * nesting-trained embeddings, where the leading prefix is itself a
+    * valid lower-dimensional embedding. Pure projection (slice +
+    * [[l2Normalize]]'s codegen'd scale), zero shuffles; cosine on
+    * truncated vectors then needs no further normalization.
+    */
+  def matryoshkaTruncate(v: Column, d: Int): Column = {
+    require(d >= 1, s"need d >= 1; got $d")
+    l2Normalize(slice(v, 1, d))
+  }
+
   /** Squared Euclidean distance via three dot products. */
   def sqDist(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)

@@ -192,6 +192,34 @@ object TimeSeries {
       .drop("__p_up", "__p_dn")
   }
 
+  /** Multiplicative seasonal index per (key, season slot): the slot's
+    * mean over the key's overall mean — the classical decomposition
+    * read ("hour 9 runs at 1.4× the daily average") and the
+    * seasonal-adjustment factor for [[backtestSeasonalNaive]]'s
+    * forecasts. Two small aggregates (slot cells, then per-key totals
+    * DERIVED from the cells — the data is scanned once); the index is
+    * the only double math, computed from exact integer sums with an
+    * identical expression on any engine (the olsTrend discipline).
+    *
+    * @return (…keyCols, slot, n_slot, seasonal_index) — index null
+    *         for a key whose overall sum is 0
+    */
+  def seasonalIndex(df: DataFrame, keyCols: Seq[String], slotCol: String,
+      valCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grp = keyCols.map(col)
+    val cells = df.groupBy(grp :+ col(slotCol).as("slot"): _*)
+      .agg(sum(col(valCol).cast(dec)).as("__ss"), count(lit(1)).as("__sn"))
+    val totals = cells.groupBy(grp: _*)
+      .agg(sum(col("__ss")).as("__ts"), sum(col("__sn")).as("__tn"))
+    def d(c: String) = col(c).cast("double")
+    cells.join(totals, keyCols)
+      .select(grp ++ Seq(col("slot"), col("__sn").as("n_slot"),
+        when(col("__ts") =!= 0,
+          (d("__ss") * d("__tn")) / (d("__sn") * d("__ts")))
+          .as("seasonal_index")): _*)
+  }
+
   /** Rolling Pearson correlation of two integer-valued series per key
     * over a trailing row frame — "are these two signals still moving
     * together?" as a continuous monitor (regime detection, feature

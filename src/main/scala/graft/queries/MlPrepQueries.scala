@@ -237,6 +237,19 @@ object MlPrepQueries {
         "n_events", "mean_micro", window = 24)
     }),
 
+    // Hour-of-day seasonal index (TimeSeries.seasonalIndex): each
+    // (type, hour-of-day) slot's mean event value over the type's
+    // overall mean — the multiplicative decomposition read. Exact
+    // integer sums; the index division is the only double math.
+    "ts_seasonal_index" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          pmod(expr("(ts_ns div 1000) div 3600000000"), lit(24)).as("hod"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long").as("v_micro"))
+      TimeSeries.seasonalIndex(hourly, Seq("event_type"), "hod", "v_micro")
+    }),
+
     // Seasonal-naive backtest (TimeSeries.backtestSeasonalNaive):
     // MASE of the 24-hour seasonal forecast vs the one-step naive on
     // hourly value sums per type — exact integer |errors| summed as
@@ -811,6 +824,22 @@ object MlPrepQueries {
                / sqrt((CAST(rn AS DOUBLE) * sxx - sx * sx)
                  * (CAST(rn AS DOUBLE) * syy - sy * sy)) END AS rolling_corr
          FROM m""",
+    "ts_seasonal_index" ->
+      """WITH b AS (SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         cells AS (SELECT event_type, hod,
+             CAST(sum(CAST(v AS HUGEINT)) AS DECIMAL(38,0)) AS ss,
+             CAST(count(*) AS BIGINT) AS sn
+           FROM b GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(ss) AS ts_, sum(sn) AS tn
+           FROM cells GROUP BY 1)
+         SELECT cells.event_type, hod AS slot, sn AS n_slot,
+           CASE WHEN ts_ <> 0 THEN (CAST(ss AS DOUBLE) * CAST(tn AS DOUBLE))
+             / (CAST(sn AS DOUBLE) * CAST(ts_ AS DOUBLE)) END
+             AS seasonal_index
+         FROM cells JOIN tot ON cells.event_type = tot.event_type""",
     "ts_backtest_mase" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
              CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)

@@ -45,6 +45,25 @@ object StreamQueries {
         Tables.events(s, dir), "user_id", "event_type")
     }),
 
+    // Behavioral path mining: top-20 event-type trigrams along each
+    // user's µs-ordered event sequence (event_id tiebreak) — the
+    // "what do users do before X" read. One window pass with two
+    // compiled lag reads (no per-user collect), one count aggregate,
+    // TakeOrdered finish; count ties break on path so the top-20 cut
+    // is deterministic on both engines.
+    "path_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("e1", lag(col("event_type"), 2).over(w))
+        .withColumn("e2", lag(col("event_type"), 1).over(w))
+        .where(col("e1").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("event_type")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(20)
+    }),
+
     // CMS join-size planning estimate for the lineitem ⋈ lineitem
     // self-join on l_partkey (Σ deg² — the skew question): two
     // one-scan sketches, one counter-table dot product, no join run.
@@ -277,6 +296,16 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "path_trigrams" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events),
+         l AS (SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS e1, lag(event_type, 1) OVER w AS e2
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         SELECT e1 || '>' || e2 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+         FROM l WHERE e1 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""",
     "stream_hopping_agg" ->
       """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
          w AS (SELECT ((t // 1800000000) - k.k) * 1800 AS win_epoch, event_type

@@ -293,6 +293,17 @@ object VectorQueries {
 
     // L2 normalization of the embedding column (compiled VecScale — no
     // interpreted transform lambda), emitted flat for the oracle.
+    // Matryoshka truncation (VectorOps.matryoshkaTruncate): first-16-
+    // dims prefix + renormalize — the MRL storage/latency knob, flat
+    // posexplode output in the vec_normalize discipline.
+    "vec_truncate_renorm" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(VectorOps.matryoshkaTruncate(col("embedding"), 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          (round(col("col"), 4) + lit(0.0)).as("value"))
+    }),
+
     "vec_normalize" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(VectorOps.l2Normalize(col("embedding"))))
@@ -420,6 +431,16 @@ object VectorQueries {
                 round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) + 0.0 AS value,
                 CAST(count(*) AS BIGINT) AS n
          FROM ex GROUP BY 1, 2""",
+    "vec_truncate_renorm" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, 16)) AS i,
+                embedding FROM embeddings),
+         n AS (SELECT vec_id,
+                 sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+               FROM ex GROUP BY vec_id)
+         SELECT ex.vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nrm, 4) + 0.0 AS value
+         FROM ex JOIN n ON ex.vec_id = n.vec_id""",
     "vec_normalize" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
                 embedding FROM embeddings),

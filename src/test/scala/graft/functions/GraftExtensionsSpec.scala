@@ -112,4 +112,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(Seq(Option.empty[String]).toDF("t")
       .select(TextOps.nfcNormalize(col("t"))).head().isNullAt(0))
   }
+
+  test("matryoshkaTruncate: unit-norm prefix; d >= len degenerates to l2Normalize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorOps
+    val df = Seq((1L, Array(3.0, 4.0, 100.0, -7.0)), (2L, Array(0.0, 0.0, 5.0, 5.0)))
+      .toDF("id", "v")
+    val t2 = df.select(col("id"), VectorOps.matryoshkaTruncate(col("v"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // first two dims of id 1: (3,4) → (0.6, 0.8) up to one ulp of the
+    // 1/‖v‖ reciprocal; id 2's prefix is the zero vector →
+    // try_divide nulls, never a throw
+    assert(t2(1L).zip(Seq(0.6, 0.8)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 })
+    assert(t2(2L) == null) // null ARRAY, not array of nulls
+    val full = df.select(VectorOps.matryoshkaTruncate(col("v"), 4).as("a"),
+        VectorOps.l2Normalize(col("v")).as("b"))
+      .collect().forall(r => r.getSeq[Double](0) == r.getSeq[Double](1))
+    assert(full)
+  }
 }

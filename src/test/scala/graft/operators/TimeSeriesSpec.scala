@@ -170,6 +170,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(34L) == 1 && got(33L) == 0)
   }
 
+  test("seasonalIndex: hand values, per-key isolation, zero-total null") {
+    // key a: slot 0 mean 10, slot 1 mean 30 → overall 20 → indexes 0.5, 1.5
+    val data = Seq(
+      ("a", 0L, 10L), ("a", 0L, 10L), ("a", 1L, 30L), ("a", 1L, 30L),
+      ("b", 0L, 5L), ("b", 1L, 5L),     // flat: index 1.0 both slots
+      ("z", 0L, 0L), ("z", 1L, 0L))     // zero total: null index
+    val got = TimeSeries.seasonalIndex(data.toDF("k", "slot", "v"),
+        Seq("k"), "slot", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(got(("a", 0L)) == ((2L, 0.5)) && got(("a", 1L)) == ((2L, 1.5)))
+    assert(got(("b", 0L)) == ((1L, 1.0)) && got(("b", 1L)) == ((1L, 1.0)))
+    assert(got(("z", 0L)) == ((1L, null)) && got(("z", 1L)) == ((1L, null)))
+  }
+
   test("rollingCorr ≡ per-frame Pearson computed by hand, per key") {
     val rnd = new scala.util.Random(3)
     val data = for (g <- Seq("a", "b"); t <- 1 to 30)
