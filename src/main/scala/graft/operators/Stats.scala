@@ -234,6 +234,67 @@ object Stats {
       .agg(first(col("__tw")).as("total_weight"), qAggs: _*)
   }
 
+  /** Top principal component of an embedding column by distributed
+    * POWER ITERATION — the dominant-direction/variance probe (data
+    * drift, anisotropy checks, whitening prep) without ever
+    * materializing the d×d covariance or centering the data: using
+    * C·v = E[x(x·v)] − µ(µ·v), each iteration is ONE pass of
+    * codegen'd dot products (`VecDot`) plus a pos-keyed aggregate;
+    * the driver only ever holds d-length vectors (the Lloyd-state
+    * collect discipline). No array lambdas anywhere — the 391 s
+    * interpreted-zip_with lesson.
+    *
+    * Deterministic init (e₀ + e₁/2 + … scaled 1/(i+1), fixed), fixed
+    * iteration count; double aggregation keeps partition-order noise
+    * at ulp level — StatsSpec pins alignment with the exact
+    * eigenvector, not bit equality.
+    *
+    * @return d rows: (pos, loading, eigenvalue, variance_share) —
+    *         loading the unit component, eigenvalue its variance,
+    *         variance_share = λ / trace(C)
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String,
+      iters: Int = 15): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    import graft.functions.VectorOps
+    val spark = df.sparkSession
+    val vecs = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = vecs.select(size(col("__v"))).head().getInt(0)
+      val n = vecs.count().toDouble
+      // mean vector + total second moment: one flat aggregate each
+      val mu: Array[Double] = vecs
+        .select(posexplode(col("__v")))
+        .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
+      val sumSq = vecs.agg(sum(VectorOps.dot(col("__v"), col("__v"))))
+        .head().getDouble(0)
+      val trace = sumSq / n - mu.map(m => m * m).sum
+      var v = Array.tabulate(d)(i => 1.0 / (i + 1))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val vLit = array(v.map(lit): _*)
+        // y = E[x (x·v)] − µ (µ·v): one scan, dot codegen'd
+        val y = vecs
+          .select(VectorOps.dot(col("__v"), vLit).as("__s"), posexplode(col("__v")))
+          .groupBy(col("pos")).agg(sum(col("col") * col("__s")).as("yy"))
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
+        val muDotV = mu.zip(v).map { case (a, b) => a * b }.sum
+        val cy = y.zip(mu).map { case (a, m) => a - m * muDotV }
+        val nrm = math.sqrt(cy.map(x => x * x).sum)
+        require(nrm > 0, "degenerate input: zero covariance action")
+        lambda = nrm // ‖Cv‖ → λ as v aligns
+        v = cy.map(_ / nrm)
+      }
+      import spark.implicits._
+      v.zipWithIndex.map { case (x, i) =>
+        (i.toLong, x, lambda, if (trace > 0) lambda / trace else 0.0)
+      }.toSeq.toDF("pos", "loading", "eigenvalue", "variance_share")
+    } finally vecs.unpersist(false)
+  }
+
   /** Decile lift / calibration table for a binary-label score — the
     * model-eval staple: rank rows by score descending, cut into
     * `buckets` equal-count bands, report each band's response rate

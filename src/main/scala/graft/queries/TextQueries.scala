@@ -245,6 +245,48 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Distinctive vocabulary per source: log-odds-ratio with a
+    // Dirichlet prior, z-scored (the "Fightin' Words" statistic,
+    // Monroe et al. 2008) — which terms characterize a source AGAINST
+    // the rest of the corpus, the curation read raw frequency can't
+    // give (frequent-everywhere terms cancel). One token explode feeds
+    // source×term cells; term/source/grand totals derive from the
+    // cells; the z is double math on exact integer counts with an
+    // identical expression on both engines, rounded to 4dp BEFORE the
+    // per-source top-10 rank (term-asc tiebreak) so the cut is stable.
+    "source_distinctive_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val alpha = 0.01
+      val cells = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("y"))
+        .localCheckpoint(true)
+      val termTot = cells.groupBy(col("t")).agg(sum(col("y")).as("yw"))
+      val srcTot = cells.groupBy(col("source")).agg(sum(col("y")).as("ns"))
+      val grand = cells.agg(sum(col("y")).as("nn"),
+        countDistinct(col("t")).as("vv"))
+      val j = cells.join(termTot, Seq("t")).join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(grand))
+        .withColumn("yrest", col("yw") - col("y"))
+        .withColumn("nrest", col("nn") - col("ns"))
+      val aV = lit(alpha) * col("vv").cast("double")
+      def lodds(y: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        log((y.cast("double") + lit(alpha)) /
+          (n.cast("double") + aV - y.cast("double") - lit(alpha)))
+      val delta = lodds(col("y"), col("ns")) - lodds(col("yrest"), col("nrest"))
+      val variance = lit(1.0) / (col("y").cast("double") + lit(alpha)) +
+        lit(1.0) / (col("yrest").cast("double") + lit(alpha))
+      val z = round(delta / sqrt(variance), 4)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("z").desc, col("t").asc)
+      j.withColumn("z", z)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("source"), col("t").as("token"), col("y"),
+          col("z"), col("rank"))
+    }),
+
     // Per-document out-of-vocabulary rate against the corpus top-20
     // vocabulary (the synthetic corpus has ~31 distinct tokens; a real
     // vocab is top-k for larger k, same plan) — the tokenizer-coverage
@@ -924,6 +966,32 @@ object TextQueries {
                 CAST((sum(oov) * 1000000) // count(*) AS DOUBLE) / 1e6
                   AS oov_rate
          FROM j GROUP BY doc_id""",
+    "source_distinctive_terms" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         cells AS (SELECT source, t, CAST(count(*) AS BIGINT) AS y
+           FROM tok WHERE t <> '' GROUP BY 1, 2),
+         tt AS (SELECT t, sum(y) AS yw FROM cells GROUP BY 1),
+         st AS (SELECT source, sum(y) AS ns FROM cells GROUP BY 1),
+         g AS (SELECT sum(y) AS nn, count(DISTINCT t) AS vv FROM cells),
+         j AS (SELECT c.source, c.t, c.y, tt.yw - c.y AS yrest, st.ns,
+                 g.nn - st.ns AS nrest, g.vv
+               FROM cells c JOIN tt ON c.t = tt.t
+               JOIN st ON c.source = st.source CROSS JOIN g),
+         zt AS (SELECT source, t, y,
+             round((ln((CAST(y AS DOUBLE) + 0.01)
+                 / (CAST(ns AS DOUBLE) + 0.01 * CAST(vv AS DOUBLE)
+                    - CAST(y AS DOUBLE) - 0.01))
+               - ln((CAST(yrest AS DOUBLE) + 0.01)
+                 / (CAST(nrest AS DOUBLE) + 0.01 * CAST(vv AS DOUBLE)
+                    - CAST(yrest AS DOUBLE) - 0.01)))
+               / sqrt(1.0 / (CAST(y AS DOUBLE) + 0.01)
+                    + 1.0 / (CAST(yrest AS DOUBLE) + 0.01)), 4) AS z
+           FROM j),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY z DESC, t ASC) AS rnk FROM zt)
+         SELECT source, t AS token, y, z, CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 10""",
     "text_wordfreq" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

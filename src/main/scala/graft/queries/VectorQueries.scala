@@ -293,6 +293,18 @@ object VectorQueries {
 
     // L2 normalization of the embedding column (compiled VecScale — no
     // interpreted transform lambda), emitted flat for the oracle.
+    // Top principal component by distributed power iteration
+    // (Stats.topPrincipalComponent): dominant direction + variance
+    // share of the embedding corpus — the anisotropy/drift probe.
+    // Per-iteration work is one codegen'd-dot scan + a pos-keyed
+    // aggregate; the driver holds only d-length vectors. Iterative
+    // double math → rows-only; StatsSpec pins recovery of a planted
+    // direction.
+    "embedding_top_pc" -> ((s, dir) => {
+      graft.operators.Stats.topPrincipalComponent(
+        Tables.embeddings(s, dir), "embedding")
+    }),
+
     // Matryoshka truncation (VectorOps.matryoshkaTruncate): first-16-
     // dims prefix + renormalize — the MRL storage/latency knob, flat
     // posexplode output in the vec_normalize discipline.

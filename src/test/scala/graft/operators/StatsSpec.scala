@@ -120,6 +120,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("topPrincipalComponent recovers a planted dominant direction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val d = 8
+    // planted direction along (1,1,0,...)/√2 with big variance; small
+    // isotropic noise elsewhere; a nonzero mean to exercise centering
+    val dir = Array.tabulate(d)(i => if (i < 2) 1.0 / math.sqrt(2) else 0.0)
+    val rows = (1 to 800).map { _ =>
+      val t = rnd.nextGaussian() * 10.0
+      Array.tabulate(d)(i => 5.0 + t * dir(i) + rnd.nextGaussian() * 0.5)
+    }
+    val got = Stats.topPrincipalComponent(rows.map(Tuple1(_)).toDF("v"), "v")
+      .collect().sortBy(_.getLong(0))
+    val loading = got.map(_.getDouble(1))
+    val cos = math.abs(loading.zip(dir).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.995, s"|cos(found, planted)| = $cos")
+    val lambda = got.head.getDouble(2)
+    assert(lambda > 80 && lambda < 120, s"eigenvalue $lambda vs planted ~100")
+    val share = got.head.getDouble(3)
+    assert(share > 0.95, s"variance share $share — noise dims are tiny")
+    // unit loading
+    assert(math.abs(loading.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("liftTable: exact integer bands, rates, and lift on a hand example") {
     import spark.implicits._
     // 20 rows, score descending with id; positives: ids 1..5 and 6
