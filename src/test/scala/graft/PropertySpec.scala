@@ -177,6 +177,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: |corr| ≤ 1, shared n, column-order invariance") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(-500L, 500L), Gen.choose(-500L, 500L),
+        Gen.choose(-500L, 500L)))
+    samples(gen, 3).foreach { rows =>
+      val df = rows.toDF("x", "y", "z")
+      val m = Stats.corrMatrix(df, Seq("x", "y", "z")).collect()
+      assert(m.forall(r => r.isNullAt(3) || math.abs(r.getDouble(3)) <= 1 + 1e-12))
+      assert(m.map(_.getLong(2)).distinct.length == 1) // one shared n
+      // reversing the column list permutes pair labels, not values
+      val rev = Stats.corrMatrix(df, Seq("z", "y", "x")).collect()
+        .map(r => Set(r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+      m.foreach { r =>
+        val k = Set(r.getString(0), r.getString(1))
+        val v = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+        assert(v.isNaN && rev(k).isNaN || math.abs(v - rev(k)) < 1e-12, s"$k")
+      }
+    }
+  }
+
+  test("weightedQuantiles: monotone in p, values drawn from the data") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 300L), Gen.choose(0L, 6L)))
+    samples(gen, 3).foreach { rows =>
+      val withW = rows.filter(_._3 > 0)
+      if (withW.map(_._1).distinct.size == 2) {
+        val got = Stats.weightedQuantiles(rows.toDF("g", "v", "w"),
+          Seq("g"), "v", "w", Seq(10, 50, 90)).collect()
+        got.foreach { r =>
+          val (q10, q50, q90) = (r.getLong(2), r.getLong(3), r.getLong(4))
+          assert(q10 <= q50 && q50 <= q90, s"non-monotone: $q10 $q50 $q90")
+          val vals = withW.filter(_._1 == r.getString(0)).map(_._2).toSet
+          assert(Seq(q10, q50, q90).forall(vals.contains),
+            "quantile not an observed (weighted) value")
+        }
+      }
+    }
+  }
+
+  test("cusum: scores non-negative, constant in-tolerance series never alarms") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val gen = Gen.listOfN(60, Gen.choose(-20L, 20L))
+    samples(gen, 3).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (x, t) => ("k", t.toLong, x) }
+        .toDF("g", "t", "x")
+      val out = TimeSeries.cusum(df, Seq("g"), "t", "x",
+        driftK = 25L, threshold = 100L).collect()
+      assert(out.forall(r => r.getAs[Long]("cusum_up") >= 0 &&
+        r.getAs[Long]("cusum_down") >= 0))
+      // |x| ≤ 20 < k = 25: neither side can ever accumulate
+      assert(out.forall(r => r.getAs[Long]("cusum_up") == 0 &&
+        r.getAs[Long]("cusum_down") == 0))
+    }
+  }
+
+  test("attribution: linear credits sum to exactly 1e6 per conversion") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 5L),
+      Gen.choose(0L, 1000L), Gen.oneOf("view", "click", "purchase")))
+    samples(gen, 3).foreach { evs =>
+      val df = evs.zipWithIndex.map { case ((u, ts, ty), i) =>
+        (i.toLong, u, ts, ty) }.toDF("event_id", "user_id", "ts", "event_type")
+      val credits = Attribution.creditTouches(df, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click"), "purchase",
+        "linear", lookbackUs = 500L)
+      val perConv = credits.groupBy("user", "conv_id")
+        .agg(sum("credit_ppm").as("s")).collect()
+      assert(perConv.forall(_.getLong(2) == 1000000L),
+        "a conversion's credits did not sum to 1e6")
+    }
+  }
+
   test("negative sampling: rate·|pos| negatives, ids within vocabulary") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(
