@@ -91,6 +91,45 @@ object Stats {
     states.agg(sum(col("__n")).as("__n"), aggs: _*)
   }
 
+  /** Mergeable PER-GROUP second-moment state — the incremental-rollup
+    * discipline ([[graft.operators.IncrementalAgg]]) extended to
+    * variance: (key…, n, Σx, Σx²) with exact decimal sums, so shard/
+    * day states merge by columnwise addition with NO approximation
+    * and merged-state variance is bit-identical to a full recompute
+    * (the gate's `var_delta_merge` hash match against the full-
+    * rebuild oracle is the proof). Values are integer-valued µ-ints
+    * ≤19 digits (the olsTrend contract).
+    */
+  def groupMomentsState(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(dec19)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__sx"),
+        sum(x * x).as("__sxx"))
+  }
+
+  /** Columnwise-sum merge of [[groupMomentsState]] tables. */
+  def mergeGroupMoments(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).as("__n"), sum(col("__sx")).as("__sx"),
+        sum(col("__sxx")).as("__sxx"))
+
+  /** Mean / sample variance / sample stddev from a (possibly merged)
+    * moment state — double-only closed form on the exact sums:
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)), null for n < 2.
+    */
+  def momentsReport(state: DataFrame, keyCols: Seq[String]): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    val n = d("__n")
+    val varC = (n * d("__sxx") - d("__sx") * d("__sx")) / (n * (n - lit(1.0)))
+    state.select(keyCols.map(col) ++ Seq(
+      col("__n").as("n"),
+      (d("__sx") / n).as("mean"),
+      when(col("__n") >= 2, varC).as("variance"),
+      when(col("__n") >= 2, sqrt(varC)).as("stddev")): _*)
+  }
+
   private def statePairs(cols: Seq[String]): Seq[(String, String)] =
     for { i <- cols.indices; j <- i until cols.size } yield (cols(i), cols(j))
 

@@ -309,6 +309,28 @@ object MlPrepQueries {
         Stats.mergeCorrStates(base.unionByName(delta), cs), cs)
     }),
 
+    // Incremental per-group variance maintenance
+    // (Stats.groupMomentsState/mergeGroupMoments/momentsReport): base
+    // and delta shards each hold (key, n, Σx, Σx²) exact-decimal
+    // states; the report reads the MERGED state while the oracle
+    // rebuilds from the full table — the hash match proves
+    // merge ≡ rebuild for second moments per key.
+    "var_delta_merge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("price_micro"))
+      val base = Stats.groupMomentsState(
+        li.where(pmod(col("l_orderkey"), lit(97)) =!= 0),
+        Seq("l_returnflag"), "price_micro")
+      val delta = Stats.groupMomentsState(
+        li.where(pmod(col("l_orderkey"), lit(97)) === 0),
+        Seq("l_returnflag"), "price_micro")
+      Stats.momentsReport(
+        Stats.mergeGroupMoments(base.unionByName(delta), Seq("l_returnflag")),
+        Seq("l_returnflag"))
+    }),
+
     // χ² feature-relevance screen (Stats.chiSquareRelevance): both
     // categorical order features against a high-value label in ONE
     // exploded counting pass (the psiAll shape); exact integer
@@ -862,6 +884,24 @@ object MlPrepQueries {
     "stats_corr_matrix" -> CorrMatrixSql,
     // FULL rebuild as the oracle: the hash match proves merge ≡ rebuild
     "corr_delta_merge" -> CorrMatrixSql,
+    // FULL rebuild as the oracle — same proof shape for per-group variance
+    "var_delta_merge" ->
+      """WITH b AS (SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(v AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE)
+               AS sx,
+             CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS DOUBLE)
+               AS sxx
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, n, sx / CAST(n AS DOUBLE) AS mean,
+           CASE WHEN n >= 2 THEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS variance,
+           CASE WHEN n >= 2 THEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS stddev
+         FROM g""",
     "feature_relevance_chi2" -> Chi2Sql,
     "stats_bootstrap_ci" -> BootstrapSql,
     "model_lift_table" ->

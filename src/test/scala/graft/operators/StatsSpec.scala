@@ -39,6 +39,31 @@ class StatsSpec extends SparkSpec {
     assert(m(("x", "c")).isNullAt(3) && m(("y", "c")).isNullAt(3))
   }
 
+  test("groupMomentsState merge ≡ full rebuild; hand-checked variance") {
+    import spark.implicits._
+    val df = Seq(("a", 2L), ("a", 4L), ("a", 6L), ("b", 10L), ("b", 10L),
+      ("c", 7L)).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val full = Stats.momentsReport(
+      Stats.groupMomentsState(df, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    // a: mean 4, sample variance 4; b: var 0; c: n=1 → null var
+    val a = Stats.momentsReport(Stats.groupMomentsState(df, Seq("g"), "v"), Seq("g"))
+      .where(col("g") === "a").head()
+    assert(a.getDouble(2) == 4.0 && a.getDouble(3) == 4.0 && a.getDouble(4) == 2.0)
+    assert(Stats.momentsReport(Stats.groupMomentsState(df, Seq("g"), "v"), Seq("g"))
+      .where(col("g") === "c").head().isNullAt(3))
+    for (mod <- Seq(2, 3)) {
+      val m = Stats.momentsReport(Stats.mergeGroupMoments(
+        Stats.groupMomentsState(df.where(col("id") % mod === 0), Seq("g"), "v")
+          .unionByName(
+            Stats.groupMomentsState(df.where(col("id") % mod =!= 0), Seq("g"), "v")),
+        Seq("g")), Seq("g"))
+        .collect().map(r => r.getString(0) -> r.toString).toMap
+      assert(m == full, s"mod=$mod merged diverged from rebuild")
+    }
+  }
+
   test("corrState merge ≡ full rebuild, bit-exact, on any shard split") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
