@@ -143,6 +143,52 @@ object CorpusPrep {
       .where(col("sample_rank") <= k)
   }
 
+  /** EXACT class rebalancing by deterministic oversampling: every class
+    * in `classCol` is replicated up to the size of the largest class —
+    * each row gets `base = target div n` copies, and the `target mod n`
+    * rows with the smallest md5 draw on their id get one extra, so the
+    * output has EXACTLY `maxClassSize` rows per class (not merely in
+    * expectation, unlike a fraction gate). The md5 rank makes the
+    * remainder assignment a pure function of the ids: bit-identical
+    * across engines, retries, and partitionings, and replayable by a
+    * SQL oracle — the R1 hashSplit discipline applied to oversampling.
+    *
+    * Scale shape: class sizes are one tiny aggregate (broadcast back);
+    * the only shuffle is the class-partitioned rank window, and
+    * replication itself is a zero-shuffle `explode(sequence)` whose
+    * fan-out is data (the oversampled rows), not overhead. A severely
+    * skewed class layout concentrates the rank window on the SMALL
+    * classes (the big class has base=1, rem=0 and never needs extras) —
+    * exactly the side that fits; the `__needs_rank` split below keeps
+    * the majority class out of the window entirely.
+    *
+    * Output = input columns + `copy` (1-based replica index; copy = 1
+    * rows are the original multiset).
+    */
+  def oversampleToMax(df: DataFrame, idCol: String, classCol: String): DataFrame = {
+    val sizes = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val target = sizes.agg(max(col("__n")).as("__target"))
+    val plan = broadcast(sizes.crossJoin(target)
+      .select(col(classCol), col("__n"),
+        (col("__target") / col("__n")).cast("long").as("__base"),
+        (col("__target") % col("__n")).as("__rem")))
+    val joined = df.join(plan, Seq(classCol))
+    // rank only where the remainder matters: classes with __rem = 0
+    // (including the majority class itself) skip the window
+    val flat = joined.where(col("__rem") === 0)
+      .withColumn("__copies", col("__base"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = joined.where(col("__rem") > 0)
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__copies",
+        col("__base") + when(col("__rank") <= col("__rem"), 1L).otherwise(0L))
+      .drop("__rank")
+    flat.unionByName(ranked)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__n", "__base", "__rem", "__copies")
+  }
+
   /** Efraimidis-Spirakis selection key ln(u)/w from the seedless md5
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -437,5 +438,48 @@ object Stats {
         col("__q").getItem(0).as("ci_lo"),
         col("__q").getItem(1).as("ci_mid"),
         col("__q").getItem(2).as("ci_hi")): _*)
+  }
+
+  /** Quantile normalization across groups (the cross-source
+    * distribution aligner: genomics' quantile normalization / the
+    * "make every source's length distribution comparable" prep step):
+    * each value is replaced by the POOLED distribution's type-1
+    * quantile at the value's within-group percent rank, so after
+    * normalization every group draws from the same (pooled) value
+    * distribution regardless of how shifted or stretched it started.
+    *
+    * All rank math is exact integers: within-group rank `r` of `n_g`
+    * (ordered by value, id), pooled position `ceil(r·N / n_g)` into the
+    * N pooled values ordered by (value, group, id) — no percentile
+    * interpolation, no floats, so the mapping is bit-identical across
+    * engines and replayable in SQL. `r·N` is int64 — exact to ~3·10⁹
+    * rows; beyond that widen to decimal.
+    *
+    * Scale shape: the within-group rank is one group-partitioned
+    * window; the pooled order comes from [[DenseId.withOrderedId]]
+    * (range-partitioned sort + zipWithIndex — NO partitionless window
+    * at any size); the mapping itself is an equi-join on the dense
+    * integer position. Three shuffles total, each on keys that
+    * distribute.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol), col(valueCol))
+    val pooled = DenseId.withOrderedId(
+        base.select(col(valueCol), col(groupCol), col(idCol)),
+        "__pos", valueCol, groupCol, idCol)
+      .select((col("__pos") + 1L).as("__pos1"), col(valueCol).as("__pooled_v"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val sizes = Window.partitionBy(col(groupCol))
+    val ranked = base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(sizes))
+    val n = base.count()
+    ranked
+      .withColumn("__pos1",
+        expr(s"(__r * ${n}L + __ng - 1L) DIV __ng"))
+      .join(pooled, Seq("__pos1"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("__pooled_v").as(s"${valueCol}_qnorm"))
   }
 }

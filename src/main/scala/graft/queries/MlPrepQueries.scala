@@ -470,6 +470,33 @@ object MlPrepQueries {
       graft.operators.Salting.joinSkewReport(
         li, li.where(col("l_quantity") > 25), Seq("l_partkey"),
         minPairs = 900L)
+    }),
+
+    // EXACT class rebalancing (CorpusPrep.oversampleToMax): every
+    // o_orderpriority class oversampled to exactly the majority class's
+    // size — base copies by integer division, the remainder assigned to
+    // the md5-smallest ids (deterministic, SQL-replayable; the hash-gate
+    // discipline applied to oversampling). The gate emits the replica
+    // rows themselves so the oracle hash proves both the per-class
+    // totals AND which specific rows got the extra copy.
+    "class_rebalance" -> ((s, dir) => {
+      graft.operators.CorpusPrep.oversampleToMax(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderkey", "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("copy"))
+    }),
+
+    // Quantile normalization across sources (Stats.quantileNormalize):
+    // each document's n_chars mapped to the POOLED corpus length
+    // distribution at its within-source percent rank — the cross-source
+    // aligner that makes length-based curation thresholds comparable
+    // between sources with shifted length profiles. Exact integer rank
+    // math (type-1 quantile, no interpolation) → hash-checkable.
+    "quantile_normalize" -> ((s, dir) => {
+      graft.operators.Stats.quantileNormalize(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "n_chars", "source", "doc_id")
     })
   )
 
@@ -1015,6 +1042,32 @@ object MlPrepQueries {
                FROM lineitem WHERE l_quantity > 25 GROUP BY 1)
          SELECT l_partkey, n_left, n_right, n_left * n_right AS n_pairs
          FROM lc JOIN rc USING (l_partkey)
-         WHERE n_left * n_right >= 900"""
+         WHERE n_left * n_right >= 900""",
+    "class_rebalance" ->
+      """WITH sizes AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1),
+         plan AS (SELECT o_orderpriority, n,
+               (SELECT max(n) FROM sizes) // n AS base,
+               (SELECT max(n) FROM sizes) % n AS rem
+             FROM sizes),
+         ranked AS (SELECT o.o_orderkey, o.o_orderpriority, p.base, p.rem,
+               row_number() OVER (PARTITION BY o.o_orderpriority
+                 ORDER BY md5(CAST(o.o_orderkey AS VARCHAR)), o.o_orderkey) AS r
+             FROM orders o JOIN plan p USING (o_orderpriority))
+         SELECT o_orderkey, o_orderpriority, CAST(c.c AS BIGINT) AS copy
+         FROM ranked, unnest(generate_series(1,
+             base + CASE WHEN r <= rem THEN 1 ELSE 0 END)) AS c(c)""",
+    "quantile_normalize" ->
+      """WITH pooled AS (SELECT n_chars AS pv,
+               row_number() OVER (ORDER BY n_chars, source, doc_id) AS pos1
+             FROM documents),
+         ranked AS (SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS ng,
+               count(*) OVER () AS n
+             FROM documents)
+         SELECT doc_id, source, n_chars, p.pv AS n_chars_qnorm
+         FROM ranked JOIN pooled p ON (r * n + ng - 1) // ng = p.pos1"""
   )
 }

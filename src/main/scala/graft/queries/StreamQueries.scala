@@ -64,6 +64,30 @@ object StreamQueries {
         .orderBy(col("n").desc, col("path").asc).limit(20)
     }),
 
+    // First-order Markov transition matrix of the event stream: for
+    // every (event_type → next event_type) along each user's µs-ordered
+    // sequence (event_id tiebreak, the path_trigrams discipline), the
+    // exact transition count, source marginal, and probability as
+    // integer ppm (n·10⁶ div n_src — no float division anywhere, so the
+    // row is hash-exact). One lead window + two aggregates; the ppm
+    // matrix is |types|² rows regardless of stream size — the
+    // behavioral-model input ("where do users go from X") and the
+    // simulator/synthetic-data seed.
+    "event_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
+      pairs.join(totals, Seq("src"))
+        .select(col("src"), col("dst"), col("n"), col("n_src"),
+          expr("n * 1000000L DIV n_src").as("p_ppm"))
+    }),
+
     // CMS join-size planning estimate for the lineitem ⋈ lineitem
     // self-join on l_partkey (Σ deg² — the skew question): two
     // one-scan sketches, one counter-table dot product, no join run.
@@ -306,6 +330,19 @@ object StreamQueries {
            CAST(count(*) AS BIGINT) AS n
          FROM l WHERE e1 IS NOT NULL
          GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""",
+    "event_markov" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events),
+         p AS (SELECT event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS dst
+           FROM e),
+         c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY 1)
+         SELECT src, dst, n, n_src,
+                CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
+         FROM c JOIN tot USING (src)""",
     "stream_hopping_agg" ->
       """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
          w AS (SELECT ((t // 1800000000) - k.k) * 1800 AS win_epoch, event_type

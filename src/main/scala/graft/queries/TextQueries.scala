@@ -254,6 +254,36 @@ object TextQueries {
     // cells; the z is double math on exact integer counts with an
     // identical expression on both engines, rounded to 4dp BEFORE the
     // per-source top-10 rank (term-asc tiebreak) so the cut is stable.
+    // Token-pair PMI over document co-occurrence: which word pairs
+    // appear together more than their marginals predict — collocation /
+    // topical-structure mining, the pairwise complement of tf-idf. The
+    // pair space is bounded by a deterministic top-200-df vocabulary
+    // (df desc, token asc cut) and generated per-document by
+    // Association.pairSupports' basket self-join — Σ per-doc k², never
+    // corpus n², with all counts exact integers. PMI =
+    // ln(n_ab·N / (n_a·n_b)) computed from those exact integers and
+    // 4dp-snapped BEFORE the top-20 rank (the distinctive-terms
+    // discipline), pair-lexicographic tiebreak.
+    "text_pmi_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()
+      val tok = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "").distinct()
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(200)
+        .select(col("token"))
+      val ft = tok.join(broadcast(vocab), Seq("token"))
+      graft.operators.Association.pairSupports(ft, "doc_id", "token",
+          minSupport = 5L)
+        .select(col("item_a").as("token_a"), col("item_b").as("token_b"),
+          col("n_ab"), col("n_a"), col("n_b"),
+          round(log((col("n_ab") * lit(nDocs)).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("token_a").asc, col("token_b").asc)
+        .limit(20)
+    }),
+
     "source_distinctive_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val alpha = 0.01
@@ -966,6 +996,29 @@ object TextQueries {
                 CAST((sum(oov) * 1000000) // count(*) AS DOUBLE) / 1e6
                   AS oov_rate
          FROM j GROUP BY doc_id""",
+    "text_pmi_pairs" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t AS token
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents) WHERE t <> ''),
+         vocab AS (SELECT token FROM (
+             SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+             FROM tok GROUP BY token) WHERE rk <= 200),
+         ft AS (SELECT doc_id, token FROM tok JOIN vocab USING (token)),
+         counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+           FROM ft GROUP BY 1),
+         pairs AS (SELECT a.token AS token_a, b.token AS token_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT token_a, token_b, n_ab, ca.n AS n_a, cb.n AS n_b,
+                round(ln(CAST(n_ab * n_docs AS DOUBLE)
+                       / CAST(ca.n * cb.n AS DOUBLE)), 4) AS pmi
+         FROM pairs JOIN counts ca ON token_a = ca.token
+              JOIN counts cb ON token_b = cb.token
+              CROSS JOIN nd
+         ORDER BY pmi DESC, token_a ASC, token_b ASC LIMIT 20""",
     "source_distinctive_terms" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
            FROM documents),

@@ -117,4 +117,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(CorpusPrep.weightedSample(tiny, "id", "w", n = 10)
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("oversampleToMax: every class lands at EXACTLY the majority size") {
+    import spark.implicits._
+    // classes of size 7, 3, 1 → targets all 7
+    val rows = ((0L until 7L).map(i => (i, "a")) ++
+      (10L until 13L).map(i => (i, "b")) ++ Seq((20L, "c"))).toDF("id", "cls")
+    val out = CorpusPrep.oversampleToMax(rows, "id", "cls")
+    val byClass = out.groupBy(col("cls")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass == Map("a" -> 7L, "b" -> 7L, "c" -> 7L), byClass)
+    // copy = 1 slice is exactly the original multiset (nothing lost)
+    val originals = out.where(col("copy") === 1).select("id", "cls")
+    assert(originals.exceptAll(rows).isEmpty && rows.exceptAll(originals).isEmpty)
+    // class b (3 rows → 7): base 2 each + exactly one row with a 3rd copy
+    val bCopies = out.where(col("cls") === "b").groupBy(col("id"))
+      .agg(max(col("copy")).as("m")).collect().map(_.getLong(1)).sorted.toSeq
+    assert(bCopies == Seq(2L, 2L, 3L), bCopies)
+    // deterministic: rerun is bit-identical
+    val again = CorpusPrep.oversampleToMax(rows, "id", "cls")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("oversampleToMax: balanced input passes through with copy = 1") {
+    import spark.implicits._
+    val rows = (0L until 10L).map(i => (i, (i % 2).toString)).toDF("id", "cls")
+    val out = CorpusPrep.oversampleToMax(rows, "id", "cls")
+    assert(out.agg(max(col("copy"))).head.getLong(0) == 1L)
+    assert(out.count() == 10)
+  }
 }

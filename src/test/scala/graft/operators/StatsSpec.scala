@@ -214,4 +214,33 @@ class StatsSpec extends SparkSpec {
     assert(m("b").getAs[Double]("ci_lo") == 2000000.0 &&
       m("b").getAs[Double]("ci_hi") == 2000000.0)
   }
+
+  test("quantileNormalize: shifted sources map onto the same pooled values") {
+    import spark.implicits._
+    // source a = {1..4}, source b = {101..104}: same shape, shifted.
+    // After normalization both sources draw from the pooled order
+    // statistics at matching ranks — rank i of a and rank i of b get
+    // pooled positions ceil(i·8/4) = 2i, i.e. {1,3,101,103} ranks → the
+    // SAME normalized sequence for both sources.
+    val rows = (Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "b", 101L), (6L, "b", 102L), (7L, "b", 103L), (8L, "b", 104L)))
+      .toDF("id", "src", "v")
+    val out = Stats.quantileNormalize(rows, "v", "src", "id")
+    val byRank = out.orderBy(col("src"), col("v"))
+      .select(col("src"), col("v_qnorm")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(byRank("a") == byRank("b"), byRank)
+    // pooled order is (1,2,3,4,101,...): rank 1→pos 2 (=2), rank 2→pos 4
+    // (=4), rank 3→pos 6 (=102), rank 4→pos 8 (=104)
+    assert(byRank("a") == Seq(2L, 4L, 102L, 104L), byRank("a"))
+  }
+
+  test("quantileNormalize: a single source is mapped onto itself") {
+    import spark.implicits._
+    val rows = (0L until 20L).map(i => (i, "only", i * 3 % 17)).toDF("id", "src", "v")
+    val out = Stats.quantileNormalize(rows, "v", "src", "id")
+    // n_g = N → position ceil(r·N/N) = r: identity on the sorted values
+    assert(out.where(col("v") =!= col("v_qnorm")).isEmpty)
+    assert(out.count() == 20)
+  }
 }
