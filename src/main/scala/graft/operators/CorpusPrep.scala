@@ -189,6 +189,40 @@ object CorpusPrep {
       .drop("__n", "__base", "__rem", "__copies")
   }
 
+  /** Length-bucketed batch assignment (the padding-efficiency batcher:
+    * group sequences of similar length so a fixed-size batch pads each
+    * row only to its BUCKET's max, not the corpus max). Rows bucket by
+    * `length div bucketWidth`; within a bucket they shuffle
+    * deterministically by the md5 draw on their id (so batches are not
+    * length-sorted WITHIN the bucket — consecutive batches stay
+    * i.i.d.-ish draws from the bucket) and chunk into `batchSize`-row
+    * batches by integer division on the rank.
+    *
+    * Every assignment is a pure function of (id, length): bit-identical
+    * across engines/retries/partitionings, SQL-replayable, and stable
+    * under re-runs — the property a resumable tokenize-and-pack job
+    * needs so a retried stage refills exactly the same batches.
+    *
+    * Scale shape: one window partitioned by bucket (the only shuffle);
+    * a pathological bucket holding most of the corpus concentrates that
+    * window — widen `bucketWidth` asymmetrically or pre-salt by
+    * `pmod(md5, s)` and treat (bucket, salt) as the batch scope if a
+    * single bucket outgrows an executor.
+    *
+    * Output = input + `bucket`, `batch_id` (0-based within bucket).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: String,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"need positive bucketWidth/batchSize; got $bucketWidth/$batchSize")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("bucket", expr(s"cast(`$lenCol` as bigint) div ${bucketWidth}L"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(__r - 1L) div ${batchSize}L"))
+      .drop("__r")
+  }
+
   /** Efraimidis-Spirakis selection key ln(u)/w from the seedless md5
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.

@@ -563,6 +563,19 @@ object TextQueries {
         docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
     }),
 
+    // Length-bucketed batching (CorpusPrep.lengthBucketBatches): group
+    // documents of similar length into fixed-size batches so padding
+    // goes to the bucket max, not the corpus max — the dynamic-batching
+    // prep step between packing (exact budget fill) and naive fixed
+    // batches. 200-char buckets, 16-row batches, md5-shuffled within
+    // bucket; the full assignment is a pure function of (doc_id,
+    // n_chars) and the oracle hash proves every row's batch.
+    "batch_by_length" -> ((s, dir) => {
+      graft.operators.CorpusPrep.lengthBucketBatches(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", bucketWidth = 200L, batchSize = 16)
+    }),
+
     // Benchmark decontamination: corpus documents carrying ≥ 60% of a
     // held-out "benchmark" doc's 5-gram shingles (every 10th doc plays
     // the benchmark; the rest are the training corpus). Runs with the
@@ -1130,6 +1143,12 @@ object TextQueries {
          SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
                 CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
          FROM c""",
+    "batch_by_length" ->
+      """SELECT doc_id, n_chars, n_chars // 200 AS bucket,
+                (row_number() OVER (PARTITION BY n_chars // 200
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 16
+                  AS batch_id
+         FROM documents""",
     "corpus_report" ->
       """WITH reps AS (SELECT md5(text) AS h, min(doc_id) AS rep_id
                 FROM documents GROUP BY md5(text)),

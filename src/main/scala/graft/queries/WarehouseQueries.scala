@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.car.Splits
 import graft.operators.{Association, Attribution, DataQuality, GraphAlgs, InvertedIndex, RecordLinkage, Scd, StringJoin, TimeSeries}
 import graft.sources.Tables
@@ -373,6 +374,63 @@ object WarehouseQueries {
         possibleThreshold = BigDecimal("1.0"), selfLink = true)
     }),
 
+    // Entity resolution END TO END: the Fellegi-Sunter scored pairs
+    // above, thresholded to 'match', fed through the large-star/
+    // small-star contraction — every customer gets a canonical
+    // entity_id (min reachable id; singletons keep their own), i.e.
+    // the match graph's transitive closure WITHOUT ever materializing
+    // it. This is the missing half that turns pairwise linkage into a
+    // usable golden-record key: pairs alone can't be joined on.
+    "link_entities" -> ((s, dir) => {
+      import RecordLinkage.FieldComparison
+      val c = Tables.customer(s, dir)
+        .withColumn("blk", expr("c_custkey div 10"))
+      val pairs = RecordLinkage.linkScoredPairs(c, c, "c_custkey", "blk",
+        Seq(
+          FieldComparison("segment",
+            col("a_c_mktsegment") === col("b_c_mktsegment"),
+            BigDecimal("2.0"), BigDecimal("-1.5")),
+          FieldComparison("nation",
+            col("a_c_nationkey") === col("b_c_nationkey"),
+            BigDecimal("3.0"), BigDecimal("-0.5")),
+          FieldComparison("balance",
+            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 100.0,
+            BigDecimal("2.5"), BigDecimal("-1.0"))),
+        matchThreshold = BigDecimal("5.0"),
+        possibleThreshold = BigDecimal("1.0"), selfLink = true)
+        .where(col("decision") === "match")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .localCheckpoint(true)
+      graft.operators.Dedup.duplicateClustersStar(
+        c.select(col("c_custkey").as("node")), "node", pairs)
+    }),
+
+    // Deterministic A/B experiment analysis: users assign to arms by
+    // the md5 gate on user_id (the hashSplit discipline — stable under
+    // replays, auditable in SQL, no assignment table to store), then
+    // per-arm outcome metrics with the suite's exact-arithmetic rules:
+    // integer counts, DECIMAL value sums, conversion as integer ppm.
+    // The read that decides every launch; rates are comparable because
+    // assignment is uniform by construction.
+    "ab_experiment" -> ((s, dir) => {
+      val gate = conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      val byUser = Tables.events(s, dir)
+        .withColumn("arm", when(gate < 32768, lit("A")).otherwise(lit("B")))
+        .groupBy(col("arm"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast(DecimalType(18, 6))).otherwise(lit(0).cast(DecimalType(18, 6))))
+            .as("pv"))
+      byUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_ev")).as("n_events"),
+          sum(col("conv")).as("n_converted"),
+          round(sum(col("pv")).cast("double"), 4).as("purchase_value"))
+        .withColumn("conv_ppm", expr("n_converted * 1000000L DIV n_users"))
+    }),
+
     // Linear multi-touch attribution: purchases credit the same
     // user's view/click touches in a 1-day lookback, integer ppm
     // credits summing to exactly 1e6 per conversion (remainder on the
@@ -703,6 +761,49 @@ object WarehouseQueries {
                 WHEN score >= CAST(1.0 AS DECIMAL(12,6)) THEN 'possible'
                 ELSE 'non_match' END AS decision
          FROM s""",
+    "link_entities" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+             c_acctbal, c_custkey // 10 AS blk
+           FROM customer),
+         p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+                  THEN CAST(2.0 AS DECIMAL(12,6))
+                  ELSE CAST(-1.5 AS DECIMAL(12,6)) END
+               + CASE WHEN a.c_nationkey = b.c_nationkey
+                  THEN CAST(3.0 AS DECIMAL(12,6))
+                  ELSE CAST(-0.5 AS DECIMAL(12,6)) END
+               + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+                  THEN CAST(2.5 AS DECIMAL(12,6))
+                  ELSE CAST(-1.0 AS DECIMAL(12,6)) END
+               AS DECIMAL(12,6)) AS score
+           FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey),
+         m AS (SELECT id_a, id_b FROM p
+           WHERE score >= CAST(5.0 AS DECIMAL(12,6))),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM m
+           UNION SELECT id_b, id_a FROM m),
+         reach(node, r) AS (
+           SELECT c_custkey, c_custkey FROM customer
+           UNION
+           SELECT reach.node, s2.dst FROM reach JOIN sym s2 ON reach.r = s2.src)
+         SELECT CAST(node AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+         FROM reach GROUP BY node""",
+    "ab_experiment" ->
+      """WITH u AS (SELECT user_id, event_type, value,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) < 32768 THEN 'A' ELSE 'B' END AS arm
+           FROM events),
+         pu AS (SELECT arm, user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS pv
+           FROM u GROUP BY 1, 2)
+         SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(n_ev) AS BIGINT) AS n_events,
+                CAST(sum(conv) AS BIGINT) AS n_converted,
+                round(CAST(sum(pv) AS DOUBLE), 4) AS purchase_value,
+                CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+         FROM pu GROUP BY arm""",
     "attribution_linear" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
            FROM events),

@@ -139,6 +139,25 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("lengthBucketBatches: batches never mix buckets and fill to size") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, 10L + (i % 5) * 100)).toDF("id", "len")
+    val out = CorpusPrep.lengthBucketBatches(docs, "id", "len",
+      bucketWidth = 100L, batchSize = 8)
+    assert(out.count() == 100)
+    // bucket is len div 100 — no assignment crosses a bucket
+    assert(out.where(col("bucket") =!= expr("len div 100")).isEmpty)
+    // within a bucket (20 rows, batch 8): batches 0,1 full (8), batch 2 has 4
+    val sizes = out.groupBy(col("bucket"), col("batch_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (b <- 0L until 5L)
+      assert(sizes((b, 0L)) == 8 && sizes((b, 1L)) == 8 && sizes((b, 2L)) == 4,
+        sizes.filter(_._1._1 == b))
+    // deterministic
+    val again = CorpusPrep.lengthBucketBatches(docs, "id", "len", 100L, 8)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("oversampleToMax: balanced input passes through with copy = 1") {
     import spark.implicits._
     val rows = (0L until 10L).map(i => (i, (i % 2).toString)).toDF("id", "cls")
