@@ -391,4 +391,60 @@ object GraphAlgs {
       out.reduce(_ unionAll _)
     } finally e.unpersist()
   }
+
+  /** Stationary distribution of a weighted Markov chain by power
+    * iteration in INTEGER fixed-point (the [[PageRank]] discipline:
+    * every contribution floors to an int64, so the result is
+    * bit-identical across partitionings, AQE re-plans, retries, and an
+    * unrolled SQL oracle — no float accumulation anywhere).
+    *
+    * `transitions` is (srcCol, dstCol, nCol) exact transition counts
+    * (e.g. the event_markov output). The state space is the set of
+    * SOURCES; transitions into sink states (dst that never occurs as a
+    * src) are dropped — mass flooring, not renormalization, keeps the
+    * math integral, and the caller sees sinks by their absence. π₀
+    * splits `scale` evenly; each step moves `(π_i · n_ij) div n_i` to
+    * j, floored per edge exactly as the oracle's `//` does.
+    *
+    * Scale shape: π is a states-sized frame — broadcast into the edge
+    * join every step, so an iteration is one broadcast equi-join + one
+    * dst-keyed aggregate; no driver-side matrix even when the state
+    * space is large (URLs, SKUs, not just event types).
+    */
+  def markovStationary(transitions: DataFrame, srcCol: String,
+      dstCol: String, nCol: String, iters: Int = 8,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"need >= 1 iteration; got $iters")
+    val t0 = transitions.select(col(srcCol).as("__src"),
+      col(dstCol).as("__dst"), col(nCol).cast("long").as("__n"))
+    val states = t0.select(col("__src").as("state")).distinct()
+      .localCheckpoint(true)
+    val nStates = states.count()
+    val totals = t0.groupBy(col("__src")).agg(sum(col("__n")).as("__ns"))
+    val edges = t0
+      .join(states.select(col("state").as("__dst")), Seq("__dst"), "left_semi")
+      .join(totals, Seq("__src"))
+      .localCheckpoint(true)
+    var pi = states.withColumn("r", lit(scale / nStates))
+    // π₀ is a projection OVER the states checkpoint (not its own) —
+    // freeing it would kill states' blocks mid-loop (the shim's
+    // documented sharp edge), so only rounds ≥ 2 free their predecessor
+    var piOwned = false
+    for (_ <- 1 to iters) {
+      val moved = edges
+        .join(broadcast(pi.select(col("state").as("__src"), col("r"))), Seq("__src"))
+        .select(col("__dst").as("state"), expr("(r * __n) div __ns").as("__c"))
+        .groupBy(col("state")).agg(sum(col("__c")).as("__m"))
+      val next = states.join(moved, Seq("state"), "left")
+        .select(col("state"), coalesce(col("__m"), lit(0L)).as("r"))
+        .localCheckpoint(true)
+      if (piOwned) CheckpointShim.freeLocalCheckpointIfAny(pi)
+      pi = next
+      piOwned = true
+    }
+    // the final π is itself checkpointed — the loop inputs can release
+    CheckpointShim.freeLocalCheckpointIfAny(states)
+    CheckpointShim.freeLocalCheckpointIfAny(edges)
+    pi.select(col("state"), col("r").as("pi_fx"))
+  }
 }

@@ -486,6 +486,29 @@ object MlPrepQueries {
         .select(col("o_orderkey"), col("o_orderpriority"), col("copy"))
     }),
 
+    // Group-median imputation (the robust null-repair prep step —
+    // median, not mean, so the fill value ignores the tail): a
+    // deterministic 1-in-20 mask on event_id plays the missing values,
+    // the per-type median of the REMAINING values (exact interpolated
+    // percentile over µ-int longs, the a14 discipline) broadcasts
+    // back, and masked rows take it. Group medians are a groups-sized
+    // aggregate — one scan + one broadcast join, k groups ≠ k scans.
+    "impute_group_median" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 1000000) as bigint)").as("__vm"))
+        .withColumn("v_obs",
+          when(pmod(col("event_id"), lit(20)) =!= 0, col("__vm")))
+      val med = e.where(col("v_obs").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(v_obs, 0.5)").as("__med"))
+      e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          col("v_obs").isNull.cast("long").as("was_missing"),
+          coalesce(col("v_obs").cast("double"), col("__med"))
+            .as("v_imputed_micro"))
+    }),
+
     // Quantile normalization across sources (Stats.quantileNormalize):
     // each document's n_chars mapped to the POOLED corpus length
     // distribution at its within-source percent rank — the cross-source
@@ -1057,6 +1080,18 @@ object MlPrepQueries {
          SELECT o_orderkey, o_orderpriority, CAST(c.c AS BIGINT) AS copy
          FROM ranked, unnest(generate_series(1,
              base + CASE WHEN r <= rem THEN 1 ELSE 0 END)) AS c(c)""",
+    "impute_group_median" ->
+      """WITH e AS (SELECT event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+         m AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 20 <> 0 THEN vm END AS v_obs FROM e),
+         med AS (SELECT event_type, quantile_cont(v_obs, 0.5) AS md
+           FROM m WHERE v_obs IS NOT NULL GROUP BY 1)
+         SELECT event_id, m.event_type,
+                CAST(CASE WHEN v_obs IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                  AS was_missing,
+                COALESCE(CAST(v_obs AS DOUBLE), md) AS v_imputed_micro
+         FROM m JOIN med ON m.event_type = med.event_type""",
     "quantile_normalize" ->
       """WITH pooled AS (SELECT n_chars AS pv,
                row_number() OVER (ORDER BY n_chars, source, doc_id) AS pos1

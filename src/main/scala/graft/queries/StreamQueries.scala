@@ -88,6 +88,45 @@ object StreamQueries {
           expr("n * 1000000L DIV n_src").as("p_ppm"))
     }),
 
+    // Stationary distribution of that Markov chain
+    // (GraphAlgs.markovStationary): the long-run occupancy of each
+    // event type under the observed transition dynamics — 8 power-
+    // iteration rounds in integer fixed-point (the PageRank
+    // discipline), so the distributed loop and the oracle's unrolled
+    // CTEs produce the SAME int64s, bit for bit.
+    "event_markov_stationary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      graft.operators.GraphAlgs.markovStationary(trans, "src", "dst", "n",
+          iters = 8)
+        .select(col("state"), col("pi_fx"),
+          expr("pi_fx div 1000000L").as("pi_ppm"))
+    }),
+
+    // User-growth curve: each user's FIRST event hour, new users per
+    // hour, and the running cumulative — the activation read every
+    // dashboard opens with. The running-total window runs over the
+    // hour-level AGGREGATE (one row per active hour), never the event
+    // stream, so the unpartitioned sort is bounded by the calendar,
+    // not the corpus.
+    "user_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"))
+        .select(expr("first_us div 3600000000L").as("hour"))
+        .groupBy(col("hour")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.withColumn("cum_users", sum(col("n_new")).over(w))
+    }),
+
     // CMS join-size planning estimate for the lineitem ⋈ lineitem
     // self-join on l_partkey (Σ deg² — the skew question): two
     // one-scan sketches, one counter-table dot product, no join run.
@@ -319,6 +358,44 @@ object StreamQueries {
     })
   )
 
+  /** event_markov_stationary oracle: the 8 fixed-point iterations
+    * UNROLLED as chained CTEs (the PageRankOracle pattern — aggregation
+    * in a recursive term is not portable). Every operation is integer
+    * (`//`, `sum`, `*`), so the SQL replays the distributed loop's
+    * exact int64s: per-edge floor `(π_i·n_ij) // n_i`, sinks dropped,
+    * totals over ALL transitions (mass into sinks floors away, exactly
+    * as GraphAlgs.markovStationary does).
+    */
+  private val MarkovStationaryOracle: String = {
+    val head =
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events),
+         p AS (SELECT event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS dst
+           FROM e),
+         c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         states AS (SELECT DISTINCT src AS state FROM c),
+         sc AS (SELECT count(*) AS ns FROM states),
+         tot AS (SELECT src, sum(n) AS nsrc FROM c GROUP BY 1),
+         tr AS (SELECT c.src, c.dst, c.n FROM c
+           JOIN states ON c.dst = states.state),
+         it0 AS (SELECT state, 1000000000000 // ns AS r FROM states, sc)"""
+    val steps = (1 to 8).map { i =>
+      s""",
+         it$i AS (SELECT states.state, COALESCE(m$i.m, 0) AS r
+             FROM states LEFT JOIN (
+               SELECT tr.dst AS state, sum((p.r * tr.n) // t2.nsrc) AS m
+               FROM tr JOIN it${i - 1} p ON tr.src = p.state
+               JOIN tot t2 ON tr.src = t2.src
+               GROUP BY tr.dst) m$i ON states.state = m$i.state)"""
+    }.mkString
+    head + steps +
+      "\n         SELECT state, CAST(r AS BIGINT) AS pi_fx," +
+      " CAST(r // 1000000 AS BIGINT) AS pi_ppm FROM it8"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "path_trigrams" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
@@ -343,6 +420,17 @@ object StreamQueries {
          SELECT src, dst, n, n_src,
                 CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (src)""",
+    "event_markov_stationary" -> MarkovStationaryOracle,
+    "user_growth" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS fu
+           FROM events GROUP BY 1),
+         h AS (SELECT fu // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+         SELECT hour, n_new,
+                CAST(sum(n_new) OVER (ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+         FROM h""",
     "stream_hopping_agg" ->
       """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
          w AS (SELECT ((t // 1800000000) - k.k) * 1800 AS win_epoch, event_type

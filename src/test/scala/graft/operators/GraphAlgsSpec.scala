@@ -245,4 +245,28 @@ class GraphAlgsSpec extends SparkSpec {
     assert(meanErr < 0.03, s"mean relative error $meanErr")
     edges.unpersist()
   }
+
+  test("markovStationary: two-state chain hits the hand-computed fixed point") {
+    import spark.implicits._
+    // A: half self-loop, half to B; B: always back to A. True stationary
+    // distribution is (2/3, 1/3); the halving recurrence is exact in
+    // binary so 8 integer rounds give EXACTLY 0.666015625 — bit-pinned.
+    val t = Seq(("A", "A", 1L), ("A", "B", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "n")
+    val pi = GraphAlgs.markovStationary(t, "src", "dst", "n", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pi("A") + pi("B") == 1000000000000L) // exact mass conservation
+    assert(pi("A") == 666015625000L && pi("B") == 333984375000L, pi)
+  }
+
+  test("markovStationary: sink states drop; inbound mass floors away") {
+    import spark.implicits._
+    // C never occurs as a source → not a state; A's total out-count
+    // still includes the A→C transition, so each round halves A's mass
+    val t = Seq(("A", "A", 1L), ("A", "C", 1L)).toDF("src", "dst", "n")
+    val m = GraphAlgs.markovStationary(t, "src", "dst", "n", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("A"), m)
+    assert(m("A") == 250000000000L, m)
+  }
 }
