@@ -447,4 +447,66 @@ object GraphAlgs {
     CheckpointShim.freeLocalCheckpointIfAny(edges)
     pi.select(col("state"), col("r").as("pi_fx"))
   }
+
+  /** Deterministic random walks (the DeepWalk/node2vec corpus
+    * generator): from every row of `starts`, a `steps`-hop walk whose
+    * next node at step t is the neighbor at index
+    * `md5(start:node:t) mod degree` in the node's dst-sorted adjacency
+    * — a seedless draw that is a pure function of (start, position),
+    * so walks are bit-identical across engines/retries/partitionings
+    * and replayable by a SQL oracle (the hashSplit discipline applied
+    * to walk sampling; a true RNG here would make every re-run emit a
+    * different training corpus).
+    *
+    * Scale shape: one ranked-adjacency table (a per-src window, built
+    * once) and TWO equi-joins per hop — frontier⋈degree to draw the
+    * index, then (node, index)⋈(src, rank) to step, both on keys that
+    * distribute; the frontier never exceeds |starts| rows. No
+    * driver-side adjacency, no per-walk loop. Walks that reach a node
+    * with no out-edges end there (inner join); emit covers steps
+    * 0..`steps`.
+    *
+    * @return (start, step, node) — one row per visited position
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, startCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"need >= 1 step; got $steps")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val ranked = e
+      .withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .localCheckpoint(true)
+    val deg = ranked.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var state = starts
+      .select(col(startCol).cast("string").as("start"))
+      .distinct()
+      .withColumn("node", col("start"))
+    val out = collection.mutable.ArrayBuffer(
+      state.withColumn("step", lit(0L)))
+    val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to steps) {
+      val idx = pmod(conv(substring(md5(concat(col("start"), lit(":"),
+        col("node"), lit(":"), lit(t))), 1, 4), 16, 10).cast("long"), col("deg"))
+      state = state
+        .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+        .withColumn("__idx", idx)
+        .join(ranked.select(col("src").as("node"), col("rk").as("__idx"),
+          col("dst").as("__next")), Seq("node", "__idx"))
+        .select(col("start"), col("__next").as("node"))
+        .localCheckpoint(true)
+      hops += state
+      out += state.withColumn("step", lit(t.toLong))
+    }
+    val walks = out.reduce(_ unionByName _)
+      .select(col("start"), col("step"), col("node"))
+      .localCheckpoint(true)
+    // walks is materialized — every loop input/intermediate can release
+    CheckpointShim.freeLocalCheckpointIfAny(ranked)
+    CheckpointShim.freeLocalCheckpointIfAny(deg)
+    hops.foreach(CheckpointShim.freeLocalCheckpointIfAny(_))
+    walks
+  }
 }

@@ -375,6 +375,35 @@ object Stats {
         col("response_ppm"), col("lift_ppm"))
   }
 
+  /** Calibration table (the reliability-diagram data + per-band ECE
+    * terms): rows rank by predicted score (a µ-ppm integer in
+    * [0, 10⁶]), split into `buckets` equal-population bands, and each
+    * band reports its mean PREDICTED probability next to its OBSERVED
+    * positive rate — the gap column is the per-band |expected −
+    * observed| whose n-weighted sum is expected calibration error.
+    * Everything is exact integer ppm ([[liftTable]] discipline), and
+    * the global rank comes from [[DenseId.withOrderedId]] — no
+    * partitionless window at any input size.
+    */
+  def calibrationTable(df: DataFrame, scorePpmCol: String, labelCol: String,
+      idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets; got $buckets")
+    val prep = df.select((-col(scorePpmCol)).cast("long").as("__neg"),
+      col(idCol).cast("long").as("__id"), col(labelCol).cast("long").as("__y"))
+    val ranked = DenseId.withOrderedId(prep, "__rid", "__neg", "__id")
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(__rid * $buckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
+        sum(-col("__neg")).as("__sum_pred"))
+      .withColumn("mean_pred_ppm", expr("__sum_pred div n_rows"))
+      .withColumn("response_ppm", expr("(n_pos * 1000000) div n_rows"))
+      .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("response_ppm")))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        col("mean_pred_ppm"), col("response_ppm"), col("gap_ppm"))
+  }
+
   /** Cumulative Poisson(1) CDF gates on a 16-bit md5 draw:
     * floor(65536 · P(X ≤ k)) for k = 0..4; a draw ≥ the last gate gets
     * multiplicity 5 (P(X > 5) ≈ 0.06%, negligible truncation shared by

@@ -105,6 +105,25 @@ object GraphQueries {
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
     }),
 
+    // Deterministic random walks on the symmetrized supplier↔part
+    // graph (GraphAlgs.randomWalks) — the DeepWalk/node2vec corpus
+    // generator: 4-hop walks from every supplier node, next step =
+    // dst-sorted neighbor at index md5(start:node:step) mod degree.
+    // The whole walk corpus is a pure function of the edge set, and
+    // the oracle replays every draw — hash-exact walk sampling, the
+    // property a resumable embedding-training pipeline needs.
+    "graph_random_walks" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      val sym = b.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(b.select(col("b").as("src"), col("a").as("dst")))
+      val starts = Tables.lineitem(s, dir)
+        .select(concat(lit("s"), col("l_suppkey")).as("start")).distinct()
+      graft.operators.GraphAlgs.randomWalks(sym, "src", "dst",
+        starts, "start", steps = 4)
+    }),
+
     // Time-respecting earliest arrival over the temporal supply graph:
     // supplier↔part edges stamped with the shipment time — a node is
     // reached only along paths whose edge times never decrease (static
@@ -478,6 +497,7 @@ object GraphQueries {
                 CAST(0 AS BIGINT) AS label
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
+    "graph_random_walks" -> RandomWalksOracle,
     "graph_ppr" -> PprOracle,
     "graph_temporal_reach" -> TemporalReachOracle,
     "g5_mean_agg" ->
@@ -619,6 +639,40 @@ object GraphQueries {
                         GROUP BY e.dst) s$i ON nodes.node = s$i.node, c)"""
     }.mkString
     head + steps + "\n         SELECT node, CAST(r AS BIGINT) AS pr_fx FROM it5"
+  }
+
+  /** graph_random_walks oracle: the 4 hops unrolled, each replaying
+    * the SAME seedless draw — neighbor index `md5(start:node:t) mod
+    * degree` over the dst-sorted ranked adjacency. Pure string/integer
+    * ops on both engines, so every visited node matches bit-for-bit.
+    */
+  private val RandomWalksOracle: String = {
+    val head =
+      """WITH b AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+             'p' || CAST(l_partkey AS VARCHAR) AS bb FROM lineitem),
+         sym AS (SELECT DISTINCT src, dst FROM (
+             SELECT a AS src, bb AS dst FROM b
+             UNION ALL SELECT bb, a FROM b)),
+         rk AS (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+           FROM sym),
+         dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM sym GROUP BY 1),
+         w0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS start,
+             's' || CAST(l_suppkey AS VARCHAR) AS node FROM lineitem)"""
+    val steps = (1 to 4).map { t =>
+      s""",
+         w$t AS (SELECT w.start, r.dst AS node
+             FROM w${t - 1} w
+             JOIN dg d ON w.node = d.src
+             JOIN rk r ON r.src = w.node
+              AND r.rk = CAST(('0x' || substr(md5(w.start || ':' || w.node
+                || ':' || '$t'), 1, 4)) AS BIGINT) % d.deg)"""
+    }.mkString
+    val emits = (0 to 4).map { t =>
+      s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t"
+    }.mkString("\n         UNION ALL ")
+    head + steps + "\n         " + emits
   }
 
   private val PprOracle: String = {

@@ -358,6 +358,26 @@ object MlPrepQueries {
       Stats.liftTable(o, "score", "y", "o_orderkey", buckets = 10)
     }),
 
+    // Calibration / reliability table (Stats.calibrationTable): the
+    // min-max-normalized price as a pseudo-probability against the
+    // urgent/high label — per equal-population band, mean PREDICTED ppm
+    // vs OBSERVED rate ppm and their gap (the ECE terms). On this
+    // fixture price doesn't predict priority, so the table shows a
+    // ~uniform predicted ramp against a flat observed rate — the
+    // miscalibration read a real scores column would be audited with.
+    "model_calibration" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("pc"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      val mm = o.agg(min(col("pc")).as("mn"), max(col("pc")).as("mx"))
+      val scored = o.crossJoin(broadcast(mm))
+        .withColumn("score_ppm", expr("((pc - mn) * 1000000) div (mx - mn)"))
+      Stats.calibrationTable(scored, "score_ppm", "y", "o_orderkey",
+        buckets = 10)
+    }),
+
     // Exact grouped WEIGHTED quantiles (Stats.weightedQuantiles):
     // quantity-weighted price quartiles per return flag — the
     // survey/importance-weighted percentile. The threshold test is
@@ -973,6 +993,29 @@ object MlPrepQueries {
            CAST(CASE WHEN pos > 0
              THEN (n_pos * n * 1000000) // (n_rows * pos) END AS BIGINT)
              AS lift_ppm
+         FROM g""",
+    "model_calibration" ->
+      """WITH b AS (SELECT o_orderkey AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS pc,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS y
+           FROM orders),
+         mm AS (SELECT min(pc) AS mn, max(pc) AS mx FROM b),
+         sc AS (SELECT id, y, ((pc - mn) * 1000000) // (mx - mn) AS score_ppm
+           FROM b CROSS JOIN mm),
+         r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC, id) - 1
+                 AS rid FROM sc),
+         t AS (SELECT count(*) AS n FROM r),
+         g AS (SELECT (rid * 10) // n AS bucket, count(*) AS n_rows,
+                 sum(y) AS n_pos, sum(score_ppm) AS sp
+               FROM r CROSS JOIN t GROUP BY 1)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_rows AS BIGINT) AS n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sp // n_rows AS BIGINT) AS mean_pred_ppm,
+           CAST((n_pos * 1000000) // n_rows AS BIGINT) AS response_ppm,
+           CAST(abs(sp // n_rows - (n_pos * 1000000) // n_rows) AS BIGINT)
+             AS gap_ppm
          FROM g""",
     "weighted_quantiles" ->
       """WITH b AS (SELECT l_returnflag,

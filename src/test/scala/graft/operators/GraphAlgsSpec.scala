@@ -259,6 +259,40 @@ class GraphAlgsSpec extends SparkSpec {
     assert(pi("A") == 666015625000L && pi("B") == 333984375000L, pi)
   }
 
+  test("randomWalks: walks follow real edges, full length, deterministic") {
+    import spark.implicits._
+    // 4-cycle plus a chord — every node has out-edges, so all walks
+    // run the full 3 hops
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
+    val starts = Seq("a", "b", "c", "d").toDF("start")
+    val walks = GraphAlgs.randomWalks(edges, "src", "dst", starts, "start", 3)
+    // steps+1 positions per start
+    val perStart = walks.groupBy(col("start")).count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(perStart == Seq(4L, 4L, 4L, 4L), perStart)
+    // every consecutive (node, next) pair is a real edge
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("start")).orderBy(col("step"))
+    val hops = walks.withColumn("next", lead(col("node"), 1).over(w))
+      .where(col("next").isNotNull)
+    assert(hops.join(edges, hops("node") === edges("src")
+      && hops("next") === edges("dst"), "left_anti").isEmpty)
+    // bit-identical rerun
+    val again = GraphAlgs.randomWalks(edges, "src", "dst", starts, "start", 3)
+    assert(walks.exceptAll(again).isEmpty && again.exceptAll(walks).isEmpty)
+  }
+
+  test("randomWalks: a walk reaching a sink ends there") {
+    import spark.implicits._
+    val edges = Seq(("a", "z")).toDF("src", "dst") // z has no out-edges
+    val walks = GraphAlgs.randomWalks(edges, "src", "dst",
+      Seq("a").toDF("start"), "start", 5)
+    val nodes = walks.orderBy(col("step")).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toSeq
+    assert(nodes == Seq(0L -> "a", 1L -> "z"), nodes) // then silence
+  }
+
   test("markovStationary: sink states drop; inbound mass floors away") {
     import spark.implicits._
     // C never occurs as a source → not a state; A's total out-count

@@ -215,6 +215,25 @@ class StatsSpec extends SparkSpec {
       m("b").getAs[Double]("ci_hi") == 2000000.0)
   }
 
+  test("calibrationTable: perfect and inverted calibration bracket the gap") {
+    import spark.implicits._
+    // 10 confident-positive rows (pred 1e6, y 1) + 10 confident-negative
+    // (pred 0, y 0): perfectly calibrated → gap 0 in both bands
+    val good = ((0L until 10L).map(i => (i, 1000000L, 1L)) ++
+      (10L until 20L).map(i => (i, 0L, 0L))).toDF("id", "p", "y")
+    val g = Stats.calibrationTable(good, "p", "y", "id", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(0L).getAs[Long]("mean_pred_ppm") == 1000000L &&
+      g(0L).getAs[Long]("response_ppm") == 1000000L &&
+      g(0L).getAs[Long]("gap_ppm") == 0L)
+    assert(g(1L).getAs[Long]("gap_ppm") == 0L)
+    // flip the labels: confidently wrong → gap 1e6 in both bands
+    val bad = good.withColumn("y", lit(1L) - col("y"))
+    val b = Stats.calibrationTable(bad, "p", "y", "id", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("gap_ppm")).toMap
+    assert(b == Map(0L -> 1000000L, 1L -> 1000000L), b)
+  }
+
   test("quantileNormalize: shifted sources map onto the same pooled values") {
     import spark.implicits._
     // source a = {1..4}, source b = {101..104}: same shape, shifted.
