@@ -448,6 +448,64 @@ object GraphAlgs {
     pi.select(col("state"), col("r").as("pi_fx"))
   }
 
+  /** HITS hubs-and-authorities in integer fixed-point (Kleinberg's
+    * mutual-reinforcement iteration, the [[PageRank]] exactness
+    * discipline): authority = normalized in-sum of hub scores, hub =
+    * normalized out-sum of authority scores, with L1 normalization
+    * `v·scale div Σv` after every half-step — all int64, so the
+    * distributed loop and an unrolled SQL oracle agree bit for bit
+    * (classic HITS normalizes in L2; L1 keeps the math integral and
+    * ranks identically since normalization is a positive scalar).
+    *
+    * Per iteration: two equi-join + aggregate passes (edge⋈score) and
+    * two scalar totals — no driver-side matrix. int64 headroom: with
+    * `scale` = 10⁶ the raw sums stay ≤ |E|·10⁶ and the normalization
+    * product ≤ |E|·10¹² — safe to ~10⁶-edge×10⁶-scale, widen to
+    * DECIMAL beyond.
+    *
+    * @return (node, hub_fx, auth_fx) — fixed-point scores, Σ ≈ scale
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need >= 1 iteration; got $iters")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (node, v) over a SUBSET of nodes; missing nodes are 0
+      val tot = raw.agg(sum(col("v")).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"), coalesce(
+          expr(s"(v * ${scale}L) div __tot"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.withColumn("v", lit(scale))
+    var auth: DataFrame = null
+    val owned = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      val rawAuth = e.join(hub.select(col("node").as("src"), col("v")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("v")).as("v"))
+      auth = normalized(rawAuth)
+      owned += auth
+      val rawHub = e.join(auth.select(col("node").as("dst"), col("v")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("v")).as("v"))
+      hub = normalized(rawHub)
+      owned += hub
+    }
+    val result = nodes
+      .join(hub.select(col("node"), col("v").as("hub_fx")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("v").as("auth_fx")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub_fx"), lit(0L)).as("hub_fx"),
+        coalesce(col("auth_fx"), lit(0L)).as("auth_fx"))
+      .localCheckpoint(true)
+    CheckpointShim.freeLocalCheckpointIfAny(e)
+    CheckpointShim.freeLocalCheckpointIfAny(nodes)
+    owned.foreach(CheckpointShim.freeLocalCheckpointIfAny(_))
+    result
+  }
+
   /** Deterministic random walks (the DeepWalk/node2vec corpus
     * generator): from every row of `starts`, a `steps`-hop walk whose
     * next node at step t is the neighbor at index

@@ -105,6 +105,19 @@ object GraphQueries {
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
     }),
 
+    // HITS hubs & authorities on the directed supplier→part graph
+    // (GraphAlgs.hits): which suppliers span the influential parts,
+    // which parts are endorsed by the broad suppliers — the mutual-
+    // reinforcement complement of PageRank's random surfer. 3 rounds
+    // of integer fixed-point with L1 normalization; the oracle unrolls
+    // the same int64 ops, bit for bit.
+    "graph_hits" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.operators.GraphAlgs.hits(e, "src", "dst", iters = 3)
+    }),
+
     // Deterministic random walks on the symmetrized supplier↔part
     // graph (GraphAlgs.randomWalks) — the DeepWalk/node2vec corpus
     // generator: 4-hop walks from every supplier node, next step =
@@ -498,6 +511,7 @@ object GraphQueries {
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
     "graph_random_walks" -> RandomWalksOracle,
+    "graph_hits" -> HitsOracle,
     "graph_ppr" -> PprOracle,
     "graph_temporal_reach" -> TemporalReachOracle,
     "g5_mean_agg" ->
@@ -639,6 +653,40 @@ object GraphQueries {
                         GROUP BY e.dst) s$i ON nodes.node = s$i.node, c)"""
     }.mkString
     head + steps + "\n         SELECT node, CAST(r AS BIGINT) AS pr_fx FROM it5"
+  }
+
+  /** graph_hits oracle: the 3 HITS rounds UNROLLED, replaying
+    * GraphAlgs.hits' integer half-steps exactly — raw in/out sums over
+    * the score frame, then `v·10⁶ // Σv` L1 normalization, nodes
+    * missing from a raw sum coalescing to 0.
+    */
+  private val HitsOracle: String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT node, 1000000 AS v FROM nodes)"""
+    val steps = (1 to 3).map { i =>
+      s""",
+         a${i}r AS (SELECT e.dst AS node, sum(h.v) AS v
+             FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         a${i}t AS (SELECT sum(v) AS t FROM a${i}r),
+         a$i AS (SELECT nodes.node,
+             COALESCE((r.v * 1000000) // t.t, 0) AS v
+           FROM nodes LEFT JOIN a${i}r r ON nodes.node = r.node, a${i}t t),
+         h${i}r AS (SELECT e.src AS node, sum(a.v) AS v
+             FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         h${i}t AS (SELECT sum(v) AS t FROM h${i}r),
+         h$i AS (SELECT nodes.node,
+             COALESCE((r.v * 1000000) // t.t, 0) AS v
+           FROM nodes LEFT JOIN h${i}r r ON nodes.node = r.node, h${i}t t)"""
+    }.mkString
+    head + steps +
+      """
+         SELECT nodes.node, CAST(h3.v AS BIGINT) AS hub_fx,
+                CAST(a3.v AS BIGINT) AS auth_fx
+         FROM nodes JOIN h3 ON nodes.node = h3.node
+              JOIN a3 ON nodes.node = a3.node"""
   }
 
   /** graph_random_walks oracle: the 4 hops unrolled, each replaying

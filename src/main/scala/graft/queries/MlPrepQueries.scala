@@ -358,6 +358,34 @@ object MlPrepQueries {
       Stats.liftTable(o, "score", "y", "o_orderkey", buckets = 10)
     }),
 
+    // Pareto / revenue-concentration report: per-supplier revenue in
+    // exact int64 cents, globally ranked by DenseId (no partitionless
+    // window over the FACT table — the running-share window runs over
+    // the supplier-level aggregate, bounded by the dimension), with
+    // exact-ppm share and cumulative share. The "how few suppliers
+    // carry 80% of revenue" concentration read.
+    "pareto_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("rev_cents"))
+      val ranked = graft.operators.DenseId.withOrderedId(
+        rev.select((-col("rev_cents")).as("__neg"), col("suppkey"),
+          col("rev_cents")),
+        "__rk", "__neg", "suppkey")
+      val tot = rev.agg(sum(col("rev_cents")).as("__tot"))
+      val w = Window.orderBy(col("__rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("__cum", sum(col("rev_cents")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("suppkey"), (col("__rk") + 1).as("rank"),
+          col("rev_cents"),
+          expr("(rev_cents * 1000000L) div __tot").as("share_ppm"),
+          expr("(__cum * 1000000L) div __tot").as("cum_ppm"))
+    }),
+
     // Calibration / reliability table (Stats.calibrationTable): the
     // min-max-normalized price as a pseudo-probability against the
     // urgent/high label — per equal-population band, mean PREDICTED ppm
@@ -994,6 +1022,23 @@ object MlPrepQueries {
              THEN (n_pos * n * 1000000) // (n_rows * pos) END AS BIGINT)
              AS lift_ppm
          FROM g""",
+    "pareto_report" ->
+      """WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT suppkey, rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, suppkey) AS rank
+           FROM rev),
+         t AS (SELECT sum(rev_cents) AS tot FROM rev),
+         c AS (SELECT suppkey, rev_cents, rank,
+             sum(rev_cents) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM r)
+         SELECT suppkey, CAST(rank AS BIGINT) AS rank,
+                CAST(rev_cents AS BIGINT) AS rev_cents,
+                CAST((rev_cents * 1000000) // tot AS BIGINT) AS share_ppm,
+                CAST((cum * 1000000) // tot AS BIGINT) AS cum_ppm
+         FROM c CROSS JOIN t""",
     "model_calibration" ->
       """WITH b AS (SELECT o_orderkey AS id,
              CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)

@@ -109,6 +109,31 @@ object StreamQueries {
           expr("pi_fx div 1000000L").as("pi_ppm"))
     }),
 
+    // Item co-visitation within a 30-minute window (the recommender
+    // "viewed together" matrix): per user, ordered pairs of props.k
+    // item values whose timestamps are within the window, folded to
+    // unordered pairs, exact counts, top-20. The pair source is a
+    // USER-keyed equi-join with a time-band predicate — fan-out is
+    // per-user activity in the window, never corpus²; at warehouse
+    // scale the band folds into IntervalJoin's time-bucketed form.
+    "covisitation" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("t"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+      val a = e.select(col("user_id"), col("t").as("ta"), col("item").as("item_a"))
+      val b = e.select(col("user_id"), col("t").as("tb"), col("item").as("item_b"))
+      a.join(b, Seq("user_id"))
+        .where(col("tb") > col("ta") &&
+          col("tb") - col("ta") <= 1800000000L &&
+          col("item_a") =!= col("item_b"))
+        .select(least(col("item_a"), col("item_b")).as("item_x"),
+          greatest(col("item_a"), col("item_b")).as("item_y"))
+        .groupBy(col("item_x"), col("item_y")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("item_x").asc, col("item_y").asc)
+        .limit(20)
+    }),
+
     // User-growth curve: each user's FIRST event hour, new users per
     // hour, and the running cumulative — the activation read every
     // dashboard opens with. The running-total window runs over the
@@ -421,6 +446,19 @@ object StreamQueries {
                 CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (src)""",
     "event_markov_stationary" -> MarkovStationaryOracle,
+    "covisitation" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         f AS (SELECT * FROM e WHERE item IS NOT NULL),
+         p AS (SELECT least(a.item, b.item) AS item_x,
+             greatest(a.item, b.item) AS item_y
+           FROM f a JOIN f b ON a.user_id = b.user_id
+           WHERE b.t > a.t AND b.t - a.t <= 1800000000
+             AND a.item <> b.item)
+         SELECT item_x, item_y, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2
+         ORDER BY n DESC, item_x ASC, item_y ASC LIMIT 20""",
     "user_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS fu
            FROM events GROUP BY 1),

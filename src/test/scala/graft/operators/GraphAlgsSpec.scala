@@ -259,6 +259,29 @@ class GraphAlgsSpec extends SparkSpec {
     assert(pi("A") == 666015625000L && pi("B") == 333984375000L, pi)
   }
 
+  test("hits: one round on a bipartite star matches hand integers") {
+    import spark.implicits._
+    // s1→{p1,p2}, s2→{p1}: a1 = (2e6, 1e6)/3e6 → p1 666666, p2 333333;
+    // h1 raw = (999999, 666666), total 1666665 → s1 600000 EXACTLY
+    // (1666665·600000 = 999999·10⁶), s2 400000 (floor)
+    val e = Seq(("s1", "p1"), ("s1", "p2"), ("s2", "p1")).toDF("src", "dst")
+    val m = GraphAlgs.hits(e, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("s1") == (600000L, 0L) && m("s2") == (400000L, 0L), m)
+    assert(m("p1") == (0L, 666666L) && m("p2") == (0L, 333333L), m)
+  }
+
+  test("hits: three rounds keep the mutual-reinforcement order, deterministically") {
+    import spark.implicits._
+    val e = Seq(("s1", "p1"), ("s1", "p2"), ("s2", "p1")).toDF("src", "dst")
+    val out = GraphAlgs.hits(e, "src", "dst", iters = 3)
+    val m = out.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("s1")._1 > m("s2")._1) // broader supplier = stronger hub
+    assert(m("p1")._2 > m("p2")._2) // better-endorsed part = stronger authority
+    val again = GraphAlgs.hits(e, "src", "dst", iters = 3)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("randomWalks: walks follow real edges, full length, deterministic") {
     import spark.implicits._
     // 4-cycle plus a chord — every node has out-edges, so all walks
