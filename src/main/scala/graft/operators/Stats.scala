@@ -404,6 +404,41 @@ object Stats {
         col("mean_pred_ppm"), col("response_ppm"), col("gap_ppm"))
   }
 
+  /** Pair-counting agreement between two clusterings of the same rows
+    * (Rand index + pair precision/recall — the standard way to score a
+    * candidate dedup/clustering against a reference without matching
+    * cluster LABELS, which are arbitrary on both sides): every row
+    * pair either co-clusters in A, in B, in both (TP) or neither (TN).
+    * The four cells come from the contingency table via exact binomial
+    * sums — C(n,2) on int64 counts, one groupBy over (a, b) plus two
+    * marginal aggregates; the pair space is NEVER enumerated.
+    *
+    * All outputs are exact integers (counts + ppm ratios), so the row
+    * is hash-checkable cross-engine. int64 headroom: C(N,2) ≤ 2⁶³
+    * holds to N ≈ 4·10⁹ rows.
+    */
+  def clusteringAgreement(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    def pairs(c: String) = expr(s"($c * ($c - 1)) div 2")
+    val tpF = cells.agg(sum(pairs("__n")).cast("long").as("tp"),
+      sum(col("__n")).cast("long").as("n"))
+    val aF = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+      .agg(sum(pairs("__na")).cast("long").as("pa"))
+    val bF = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+      .agg(sum(pairs("__nb")).cast("long").as("pb"))
+    tpF.crossJoin(aF).crossJoin(bF)
+      .withColumn("all_pairs", expr("(n * (n - 1)) div 2"))
+      .withColumn("fp", col("pa") - col("tp"))
+      .withColumn("fn", col("pb") - col("tp"))
+      .withColumn("tn", col("all_pairs") - col("pa") - col("pb") + col("tp"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("((tp + tn) * 1000000L) div all_pairs").as("rand_ppm"),
+        when(col("pa") > 0, expr("(tp * 1000000L) div pa")).as("precision_ppm"),
+        when(col("pb") > 0, expr("(tp * 1000000L) div pb")).as("recall_ppm"))
+  }
+
   /** Cumulative Poisson(1) CDF gates on a 16-bit md5 draw:
     * floor(65536 · P(X ≤ k)) for k = 0..4; a draw ≥ the last gate gets
     * multiplicity 5 (P(X > 5) ≈ 0.06%, negligible truncation shared by

@@ -254,6 +254,21 @@ object TextQueries {
     // cells; the z is double math on exact integer counts with an
     // identical expression on both engines, rounded to 4dp BEFORE the
     // per-source top-10 rank (term-asc tiebreak) so the cut is stable.
+    // Pair-counting clustering agreement (Stats.clusteringAgreement):
+    // Rand index + pair precision/recall of the length-bucket
+    // partition against exact-duplicate groups — the label-free way to
+    // score a candidate blocking/clustering against a reference (here:
+    // "how well does 100-char length bucketing act as a dup blocking
+    // key"). Binomial sums over the contingency table — the row-pair
+    // space is never enumerated; all cells exact int64.
+    "clustering_agreement" -> ((s, dir) => {
+      graft.operators.Stats.clusteringAgreement(
+        Tables.documents(s, dir)
+          .select(md5(col("text")).as("dup_cluster"),
+            expr("n_chars div 100").as("len_bucket")),
+        "dup_cluster", "len_bucket")
+    }),
+
     // Token-pair PMI over document co-occurrence: which word pairs
     // appear together more than their marginals predict — collocation /
     // topical-structure mining, the pairwise complement of tf-idf. The
@@ -1009,6 +1024,28 @@ object TextQueries {
                 CAST((sum(oov) * 1000000) // count(*) AS DOUBLE) / 1e6
                   AS oov_rate
          FROM j GROUP BY doc_id""",
+    "clustering_agreement" ->
+      """WITH c AS (SELECT md5(text) AS a, n_chars // 100 AS b FROM documents),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM c GROUP BY 1, 2),
+         tpc AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS tp,
+             CAST(sum(n) AS BIGINT) AS n FROM cells),
+         pac AS (SELECT CAST(sum((na * (na - 1)) // 2) AS BIGINT) AS pa
+           FROM (SELECT sum(n) AS na FROM cells GROUP BY a)),
+         pbc AS (SELECT CAST(sum((nb * (nb - 1)) // 2) AS BIGINT) AS pb
+           FROM (SELECT sum(n) AS nb FROM cells GROUP BY b)),
+         m AS (SELECT n, tp, pa, pb, (n * (n - 1)) // 2 AS ap
+           FROM tpc, pac, pbc)
+         SELECT n, tp, CAST(pa - tp AS BIGINT) AS fp,
+           CAST(pb - tp AS BIGINT) AS fn,
+           CAST(ap - pa - pb + tp AS BIGINT) AS tn,
+           CAST(((ap - pa - pb + 2 * tp) * 1000000) // ap AS BIGINT)
+             AS rand_ppm,
+           CAST(CASE WHEN pa > 0 THEN (tp * 1000000) // pa END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN pb > 0 THEN (tp * 1000000) // pb END AS BIGINT)
+             AS recall_ppm
+         FROM m""",
     "text_pmi_pairs" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t AS token
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -286,6 +286,41 @@ object WarehouseQueries {
         e.select(col("a").as("doc_a"), col("b").as("doc_b")))
     }),
 
+    // Partition-quality read over the part co-order graph: Newman
+    // modularity terms per cluster — Q_c = L_c/m − (d_c/2m)² for the
+    // BRAND partition of the parts ("do brands form co-purchase
+    // communities"), emitted as exact integer inputs (intra-edge
+    // count, degree sum) plus the 6-dp double term computed from them
+    // on both engines. One cluster-map join per endpoint + two
+    // aggregates; Σ q_term IS the partition's modularity (≈ 0 here —
+    // random baskets don't cluster by brand, the negative-control
+    // read, same role as the flat lift table).
+    "graph_modularity" -> ((s, dir) => {
+      val e = GraphAlgs.canonical(basketEdges(s, dir), "a", "b")
+        .localCheckpoint(true)
+      val clusters = Tables.part(s, dir)
+        .select(col("p_partkey").cast("long").as("id"),
+          col("p_brand").as("cluster"))
+      val m = e.count()
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val nodeStats = clusters.join(deg, Seq("id"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg")).as("degree_sum"))
+      val intra = e
+        .join(clusters.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"))
+        .join(clusters.select(col("id").as("b"), col("cluster").as("cb")), Seq("b"))
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("cluster")).agg(count(lit(1)).as("intra_edges"))
+      nodeStats.join(intra, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"),
+          round((lit(4L) * lit(m) * coalesce(col("intra_edges"), lit(0L))
+            - col("degree_sum") * col("degree_sum")).cast("double")
+            / lit(4.0 * m * m), 6).as("q_term"))
+    }),
+
     // Declarative data-quality report: all predicate rules in ONE
     // aggregate pass per table, plus a uniqueness and a referential
     // check — exact integer counts throughout.
@@ -664,6 +699,27 @@ object WarehouseQueries {
            SELECT reach.node, s.dst FROM reach JOIN sym s ON reach.r = s.src)
          SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster
          FROM reach GROUP BY node"""
+    },
+    "graph_modularity" -> {
+      s"""WITH $BasketEdgeSql,
+         cl AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS cluster
+           FROM part),
+         mm AS (SELECT count(*) AS m FROM e),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         ns AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg) AS BIGINT) AS degree_sum
+           FROM cl JOIN deg USING (id) GROUP BY 1),
+         intra AS (SELECT ca.cluster, CAST(count(*) AS BIGINT) AS intra_edges
+           FROM e JOIN cl ca ON e.a = ca.id JOIN cl cb ON e.b = cb.id
+           WHERE ca.cluster = cb.cluster GROUP BY 1)
+         SELECT ns.cluster, n_nodes,
+           CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges,
+           degree_sum,
+           round(CAST(4 * mm.m * COALESCE(intra_edges, 0)
+               - degree_sum * degree_sum AS DOUBLE)
+             / (4.0 * mm.m * mm.m), 6) AS q_term
+         FROM ns LEFT JOIN intra ON ns.cluster = intra.cluster CROSS JOIN mm"""
     },
     "dq_report" ->
       """SELECT 'orders_null_custkey' AS rule,

@@ -215,6 +215,26 @@ class StatsSpec extends SparkSpec {
       m("b").getAs[Double]("ci_hi") == 2000000.0)
   }
 
+  test("clusteringAgreement: hand contingency and the identity partition") {
+    import spark.implicits._
+    // A = {x,x,y,y}, B = {p,q,p,q}: all four cells singletons → TP 0;
+    // each side has 2 co-pairs → FP 2, FN 2; C(4,2)=6 → TN 2, Rand 2/6
+    val d = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val r = Stats.clusteringAgreement(d, "a", "b").head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("tp") == 0 &&
+      r.getAs[Long]("fp") == 2 && r.getAs[Long]("fn") == 2 &&
+      r.getAs[Long]("tn") == 2)
+    assert(r.getAs[Long]("rand_ppm") == 333333L)
+    assert(r.getAs[Long]("precision_ppm") == 0L &&
+      r.getAs[Long]("recall_ppm") == 0L)
+    // a partition compared to itself: no disagreeing pairs, Rand = 1
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y")).toDF("a", "b")
+    val s2 = Stats.clusteringAgreement(same, "a", "b").head
+    assert(s2.getAs[Long]("fp") == 0 && s2.getAs[Long]("fn") == 0 &&
+      s2.getAs[Long]("rand_ppm") == 1000000L &&
+      s2.getAs[Long]("precision_ppm") == 1000000L)
+  }
+
   test("calibrationTable: perfect and inverted calibration bracket the gap") {
     import spark.implicits._
     // 10 confident-positive rows (pred 1e6, y 1) + 10 confident-negative
