@@ -237,6 +237,51 @@ object Stats {
     out
   }
 
+  /** Mutual information I(feature; label) in nats for k categorical
+    * features from ONE exploded pass — the information-theoretic
+    * complement of [[chiSquareRelevance]] (χ² asks "is there
+    * dependence", MI says "how many nats does knowing the feature buy
+    * about the label"). Same contingency-cell shape; only OBSERVED
+    * cells contribute (0·ln 0 = 0, so no full-grid expansion is
+    * needed), each term is a double computed from exact integer counts
+    * then fixed to DECIMAL(20,8) BEFORE the sum (the text_entropy
+    * discipline — the per-feature total is aggregation-order
+    * invariant).
+    */
+  def mutualInformation(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need >= 1 feature column")
+    val triples = df.where(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__lbl"),
+        explode(array(featureCols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("string").as("v"))): _*)).as("fv"))
+      .where(col("fv.v").isNotNull)
+      .select(col("fv.f").as("feature"), col("fv.v").as("v"), col("__lbl"))
+    val cells = triples.groupBy(col("feature"), col("v"), col("__lbl"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = cells.groupBy(col("feature"), col("v"))
+      .agg(sum(col("o")).as("rc"))
+    val colTot = cells.groupBy(col("feature"), col("__lbl"))
+      .agg(sum(col("o")).as("cc"))
+    val nTot = cells.groupBy(col("feature")).agg(sum(col("o")).as("n"))
+    val term = ((col("o").cast("double") / col("n").cast("double")) *
+      log(col("o").cast("double") * col("n").cast("double") /
+        (col("rc").cast("double") * col("cc").cast("double"))))
+      .cast(DecimalType(20, 8))
+    val result = cells
+      .join(rowTot, Seq("feature", "v"))
+      .join(colTot, Seq("feature", "__lbl"))
+      .join(broadcast(nTot), Seq("feature"))
+      .groupBy(col("feature"))
+      .agg(first(col("n")).as("n"), sum(term).as("__mi"))
+      .select(col("feature"), col("n"),
+        round(col("__mi").cast("double"), 4).as("mi_nats"))
+    val out = result.localCheckpoint(true)
+    cells.unpersist(false)
+    out
+  }
+
   /** Exact per-group WEIGHTED quantiles — the survey-statistics /
     * importance-weighted form of `percentile`: the q-quantile is the
     * smallest value whose cumulative weight reaches q of the group's

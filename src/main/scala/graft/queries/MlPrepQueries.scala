@@ -342,6 +342,16 @@ object MlPrepQueries {
       Stats.chiSquareRelevance(o, Seq("o_orderpriority", "o_orderstatus"), "lbl")
     }),
 
+    // Mutual information I(feature; label) in nats
+    // (Stats.mutualInformation) — the "how many nats does this feature
+    // buy" complement to the χ² table above, same one-explode
+    // contingency pass, per-cell terms DECIMAL-fixed before the sum.
+    "feature_relevance_mi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).withColumn("lbl",
+        when(col("o_totalprice") >= 150000.0, lit("high")).otherwise(lit("low")))
+      Stats.mutualInformation(o, Seq("o_orderpriority", "o_orderstatus"), "lbl")
+    }),
+
     // Decile lift table (Stats.liftTable): rank orders by total price,
     // cut into 10 equal-count bands WITHOUT a partitionless window
     // (DenseId rank), report each band's high-priority rate and lift
@@ -1001,6 +1011,31 @@ object MlPrepQueries {
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS stddev
          FROM g""",
     "feature_relevance_chi2" -> Chi2Sql,
+    "feature_relevance_mi" ->
+      """WITH b AS (SELECT CASE WHEN o_totalprice >= 150000.0
+               THEN 'high' ELSE 'low' END AS lbl,
+             o_orderpriority, o_orderstatus FROM orders),
+         t AS (SELECT 'o_orderpriority' AS feature,
+               CAST(o_orderpriority AS VARCHAR) AS v, lbl FROM b
+           UNION ALL
+           SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR), lbl FROM b),
+         cells AS (SELECT feature, v, lbl, CAST(count(*) AS BIGINT) AS o
+           FROM t WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         rt AS (SELECT feature, v, sum(o) AS rc FROM cells GROUP BY 1, 2),
+         ct AS (SELECT feature, lbl, sum(o) AS cc FROM cells GROUP BY 1, 2),
+         nt AS (SELECT feature, sum(o) AS n FROM cells GROUP BY 1),
+         terms AS (SELECT cells.feature, nt.n,
+             CAST((CAST(o AS DOUBLE) / CAST(nt.n AS DOUBLE))
+               * ln(CAST(o AS DOUBLE) * CAST(nt.n AS DOUBLE)
+                 / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE)))
+               AS DECIMAL(20,8)) AS tm
+           FROM cells
+           JOIN rt ON cells.feature = rt.feature AND cells.v = rt.v
+           JOIN ct ON cells.feature = ct.feature AND cells.lbl = ct.lbl
+           JOIN nt ON cells.feature = nt.feature)
+         SELECT feature, CAST(max(n) AS BIGINT) AS n,
+                round(CAST(sum(tm) AS DOUBLE), 4) AS mi_nats
+         FROM terms GROUP BY feature""",
     "stats_bootstrap_ci" -> BootstrapSql,
     "model_lift_table" ->
       """WITH b AS (SELECT o_orderkey AS id,

@@ -109,6 +109,42 @@ object StreamQueries {
           expr("pi_fx div 1000000L").as("pi_ppm"))
     }),
 
+    // Survival curve (Nelson-Aalen hazard table): per-user lifetime
+    // from first to last event in whole hours, users still active in
+    // the stream's final 24h right-censored; at every distinct
+    // lifetime, the risk set (users surviving ≥ t), observed endings,
+    // censorings, the discrete hazard d/n as integer ppm, and the
+    // cumulative hazard as the exact running sum of those ppm terms.
+    // Everything integer, windows run over the LIFETIME aggregate
+    // (bounded by distinct durations, not users). The churn read:
+    // where in a user's life does the exit risk spike.
+    "survival_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val life = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+      val gmax = life.agg(max(col("last_us")).as("gm"))
+      val durations = life.crossJoin(broadcast(gmax))
+        .select(expr("(last_us - first_us) div 3600000000L").as("t_hours"),
+          (col("last_us") > col("gm") - lit(86400000000L))
+            .cast("long").as("censored"))
+      val byT = durations.groupBy(col("t_hours"))
+        .agg(count(lit(1)).as("n_ending"),
+          sum(lit(1L) - col("censored")).as("d_events"))
+      val before = Window.orderBy(col("t_hours"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val upTo = Window.orderBy(col("t_hours"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(durations.agg(count(lit(1)).as("__n_users"))))
+        .withColumn("n_at_risk",
+          col("__n_users") - coalesce(sum(col("n_ending")).over(before), lit(0L)))
+        .withColumn("n_censored", col("n_ending") - col("d_events"))
+        .withColumn("hazard_ppm", expr("(d_events * 1000000L) div n_at_risk"))
+        .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(upTo))
+        .select(col("t_hours"), col("n_at_risk"), col("d_events"),
+          col("n_censored"), col("hazard_ppm"), col("cum_hazard_ppm"))
+    }),
+
     // Item co-visitation within a 30-minute window (the recommender
     // "viewed together" matrix): per user, ordered pairs of props.k
     // item values whose timestamps are within the window, folded to
@@ -446,6 +482,33 @@ object StreamQueries {
                 CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (src)""",
     "event_markov_stationary" -> MarkovStationaryOracle,
+    "survival_curve" ->
+      """WITH life AS (SELECT user_id, min(epoch_us(ts)) AS fu,
+             max(epoch_us(ts)) AS lu FROM events GROUP BY 1),
+         g AS (SELECT max(lu) AS gm FROM life),
+         d AS (SELECT (lu - fu) // 3600000000 AS t_hours,
+             CASE WHEN lu > gm - 86400000000 THEN 1 ELSE 0 END AS censored
+           FROM life CROSS JOIN g),
+         byt AS (SELECT t_hours, CAST(count(*) AS BIGINT) AS n_ending,
+             CAST(sum(1 - censored) AS BIGINT) AS d_events
+           FROM d GROUP BY 1),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM d),
+         r AS (SELECT t_hours, n_ending, d_events,
+             n_users - COALESCE(sum(n_ending) OVER (ORDER BY t_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+           FROM byt CROSS JOIN nu),
+         h AS (SELECT t_hours, n_at_risk, d_events,
+             n_ending - d_events AS n_censored,
+             (d_events * 1000000) // n_at_risk AS hazard_ppm
+           FROM r)
+         SELECT t_hours, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+           CAST(sum(hazard_ppm) OVER (ORDER BY t_hours
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_hazard_ppm
+         FROM h""",
     "covisitation" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS item

@@ -215,6 +215,21 @@ class StatsSpec extends SparkSpec {
       m("b").getAs[Double]("ci_hi") == 2000000.0)
   }
 
+  test("mutualInformation: perfect association = H(label), independence = 0") {
+    import spark.implicits._
+    // deterministic mapping f→lbl with a uniform label: I = H = ln 2
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("f", "lbl")
+    val mp = Stats.mutualInformation(perfect, Seq("f"), "lbl").head
+    assert(mp.getAs[Long]("n") == 4)
+    assert(math.abs(mp.getAs[Double]("mi_nats") - math.log(2)) < 1e-3, mp)
+    // the full product grid, uniform: knowing f buys nothing
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("f", "lbl")
+    val mi = Stats.mutualInformation(indep, Seq("f"), "lbl").head
+    assert(mi.getAs[Double]("mi_nats") == 0.0, mi)
+  }
+
   test("clusteringAgreement: hand contingency and the identity partition") {
     import spark.implicits._
     // A = {x,x,y,y}, B = {p,q,p,q}: all four cells singletons → TP 0;
