@@ -369,13 +369,12 @@ object MlPrepQueries {
     }),
 
     // Pareto / revenue-concentration report: per-supplier revenue in
-    // exact int64 cents, globally ranked by DenseId (no partitionless
-    // window over the FACT table — the running-share window runs over
-    // the supplier-level aggregate, bounded by the dimension), with
+    // exact int64 cents, globally ranked by DenseId and cumulated by
+    // the distributed PrefixSum — NO partitionless window anywhere
+    // (PlanSpec's global sweep holds for this query too), with
     // exact-ppm share and cumulative share. The "how few suppliers
     // carry 80% of revenue" concentration read.
     "pareto_report" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey").cast("long").as("suppkey"))
         .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
@@ -385,10 +384,8 @@ object MlPrepQueries {
           col("rev_cents")),
         "__rk", "__neg", "suppkey")
       val tot = rev.agg(sum(col("rev_cents")).as("__tot"))
-      val w = Window.orderBy(col("__rk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ranked
-        .withColumn("__cum", sum(col("rev_cents")).over(w))
+      graft.operators.PrefixSum
+        .withRunningTotal(ranked, "rev_cents", "__cum", "__rk")
         .crossJoin(broadcast(tot))
         .select(col("suppkey"), (col("__rk") + 1).as("rank"),
           col("rev_cents"),

@@ -115,11 +115,11 @@ object StreamQueries {
     // lifetime, the risk set (users surviving ≥ t), observed endings,
     // censorings, the discrete hazard d/n as integer ppm, and the
     // cumulative hazard as the exact running sum of those ppm terms.
-    // Everything integer, windows run over the LIFETIME aggregate
-    // (bounded by distinct durations, not users). The churn read:
-    // where in a user's life does the exit risk spike.
+    // Everything integer; BOTH running totals (endings-before for the
+    // risk set, hazard accumulation) come from the distributed
+    // PrefixSum — no partitionless window. The churn read: where in a
+    // user's life does the exit risk spike.
     "survival_curve" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val life = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(min(expr("ts_ns div 1000")).as("first_us"),
           max(expr("ts_ns div 1000")).as("last_us"))
@@ -131,16 +131,15 @@ object StreamQueries {
       val byT = durations.groupBy(col("t_hours"))
         .agg(count(lit(1)).as("n_ending"),
           sum(lit(1L) - col("censored")).as("d_events"))
-      val before = Window.orderBy(col("t_hours"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val upTo = Window.orderBy(col("t_hours"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byT.crossJoin(broadcast(durations.agg(count(lit(1)).as("__n_users"))))
+      val withEnd = graft.operators.PrefixSum
+        .withRunningTotal(byT, "n_ending", "__cum_end", "t_hours")
+        .crossJoin(broadcast(durations.agg(count(lit(1)).as("__n_users"))))
         .withColumn("n_at_risk",
-          col("__n_users") - coalesce(sum(col("n_ending")).over(before), lit(0L)))
+          col("__n_users") - col("__cum_end") + col("n_ending"))
         .withColumn("n_censored", col("n_ending") - col("d_events"))
         .withColumn("hazard_ppm", expr("(d_events * 1000000L) div n_at_risk"))
-        .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(upTo))
+      graft.operators.PrefixSum
+        .withRunningTotal(withEnd, "hazard_ppm", "cum_hazard_ppm", "t_hours")
         .select(col("t_hours"), col("n_at_risk"), col("d_events"),
           col("n_censored"), col("hazard_ppm"), col("cum_hazard_ppm"))
     }),
@@ -172,20 +171,17 @@ object StreamQueries {
 
     // User-growth curve: each user's FIRST event hour, new users per
     // hour, and the running cumulative — the activation read every
-    // dashboard opens with. The running-total window runs over the
-    // hour-level AGGREGATE (one row per active hour), never the event
-    // stream, so the unpartitioned sort is bounded by the calendar,
-    // not the corpus.
+    // dashboard opens with. The running total comes from the
+    // distributed PrefixSum (two scans + partition-count driver
+    // state), never a partitionless window.
     "user_growth" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val hourly = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(min(expr("ts_ns div 1000")).as("first_us"))
         .select(expr("first_us div 3600000000L").as("hour"))
         .groupBy(col("hour")).agg(count(lit(1)).as("n_new"))
-      val w = Window.orderBy(col("hour"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hourly.withColumn("cum_users", sum(col("n_new")).over(w))
+      graft.operators.PrefixSum
+        .withRunningTotal(hourly, "n_new", "cum_users", "hour")
     }),
 
     // CMS join-size planning estimate for the lineitem ⋈ lineitem
