@@ -472,24 +472,33 @@ object GraphAlgs {
       col(dstCol).cast("string").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
-    def normalized(raw: DataFrame): DataFrame = {
-      // raw: (node, v) over a SUBSET of nodes; missing nodes are 0
+    val owned = collection.mutable.ArrayBuffer.empty[DataFrame]
+    def normalized(rawLazy: DataFrame): DataFrame = {
+      // raw: (node, v) over a SUBSET of nodes; missing nodes are 0.
+      // Materialize it ONCE — the total and the normalize both read it,
+      // and without the checkpoint each would re-run the edge join.
+      val raw = rawLazy.localCheckpoint(true)
       val tot = raw.agg(sum(col("v")).as("__tot"))
-      nodes.join(raw, Seq("node"), "left")
+      val out = nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .select(col("node"), coalesce(
           expr(s"(v * ${scale}L) div __tot"), lit(0L)).as("v"))
         .localCheckpoint(true)
+      CheckpointShim.freeLocalCheckpointIfAny(raw)
+      out
     }
     var hub = nodes.withColumn("v", lit(scale))
     var auth: DataFrame = null
-    val owned = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
-      val rawAuth = e.join(hub.select(col("node").as("src"), col("v")), Seq("src"))
+      // score frames are node-sized — broadcast them into the edge join
+      // so the (much larger) edge table never shuffles for the join
+      val rawAuth = e.join(
+          broadcast(hub.select(col("node").as("src"), col("v"))), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("v")).as("v"))
       auth = normalized(rawAuth)
       owned += auth
-      val rawHub = e.join(auth.select(col("node").as("dst"), col("v")), Seq("dst"))
+      val rawHub = e.join(
+          broadcast(auth.select(col("node").as("dst"), col("v"))), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("v")).as("v"))
       hub = normalized(rawHub)
       owned += hub
@@ -548,9 +557,13 @@ object GraphAlgs {
     for (t <- 1 to steps) {
       val idx = pmod(conv(substring(md5(concat(col("start"), lit(":"),
         col("node"), lit(":"), lit(t))), 1, 4), 16, 10).cast("long"), col("deg"))
-      state = state
+      // the frontier is ≤ |starts| rows — broadcast it into both hop
+      // joins so neither the degree table nor the (much larger) ranked
+      // adjacency ever shuffles for the walk
+      val withDeg = broadcast(state)
         .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
         .withColumn("__idx", idx)
+      state = broadcast(withDeg)
         .join(ranked.select(col("src").as("node"), col("rk").as("__idx"),
           col("dst").as("__next")), Seq("node", "__idx"))
         .select(col("start"), col("__next").as("node"))
