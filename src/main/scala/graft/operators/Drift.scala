@@ -72,6 +72,44 @@ object Drift {
     *
     * @return (feature, psi) — one row per input column
     */
+  /** EXACT two-sample Kolmogorov-Smirnov statistic — the
+    * binning-free complement of [[psi]] (PSI needs bin edges and can
+    * hide a shift inside one bin; KS is the sup-distance between the
+    * two EMPIRICAL CDFs, sensitive to any location/shape change):
+    *
+    * {{{ KS = max_v |F_a(v) − F_b(v)| = max_v |C_a(v)·n_b − C_b(v)·n_a| / (n_a·n_b) }}}
+    *
+    * evaluated at distinct-value boundaries (the only places the sup
+    * can occur), entirely in int64 — counts per distinct value, TWO
+    * passes of [[PrefixSum.withRunningTotal]] for the cumulative
+    * counts (no partitionless window), cross-multiplied so no ratio is
+    * ever a float. Output is one row: (n_a, n_b, ks_ppm).
+    *
+    * Scale shape: the per-value count table is distinct-value-sized;
+    * the prefix sums are 2 scans + partition-count driver state each.
+    * int64 headroom: |C·n|·10⁶ needs n_a·n_b ≤ 9·10¹² — beyond ~3M
+    * rows per side, sample or widen to DECIMAL.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val av = a.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("k1"))
+    val bv = b.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("k2"))
+    val merged = av.join(bv, Seq("v"), "full")
+      .select(col("v"), coalesce(col("k1"), lit(0L)).as("k1"),
+        coalesce(col("k2"), lit(0L)).as("k2"))
+    val cums = PrefixSum.withRunningTotal(
+      PrefixSum.withRunningTotal(merged, "k1", "c1", "v"), "k2", "c2", "v")
+    val tot = cums.agg(max(col("c1")).as("n_a"), max(col("c2")).as("n_b"))
+    cums.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("c1") * col("n_b") - col("c2") * col("n_a")).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).as("__dmax"))
+      .select(col("n_a"), col("n_b"),
+        expr("(__dmax * 1000000L) div (n_a * n_b)").as("ks_ppm"))
+  }
+
   def psiAll(base: DataFrame, current: DataFrame, cols: Seq[String],
       k: Int = 10, statScale: Int = 6): DataFrame = {
     require(cols.nonEmpty, "need at least one column")

@@ -342,6 +342,24 @@ object MlPrepQueries {
       Stats.chiSquareRelevance(o, Seq("o_orderpriority", "o_orderstatus"), "lbl")
     }),
 
+    // EXACT two-sample Kolmogorov-Smirnov drift statistic
+    // (Drift.ksStatistic): the binning-free complement of drift_psi,
+    // run as its own negative control — the two sides are the md5
+    // halves of the SAME order-price population, so KS ≈ 0 (a few
+    // thousand ppm of sampling noise); a real serving-time shift
+    // would push it orders of magnitude higher. All int64 via two
+    // PrefixSum passes; DriftSpec pins the positive control.
+    "drift_ks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val gate = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val flagged = o.withColumn("__g", gate)
+      graft.operators.Drift.ksStatistic(
+        flagged.where(col("__g") < 32768),
+        flagged.where(col("__g") >= 32768), "cents")
+    }),
+
     // Mutual information I(feature; label) in nats
     // (Stats.mutualInformation) — the "how many nats does this feature
     // buy" complement to the χ² table above, same one-explode
@@ -1008,6 +1026,21 @@ object MlPrepQueries {
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS stddev
          FROM g""",
     "feature_relevance_chi2" -> Chi2Sql,
+    "drift_ks" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) < 32768 THEN 1 ELSE 0 END AS side
+           FROM orders),
+         m AS (SELECT v, CAST(sum(side) AS BIGINT) AS k1,
+             CAST(sum(1 - side) AS BIGINT) AS k2 FROM o GROUP BY v),
+         c AS (SELECT v, sum(k1) OVER w AS c1, sum(k2) OVER w AS c2
+           FROM m WINDOW w AS (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT max(c1) AS na, max(c2) AS nb FROM c)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(max(abs(c1 * nb - c2 * na)) * 1000000 // (na * nb)
+             AS BIGINT) AS ks_ppm
+         FROM c CROSS JOIN t GROUP BY na, nb""",
     "feature_relevance_mi" ->
       """WITH b AS (SELECT CASE WHEN o_totalprice >= 150000.0
                THEN 'high' ELSE 'low' END AS lbl,

@@ -340,6 +340,33 @@ object WarehouseQueries {
           "orders_orphan_custkey"))
     }),
 
+    // Benford first-digit audit (the classic fabricated-data /
+    // pipeline-corruption screen): first significant digit of the
+    // order total in cents — exact, via the int64's string head, no
+    // log10 on floats — against the Benford expectation log10(1+1/d)
+    // as shared ppm literals. Observed rate and deviation in exact
+    // integer ppm; 9 rows however large the table.
+    "dq_benford" -> ((s, dir) => {
+      val exp = Map("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+        "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+        "8" -> 51153L, "9" -> 45757L)
+      val expected = exp.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+      val digits = Tables.orders(s, dir)
+        .select(expr(
+          "substring(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1)")
+          .as("digit"))
+        .where(col("digit").between("1", "9"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("__tot"))))
+        .withColumn("observed_ppm", expr("(n * 1000000L) div __tot"))
+        .withColumn("expected_ppm", expected)
+        .select(col("digit"), col("n"), col("observed_ppm"),
+          col("expected_ppm"),
+          abs(col("observed_ppm") - col("expected_ppm")).as("dev_ppm"))
+    }),
+
     // Pairwise frequent itemsets over order baskets, exact support
     // counts (confidence/lift are one integer-column expression away).
     "basket_rules" -> ((s, dir) => {
@@ -739,6 +766,23 @@ object WarehouseQueries {
                 CAST(count(*) AS BIGINT) FROM orders
          WHERE o_custkey IS NOT NULL
            AND o_custkey NOT IN (SELECT c_custkey FROM customer)""",
+    "dq_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
+               AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders),
+         g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+           WHERE digit BETWEEN '1' AND '9' GROUP BY 1),
+         t AS (SELECT sum(n) AS tot FROM g)
+         SELECT digit, n,
+           CAST((n * 1000000) // tot AS BIGINT) AS observed_ppm,
+           CAST(CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+             WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+             WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+             ELSE 45757 END AS BIGINT) AS expected_ppm,
+           CAST(abs((n * 1000000) // tot - CASE digit WHEN '1' THEN 301030
+             WHEN '2' THEN 176091 WHEN '3' THEN 124939 WHEN '4' THEN 96910
+             WHEN '5' THEN 79181 WHEN '6' THEN 66947 WHEN '7' THEN 57992
+             WHEN '8' THEN 51153 ELSE 45757 END) AS BIGINT) AS dev_ppm
+         FROM g CROSS JOIN t""",
     "basket_rules" ->
       """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
          sz AS (SELECT b, count(*) AS s FROM d GROUP BY b),

@@ -54,4 +54,24 @@ class DriftSpec extends SparkSpec {
     val scalar = BigDecimal(Drift.psi(base, cur, "v").head().getDouble(0))
     assert(summed == scalar)
   }
+
+  test("ksStatistic: identical samples → 0; hand pair → exactly 1/2") {
+    import spark.implicits._
+    val a = (0L until 100L).map(i => Tuple1(i % 10)).toDF("v")
+    val same = Drift.ksStatistic(a, a, "v").head
+    assert(same.getAs[Long]("n_a") == 100 && same.getAs[Long]("n_b") == 100)
+    assert(same.getAs[Long]("ks_ppm") == 0L)
+    // a = {1,2}, b = {2,3}: cum diffs 1/2, 1/2, 0 → KS = 1/2 exactly
+    val x = Seq(1L, 2L).toDF("v")
+    val y = Seq(2L, 3L).toDF("v")
+    assert(Drift.ksStatistic(x, y, "v").head.getAs[Long]("ks_ppm") == 500000L)
+  }
+
+  test("ksStatistic: a location shift is detected, unlike a PSI-blind in-bin move") {
+    import spark.implicits._
+    val base = (0L until 1000L).map(i => Tuple1(i % 100)).toDF("v")
+    val shifted = (0L until 1000L).map(i => Tuple1(i % 100 + 30)).toDF("v")
+    val ks = Drift.ksStatistic(base, shifted, "v").head.getAs[Long]("ks_ppm")
+    assert(ks == 300000L, s"shift of 30/100 of the support → KS 0.30; got $ks")
+  }
 }
