@@ -259,6 +259,35 @@ object TimeSeries {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Rolling OLS slope per key — [[olsTrend]]'s closed form evaluated
+    * over a trailing frame (the local-trend probe: where is the series
+    * accelerating RIGHT NOW, vs the whole-history fit). Same
+    * discipline as [[rollingCorr]]: the four moments are exact-decimal
+    * window sums sharing ONE partition sort; doubles appear only in
+    * the closed-form finish on identical exact inputs.
+    */
+  def rollingTrend(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"need window >= 2; got $window")
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = col(orderCol).cast(dec19)
+    val y = col(valueCol).cast(dec19)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val out = df
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w)).withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+    val n = d(col("rolling_n"))
+    val den = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    out.withColumn("rolling_slope",
+        when(col("rolling_n") >= 2 && den > 0, num / den))
+      .drop("__sx", "__sy", "__sxy", "__sxx")
+  }
+
   /** Seasonal-naive forecast backtest per key: MAE of the
     * season-lag forecast (x̂ₜ = xₜ₋ₛ) against MAE of the one-step
     * naive (x̂ₜ = xₜ₋₁), i.e. MASE's in-sample form — the sanity

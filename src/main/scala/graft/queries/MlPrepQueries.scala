@@ -237,6 +237,20 @@ object MlPrepQueries {
         "n_events", "mean_micro", window = 24)
     }),
 
+    // Rolling OLS slope (TimeSeries.rollingTrend): the 12-hour local
+    // trend of hourly value sums per type — where the series is
+    // accelerating NOW, the trailing-frame complement of ts_trend's
+    // whole-history fit. Exact-decimal window moments, double finish.
+    "ts_rolling_trend" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hour_idx"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * lit(1000000))
+          .cast("long").as("sum_micro"))
+      TimeSeries.rollingTrend(hourly, Seq("event_type"), "hour_idx",
+        "sum_micro", window = 12)
+    }),
+
     // Hour-of-day seasonal index (TimeSeries.seasonalIndex): each
     // (type, hour-of-day) slot's mean event value over the type's
     // overall mean — the multiplicative decomposition read. Exact
@@ -409,6 +423,27 @@ object MlPrepQueries {
           col("rev_cents"),
           expr("(rev_cents * 1000000L) div __tot").as("share_ppm"),
           expr("(__cum * 1000000L) div __tot").as("cum_ppm"))
+    }),
+
+    // Gini coefficient of that revenue distribution — the single-
+    // number concentration complement of pareto_report's full Lorenz
+    // table: G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n over ascending-ranked
+    // values. Ranks from DenseId (no partitionless window), sums exact
+    // int64, the two ratios double-only on exact inputs.
+    "gini_revenue" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("rev_cents"))
+      graft.operators.DenseId.withOrderedId(rev, "__rk", "rev_cents", "suppkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_cents")).as("total_cents"),
+          sum((col("__rk") + 1) * col("rev_cents")).as("__siv"))
+        .select(col("n_suppliers"), col("total_cents"),
+          round(lit(2.0) * col("__siv").cast("double")
+              / (col("n_suppliers").cast("double") * col("total_cents").cast("double"))
+            - (col("n_suppliers") + 1).cast("double")
+              / col("n_suppliers").cast("double"), 6).as("gini"))
     }),
 
     // Calibration / reliability table (Stats.calibrationTable): the
@@ -969,6 +1004,30 @@ object MlPrepQueries {
                / sqrt((CAST(rn AS DOUBLE) * sxx - sx * sx)
                  * (CAST(rn AS DOUBLE) * syy - sy * sy)) END AS rolling_corr
          FROM m""",
+    "ts_rolling_trend" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS sum_micro
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, hour_idx, sum_micro,
+             count(*) OVER w AS rn,
+             CAST(CAST(sum(CAST(hour_idx AS HUGEINT)) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(sum_micro AS HUGEINT)) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(hour_idx AS HUGEINT) * sum_micro) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(hour_idx AS HUGEINT) * hour_idx) OVER w
+               AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+         SELECT event_type, hour_idx, sum_micro,
+           CAST(rn AS BIGINT) AS rolling_n,
+           CASE WHEN rn >= 2
+               AND (CAST(rn AS DOUBLE) * sxx - sx * sx) > 0
+             THEN (CAST(rn AS DOUBLE) * sxy - sx * sy)
+               / (CAST(rn AS DOUBLE) * sxx - sx * sx) END AS rolling_slope
+         FROM m""",
     "ts_seasonal_index" ->
       """WITH b AS (SELECT event_type,
              (epoch_us(ts) // 3600000000) % 24 AS hod,
@@ -1104,6 +1163,19 @@ object MlPrepQueries {
                 CAST((rev_cents * 1000000) // tot AS BIGINT) AS share_ppm,
                 CAST((cum * 1000000) // tot AS BIGINT) AS cum_ppm
          FROM c CROSS JOIN t""",
+    "gini_revenue" ->
+      """WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT rev_cents,
+             row_number() OVER (ORDER BY rev_cents, suppkey) AS i FROM rev)
+         SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+           round(2.0 * CAST(sum(i * rev_cents) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(sum(rev_cents) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS gini
+         FROM r""",
     "model_calibration" ->
       """WITH b AS (SELECT o_orderkey AS id,
              CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)

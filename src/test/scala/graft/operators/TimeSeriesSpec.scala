@@ -237,4 +237,22 @@ class TimeSeriesSpec extends SparkSpec {
       Seq("g"), "t", "v", season = 4).collect().head
     assert(r2.getAs[Double]("mase") == 4.0)
   }
+
+  test("rollingTrend: exact lines recover their slope in every full frame") {
+    import spark.implicits._
+    // two keys with different exact lines — per-key isolation included
+    val rows = (1 to 30).map(t => ("a", t.toLong, 3L * t + 7)) ++
+      (1 to 30).map(t => ("b", t.toLong, -5L * t + 100))
+    val out = TimeSeries.rollingTrend(rows.toDF("g", "t", "v"),
+      Seq("g"), "t", "v", window = 6)
+    val slopes = out.where(col("rolling_n") >= 2)
+      .select(col("g"), col("rolling_slope")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).distinct.toSeq).toMap
+    assert(slopes("a") == Seq(3.0), slopes("a"))
+    assert(slopes("b") == Seq(-5.0), slopes("b"))
+    // the n = 1 head row has no trend
+    assert(out.where(col("rolling_n") === 1 &&
+      col("rolling_slope").isNotNull).isEmpty)
+  }
 }
