@@ -425,6 +425,41 @@ object MlPrepQueries {
           expr("(__cum * 1000000L) div __tot").as("cum_ppm"))
     }),
 
+    // RFM customer segmentation (the classic marketing read): per
+    // user, recency in hours from the stream's end, event frequency,
+    // and monetary value in exact µ-units, each cut into quintiles by
+    // the Discretize machinery (exact percentile fit, 6-dp cut snap,
+    // strict > rule) — recency scored INVERTED (recent = 5). The
+    // three fits are aggregate-sized; assignment is codegen'd literal
+    // comparisons. Segment code = "r-f-m".
+    "customer_rfm" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val gmax = e.agg(max(expr("ts_ns div 1000")).as("gm"))
+      val u = e.groupBy(col("user_id"))
+        .agg(max(expr("ts_ns div 1000")).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(18, 6))).as("__mv"))
+        .crossJoin(broadcast(gmax))
+        .select(col("user_id"),
+          expr("(gm - last_us) div 3600000000L").as("recency_hours"),
+          col("frequency"),
+          (col("__mv") * 1000000).cast("long").as("monetary_micro"))
+      def cuts(c: String) =
+        Discretize.cutsOf(Discretize.fitQuantileBins(u, c, 5))
+      val binned = Discretize.assignBinsLit(
+        Discretize.assignBinsLit(
+          Discretize.assignBinsLit(u, "recency_hours", cuts("recency_hours"), "__rb"),
+          "frequency", cuts("frequency"), "__fb"),
+        "monetary_micro", cuts("monetary_micro"), "__mb")
+      binned.select(col("user_id"), col("recency_hours"), col("frequency"),
+          col("monetary_micro"),
+          (lit(5) - col("__rb")).cast("long").as("r_score"),
+          (col("__fb") + 1).cast("long").as("f_score"),
+          (col("__mb") + 1).cast("long").as("m_score"))
+        .withColumn("segment",
+          concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
+    }),
+
     // Gini coefficient of that revenue distribution — the single-
     // number concentration complement of pareto_report's full Lorenz
     // table: G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n over ascending-ranked
@@ -1163,6 +1198,31 @@ object MlPrepQueries {
                 CAST((rev_cents * 1000000) // tot AS BIGINT) AS share_ppm,
                 CAST((cum * 1000000) // tot AS BIGINT) AS cum_ppm
          FROM c CROSS JOIN t""",
+    "customer_rfm" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gm FROM events),
+         u AS (SELECT user_id,
+             (g.gm - max(epoch_us(ts))) // 3600000000 AS recency_hours,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS monetary_micro
+           FROM events CROSS JOIN g GROUP BY user_id, g.gm),
+         rc AS (SELECT round(unnest(quantile_cont(recency_hours,
+             [0.2, 0.4, 0.6, 0.8])), 6) AS c FROM u),
+         fc AS (SELECT round(unnest(quantile_cont(frequency,
+             [0.2, 0.4, 0.6, 0.8])), 6) AS c FROM u),
+         mc AS (SELECT round(unnest(quantile_cont(monetary_micro,
+             [0.2, 0.4, 0.6, 0.8])), 6) AS c FROM u),
+         b AS (SELECT user_id, recency_hours, frequency, monetary_micro,
+             5 - (SELECT count(*) FROM rc WHERE recency_hours > c) AS r_score,
+             (SELECT count(*) FROM fc WHERE frequency > c) + 1 AS f_score,
+             (SELECT count(*) FROM mc WHERE monetary_micro > c) + 1 AS m_score
+           FROM u)
+         SELECT user_id, recency_hours, frequency, monetary_micro,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+         FROM b""",
     "gini_revenue" ->
       """WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
