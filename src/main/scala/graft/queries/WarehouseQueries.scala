@@ -340,6 +340,38 @@ object WarehouseQueries {
           "orders_orphan_custkey"))
     }),
 
+    // Universe (correlated) sampling audit: both fact tables sampled
+    // by the SAME md5 gate on the JOIN KEY (gate < 6554/65536 ≈ 10%),
+    // so the join of the samples IS a 10% universe sample of the join
+    // — independent Bernoulli sampling of each side would keep only
+    // ~1% of join rows and bias per-key joins. The query reports, per
+    // priority, the sampled aggregate, the 65536/6554-scaled estimate,
+    // the TRUE full-join value, and the error in ppm — the audit a
+    // pipeline runs on a small window before trusting the sampler at
+    // 100 TB (where only the sampled branch is affordable). All exact
+    // int64; PropertySpec pins join-of-samples ≡ gate-on-join.
+    "universe_sample_join" -> ((s, dir) => {
+      def gated(df: DataFrame, key: String) = df.where(
+        conv(substring(md5(col(key).cast("string")), 1, 4), 16, 10)
+          .cast("long") < 6554)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+      val sampled = gated(o, "o_orderkey")
+        .join(gated(l, "l_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sampled"), sum(cents).as("__sr"))
+        .withColumn("est_rev_cents", expr("(__sr * 65536L) div 6554L"))
+      val full = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(cents).as("true_rev_cents"))
+      sampled.join(full, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_sampled"),
+          col("est_rev_cents"), col("true_rev_cents"),
+          expr("(abs(est_rev_cents - true_rev_cents) * 1000000L)" +
+            " div true_rev_cents").as("err_ppm"))
+    }),
+
     // Benford first-digit audit (the classic fabricated-data /
     // pipeline-corruption screen): first significant digit of the
     // order total in cents — exact, via the int64's string head, no
@@ -766,6 +798,27 @@ object WarehouseQueries {
                 CAST(count(*) AS BIGINT) FROM orders
          WHERE o_custkey IS NOT NULL
            AND o_custkey NOT IN (SELECT c_custkey FROM customer)""",
+    "universe_sample_join" ->
+      """WITH so AS (SELECT * FROM orders
+           WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+             AS BIGINT) < 6554),
+         sl AS (SELECT * FROM lineitem
+           WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))
+             AS BIGINT) < 6554),
+         s AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sr
+           FROM so JOIN sl ON o_orderkey = l_orderkey GROUP BY 1),
+         f AS (SELECT o_orderpriority,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS true_rev_cents
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1)
+         SELECT o_orderpriority, n_sampled,
+           CAST((sr * 65536) // 6554 AS BIGINT) AS est_rev_cents,
+           true_rev_cents,
+           CAST((abs((sr * 65536) // 6554 - true_rev_cents) * 1000000)
+             // true_rev_cents AS BIGINT) AS err_ppm
+         FROM s JOIN f USING (o_orderpriority)""",
     "dq_benford" ->
       """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
                AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders),

@@ -271,4 +271,22 @@ class PropertySpec extends SparkSpec {
         assert(ids.forall(id => id >= 0 && id < 10))
       }
   }
+
+  test("universe sampling: join of gated sides ≡ gate applied to the join") {
+    import spark.implicits._
+    // both sides gated on the SAME md5 draw over the JOIN key — the
+    // correlated-sampling identity that makes the sampled join an
+    // unbiased universe sample (independent gates would keep p² of
+    // join rows, not p)
+    val left = (0L until 300L).map(k => (k, s"l$k")).toDF("k", "lv")
+    val right = (0L until 900L).map(i => (i % 300L, i)).toDF("k", "rv")
+    def gate(df: org.apache.spark.sql.DataFrame) = df.where(
+      conv(substring(md5(col("k").cast("string")), 1, 4), 16, 10)
+        .cast("long") < 6554)
+    val joinOfSamples = gate(left).join(gate(right), Seq("k"))
+    val sampleOfJoin = gate(left.join(right, Seq("k")))
+    assert(joinOfSamples.exceptAll(sampleOfJoin).isEmpty &&
+      sampleOfJoin.exceptAll(joinOfSamples).isEmpty)
+    assert(joinOfSamples.count() > 0) // the identity isn't vacuous
+  }
 }
