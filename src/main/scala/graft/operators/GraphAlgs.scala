@@ -515,6 +515,62 @@ object GraphAlgs {
     result
   }
 
+  /** Probability of HITTING an absorbing state within `iters` steps of
+    * a weighted Markov chain, by value iteration in integer fixed-point
+    * (the [[markovStationary]] discipline, pulled along OUTGOING edges
+    * instead of pushed along incoming ones):
+    *
+    * {{{ v₀(s) = [s = absorbing]·scale;  v_{k+1}(s) = Σ_t (v_k(t)·n_st) div n_s }}}
+    *
+    * with the absorbing state pinned at `scale` every round. Transitions
+    * to sink states (dst never a src) contribute 0 — "the chain ended
+    * without converting", which is exactly the funnel semantics. The
+    * conversion read behind Markov-chain attribution: from each state,
+    * how likely is the user to reach `absorbing` within k more steps.
+    * All int64, bit-identical to an unrolled SQL oracle.
+    */
+  def absorptionProbability(transitions: DataFrame, srcCol: String,
+      dstCol: String, nCol: String, absorbing: String, iters: Int = 8,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"need >= 1 iteration; got $iters")
+    val t0 = transitions.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst"), col(nCol).cast("long").as("__n"))
+    // the absorbing state joins the state set even when it is a SINK
+    // (no outgoing transitions): edges into it must pull `scale`, not
+    // the 0 that a missing value row would silently contribute
+    val states = t0.select(col("__src").as("state"))
+      .unionByName(t0.sparkSession.range(1).select(lit(absorbing).as("state")))
+      .distinct()
+      .localCheckpoint(true)
+    val totals = t0.groupBy(col("__src")).agg(sum(col("__n")).as("__ns"))
+    val edges = t0.join(totals, Seq("__src")).localCheckpoint(true)
+    def pin(v: DataFrame): DataFrame = v.select(col("state"),
+      when(col("state") === absorbing, lit(scale)).otherwise(col("v")).as("v"))
+    var value = pin(states.withColumn("v", lit(0L)))
+    var owned = false
+    for (_ <- 1 to iters) {
+      val pulled = edges
+        .join(broadcast(value.select(col("state").as("__dst"), col("v"))),
+          Seq("__dst"))
+        .select(col("__src").as("state"), expr("(v * __n) div __ns").as("__c"))
+        .groupBy(col("state")).agg(sum(col("__c")).as("__m"))
+      val next = pin(states.join(pulled, Seq("state"), "left")
+        .select(col("state"), coalesce(col("__m"), lit(0L)).as("v")))
+        .localCheckpoint(true)
+      if (owned) CheckpointShim.freeLocalCheckpointIfAny(value)
+      value = next
+      owned = true
+    }
+    val result = value
+      .select(col("state"), col("v").as("p_fx"),
+        expr(s"v div ${scale / 1000000L}L").as("p_ppm"))
+      .localCheckpoint(true)
+    CheckpointShim.freeLocalCheckpointIfAny(states)
+    CheckpointShim.freeLocalCheckpointIfAny(edges)
+    if (owned) CheckpointShim.freeLocalCheckpointIfAny(value)
+    result
+  }
+
   /** Deterministic random walks (the DeepWalk/node2vec corpus
     * generator): from every row of `starts`, a `steps`-hop walk whose
     * next node at step t is the neighbor at index

@@ -169,6 +169,26 @@ object StreamQueries {
         .limit(20)
     }),
 
+    // Conversion probability by value iteration on the SAME chain
+    // (GraphAlgs.absorptionProbability): from each event type, the
+    // probability of reaching 'purchase' within 8 more steps — the
+    // per-state conversion potential behind Markov-chain attribution
+    // (a channel's removal effect is this number recomputed without
+    // it). Chain ends (sinks) count as non-converting, the funnel
+    // semantics. Integer fixed-point, oracle-unrolled bit for bit.
+    "markov_conversion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      graft.operators.GraphAlgs.absorptionProbability(trans,
+        "src", "dst", "n", absorbing = "purchase", iters = 8)
+    }),
+
     // User-growth curve: each user's FIRST event hour, new users per
     // hour, and the running cumulative — the activation read every
     // dashboard opens with. The running total comes from the
@@ -453,7 +473,44 @@ object StreamQueries {
       " CAST(r // 1000000 AS BIGINT) AS pi_ppm FROM it8"
   }
 
+  /** markov_conversion oracle: 8 value-iteration rounds unrolled,
+    * replaying GraphAlgs.absorptionProbability's integers — per-edge
+    * floor pulls along outgoing edges, absorbing state pinned at
+    * scale, sinks contributing 0.
+    */
+  private val MarkovConversionOracle: String = {
+    val head =
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events),
+         p AS (SELECT event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS dst
+           FROM e),
+         c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         states AS (SELECT DISTINCT src AS state FROM c
+           UNION SELECT 'purchase'),
+         tot AS (SELECT src, sum(n) AS nsrc FROM c GROUP BY 1),
+         v0 AS (SELECT state, CASE WHEN state = 'purchase'
+             THEN 1000000000000 ELSE 0 END AS v FROM states)"""
+    val steps = (1 to 8).map { i =>
+      s""",
+         v$i AS (SELECT states.state,
+             CASE WHEN states.state = 'purchase' THEN 1000000000000
+               ELSE COALESCE(m$i.m, 0) END AS v
+           FROM states LEFT JOIN (
+             SELECT c.src AS state, sum((p2.v * c.n) // t2.nsrc) AS m
+             FROM c JOIN v${i - 1} p2 ON c.dst = p2.state
+             JOIN tot t2 ON c.src = t2.src
+             GROUP BY c.src) m$i ON states.state = m$i.state)"""
+    }.mkString
+    head + steps +
+      "\n         SELECT state, CAST(v AS BIGINT) AS p_fx," +
+      " CAST(v // 1000000 AS BIGINT) AS p_ppm FROM v8"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "markov_conversion" -> MarkovConversionOracle,
     "path_trigrams" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
            FROM events),

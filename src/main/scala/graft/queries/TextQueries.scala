@@ -254,6 +254,28 @@ object TextQueries {
     // cells; the z is double math on exact integer counts with an
     // identical expression on both engines, rounded to 4dp BEFORE the
     // per-source top-10 rank (term-asc tiebreak) so the cut is stable.
+    // Vocabulary coverage curve: tokens ranked by corpus frequency
+    // (DenseId — no partitionless window) with the CUMULATIVE share of
+    // all token occurrences each rank prefix covers (distributed
+    // PrefixSum), top-100 emitted — the read that sizes a tokenizer
+    // vocabulary ("how many types cover 95% of tokens"), Zipf's law
+    // made actionable. Exact integer ppm.
+    "vocab_coverage" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = freq.agg(sum(col("n")).as("__tot"))
+      val ranked = graft.operators.DenseId.withOrderedId(
+        freq.select((-col("n")).as("__neg"), col("token"), col("n")),
+        "__rk", "__neg", "token")
+      graft.operators.PrefixSum.withRunningTotal(ranked, "n", "__cum", "__rk")
+        .where(col("__rk") < 100)
+        .crossJoin(broadcast(tot))
+        .select(col("token"), (col("__rk") + 1).as("rank"), col("n"),
+          expr("(__cum * 1000000L) div __tot").as("coverage_ppm"))
+    }),
+
     // Pair-counting clustering agreement (Stats.clusteringAgreement):
     // Rand index + pair precision/recall of the length-bucket
     // partition against exact-duplicate groups — the label-free way to
@@ -1024,6 +1046,19 @@ object TextQueries {
                 CAST((sum(oov) * 1000000) // count(*) AS DOUBLE) / 1e6
                   AS oov_rate
          FROM j GROUP BY doc_id""",
+    "vocab_coverage" ->
+      """WITH f AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY 1),
+         tt AS (SELECT sum(n) AS tot FROM f),
+         r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank,
+             sum(n) OVER (ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM f)
+         SELECT token, CAST(rank AS BIGINT) AS rank, n,
+           CAST((cum * 1000000) // tot AS BIGINT) AS coverage_ppm
+         FROM r CROSS JOIN tt WHERE rank <= 100""",
     "clustering_agreement" ->
       """WITH c AS (SELECT md5(text) AS a, n_chars // 100 AS b FROM documents),
          cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n

@@ -282,6 +282,19 @@ class GraphAlgsSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("absorptionProbability: hand chain incl. absorbing-as-sink and dead ends") {
+    import spark.implicits._
+    // B → A → {purchase | C} 50/50; C and purchase are sinks.
+    // p(A) = 1/2, p(B) = 1/2 (after ≥ 2 rounds), p(purchase) pinned 1.
+    val t = Seq(("B", "A", 2L), ("A", "purchase", 1L), ("A", "C", 1L))
+      .toDF("src", "dst", "n")
+    val m = GraphAlgs.absorptionProbability(t, "src", "dst", "n",
+        absorbing = "purchase", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // purchase is in the output even though it is never a source
+    assert(m == Map("A" -> 500000L, "B" -> 500000L, "purchase" -> 1000000L), m)
+  }
+
   test("randomWalks: walks follow real edges, full length, deterministic") {
     import spark.implicits._
     // 4-cycle plus a chord — every node has out-edges, so all walks
