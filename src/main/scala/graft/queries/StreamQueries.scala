@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -167,6 +167,35 @@ object StreamQueries {
         .groupBy(col("item_x"), col("item_y")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("item_x").asc, col("item_y").asc)
         .limit(20)
+    }),
+
+    // The stream-maintained transition table AS a gate row: the events
+    // table replays as three time-window batches through
+    // MarkovStream.applyBatch (additive counts + carried per-user
+    // last-event state, DurableIters-versioned), and the maintained
+    // result is compared against the ONE-SHOT lead-window SQL — the
+    // DuckDB hash match IS the incremental ≡ batch proof, in the gate
+    // itself (the scd2_apply / agg_delta_merge discipline applied to
+    // sequence state).
+    "markov_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("markov-gate")
+      val countsDir = s"$base/counts"
+      val lastDir = s"$base/last"
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      val Row(tMin: Long, tMax: Long) =
+        e.agg(min(col("ts_us")), max(col("ts_us"))).head
+      val t1 = tMin + (tMax - tMin) / 3
+      val t2 = tMin + 2 * (tMax - tMin) / 3
+      // time-window batches preserve each user's cross-batch order —
+      // the MarkovStream input contract
+      graft.streaming.MarkovStream.applyBatch(
+        e.where(col("ts_us") < t1), countsDir, lastDir, 0)
+      graft.streaming.MarkovStream.applyBatch(
+        e.where(col("ts_us") >= t1 && col("ts_us") < t2), countsDir, lastDir, 1)
+      graft.streaming.MarkovStream.applyBatch(
+        e.where(col("ts_us") >= t2), countsDir, lastDir, 2)
+      graft.streaming.MarkovStream.transitions(s, countsDir)
     }),
 
     // Conversion probability by value iteration on the SAME chain
@@ -511,6 +540,21 @@ object StreamQueries {
 
   def oracleSql: Map[String, String] = Map(
     "markov_conversion" -> MarkovConversionOracle,
+    // the maintained table must equal the ONE-SHOT lead computation —
+    // same SQL as event_markov: the hash match is the merge ≡ rebuild proof
+    "markov_maintained" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events),
+         p AS (SELECT event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS dst
+           FROM e),
+         c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY 1)
+         SELECT src, dst, n, n_src,
+                CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
+         FROM c JOIN tot USING (src)""",
     "path_trigrams" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
            FROM events),
