@@ -169,6 +169,52 @@ object StreamQueries {
         .limit(20)
     }),
 
+    // Markov-chain attribution (removal effects): the base conversion
+    // probability — each user's FIRST event type weighted by how many
+    // users start there, times that state's 4-step absorption
+    // probability into 'purchase' — recomputed with each non-purchase
+    // channel REMOVED from the chain (its transitions dropped; the
+    // orphaned mass becomes non-converting, the sink semantics). The
+    // drop in conversion is the channel's removal effect — the
+    // data-driven attribution that first/last/linear touch rules
+    // approximate. Five integer fixed-point value iterations, every
+    // one unrolled in the oracle bit for bit.
+    "markov_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .withColumn("__rn", row_number().over(w))
+        .localCheckpoint(true)
+      val trans = e.where(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val firsts = e.where(col("__rn") === 1)
+        .groupBy(col("event_type").as("state"))
+        .agg(count(lit(1)).as("n_first"))
+        .localCheckpoint(true)
+      def conv(p: DataFrame) = firsts
+        .join(p.select(col("state"), col("p_ppm")), Seq("state"), "left")
+        .agg(expr("sum(n_first * coalesce(p_ppm, 0L)) div sum(n_first)")
+          .as("conv_ppm"))
+      val base = conv(graft.operators.GraphAlgs.absorptionProbability(
+        trans, "src", "dst", "n", "purchase", iters = 4))
+        .select(lit("__base").as("channel"), col("conv_ppm"))
+      val channels = Seq("view", "click", "signup", "error")
+      val removed = channels.map { c =>
+        conv(graft.operators.GraphAlgs.absorptionProbability(
+          trans.where(col("src") =!= c && col("dst") =!= c),
+          "src", "dst", "n", "purchase", iters = 4))
+          .select(lit(c).as("channel"), col("conv_ppm"))
+      }
+      val all = removed.foldLeft(base)(_ unionByName _)
+      all.crossJoin(broadcast(base.select(col("conv_ppm").as("__b"))))
+        .select(col("channel"), col("conv_ppm"),
+          (col("__b") - col("conv_ppm")).as("removal_effect_ppm"))
+    }),
+
     // The stream-maintained transition table AS a gate row: the events
     // table replays as three time-window batches through
     // MarkovStream.applyBatch (additive counts + carried per-user
@@ -538,8 +584,68 @@ object StreamQueries {
       " CAST(v // 1000000 AS BIGINT) AS p_ppm FROM v8"
   }
 
+  /** markov_attribution oracle: FIVE unrolled 4-round value
+    * iterations (base chain + one per removed channel), each replaying
+    * GraphAlgs.absorptionProbability's integers, finished by the same
+    * first-state-weighted integer conversion average.
+    */
+  private val MarkovAttributionOracle: String = {
+    def chain(sfx: String, filter: String): String = {
+      val open = s""",
+         c$sfx AS (SELECT * FROM c $filter),
+         s$sfx AS (SELECT DISTINCT src AS state FROM c$sfx
+           UNION SELECT 'purchase'),
+         t$sfx AS (SELECT src, sum(n) AS nsrc FROM c$sfx GROUP BY 1),
+         v0$sfx AS (SELECT state, CASE WHEN state = 'purchase'
+             THEN 1000000000000 ELSE 0 END AS v FROM s$sfx)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+         v$i$sfx AS (SELECT s$sfx.state,
+             CASE WHEN s$sfx.state = 'purchase' THEN 1000000000000
+               ELSE COALESCE(m$i$sfx.m, 0) END AS v
+           FROM s$sfx LEFT JOIN (
+             SELECT cc.src AS state, sum((p2.v * cc.n) // t2.nsrc) AS m
+             FROM c$sfx cc JOIN v${i - 1}$sfx p2 ON cc.dst = p2.state
+             JOIN t$sfx t2 ON cc.src = t2.src
+             GROUP BY cc.src) m$i$sfx ON s$sfx.state = m$i$sfx.state)"""
+      }.mkString
+      val convCte = s""",
+         conv$sfx AS (SELECT CAST(sum(f.n_first * COALESCE(v.v // 1000000, 0))
+             // sum(f.n_first) AS BIGINT) AS conv_ppm
+           FROM firsts f LEFT JOIN v4$sfx v ON f.state = v.state)"""
+      open + steps + convCte
+    }
+    val head =
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events),
+         p AS (SELECT event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS dst
+           FROM e),
+         c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         fe AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS rn
+           FROM e),
+         firsts AS (SELECT event_type AS state,
+             CAST(count(*) AS BIGINT) AS n_first
+           FROM fe WHERE rn = 1 GROUP BY 1)"""
+    val channels = Seq("view", "click", "signup", "error")
+    val chains = chain("_b", "") + channels.map(ch =>
+      chain(s"_$ch", s"WHERE src <> '$ch' AND dst <> '$ch'")).mkString
+    val finals = (
+      "SELECT '__base' AS channel, conv_ppm," +
+        " conv_ppm - conv_ppm AS removal_effect_ppm FROM conv_b") +:
+      channels.map(ch =>
+        s"SELECT '$ch', cv.conv_ppm, cb.conv_ppm - cv.conv_ppm" +
+          s" FROM conv_$ch cv, conv_b cb")
+    head + chains + "\n         " + finals.mkString("\n         UNION ALL ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "markov_conversion" -> MarkovConversionOracle,
+    "markov_attribution" -> MarkovAttributionOracle,
     // the maintained table must equal the ONE-SHOT lead computation —
     // same SQL as event_markov: the hash match is the merge ≡ rebuild proof
     "markov_maintained" ->
