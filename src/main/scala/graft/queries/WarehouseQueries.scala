@@ -340,6 +340,41 @@ object WarehouseQueries {
           "orders_orphan_custkey"))
     }),
 
+    // A/B uplift over time: hourly purchase counts per md5-gate arm
+    // with per-arm running cumulatives (arm-PARTITIONED windows — the
+    // global-window ban never bites keyed cumulatives) joined into an
+    // hourly uplift-ppm curve — the "when did the arms separate, and
+    // does the gap persist" read that the single-row ab_experiment
+    // can't answer. Exact integers throughout.
+    "ab_uplift_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gate = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val hourly = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .withColumn("arm", when(gate < 32768, lit("A")).otherwise(lit("B")))
+        .groupBy(col("arm"), expr("(ts_ns div 1000) div 3600000000L").as("hour"))
+        .agg(count(lit(1)).as("n_conv"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hourly.withColumn("cum_conv", sum(col("n_conv")).over(w))
+      val a = cum.where(col("arm") === "A")
+        .select(col("hour"), col("n_conv").as("n_conv_a"),
+          col("cum_conv").as("cum_a"))
+      val b = cum.where(col("arm") === "B")
+        .select(col("hour"), col("n_conv").as("n_conv_b"),
+          col("cum_conv").as("cum_b"))
+      a.join(b, Seq("hour"), "full")
+        .select(col("hour"),
+          coalesce(col("n_conv_a"), lit(0L)).as("n_conv_a"),
+          coalesce(col("n_conv_b"), lit(0L)).as("n_conv_b"),
+          col("cum_a"), col("cum_b"),
+          when(col("cum_b").isNotNull && col("cum_b") > 0
+              && col("cum_a").isNotNull,
+            expr("((cum_a - cum_b) * 1000000L) div cum_b"))
+            .as("uplift_ppm"))
+    }),
+
     // Universe (correlated) sampling audit: both fact tables sampled
     // by the SAME md5 gate on the JOIN KEY (gate < 6554/65536 ≈ 10%),
     // so the join of the samples IS a 10% universe sample of the join
@@ -798,6 +833,30 @@ object WarehouseQueries {
                 CAST(count(*) AS BIGINT) FROM orders
          WHERE o_custkey IS NOT NULL
            AND o_custkey NOT IN (SELECT c_custkey FROM customer)""",
+    "ab_uplift_curve" ->
+      """WITH h AS (SELECT CASE WHEN CAST(('0x' ||
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               < 32768 THEN 'A' ELSE 'B' END AS arm,
+             epoch_us(ts) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS n_conv
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT arm, hour, n_conv,
+             CAST(sum(n_conv) OVER (PARTITION BY arm ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum FROM h),
+         a AS (SELECT hour, n_conv AS n_conv_a, cum AS cum_a
+           FROM c WHERE arm = 'A'),
+         b AS (SELECT hour, n_conv AS n_conv_b, cum AS cum_b
+           FROM c WHERE arm = 'B')
+         SELECT COALESCE(a.hour, b.hour) AS hour,
+           COALESCE(n_conv_a, 0) AS n_conv_a,
+           COALESCE(n_conv_b, 0) AS n_conv_b,
+           cum_a, cum_b,
+           CASE WHEN cum_b IS NOT NULL AND cum_b > 0
+               AND cum_a IS NOT NULL
+             THEN CAST(((cum_a - cum_b) * 1000000) // cum_b AS BIGINT) END
+             AS uplift_ppm
+         FROM a FULL JOIN b ON a.hour = b.hour""",
     "universe_sample_join" ->
       """WITH so AS (SELECT * FROM orders
            WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
