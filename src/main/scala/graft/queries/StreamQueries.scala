@@ -144,6 +144,50 @@ object StreamQueries {
           col("n_censored"), col("hazard_ppm"), col("cum_hazard_ppm"))
     }),
 
+    // Kaplan-Meier survivor function over the same lifetimes — the
+    // product-limit complement of survival_curve's hazard table:
+    // S(t) = Π_{t'≤t} (1 − d/n), computed as exp of a PrefixSum of
+    // per-timepoint ln(1−d/n) terms FIXED to 1e-9 integer units (the
+    // product form becomes an exact-integer running sum; ln/exp run
+    // once per DISTINCT duration on identical exact inputs). A
+    // timepoint where the whole risk set ends pins S = 0 from there
+    // on (flag carried by a second PrefixSum). No partitionless
+    // window anywhere.
+    "survival_km" -> ((s, dir) => {
+      val life = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+      val gmax = life.agg(max(col("last_us")).as("gm"))
+      val durations = life.crossJoin(broadcast(gmax))
+        .select(expr("(last_us - first_us) div 3600000000L").as("t_hours"),
+          (col("last_us") > col("gm") - lit(86400000000L))
+            .cast("long").as("censored"))
+      val byT = durations.groupBy(col("t_hours"))
+        .agg(count(lit(1)).as("n_ending"),
+          sum(lit(1L) - col("censored")).as("d_events"))
+      val risk = graft.operators.PrefixSum
+        .withRunningTotal(byT, "n_ending", "__cum_end", "t_hours")
+        .crossJoin(broadcast(durations.agg(count(lit(1)).as("__n_users"))))
+        .withColumn("n_at_risk",
+          col("__n_users") - col("__cum_end") + col("n_ending"))
+        .withColumn("__term_fx",
+          when(col("d_events") < col("n_at_risk"),
+            expr("cast(round(ln(1.0d - cast(d_events as double)" +
+              " / cast(n_at_risk as double)) * 1e9) as bigint)"))
+            .otherwise(lit(0L)))
+        .withColumn("__dead",
+          (col("d_events") === col("n_at_risk")).cast("long"))
+      val cum1 = graft.operators.PrefixSum
+        .withRunningTotal(risk, "__term_fx", "__cum_term", "t_hours")
+      graft.operators.PrefixSum
+        .withRunningTotal(cum1, "__dead", "__cum_dead", "t_hours")
+        .select(col("t_hours"), col("n_at_risk"), col("d_events"),
+          when(col("__cum_dead") >= 1, lit(0L))
+            .otherwise(expr(
+              "cast(round(exp(cast(__cum_term as double) / 1e9) * 1e6) as bigint)"))
+            .as("km_survival_ppm"))
+    }),
+
     // Item co-visitation within a 30-minute window (the recommender
     // "viewed together" matrix): per user, ordered pairs of props.k
     // item values whose timestamps are within the window, folded to
@@ -685,6 +729,39 @@ object StreamQueries {
                 CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (src)""",
     "event_markov_stationary" -> MarkovStationaryOracle,
+    "survival_km" ->
+      """WITH life AS (SELECT user_id, min(epoch_us(ts)) AS fu,
+             max(epoch_us(ts)) AS lu FROM events GROUP BY 1),
+         g AS (SELECT max(lu) AS gm FROM life),
+         d AS (SELECT (lu - fu) // 3600000000 AS t_hours,
+             CASE WHEN lu > gm - 86400000000 THEN 1 ELSE 0 END AS censored
+           FROM life CROSS JOIN g),
+         byt AS (SELECT t_hours, CAST(count(*) AS BIGINT) AS n_ending,
+             CAST(sum(1 - censored) AS BIGINT) AS d_events
+           FROM d GROUP BY 1),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM d),
+         r AS (SELECT t_hours, n_ending, d_events,
+             n_users - COALESCE(sum(n_ending) OVER (ORDER BY t_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+           FROM byt CROSS JOIN nu),
+         tms AS (SELECT t_hours, n_at_risk, d_events,
+             CASE WHEN d_events < n_at_risk
+               THEN CAST(round(ln(1.0 - CAST(d_events AS DOUBLE)
+                 / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT)
+               ELSE 0 END AS term_fx,
+             CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END AS dead
+           FROM r),
+         c AS (SELECT t_hours, n_at_risk, d_events,
+             sum(term_fx) OVER w AS cum_term,
+             sum(dead) OVER w AS cum_dead
+           FROM tms WINDOW w AS (ORDER BY t_hours
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t_hours, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+           CASE WHEN cum_dead >= 1 THEN 0
+             ELSE CAST(round(exp(CAST(cum_term AS DOUBLE) / 1e9) * 1e6)
+               AS BIGINT) END AS km_survival_ppm
+         FROM c""",
     "survival_curve" ->
       """WITH life AS (SELECT user_id, min(epoch_us(ts)) AS fu,
              max(epoch_us(ts)) AS lu FROM events GROUP BY 1),
