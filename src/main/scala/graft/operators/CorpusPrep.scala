@@ -170,7 +170,9 @@ object CorpusPrep {
     val target = sizes.agg(max(col("__n")).as("__target"))
     val plan = broadcast(sizes.crossJoin(target)
       .select(col(classCol), col("__n"),
-        (col("__target") / col("__n")).cast("long").as("__base"),
+        // integer div, not double /: double division truncates past
+        // 2^53, letting __base disagree with the exact % remainder
+        expr("__target div __n").as("__base"),
         (col("__target") % col("__n")).as("__rem")))
     val joined = df.join(plan, Seq(classCol))
     // rank only where the remainder matters: classes with __rem = 0

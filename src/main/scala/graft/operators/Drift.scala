@@ -59,19 +59,6 @@ object Drift {
     psiByBin(base, current, valueCol, k)
       .agg(round(sum(col("psi_term")).cast("double"), 4).as("psi"))
 
-  /** PSI for EVERY listed column in a shared set of passes — the
-    * whole-feature-table drift sweep, priced like one column
-    * (the winsorizeAll discipline: k columns ≠ k scans):
-    * ONE percentile-array aggregate over the baseline fits all cut
-    * sets, then each side pays ONE scan whose per-row work is the
-    * codegen'd per-column bin chain, exploded to (column, bin) rows
-    * for a single count aggregate. Everything after runs on
-    * cols×bins-sized tables. Null values are excluded from a
-    * column's distribution (they are a missingness signal, not a
-    * position in it — track them with DataQuality).
-    *
-    * @return (feature, psi) — one row per input column
-    */
   /** EXACT two-sample Kolmogorov-Smirnov statistic — the
     * binning-free complement of [[psi]] (PSI needs bin edges and can
     * hide a shift inside one bin; KS is the sup-distance between the
@@ -110,6 +97,19 @@ object Drift {
         expr("(__dmax * 1000000L) div (n_a * n_b)").as("ks_ppm"))
   }
 
+  /** PSI for EVERY listed column in a shared set of passes — the
+    * whole-feature-table drift sweep, priced like one column
+    * (the winsorizeAll discipline: k columns ≠ k scans):
+    * ONE percentile-array aggregate over the baseline fits all cut
+    * sets, then each side pays ONE scan whose per-row work is the
+    * codegen'd per-column bin chain, exploded to (column, bin) rows
+    * for a single count aggregate. Everything after runs on
+    * cols×bins-sized tables. Null values are excluded from a
+    * column's distribution (they are a missingness signal, not a
+    * position in it — track them with DataQuality).
+    *
+    * @return (feature, psi) — one row per input column
+    */
   def psiAll(base: DataFrame, current: DataFrame, cols: Seq[String],
       k: Int = 10, statScale: Int = 6): DataFrame = {
     require(cols.nonEmpty, "need at least one column")

@@ -33,10 +33,13 @@ object Fingerprint {
   }
 
   /** One-row (n_rows, fingerprint) for the multiset of the selected
-    * columns. The sum accumulates as DECIMAL(38,0) — exact for any
-    * realistic row count (2^60-bounded rows overflow int64 at a few
-    * thousand rows, and ANSI mode would rightly refuse); map-side
-    * combined, the driver sees one row.
+    * columns. The `cast(DecimalType(38,0))` BEFORE `sum` is
+    * load-bearing: it makes the whole accumulation decimal, exact for
+    * any realistic row count (2^60-bounded hashes would wrap an int64
+    * accumulator after ~16 rows of worst-case magnitude under non-ANSI
+    * sum(long)). FingerprintSpec pins the >10⁴-row sum against a
+    * BigInt reference so a "simplification" to sum(long) fails loudly.
+    * Map-side combined, the driver sees one row.
     */
   def of(df: DataFrame, colNames: Seq[String]): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),

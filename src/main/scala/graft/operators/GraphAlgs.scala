@@ -433,7 +433,12 @@ object GraphAlgs {
     for (_ <- 1 to iters) {
       val moved = edges
         .join(broadcast(pi.select(col("state").as("__src"), col("r"))), Seq("__src"))
-        .select(col("__dst").as("state"), expr("(r * __n) div __ns").as("__c"))
+        // widen the r·n product to DECIMAL(38,0) before the integral
+        // divide: r runs up to scale = 10^12, so a per-edge transition
+        // count above ~9.2e6 would silently overflow an int64 product;
+        // IntegralDivide still returns long and the quotient ≤ scale
+        .select(col("__dst").as("state"),
+          expr("(CAST(r AS DECIMAL(38,0)) * __n) div __ns").as("__c"))
         .groupBy(col("state")).agg(sum(col("__c")).as("__m"))
       val next = states.join(moved, Seq("state"), "left")
         .select(col("state"), coalesce(col("__m"), lit(0L)).as("r"))
@@ -552,7 +557,10 @@ object GraphAlgs {
       val pulled = edges
         .join(broadcast(value.select(col("state").as("__dst"), col("v"))),
           Seq("__dst"))
-        .select(col("__src").as("state"), expr("(v * __n) div __ns").as("__c"))
+        // DECIMAL(38,0) widening for the same reason as markovStationary:
+        // v ≤ scale = 10^12, so int64 v·n overflows past ~9.2e6-count edges
+        .select(col("__src").as("state"),
+          expr("(CAST(v AS DECIMAL(38,0)) * __n) div __ns").as("__c"))
         .groupBy(col("state")).agg(sum(col("__c")).as("__m"))
       val next = pin(states.join(pulled, Seq("state"), "left")
         .select(col("state"), coalesce(col("__m"), lit(0L)).as("v")))
@@ -611,8 +619,12 @@ object GraphAlgs {
       state.withColumn("step", lit(0L)))
     val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to steps) {
+      // 12 hex digits = 48 bits of md5 before the pmod: a 16-bit draw
+      // would starve neighbors at rank >= 65536 on high-degree hubs and
+      // its modulo bias grows with degree; 48 bits keeps the draw
+      // near-uniform up to ~10^14-degree nodes (bias < 2^-34)
       val idx = pmod(conv(substring(md5(concat(col("start"), lit(":"),
-        col("node"), lit(":"), lit(t))), 1, 4), 16, 10).cast("long"), col("deg"))
+        col("node"), lit(":"), lit(t))), 1, 12), 16, 10).cast("long"), col("deg"))
       // the frontier is ≤ |starts| rows — broadcast it into both hop
       // joins so neither the degree table nor the (much larger) ranked
       // adjacency ever shuffles for the walk

@@ -141,10 +141,22 @@ object KnnGraph {
     * output shape (`id, neighbor_id, …`); edges are walked undirected,
     * doubling each node's out-degree with its in-links exactly like the
     * descent frontier.
+    *
+    * `perQuerySeeds` (query_id, node_id) replaces the shared hash
+    * seeds with DISTRIBUTION-AWARE per-query entry points — see
+    * [[ivfSeeds]]: hash seeds are uniform over the corpus, so at
+    * billion-node scale a query whose neighborhood is far from every
+    * seed pays extra hops just to travel there; seeding from the
+    * query's own nearest IVF cells starts the walk inside its
+    * neighborhood (the coarse-layer idea HNSW's upper layers serve).
+    * Queries absent from the frame get no beam — callers pass a
+    * covering assignment (ivfSeeds covers every query by
+    * construction).
     */
   def graphSearch(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, beam: Int = 20, hops: Int = 3,
-      seedsPerQuery: Int = 8, seed: Long = 42L): DataFrame = {
+      seedsPerQuery: Int = 8, seed: Long = 42L,
+      perQuerySeeds: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= k && hops >= 0 && seedsPerQuery >= 1,
       s"need k >= 1, beam >= k, hops >= 0, seeds >= 1; " +
         s"got k=$k beam=$beam hops=$hops seeds=$seedsPerQuery")
@@ -169,15 +181,21 @@ object KnnGraph {
         .select(col("query_id"), col("node_id"),
           VectorOps.cosineWithNorms(col("__v"), col("__qv"),
             col("__nm"), col("__qn")).as("cos"))
-      // shared entry points: the nodes sorting first by salted hash —
-      // deterministic, uniform over the corpus, one skinny global
-      // top-N (TakeOrdered over ids, not a data scan per query)
-      val seeds = vecs.select(col("node_id"))
-        .orderBy(xxhash64(col("node_id"), lit(seed)), col("node_id"))
-        .limit(seedsPerQuery)
-      var beamState = topN(
-        score(qv.select(col("query_id")).crossJoin(broadcast(seeds))), beam)
-        .localCheckpoint(true)
+      // entry points: per-query cell seeds when provided (bounded —
+      // nprobe medoids per query — so broadcast); otherwise the shared
+      // nodes sorting first by salted hash — deterministic, uniform
+      // over the corpus, one skinny global top-N (TakeOrdered over
+      // ids, not a data scan per query)
+      val seeded = perQuerySeeds match {
+        case Some(s) => broadcast(
+          s.select(col("query_id").cast("long"), col("node_id").cast("long")))
+        case None =>
+          val seeds = vecs.select(col("node_id"))
+            .orderBy(xxhash64(col("node_id"), lit(seed)), col("node_id"))
+            .limit(seedsPerQuery)
+          qv.select(col("query_id")).crossJoin(broadcast(seeds))
+      }
+      var beamState = topN(score(seeded), beam).localCheckpoint(true)
       val und = graph.select(col("id").as("node_id"), col("neighbor_id"))
         .unionAll(graph.select(col("neighbor_id").as("node_id"),
           col("id").as("neighbor_id")))

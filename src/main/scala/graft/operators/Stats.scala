@@ -294,6 +294,9 @@ object Stats {
     * (counts, µ-int importance weights); ties on value resolve by the
     * cumulative order of the value itself, which is well-defined
     * because equal values are interchangeable at a quantile boundary.
+    * Rows with a null value are excluded entirely (value AND weight) —
+    * a null is a missingness signal, not a position in the
+    * distribution (the psiAll convention).
     *
     * @param qPcts quantile percents (e.g. Seq(25, 50, 75))
     * @return one row per group: (…groupCols, total_weight,
@@ -308,7 +311,10 @@ object Stats {
     val byVal = Window.partitionBy(grp: _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(grp: _*)
-    val cum = df.where(col(weightCol) >= 0)
+    // null values must not accumulate weight: they sort first under the
+    // value order, so their weight would shift every quantile threshold
+    // while min(when(...)) could never select them as a candidate
+    val cum = df.where(col(weightCol) >= 0 && col(valueCol).isNotNull)
       .withColumn("__cw", sum(col(weightCol)).over(byVal))
       .withColumn("__tw", sum(col(weightCol)).over(all))
     val qAggs = qPcts.map { p =>

@@ -715,7 +715,7 @@ object GraphQueries {
              JOIN dg d ON w.node = d.src
              JOIN rk r ON r.src = w.node
               AND r.rk = CAST(('0x' || substr(md5(w.start || ':' || w.node
-                || ':' || '$t'), 1, 4)) AS BIGINT) % d.deg)"""
+                || ':' || '$t'), 1, 12)) AS BIGINT) % d.deg)"""
     }.mkString
     val emits = (0 to 4).map { t =>
       s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t"

@@ -134,9 +134,13 @@ object MlPrepQueries {
     // Order-invariant dataset fingerprint (Fingerprint): one exact
     // decimal sum of per-row md5 hashes — same integer on any engine,
     // partitioning, or row order; the copy-verification primitive.
+    // The decimal stays internal: the output projects it as STRING
+    // because Decimal is the one cell type the gate's two readers
+    // canonicalize differently (CORRECTNESS_r12 artifact).
     "dataset_fingerprint" -> ((s, dir) => {
       graft.operators.Fingerprint.of(Tables.orders(s, dir),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .withColumn("fingerprint", col("fingerprint").cast("string"))
     }),
 
     // Distribution-drift monitor (Drift/PSI): the baseline (pre-1999
@@ -927,11 +931,11 @@ object MlPrepQueries {
          FROM j GROUP BY a_key""",
     "dataset_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(sum(CAST(('0x' || substr(md5(
+                CAST(CAST(sum(CAST(('0x' || substr(md5(
                     CAST(o_orderkey AS VARCHAR) || '|' ||
                     CAST(o_custkey AS VARCHAR) || '|' ||
                     o_orderstatus || '|' || o_orderpriority), 1, 15))
-                  AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
+                  AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
          FROM orders""",
     "drift_psi_all" -> psiAllOracle(
       Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax")),

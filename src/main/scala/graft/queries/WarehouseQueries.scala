@@ -501,6 +501,10 @@ object WarehouseQueries {
             BigDecimal("2.5"), BigDecimal("-1.0"))),
         matchThreshold = BigDecimal("5.0"),
         possibleThreshold = BigDecimal("1.0"), selfLink = true)
+        // Weights are multiples of 0.5, so the decimal score is exact
+        // in DOUBLE; project it as such because Decimal cells are the
+        // one type the gate's two readers canonicalize differently.
+        .withColumn("score", col("score").cast("double"))
     }),
 
     // Entity resolution END TO END: the Fellegi-Sunter scored pairs
@@ -968,7 +972,7 @@ object WarehouseQueries {
            CAST(agree_segment AS BIGINT) AS agree_segment,
            CAST(agree_nation AS BIGINT) AS agree_nation,
            CAST(agree_balance AS BIGINT) AS agree_balance,
-           score,
+           CAST(score AS DOUBLE) AS score,
            CASE WHEN score >= CAST(5.0 AS DECIMAL(12,6)) THEN 'match'
                 WHEN score >= CAST(1.0 AS DECIMAL(12,6)) THEN 'possible'
                 ELSE 'non_match' END AS decision

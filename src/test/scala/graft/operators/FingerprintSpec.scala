@@ -35,6 +35,23 @@ class FingerprintSpec extends SparkSpec {
     assert(doubled._2 != fp(data)._2)
   }
 
+  test("decimal accumulation is exact past int64 headroom (sum > 2^63)") {
+    // 20k rows of ~2^60-magnitude hashes sum to ~1.2e19 > Long.MaxValue
+    // (9.2e18): an int64 accumulator would wrap; the DECIMAL(38,0)
+    // cast before sum must reproduce the BigInt reference exactly.
+    val wide = spark.range(20000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("a"), lit("z").as("b"))
+    val hashes = wide
+      .select(Fingerprint.rowHash(cols.map(col)).as("h"))
+      .as[Long].collect()
+    val reference = hashes.map(BigInt(_)).sum
+    assert(reference > BigInt(Long.MaxValue),
+      s"fixture must exceed int64 headroom, got $reference")
+    val got = fp(wide)
+    assert(got._1 == 20000L)
+    assert(got._2 == BigDecimal(reference))
+  }
+
   test("null columns fingerprint distinctly from empty and absent values") {
     val withNull = Seq((1L, null.asInstanceOf[String], "x")).toDF("k", "a", "b")
     val withEmpty = Seq((1L, "", "x")).toDF("k", "a", "b")
