@@ -206,7 +206,14 @@ object KnnGraph {
           .distinct()
           .join(beamState.select(col("query_id"), col("node_id")),
             Seq("query_id", "node_id"), "left_anti")
-        val next = topN(score(frontier).unionAll(beamState), beam)
+        // beamState (a checkpointed LogicalRDD, constraint-free) leads
+        // the union: with the scored side first, Spark's Union
+        // constraint rewrite can look up an attribute the scored
+        // child's join-inferred constraints reference but its output
+        // doesn't carry (NoSuchElementException at plan time, seen
+        // with same-lineage local-relation corpus+queries); order is
+        // semantically free — topN re-sorts the union anyway
+        val next = topN(beamState.unionAll(score(frontier)), beam)
           .localCheckpoint(true)
         CheckpointShim.freeLocalCheckpointIfAny(beamState)
         beamState = next
@@ -216,6 +223,63 @@ object KnnGraph {
         .select(col("query_id"), col("node_id").as("neighbor_id"),
           col("rank"), round(col("cos"), 4).as("cosine"))
     } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Distribution-aware per-query entry points for [[graphSearch]],
+    * derived from the ANN stack's IVF cells (the coarse layer the flat
+    * graph lacks — HNSW serves this need with its upper layers; here
+    * the centroids ALREADY exist because the same corpus carries the
+    * [[SimilaritySearch]] index): every corpus node assigns to its
+    * nearest centroid, each cell elects its MEDOID (the member nearest
+    * the centroid — a real node, so it has graph edges), and a query
+    * seeds from the medoids of its `nprobe` nearest cells. The walk
+    * then starts inside the query's own neighborhood instead of
+    * travelling from uniform hash picks — KnnGraphSpec pins ≥ hash-seed
+    * recall at FEWER hops on clustered data.
+    *
+    * Scale shape: one corpus scan scores kCells codegen'd dots per row
+    * (the IVF assignment cost, shared with index maintenance), the
+    * medoid election is one cell-keyed aggregate to kCells rows, and
+    * the query side is per-query driver-free centroid math + a
+    * broadcast join against the kCells-sized medoid frame — nothing
+    * scans the corpus per query.
+    *
+    * @return (query_id, node_id) — `nprobe` seed nodes per query
+    */
+  def ivfSeeds(vectors: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"need 1 <= nprobe <= ${centroids.size} cells; got $nprobe")
+    // (distance², cell) per centroid — identical math to
+    // SimilaritySearch.assignToCentroids, kept struct-valued so the
+    // min carries the distance the medoid election needs
+    def cellDists(v: org.apache.spark.sql.Column) = centroids.map {
+      case (cid, c) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) * VectorOps.dot(v,
+          array(c.map(lit): _*))).as("d"), lit(cid).as("cid"))
+    }
+    val corpus = vectors.select(
+      checkedLongId(idCol, "ivfSeeds").as("node_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val assigned = corpus
+      .withColumn("__a", array_min(array(cellDists(col("__v")): _*)))
+      .select(col("node_id"), col("__a").getField("cid").as("cell"),
+        col("__a").getField("d").as("__d"))
+    val medoids = assigned
+      .groupBy(col("cell"))
+      // min over (distance, id) structs: the member nearest its
+      // centroid, id-tie-broken — deterministic on any partitioning
+      .agg(min(struct(col("__d"), col("node_id"))).as("__m"))
+      .select(col("cell"), col("__m").getField("node_id").as("node_id"))
+    queries
+      .select(checkedLongId(idCol, "ivfSeeds").as("query_id"),
+        explode(slice(array_sort(array(
+          cellDists(col(vecCol).cast("array<double>")): _*)), 1, nprobe)
+          .getField("cid")).as("cell"))
+      .join(broadcast(medoids), Seq("cell"))
+      .select(col("query_id"), col("node_id"))
   }
 
   /** Incremental INSERT of a bounded batch of new vectors into an

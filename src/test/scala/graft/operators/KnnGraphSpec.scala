@@ -77,6 +77,63 @@ class KnnGraphSpec extends SparkSpec {
     assert(again == got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("ivfSeeds: distribution-aware entry points beat hash seeds, and at fewer hops") {
+    import spark.implicits._
+    // 16 well-separated clusters in 16-d with deterministic per-id
+    // jitter: MORE modes than the 8 hash seeds — the case uniform
+    // seeding is structurally blind to (some clusters get no entry
+    // point, and with k-NN edges almost all intra-cluster no hop
+    // budget recovers an unreached mode). This is the billion-node
+    // shape in miniature: seeds must follow the distribution.
+    val dim = 16
+    val clustered = (0 until 480).map { i =>
+      val c = i % 16
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c) 1.0 else if (d == (c + 3) % dim) 0.5 else 0.0
+        base + 0.04 * (((i * 31 + d * 17) % 19) - 9) / 9.0
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where(pmod(col("vec_id"), lit(12)) === 0)
+    val truth = SimilaritySearch
+      .knnJoinBruteForce(clustered, queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graph = KnnGraph.nnDescent(clustered, "embedding", "vec_id",
+      k = 8, iters = 3)
+    def recall(hops: Int, seeds: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = KnnGraph.graphSearch(graph, clustered, queries, "embedding",
+        "vec_id", k = 10, beam = 12, hops = hops,
+        seedsPerQuery = 8, perQuerySeeds = seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val centroids = SimilaritySearch.fitIvf(clustered, "embedding",
+      k = 16, maxIter = 5)
+    val seeds = KnnGraph.ivfSeeds(clustered, queries, "embedding", "vec_id",
+      centroids, nprobe = 2).persist()
+    // coverage: every query gets exactly nprobe seed nodes
+    val perQuery = seeds.collect().groupBy(_.getLong(0))
+    assert(perQuery.size == 40 && perQuery.values.forall(_.length == 2))
+    // Measured grid (deterministic — seeded KMeans, seeded hash picks,
+    // id-tie-broken windows):
+    //   ivf  hops 1..4: 0.30  0.49  0.6475 0.725
+    //   hash hops 1..4: 0.1675 0.3525 0.4825 0.50
+    // The VERDICT bar, with margin: 2 cell-medoid seeds at THREE hops
+    // beat 8 uniform seeds at FOUR (fewer hops, 0.1475 more recall),
+    // and ivf dominates hash at EVERY equal hop count.
+    val ivf1 = recall(1, Some(seeds)); val hash1 = recall(1, None)
+    val ivf3 = recall(3, Some(seeds)); val hash4 = recall(4, None)
+    assert(ivf3 >= hash4 + 0.05,
+      s"ivf-seeded hops=3 recall $ivf3 not above hash-seeded hops=4 $hash4")
+    assert(ivf1 > hash1,
+      s"ivf-seeded hops=1 recall $ivf1 not above hash-seeded hops=1 $hash1")
+    // determinism: same centroids -> bit-identical seeds twice
+    val again = KnnGraph.ivfSeeds(clustered, queries, "embedding", "vec_id",
+      centroids, nprobe = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == seeds.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    seeds.unpersist(false)
+  }
+
   test("graphSearch over a STORED graph equals the inline result (build/search split)") {
     // production shape: the graph is built once (expensive), persisted,
     // and searched many times — the search half must consume the stored
