@@ -199,6 +199,110 @@ object Scores {
     additiveRanksOver(rankedEntitySums(entitySums), valid, allTrue,
       relationSums)
 
+  /** Exact per-group ROC AUC via the Mann-Whitney rank statistic —
+    * the threshold-free binary-ranking metric (the companion to
+    * [[macroF1]]'s thresholded view): AUC = P(score⁺ > score⁻) +
+    * ½P(tie), computed as
+    *
+    * {{{ AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻) }}}
+    *
+    * with AVERAGE ranks over ties (the standard tie treatment —
+    * omitting it biases AUC on quantized scores). All arithmetic is
+    * integral until the final division: scores group to a
+    * distinct-value table, a per-group cumulative count gives each tie
+    * group's rank block, and 2·Σavgrank stays a whole number
+    * (`2·cumBefore + n + 1` per block) — so the ppm output is
+    * hash-exact on any engine and the double is one rounded division.
+    *
+    * Scale shape: one groupBy to the (group, score)-distinct table, a
+    * window PARTITIONED by group (never partitionless), one final
+    * per-group aggregate. The rank products widen to DECIMAL(38,0):
+    * Σranks ~ n² passes int64 at ~3·10⁹ rows per group.
+    *
+    * Degenerate groups (no positives or no negatives) return null AUC —
+    * the metric is undefined there, and null-and-visible beats a
+    * silent 0 or 1.
+    *
+    * @param labelCol 0/1 integer column
+    * @return per group: (…groupCols, n_pos, n_neg, auc_ppm, auc)
+    */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "need at least one group column (pass a literal for a global AUC)")
+    val grp = groupCols.map(col)
+    val byScore = df.groupBy(grp :+ col(scoreCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__np"))
+    val w = Window.partitionBy(grp: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__cum", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(grp: _*)
+      .agg(
+        sum(expr("CAST(__np AS DECIMAL(38,0)) * (2 * __cum + __n + 1)"))
+          .as("__two_ranks"),
+        sum(col("__np")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__np"))).as("n_neg"))
+      .select(grp ++ Seq(col("n_pos"), col("n_neg"),
+        // the when-guard keeps ANSI mode from throwing on the
+        // degenerate groups the null contract covers
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("""(1000000 * (__two_ranks - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)))
+                  div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"""))
+          .as("auc_ppm"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(expr("""(__two_ranks - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                  / (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)""").cast("double"),
+            4)).as("auc")): _*)
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (two annotators, a model vs a heuristic, two pipeline
+    * versions): κ = (p_o − p_e)/(1 − p_e) with p_e from the raters'
+    * marginals. Computed in exact integers via the identity
+    *
+    * {{{ κ = (n·Σ_k n_kk − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k) }}}
+    *
+    * — one contingency aggregate (category²-sized), two marginal
+    * aggregates joined ON the category, numerator/denominator widened
+    * to DECIMAL(38,0) (n² overflows int64 past ~3·10⁹ rows). Output is
+    * one row: (n, po_ppm, pe_ppm, kappa_ppm, kappa) — the ppm integers
+    * hash-exact, the double one rounded division.
+    *
+    * Rows where either label is null are excluded (agreement over the
+    * co-labeled set — the standard convention).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = t.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+    val prod = rowTot.join(colTot, col("__a") === col("__b"))
+      .agg(coalesce(sum(expr("CAST(__ra AS DECIMAL(38,0)) * __cb")),
+        lit(java.math.BigDecimal.ZERO)).as("__rc"))
+    val agg = cells.agg(sum(col("__n")).as("__tot"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("__agree"))
+    val out = agg.crossJoin(broadcast(prod))
+      .select(col("__tot").as("n"),
+        expr("(1000000 * __agree) div __tot").as("po_ppm"),
+        expr("(1000000 * __rc) div (CAST(__tot AS DECIMAL(38,0)) * __tot)")
+          .as("pe_ppm"),
+        expr("""(1000000 * (CAST(__tot AS DECIMAL(38,0)) * __agree - __rc))
+                div (CAST(__tot AS DECIMAL(38,0)) * __tot - __rc)""")
+          .as("kappa_ppm"),
+        round(expr("""(CAST(__tot AS DECIMAL(38,0)) * __agree - __rc)
+                / (CAST(__tot AS DECIMAL(38,0)) * __tot - __rc)""")
+          .cast("double"), 4).as("kappa"))
+      // 1-row result: materialize eagerly so the contingency checkpoint
+      // (3 consumers above) can release before returning
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.CheckpointShim.freeLocalCheckpointIfAny(cells)
+    out
+  }
+
   /** Global candidate order shared by every query: (esum ASC, id ASC)
     * ≡ (score DESC, id ASC). DenseId = distributed range sort +
     * zipWithIndex, eagerly checkpointed; `grank0` is 0-based.

@@ -180,6 +180,60 @@ object GraphAlgs {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * deterministic form): every node starts as its own label; each
+    * round a node adopts the most-voted label among its neighbors,
+    * ties broken by the SMALLEST label. The classic formulation
+    * shuffles node order and breaks ties randomly — irreproducible by
+    * design; synchronous rounds + min-label ties make the algorithm a
+    * pure function of the edge set, so an unrolled SQL oracle replays
+    * it bit for bit (the [[markovStationary]] determinism discipline
+    * applied to community detection). A fixed round count also
+    * sidesteps the oscillation the synchronous variant is known for —
+    * the caller picks the budget, convergence is observable in the
+    * output.
+    *
+    * Scale shape: per round ONE keyed label⋈edge equi-join (labels are
+    * node-sized — no broadcast assumption, both sides hash-partition
+    * on the join key), one (node, label) vote count, and one per-node
+    * argmin aggregate over (−votes, label) structs — an aggregate, not
+    * a window, so no per-node sort. Each round checkpoints and frees
+    * its predecessor ([[kCoreBounded]]'s loop hygiene). Isolated nodes
+    * never appear (no edges → no votes → not in the node set).
+    *
+    * @return (node, label) — label is the community representative
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need >= 1 round; got $rounds")
+    val e = canonical(edges, srcCol, dstCol)
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val nodes = und.select(col("a").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    var owned = false
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__v"))
+      val best = votes.groupBy(col("a"))
+        .agg(min(struct((-col("__v")).as("nv"), col("label").as("l")))
+          .as("__m"))
+        .select(col("a").as("node"), col("__m").getField("l").as("__best"))
+      val next = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__best"), col("label")).as("label"))
+        .localCheckpoint(true)
+      if (owned) CheckpointShim.freeLocalCheckpointIfAny(labels)
+      labels = next
+      owned = true
+    }
+    // the final labels frame is itself checkpointed — loop inputs free
+    CheckpointShim.freeLocalCheckpointIfAny(und)
+    CheckpointShim.freeLocalCheckpointIfAny(nodes)
+    labels
+  }
+
   /** Time-respecting earliest arrival over a temporal edge list
     * `(src, dst, t)`: the minimum time at which each node can be
     * reached from any seed along a path whose edge times never

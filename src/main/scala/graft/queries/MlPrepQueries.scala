@@ -667,6 +667,92 @@ object MlPrepQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("source"),
           col("n_chars")),
         "n_chars", "source", "doc_id")
+    }),
+
+    // Exact per-group ROC AUC (Scores.aucRoc): Mann-Whitney rank
+    // statistic with average-rank tie handling, all-integer until the
+    // final division — does order price rank urgency, per order
+    // status. The ppm column is hash-exact; the double is one rounded
+    // division.
+    "model_auc" -> ((s, dir) => {
+      graft.metrics.Scores.aucRoc(
+        Tables.orders(s, dir).select(col("o_orderstatus").as("grp"),
+          (col("o_totalprice").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long").as("score"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y")),
+        "score", "y", Seq("grp"))
+    }),
+
+    // Cohen's kappa (Scores.cohenKappa): chance-corrected agreement
+    // between two deterministic "annotators" of order importance —
+    // the priority field vs a price-band heuristic. Exact contingency
+    // integers; kappa_ppm hash-exact.
+    "agreement_kappa" -> ((s, dir) => {
+      graft.metrics.Scores.cohenKappa(
+        Tables.orders(s, dir).select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+            .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+            .otherwise("low").as("rater_a"),
+          when(col("o_totalprice") > 150000.0, "high")
+            .when(col("o_totalprice") > 50000.0, "mid")
+            .otherwise("low").as("rater_b")),
+        "rater_a", "rater_b")
+    }),
+
+    // Split-conformal prediction intervals (Conformal.splitConformal):
+    // a per-returnflag price-per-unit model fit on the md5-gated
+    // calibration half, the k = ceil(0.9(n+1)) order statistic of its
+    // absolute residuals as q-hat, and the empirical coverage of
+    // pred ± q-hat audited on the held-out half — the distribution-free
+    // 90% guarantee, checked. All integer micro-units → hash-exact.
+    "conformal_interval" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("grp"),
+        (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("y"),
+        col("l_quantity").cast("long").as("q"),
+        pmod(conv(substring(md5(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"))), 1, 4), 16, 10).cast("long"), lit(2))
+          .as("gate"))
+      val calib = li.where(col("gate") === 0)
+      val test = li.where(col("gate") === 1)
+      val slope = calib.groupBy(col("grp"))
+        .agg(expr("sum(CAST(y AS DECIMAL(38,0))) div sum(q)").as("slope"))
+      def withPred(df: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(slope), Seq("grp"))
+          .withColumn("pred", col("q") * col("slope"))
+      graft.operators.Conformal.splitConformal(
+        withPred(calib), withPred(test), Seq("grp"), "y", "pred",
+        alphaPct = 10)
+    }),
+
+    // k-anonymity audit (Privacy.kAnonymityHistogram): equivalence-
+    // class size histogram over customer quasi-identifiers (nation,
+    // segment, $1k balance band) with exact cumulative row share —
+    // "how re-identifiable is this table", driver-readable at any
+    // scale. The first row's class_size IS the table's k level.
+    "privacy_k_anonymity" -> ((s, dir) => {
+      graft.operators.Privacy.kAnonymityHistogram(
+        Tables.customer(s, dir).select(col("c_nationkey"),
+          col("c_mktsegment"),
+          expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  + 100000) div 100000""").as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    }),
+
+    // l-diversity audit (Privacy.lDiversityHistogram): classes and
+    // rows histogrammed by the DISTINCT count of the sensitive
+    // attribute (market segment) inside each (nation, balance band)
+    // equivalence class — rows at l = 1 have their segment fully
+    // disclosed by class membership even when k is large.
+    "privacy_l_diversity" -> ((s, dir) => {
+      graft.operators.Privacy.lDiversityHistogram(
+        Tables.customer(s, dir).select(col("c_nationkey"),
+          expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  + 100000) div 100000""").as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment")
     })
   )
 
@@ -1392,6 +1478,118 @@ object MlPrepQueries {
                count(*) OVER () AS n
              FROM documents)
          SELECT doc_id, source, n_chars, p.pv AS n_chars_qnorm
-         FROM ranked JOIN pooled p ON (r * n + ng - 1) // ng = p.pos1"""
+         FROM ranked JOIN pooled p ON (r * n + ng - 1) // ng = p.pos1""",
+    "model_auc" ->
+      """WITH t AS (SELECT o_orderstatus AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS y
+           FROM orders),
+         g AS (SELECT grp, s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np FROM t GROUP BY 1, 2),
+         c AS (SELECT grp, s, n, np,
+             CAST(coalesce(sum(n) OVER (PARTITION BY grp ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+           FROM g),
+         a AS (SELECT grp,
+             sum(CAST(np AS HUGEINT) * (2 * cum + n + 1)) AS tr,
+             sum(np) AS npos, sum(n) - sum(np) AS nneg
+           FROM c GROUP BY 1)
+         SELECT grp, CAST(npos AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg,
+           CAST((1000000 * (tr - CAST(npos AS HUGEINT) * (npos + 1)))
+             // (2 * CAST(npos AS HUGEINT) * nneg) AS BIGINT) AS auc_ppm,
+           round(CAST(tr - CAST(npos AS HUGEINT) * (npos + 1) AS DOUBLE)
+             / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 4) AS auc
+         FROM a""",
+    "agreement_kappa" ->
+      """WITH t AS (SELECT
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+                  ELSE 'low' END AS a,
+             CASE WHEN o_totalprice > 150000.0 THEN 'high'
+                  WHEN o_totalprice > 50000.0 THEN 'mid'
+                  ELSE 'low' END AS b
+           FROM orders),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM t GROUP BY 1, 2),
+         ra AS (SELECT a, sum(n) AS ra FROM cells GROUP BY 1),
+         cb AS (SELECT b, sum(n) AS cb FROM cells GROUP BY 1),
+         rc AS (SELECT coalesce(sum(CAST(ra.ra AS HUGEINT) * cb.cb), 0) AS rc
+           FROM ra JOIN cb ON ra.a = cb.b),
+         ag AS (SELECT sum(n) AS tot,
+             sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree FROM cells)
+         SELECT CAST(tot AS BIGINT) AS n,
+           CAST((1000000 * agree) // tot AS BIGINT) AS po_ppm,
+           CAST((1000000 * rc) // (CAST(tot AS HUGEINT) * tot) AS BIGINT)
+             AS pe_ppm,
+           CAST((1000000 * (CAST(tot AS HUGEINT) * agree - rc))
+             // (CAST(tot AS HUGEINT) * tot - rc) AS BIGINT) AS kappa_ppm,
+           round(CAST(CAST(tot AS HUGEINT) * agree - rc AS DOUBLE)
+             / CAST(CAST(tot AS HUGEINT) * tot - rc AS DOUBLE), 4) AS kappa
+         FROM ag CROSS JOIN rc""",
+    "conformal_interval" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS y,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS gate
+           FROM lineitem),
+         cal AS (SELECT * FROM li WHERE gate = 0),
+         tst AS (SELECT * FROM li WHERE gate = 1),
+         sl AS (SELECT grp, CAST(sum(CAST(y AS HUGEINT)) // sum(q) AS BIGINT)
+             AS slope FROM cal GROUP BY 1),
+         calr AS (SELECT c.grp, abs(c.y - c.q * s.slope) AS r
+           FROM cal c JOIN sl s USING (grp)),
+         rk AS (SELECT grp, r,
+             row_number() OVER (PARTITION BY grp ORDER BY r) AS rk,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM calr),
+         qh AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_calib,
+             CAST(min(CASE WHEN rk = ((n + 1) * 90 + 99) // 100 THEN r END)
+               AS BIGINT) AS qhat
+           FROM rk GROUP BY 1),
+         tr AS (SELECT t.grp, abs(t.y - t.q * s.slope) AS r
+           FROM tst t JOIN sl s USING (grp))
+         SELECT tr.grp, q.n_calib, q.qhat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN q.qhat IS NULL OR tr.r <= q.qhat
+             THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           CAST((1000000 * sum(CASE WHEN q.qhat IS NULL OR tr.r <= q.qhat
+             THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS coverage_ppm
+         FROM tr JOIN qh q USING (grp) GROUP BY 1, 2, 3""",
+    "privacy_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+             (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 100000) // 100000 AS bal_band
+           FROM customer),
+         cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS sz FROM c GROUP BY 1, 2, 3),
+         h AS (SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows FROM cls GROUP BY 1),
+         t AS (SELECT sum(n_rows) AS tot FROM h)
+         SELECT class_size, n_classes, n_rows,
+           CAST(sum(n_rows) OVER (ORDER BY class_size
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rows,
+           CAST((1000000 * sum(n_rows) OVER (ORDER BY class_size
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // tot
+             AS BIGINT) AS cum_row_ppm
+         FROM h CROSS JOIN t""",
+    "privacy_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey,
+             (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 100000) // 100000 AS bal_band,
+             c_mktsegment
+           FROM customer),
+         cls AS (SELECT c_nationkey, bal_band,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+           FROM c GROUP BY 1, 2)
+         SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows
+         FROM cls GROUP BY 1"""
   )
 }

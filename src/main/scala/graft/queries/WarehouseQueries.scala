@@ -170,6 +170,16 @@ object WarehouseQueries {
       GraphAlgs.clusteringCoefficients(basketEdges(s, dir))
     }),
 
+    // Synchronous label-propagation communities (GraphAlgs
+    // .labelPropagation, 3 rounds): min-label tie-breaks make the
+    // classic algorithm a pure function of the edge set, so the
+    // unrolled SQL oracle replays every round bit for bit. Per round:
+    // one keyed label⋈edge join + a vote count + an argmin aggregate
+    // (no window) — node-sized frames, never an edge-set sort.
+    "graph_label_prop" -> ((s, dir) => {
+      GraphAlgs.labelPropagation(basketEdges(s, dir), "a", "b", rounds = 3)
+    }),
+
     // Bounded k-core peeling (k=30, inside the scale-stable degree band,
     // 3 rounds) over the basket graph — the density filter: each round removes every node whose degree
     // fell below k and restricts the shrinking edge set. Exact integer
@@ -708,6 +718,23 @@ object WarehouseQueries {
                        THEN 'update' END AS change
            FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
          WHERE change IS NOT NULL""",
+    "graph_label_prop" -> {
+      val head =
+        s"""WITH $BasketEdgeSql,
+           sym AS (SELECT a AS src, b AS dst FROM e
+                   UNION ALL SELECT b AS src, a AS dst FROM e),
+           n0 AS (SELECT DISTINCT src AS node FROM sym),
+           l0 AS (SELECT node, node AS label FROM n0)"""
+      val steps = (1 to 3).map { i =>
+        s""",
+           v$i AS (SELECT s.src AS node, l.label, count(*) AS v
+               FROM sym s JOIN l${i - 1} l ON s.dst = l.node GROUP BY 1, 2),
+           l$i AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY v DESC, label) AS rk FROM v$i) WHERE rk = 1)"""
+      }.mkString
+      head + steps + "\n           SELECT node, label FROM l3"
+    },
     "graph_bfs" -> {
       val head =
         s"""WITH $BasketEdgeSql,

@@ -132,4 +132,43 @@ class ScoresSpec extends SparkSpec {
       assert(math.abs(sparse.getAs[Double](c) - dense.getAs[Double](c)) < 1e-12,
         s"$c: additive=${sparse.getAs[Double](c)} dense=${dense.getAs[Double](c)}")
   }
+
+  test("aucRoc: hand value, tie averaging, degenerate groups null") {
+    import spark.implicits._
+    // group g1: scores 1,2,3,4 labels 0,0,1,1 → perfect separation, AUC 1
+    // group g2: pos {3,1}, neg {2,1} — pairs: (3>2)=1, (3>1)=1,
+    //   (1,2)=0, (1=1)=½ → AUC = 2.5/4 = 0.625, exercises tie averaging
+    val df = Seq(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 1L), ("g1", 4L, 1L),
+      ("g2", 3L, 1L), ("g2", 1L, 1L), ("g2", 2L, 0L), ("g2", 1L, 0L),
+      ("g3", 5L, 1L), ("g3", 6L, 1L) // no negatives → undefined
+    ).toDF("grp", "s", "y")
+    val out = Scores.aucRoc(df, "s", "y", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getLong(3) == 1000000L && out("g1").getDouble(4) == 1.0)
+    assert(out("g2").getLong(3) == 625000L && out("g2").getDouble(4) == 0.625)
+    assert(out("g3").isNullAt(3) && out("g3").isNullAt(4))
+    // invariant under row order/partitioning (pure aggregates)
+    val again = Scores.aucRoc(df.repartition(7).orderBy(col("s").desc),
+      "s", "y", Seq("grp")).collect()
+      .filter(!_.isNullAt(3)).map(r => r.getString(0) -> r.getLong(3))
+    assert(again.toMap.get("g2").contains(625000L))
+  }
+
+  test("cohenKappa: textbook contingency, perfect and chance agreement") {
+    import spark.implicits._
+    // the classic 2×2 example: a=yes/b=yes 20, yes/no 5, no/yes 10,
+    // no/no 15 → po = 0.7, pe = (25·30 + 25·20)/50² = 0.5, κ = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val out = Scores.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(out.getLong(0) == 50L)
+    assert(out.getLong(1) == 700000L && out.getLong(2) == 500000L)
+    assert(out.getLong(3) == 400000L && out.getDouble(4) == 0.4)
+    // perfect agreement → κ = 1; null rows excluded from n
+    val perfect = Scores.cohenKappa(
+      (Seq(("x", "x"), ("y", "y"), (null, "x")): Seq[(String, String)])
+        .toDF("a", "b"), "a", "b").head()
+    assert(perfect.getLong(0) == 2L && perfect.getDouble(4) == 1.0)
+  }
 }

@@ -295,6 +295,27 @@ class GraphAlgsSpec extends SparkSpec {
     assert(m == Map("A" -> 500000L, "B" -> 500000L, "purchase" -> 1000000L), m)
   }
 
+  test("labelPropagation: two cliques with a bridge resolve to two communities") {
+    import spark.implicits._
+    // K4 on {1..4}, K4 on {11..14}, one bridge 4-11
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ ((4L, 11L))).toDF("a", "b")
+    val out = GraphAlgs.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 8)
+    // each clique converges to its own min label; the bridge does not
+    // merge them (votes inside the clique dominate)
+    assert(Seq(1L, 2L, 3L, 4L).map(out).toSet.size == 1)
+    assert(Seq(11L, 12L, 13L, 14L).map(out).toSet.size == 1)
+    assert(out(1L) != out(11L), s"bridge merged the cliques: $out")
+    // deterministic: same edges -> same labels on any partitioning
+    val again = GraphAlgs.labelPropagation(edges.repartition(5), "a", "b",
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("randomWalks: walks follow real edges, full length, deterministic") {
     import spark.implicits._
     // 4-cycle plus a chord — every node has out-edges, so all walks
