@@ -151,4 +151,14 @@ object TextOps {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaro-Winkler similarity (one compiled pass per pair,
+    * graft.functions.expressions.JaroWinkler) — textbook semantics,
+    * cross-checked against DuckDB's jaro_winkler_similarity.
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.expressions.JaroWinkler(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
 }

@@ -256,6 +256,57 @@ object Scores {
             4)).as("auc")): _*)
   }
 
+  /** Average precision (PR AUC, step interpolation) — the
+    * imbalanced-data companion to [[aucRoc]]: AP = Σ_k (R_k − R_{k−1})·P_k
+    * over distinct score thresholds descending (exactly sklearn's
+    * `average_precision_score` formulation, which collapses tied scores
+    * into one threshold — per-row cumsums would inflate P on quantized
+    * scores). Each term is the exact rational ΔTP·TP/(n⁺·cumN); the sum
+    * is emitted at ppb scale with ONE integral division per distinct
+    * score — truncation < #thresholds/10⁹, and both engines run the
+    * identical integer ops so the column stays hash-exact (the
+    * per-term-div discipline of the PSI/KS family).
+    *
+    * Scale shape: one groupBy to the (group, score)-distinct table, two
+    * frames over ONE group-partitioned window order (cumulative and
+    * full-range), one final aggregate. Products widen to DECIMAL(38,0):
+    * 10⁹·ΔTP·TP caps at ~10¹⁴ rows per group.
+    *
+    * Groups with no positives return null AP (undefined — the
+    * [[aucRoc]] degeneracy contract); no negatives is fine (AP = 1).
+    *
+    * @param labelCol 0/1 integer column
+    * @return per group: (…groupCols, n_pos, n_neg, ap_ppb, ap)
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "need at least one group column (pass a literal for a global AP)")
+    val grp = groupCols.map(col)
+    val byScore = df.groupBy(grp :+ col(scoreCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__np"))
+    val wCum = Window.partitionBy(grp: _*).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(grp: _*)
+    byScore
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__ctp", sum(col("__np")).over(wCum))
+      .withColumn("__npos", sum(col("__np")).over(wAll))
+      .withColumn("__term",
+        when(col("__np") > 0 && col("__npos") > 0,
+          expr("""(1000000000 * CAST(__np AS DECIMAL(38,0)) * __ctp)
+                  div (CAST(__npos AS DECIMAL(38,0)) * __cn)"""))
+          .otherwise(lit(0L)))
+      .groupBy(grp: _*)
+      .agg(max(col("__npos")).as("n_pos"),
+        (max(col("__cn")) - max(col("__npos"))).as("n_neg"),
+        sum(col("__term")).as("__ap"))
+      .select(grp ++ Seq(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, col("__ap")).as("ap_ppb"),
+        when(col("n_pos") > 0,
+          round(col("__ap").cast("double") / 1e9, 4)).as("ap")): _*)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two label
     * columns (two annotators, a model vs a heuristic, two pipeline
     * versions): κ = (p_o − p_e)/(1 − p_e) with p_e from the raters'

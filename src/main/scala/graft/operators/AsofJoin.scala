@@ -9,9 +9,17 @@ import org.apache.spark.sql.functions._
   * "most recent fact before / next fact after" join; LEFT semantics,
   * unmatched rows keep nulls). `backward` matches the latest right with
   * `t_r ≤ t_l` (the default, pandas merge_asof's); `forward` matches
-  * the earliest right with `t_r ≥ t_l`. An optional `tolerance` bounds
-  * the match distance — a match farther than the bound degrades to
-  * null, exactly like merge_asof's tolerance.
+  * the earliest right with `t_r ≥ t_l`; `nearest` takes whichever of
+  * the two candidates is temporally closer, distance ties resolving
+  * BACKWARD (the deterministic choice merge_asof leaves to row order).
+  * An optional `tolerance` bounds the match distance — a match farther
+  * than the bound degrades to null, exactly like merge_asof's
+  * tolerance; under `nearest` it gates each side BEFORE the
+  * closest-pick, so an in-range far-side candidate still matches when
+  * the near side is out of range. `nearest` costs the same single
+  * shuffle — the one union order serves both window frames (an
+  * equal-time right sorts into the PRECEDING frame only, but its Δ = 0
+  * backward candidate wins the pick regardless).
   *
   * Spark has no native ASOF JOIN; expressing it as a θ-join
   * (`l.key = r.key AND r.t <= l.t` + a per-left max) plans a
@@ -41,12 +49,14 @@ object AsofJoin {
       direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val backward = direction == "backward"
+    val nearest = direction == "nearest"
     // side bit: the right row at an EQUAL timestamp must fall inside the
-    // left row's window frame — before it (backward) or after (forward)
-    val (leftSide, rightSide) = if (backward) (1, 0) else (0, 1)
+    // left row's window frame — before it (backward) or after (forward);
+    // nearest uses the backward order (see scaladoc on the Δ=0 case)
+    val (leftSide, rightSide) = if (backward || nearest) (1, 0) else (0, 1)
     val l = left.select(
       col(keyCol).as("__k"), col(timeCol).as("__t"), lit(leftSide).as("__side"),
       struct(left.columns.map(col): _*).as("__lpay"))
@@ -56,20 +66,37 @@ object AsofJoin {
     val u = l.unionByName(r, allowMissingColumns = true)
     val w0 = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__rpay"))
-    val matched: Column =
-      if (backward)
-        last(col("__rpay"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      else
-        first(col("__rpay"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    val withMatch = u.withColumn("__match", matched)
-      .where(col("__side") === leftSide)
-    val gated = tolerance match {
-      case Some(tol) => withMatch.withColumn("__match",
-        when(abs(col("__match.__rt") - col("__t")) <= tol, col("__match")))
-      case None => withMatch
-    }
+    val backMatch = last(col("__rpay"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwdMatch = first(col("__rpay"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val gated =
+      if (nearest) {
+        def gate(c: Column) = tolerance match {
+          case Some(tol) => when(abs(c.getField("__rt") - col("__t")) <= tol, c)
+          case None => c
+        }
+        u.withColumn("__b", backMatch).withColumn("__f", fwdMatch)
+          .where(col("__side") === leftSide)
+          .withColumn("__b", gate(col("__b")))
+          .withColumn("__f", gate(col("__f")))
+          .withColumn("__match",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              // strict <: a distance tie resolves backward
+              .when(col("__f.__rt") - col("__t") < col("__t") - col("__b.__rt"),
+                col("__f"))
+              .otherwise(col("__b")))
+      } else {
+        val withMatch = u
+          .withColumn("__match", if (backward) backMatch else fwdMatch)
+          .where(col("__side") === leftSide)
+        tolerance match {
+          case Some(tol) => withMatch.withColumn("__match",
+            when(abs(col("__match.__rt") - col("__t")) <= tol, col("__match")))
+          case None => withMatch
+        }
+      }
     gated.select(col("__lpay.*") +:
       payloadCols.map(c => col(s"__match.$c").as(s"$c$suffix")): _*)
   }

@@ -180,6 +180,142 @@ object GraphAlgs {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** node2vec-biased random walks (Grover & Leskovec 2016) — the
+    * second-order upgrade to [[randomWalks]]: each hop weights a
+    * candidate neighbor x of the current node v by where it sits
+    * relative to the PREVIOUS node u — return (x = u) at 1/p, common
+    * neighbor (x ~ u) at 1, outward at 1/q — so p, q tune the walk
+    * between BFS-like (community) and DFS-like (structural) corpora,
+    * the knob that makes walk-based embeddings tunable.
+    *
+    * Determinism contract: weights are the INTEGER triple (q, p·q, p)
+    * (the 1/p, 1, 1/q profile scaled by p·q), the draw is 48 bits of
+    * md5 over (start:prev:cur:step) mod the weight total, and the pick
+    * is the first dst-ordered candidate whose running weight exceeds
+    * the draw — a pure function of the edge set, replayed bit for bit
+    * by the unrolled SQL oracle (the [[randomWalks]] discipline carried
+    * to weighted sampling). The first hop has no previous node: the
+    * sentinel `prev = "-"` matches no neighbor and no adjacency row, so
+    * every candidate weighs p — uniform, no special case (node ids must
+    * not equal `"-"`).
+    *
+    * Scale shape per hop: the frontier (≤ |starts| rows) broadcasts
+    * into the adjacency join; the common-neighbor test is ONE keyed
+    * (prev, nbr) equi-join against the edge set (edges shuffle on the
+    * probe key — the second-order price); one start-partitioned window
+    * pair prices the weighted draw. Walks that reach a sink end there.
+    *
+    * @param edges directed edge list — pass both orientations for an
+    *              undirected walk (the [[randomWalks]] convention)
+    * @return (start, step, node) for step 0..steps
+    */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, startCol: String, steps: Int,
+      p: Long, q: Long): DataFrame = {
+    require(steps >= 1, s"need >= 1 step; got $steps")
+    require(p >= 1 && q >= 1, s"p and q must be positive integers; got $p, $q")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("start")).orderBy(col("nbr"))
+    var state = starts
+      .select(col(startCol).cast("string").as("start"))
+      .distinct()
+      .withColumn("prev", lit("-"))
+      .withColumn("node", col("start"))
+    val out = collection.mutable.ArrayBuffer(
+      state.select(col("start"), lit(0L).as("step"), col("node")))
+    val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to steps) {
+      val cand = broadcast(state)
+        .join(e.select(col("src").as("node"), col("dst").as("nbr")),
+          Seq("node"))
+        .join(e.select(col("src").as("prev"), col("dst").as("nbr"),
+          lit(1).as("__adj")), Seq("prev", "nbr"), "left")
+        .withColumn("__w",
+          when(col("nbr") === col("prev"), lit(q))
+            .when(col("__adj").isNotNull, lit(p * q))
+            .otherwise(lit(p)))
+      val priced = cand
+        .withColumn("__cw", sum(col("__w"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("__tw", sum(col("__w"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("start"))))
+        .withColumn("__r", pmod(conv(substring(md5(concat(
+          col("start"), lit(":"), col("prev"), lit(":"), col("node"),
+          lit(":"), lit(t))), 1, 12), 16, 10).cast("long"), col("__tw")))
+      state = priced.where(col("__cw") > col("__r"))
+        .groupBy(col("start"), col("node"))
+        .agg(min(col("nbr")).as("__next"))
+        .select(col("start"), col("node").as("prev"),
+          col("__next").as("node"))
+        .localCheckpoint(true)
+      hops += state
+      out += state.select(col("start"), lit(t.toLong).as("step"), col("node"))
+    }
+    val walks = out.reduce(_ unionByName _).localCheckpoint(true)
+    CheckpointShim.freeLocalCheckpointIfAny(e)
+    hops.foreach(CheckpointShim.freeLocalCheckpointIfAny(_))
+    walks
+  }
+
+  /** Common-neighbor link prediction — rank NON-adjacent node pairs by
+    * how much neighborhood they already share (the classic local
+    * predictors: common-neighbor count and neighborhood Jaccard), the
+    * candidate generator for "suggest an edge" / related-item tasks on
+    * the co-occurrence graphs this suite builds.
+    *
+    * Scale shape: candidate pairs come from the SAME wedge join the
+    * [[triangles]] counter uses — two copies of the undirected edge
+    * list equi-joined on the shared middle node — then one (a, b)
+    * count aggregate, an anti-join against the existing edge set, and
+    * two node-keyed degree joins. The wedge volume is Σ deg(m)², so
+    * middles above `maxDegree` are EXCLUDED up front (a hub connects
+    * everyone to everyone — quadratic cost for near-zero signal; the
+    * cap is the standard mitigation and the bias is visible in this
+    * contract, not silent). `minCommon` prunes the pair table before
+    * the joins — at scale the 1-common-neighbor tail is the bulk of
+    * the volume and never ranks.
+    *
+    * Jaccard is ONE integral division at ppm scale over exact integers:
+    * |Γa∩Γb| = common, |Γa∪Γb| = deg(a)+deg(b)−common (degrees over the
+    * FULL graph — the hub cap only limits which middles generate
+    * candidates, not the sets being compared).
+    *
+    * @return (a, b, common, deg_a, deg_b, jaccard_ppm), a < b,
+    *         non-adjacent pairs with ≥ minCommon shared neighbors
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 2L, maxDegree: Long = 10000L): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1; got $minCommon")
+    val e = canonical(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      // wedges through bounded-degree middles: m—a, m—b with a < b
+      val okMid = deg.where(col("deg") <= maxDegree)
+        .select(col("node").as("m"))
+      val half = und.select(col("b").as("m"), col("a"))
+        .join(okMid, Seq("m"))
+      val pairs = half.join(half.select(col("m"), col("a").as("b")), Seq("m"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+        .where(col("common") >= minCommon)
+        // non-adjacent only: the predictor proposes NEW edges
+        .join(e, Seq("a", "b"), "left_anti")
+      pairs
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+        .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+          expr("""(1000000 * common) div (deg_a + deg_b - common)""")
+            .as("jaccard_ppm"))
+    } finally e.unpersist()
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
     * deterministic form): every node starts as its own label; each
     * round a node adopts the most-voted label among its neighbors,

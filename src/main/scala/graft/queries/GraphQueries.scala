@@ -137,6 +137,24 @@ object GraphQueries {
         starts, "start", steps = 4)
     }),
 
+    // node2vec-biased walks (GraphAlgs.node2vecWalks, p=1, q=4 —
+    // DFS-leaning): second-order hops weight each candidate by its
+    // relation to the previous node (return q, common-neighbor p·q,
+    // outward p), drawn by the same seedless 48-bit md5 discipline as
+    // graph_random_walks — the tunable corpus generator for walk-based
+    // node embeddings, replayed bit for bit by the unrolled oracle.
+    "graph_node2vec_walks" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      val sym = b.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(b.select(col("b").as("src"), col("a").as("dst")))
+      val starts = Tables.lineitem(s, dir)
+        .select(concat(lit("s"), col("l_suppkey")).as("start")).distinct()
+      graft.operators.GraphAlgs.node2vecWalks(sym, "src", "dst",
+        starts, "start", steps = 3, p = 1L, q = 4L)
+    }),
+
     // Time-respecting earliest arrival over the temporal supply graph:
     // supplier↔part edges stamped with the shipment time — a node is
     // reached only along paths whose edge times never decrease (static
@@ -511,6 +529,7 @@ object GraphQueries {
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
     "graph_random_walks" -> RandomWalksOracle,
+    "graph_node2vec_walks" -> Node2vecOracle,
     "graph_hits" -> HitsOracle,
     "graph_ppr" -> PprOracle,
     "graph_temporal_reach" -> TemporalReachOracle,
@@ -718,6 +737,53 @@ object GraphQueries {
                 || ':' || '$t'), 1, 12)) AS BIGINT) % d.deg)"""
     }.mkString
     val emits = (0 to 4).map { t =>
+      s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t"
+    }.mkString("\n         UNION ALL ")
+    head + steps + "\n         " + emits
+  }
+
+  /** graph_node2vec_walks oracle: 3 hops unrolled; each hop rebuilds
+    * the weighted candidate table (return 4, common-neighbor 4,
+    * outward 1 for p=1, q=4), prices the dst-ordered running weight,
+    * and picks the first candidate past the md5 draw — identical
+    * integer ops to the operator. Step CTEs MATERIALIZED: duckdb 1.0
+    * inlines multi-referenced CTEs, and each hop references its
+    * predecessor from two places.
+    */
+  private val Node2vecOracle: String = {
+    val (p, q) = (1L, 4L)
+    val head =
+      """WITH b AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+             'p' || CAST(l_partkey AS VARCHAR) AS bb FROM lineitem),
+         sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT a AS src, bb AS dst FROM b
+             UNION ALL SELECT bb, a FROM b)),
+         w0 AS MATERIALIZED (SELECT DISTINCT
+             's' || CAST(l_suppkey AS VARCHAR) AS start,
+             '-' AS prev,
+             's' || CAST(l_suppkey AS VARCHAR) AS node FROM lineitem)"""
+    val steps = (1 to 3).map { t =>
+      s""",
+         c$t AS MATERIALIZED (SELECT w.start, w.prev, w.node AS cur,
+             s.dst AS nbr,
+             CASE WHEN s.dst = w.prev THEN $q
+                  WHEN a.src IS NOT NULL THEN ${p * q}
+                  ELSE $p END AS wt
+           FROM w${t - 1} w
+           JOIN sym s ON s.src = w.node
+           LEFT JOIN sym a ON a.src = w.prev AND a.dst = s.dst),
+         x$t AS MATERIALIZED (SELECT start, prev, cur, nbr, wt,
+             sum(wt) OVER (PARTITION BY start ORDER BY nbr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY start) AS tw
+           FROM c$t),
+         w$t AS MATERIALIZED (SELECT start, cur AS prev, min(nbr) AS node
+           FROM x$t
+           WHERE cw > CAST(('0x' || substr(md5(start || ':' || prev
+             || ':' || cur || ':' || '$t'), 1, 12)) AS BIGINT) % tw
+           GROUP BY 1, 2)"""
+    }.mkString
+    val emits = (0 to 3).map { t =>
       s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t"
     }.mkString("\n         UNION ALL ")
     head + steps + "\n         " + emits

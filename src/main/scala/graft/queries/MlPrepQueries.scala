@@ -753,6 +753,84 @@ object MlPrepQueries {
                   + 100000) div 100000""").as("bal_band"),
           col("c_mktsegment")),
         Seq("c_nationkey", "bal_band"), "c_mktsegment")
+    }),
+
+    // Average precision / PR AUC (Scores.averagePrecision): the
+    // imbalanced-data companion to model_auc on the same ranking —
+    // per-term integral divisions at ppb scale over distinct score
+    // thresholds, sklearn's step interpolation replayed exactly by
+    // the oracle.
+    "model_pr_auc" -> ((s, dir) => {
+      graft.metrics.Scores.averagePrecision(
+        Tables.orders(s, dir).select(col("o_orderstatus").as("grp"),
+          (col("o_totalprice").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long").as("score"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y")),
+        "score", "y", Seq("grp"))
+    }),
+
+    // Two-regressor closed-form OLS (Regression.ols2): price-in-cents
+    // against quantity and discount points per returnflag — exact
+    // DECIMAL moment sums (partition-order-proof), then a fixed
+    // sequence of IEEE double ops shared verbatim with the oracle.
+    "regression_ols2" -> ((s, dir) => {
+      graft.operators.Regression.ols2(
+        Tables.lineitem(s, dir).select(col("l_returnflag").as("grp"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("y_cents"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_discount").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("disc_pct")),
+        Seq("grp"), "y_cents", "qty", "disc_pct")
+    }),
+
+    // Decision-stump screening (DecisionSplit.bestSplits): melt three
+    // ordered features to long format with ONE stack, label = returned
+    // line; exact ppm Gini costs, argmin by (cost, bin).
+    "feature_best_split" -> ((s, dir) => {
+      graft.operators.DecisionSplit.bestSplits(
+        Tables.lineitem(s, dir).select(
+          expr("""stack(3, 'quantity', CAST(l_quantity AS BIGINT),
+                  'discount_pct',
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+                  'ship_month', CAST(month(l_shipdate) AS BIGINT))
+                  AS (feature, bin)"""),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")),
+        "feature", "bin", "y")
+    }),
+
+    // WOE encoding + information value (WoeEncoding.woeTable): three
+    // categorical features melted long against the returned-line
+    // label; exact half-count-smoothed integer ratios, ln/products
+    // snapped to DECIMAL(20,8) before summation (the text_entropy
+    // discipline) so the encoding table hash-matches the oracle.
+    "feature_woe_iv" -> ((s, dir) => {
+      graft.operators.WoeEncoding.woeTable(
+        Tables.lineitem(s, dir).select(
+          expr("""stack(3, 'line_status', l_linestatus,
+                  'ship_quarter', CAST(quarter(l_shipdate) AS STRING),
+                  'disc_band',
+                  CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    div 3 AS STRING)) AS (feature, category)"""),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")),
+        "feature", "category", "y")
+    }),
+
+    // Isotonic (PAV) calibration (Isotonic.pavCalibrate): the unique
+    // least-squares monotone map from $20k price bands to the urgent-
+    // priority rate — data-sized work is one bin aggregate, PAV runs
+    // on the 26-bin table in exact BigInt rationals, and the oracle
+    // replays it as 25 unrolled leftmost-violation merges (the merge
+    // ORDER never changes the PAV fixed point, only the step bound).
+    "model_isotonic" -> ((s, dir) => {
+      graft.operators.Isotonic.pavCalibrate(
+        Tables.orders(s, dir).select(
+          least(expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) div 2000000"""), lit(25L)).as("bin"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y")),
+        "bin", "y")
     })
   )
 
@@ -1590,6 +1668,189 @@ object MlPrepQueries {
            FROM c GROUP BY 1, 2)
          SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
            CAST(sum(sz) AS BIGINT) AS n_rows
-         FROM cls GROUP BY 1"""
+         FROM cls GROUP BY 1""",
+    "model_pr_auc" ->
+      """WITH t AS (SELECT o_orderstatus AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS y
+           FROM orders),
+         g AS (SELECT grp, s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np FROM t GROUP BY 1, 2),
+         c AS (SELECT grp, s, n, np,
+             sum(n) OVER (PARTITION BY grp ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             sum(np) OVER (PARTITION BY grp ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             sum(np) OVER (PARTITION BY grp) AS npos
+           FROM g),
+         a AS (SELECT grp, max(npos) AS npos, max(cn) AS ntot,
+             sum(CASE WHEN np > 0 AND npos > 0
+               THEN (1000000000 * CAST(np AS HUGEINT) * ctp)
+                 // (CAST(npos AS HUGEINT) * cn) ELSE 0 END) AS ap
+           FROM c GROUP BY 1)
+         SELECT grp, CAST(npos AS BIGINT) AS n_pos,
+           CAST(ntot - npos AS BIGINT) AS n_neg,
+           CASE WHEN npos > 0 THEN CAST(ap AS BIGINT) END AS ap_ppb,
+           CASE WHEN npos > 0 THEN round(CAST(ap AS DOUBLE) / 1e9, 4) END AS ap
+         FROM a""",
+    "regression_ols2" ->
+      """WITH t AS (SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+           FROM lineitem),
+         m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(x1 AS HUGEINT)) AS s1,
+             sum(CAST(x2 AS HUGEINT)) AS s2,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM t GROUP BY 1),
+         c AS (SELECT grp, n, sy, s1, s2,
+             CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+             CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+             CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+           FROM m),
+         d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+         b AS (SELECT grp, n, sy, s1, s2, cyy, c1y, c2y,
+             CASE WHEN n >= 3 AND det <> 0.0
+               THEN (c1y * c22 - c2y * c12) / det END AS b1,
+             CASE WHEN n >= 3 AND det <> 0.0
+               THEN (c2y * c11 - c1y * c12) / det END AS b2
+           FROM d)
+         SELECT grp, CAST(n AS BIGINT) AS n,
+           round((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+             - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS b0,
+           round(b1, 6) AS b1, round(b2, 6) AS b2,
+           CASE WHEN cyy > 0.0
+             THEN round((b1 * c1y + b2 * c2y) / cyy, 6) END AS r2
+         FROM b""",
+    "feature_best_split" ->
+      """WITH t AS (
+           SELECT 'quantity' AS f, CAST(l_quantity AS BIGINT) AS b,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+           UNION ALL
+           SELECT 'discount_pct',
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+           UNION ALL
+           SELECT 'ship_month', CAST(month(l_shipdate) AS BIGINT),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+         bins AS (SELECT f, b, CAST(sum(y) AS BIGINT) AS p,
+             CAST(count(*) - sum(y) AS BIGINT) AS g
+           FROM t GROUP BY 1, 2),
+         cum AS (SELECT f, b, p, g,
+             sum(p) OVER (PARTITION BY f ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+             sum(g) OVER (PARTITION BY f ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+             sum(p) OVER (PARTITION BY f) AS tp,
+             sum(g) OVER (PARTITION BY f) AS tg
+           FROM bins),
+         cand AS (SELECT f, b, cp + cg AS nl, tp + tg - cp - cg AS nr,
+             (1000000 * (CAST(cp + cg AS HUGEINT) * (cp + cg)
+                - CAST(cp AS HUGEINT) * cp - CAST(cg AS HUGEINT) * cg))
+               // (cp + cg)
+             + (1000000 * (CAST(tp + tg - cp - cg AS HUGEINT)
+                  * (tp + tg - cp - cg)
+                - CAST(tp - cp AS HUGEINT) * (tp - cp)
+                - CAST(tg - cg AS HUGEINT) * (tg - cg)))
+               // (tp + tg - cp - cg) AS cost
+           FROM cum WHERE tp + tg - cp - cg > 0),
+         best AS (SELECT f, b AS best_bin, cost FROM (
+             SELECT f, b, cost, row_number() OVER (PARTITION BY f
+               ORDER BY cost, b) AS rk FROM cand) WHERE rk = 1),
+         base AS (SELECT f, sum(p) + sum(g) AS n, sum(p) AS tp,
+             sum(g) AS tg FROM bins GROUP BY 1),
+         bg AS (SELECT f, n,
+             ((1000000 * (CAST(n AS HUGEINT) * n - CAST(tp AS HUGEINT) * tp
+               - CAST(tg AS HUGEINT) * tg)) // n) // n AS base_gini_ppm
+           FROM base)
+         SELECT bg.f AS feature, CAST(bg.n AS BIGINT) AS n,
+           CAST(bg.base_gini_ppm AS BIGINT) AS base_gini_ppm,
+           best.best_bin,
+           CAST(best.cost // bg.n AS BIGINT) AS split_gini_ppm,
+           CAST(bg.base_gini_ppm - best.cost // bg.n AS BIGINT) AS gain_ppm
+         FROM bg LEFT JOIN best ON bg.f = best.f""",
+    "feature_woe_iv" ->
+      """WITH t AS (
+           SELECT 'line_status' AS feature, l_linestatus AS category,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+           UNION ALL
+           SELECT 'ship_quarter', CAST(quarter(l_shipdate) AS VARCHAR),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+           UNION ALL
+           SELECT 'disc_band',
+             CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 3 AS VARCHAR),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+         cats AS (SELECT feature, category, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+           FROM t GROUP BY 1, 2),
+         tot AS (SELECT feature, sum(pos) AS p, sum(neg) AS n
+           FROM cats GROUP BY 1),
+         sc AS (SELECT c.feature, c.category, c.pos, c.neg,
+             CAST(ln(CAST((2 * c.pos + 1) * (n + 1) AS DOUBLE)
+               / CAST((2 * c.neg + 1) * (p + 1) AS DOUBLE))
+               AS DECIMAL(20,8)) AS lnv,
+             CAST((CAST(2 * c.pos + 1 AS DOUBLE) / CAST(2 * (p + 1) AS DOUBLE)
+                - CAST(2 * c.neg + 1 AS DOUBLE) / CAST(2 * (n + 1) AS DOUBLE))
+               * CAST(CAST(ln(CAST((2 * c.pos + 1) * (n + 1) AS DOUBLE)
+                   / CAST((2 * c.neg + 1) * (p + 1) AS DOUBLE))
+                   AS DECIMAL(20,8)) AS DOUBLE)
+               AS DECIMAL(20,8)) AS term
+           FROM cats c JOIN tot USING (feature)),
+         iv AS (SELECT feature, round(CAST(sum(term) AS DOUBLE), 4) AS iv
+           FROM sc GROUP BY 1)
+         SELECT sc.feature, sc.category, sc.pos, sc.neg,
+           round(CAST(sc.lnv AS DOUBLE), 4) AS woe, iv.iv
+         FROM sc JOIN iv USING (feature)""",
+    // PAV unrolled: each step finds the LEFTMOST adjacent violation
+    // (pooled-rate comparison by exact cross-multiplication) and merges
+    // that one pair; 25 steps bound the 26-bin table's pooling, and
+    // the PAV solution's uniqueness makes step order irrelevant
+    "model_isotonic" -> {
+      val head =
+        """WITH bins AS MATERIALIZED (SELECT
+             least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) // 2000000, 25) AS bin,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         b0 AS MATERIALIZED (SELECT bin, w, y,
+             row_number() OVER (ORDER BY bin) AS ord FROM bins)"""
+      // every step CTE MATERIALIZED: duckdb 1.0 inlines by default, and
+      // a 25-deep chain whose steps are each referenced twice would
+      // re-expand the whole prefix exponentially (observed as a
+      // too-many-open-files parquet scan storm)
+      val steps = (1 to 25).map { i =>
+        s""",
+         l$i AS MATERIALIZED (SELECT ord, bin, w, y, lw, ly,
+             min(CASE WHEN ly IS NOT NULL AND y * lw > ly * w
+                 THEN ord END) OVER () AS v
+           FROM (SELECT ord, bin, w, y,
+               lead(w) OVER (ORDER BY ord) AS lw,
+               lead(y) OVER (ORDER BY ord) AS ly FROM b${i - 1}) t$i),
+         b$i AS MATERIALIZED (SELECT
+             row_number() OVER (ORDER BY ord) AS ord, bin,
+             CASE WHEN ord = v THEN w + lw ELSE w END AS w,
+             CASE WHEN ord = v THEN y + ly ELSE y END AS y
+           FROM l$i WHERE v IS NULL OR ord <> v + 1)"""
+      }.mkString
+      head + steps + """
+         SELECT ob.bin, ob.w AS n, ob.y AS pos,
+           (1000000 * blk.y) // blk.w AS calibrated_ppm
+         FROM bins ob JOIN b25 blk
+           ON blk.bin = (SELECT max(b2.bin) FROM b25 b2
+                         WHERE b2.bin <= ob.bin)"""
+    }
   )
 }

@@ -551,6 +551,27 @@ object StreamQueries {
           tolerance = Some(2L * 3600L * 1000000L))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("p_event_id_asof"), round(col("value_asof"), 4).as("value_asof"))
+    }),
+
+    // Nearest as-of with tolerance: each click matches the temporally
+    // CLOSEST purchase by the same user within 1 hour, either side,
+    // distance ties resolving backward (merge_asof direction='nearest').
+    // Still one union + one keyed shuffle: the same window order feeds
+    // both the preceding-last and following-first frames, and the
+    // tolerance gates each side before the closest-pick.
+    "asof_join_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, "user_id", "ts_us",
+          Seq("p_event_id", "value"), direction = "nearest",
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_event_id_asof"), round(col("value_asof"), 4).as("value_asof"))
     })
   )
 
@@ -961,6 +982,42 @@ object StreamQueries {
          SELECT event_id, user_id, t AS ts_us,
                 m.p_event_id AS p_event_id_asof,
                 round(m.value, 4) AS value_asof
-         FROM g"""
+         FROM g""",
+    // nearest mirror: BOTH frames over the one backward-style order
+    // (purchase side bit 0), 1 h tolerance gating each side before the
+    // strict-< closest pick (ties resolve backward)
+    "asof_join_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                event_type, value FROM events),
+         u AS (
+           SELECT user_id, ts_us AS t, 0 AS side,
+                  struct_pack(rt := ts_us, p_event_id := event_id, value := value) AS rpay,
+                  NULL::BIGINT AS event_id
+           FROM ev WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts_us, 1,
+                  NULL::STRUCT(rt BIGINT, p_event_id BIGINT, value DOUBLE), event_id
+           FROM ev WHERE event_type = 'click'),
+         w AS (SELECT *, last_value(rpay IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, side, rpay
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bm,
+               first_value(rpay IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, side, rpay
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fm
+               FROM u),
+         g AS (SELECT event_id, user_id, t,
+                 CASE WHEN t - bm.rt <= 3600000000 THEN bm END AS b,
+                 CASE WHEN fm.rt - t <= 3600000000 THEN fm END AS f
+               FROM w WHERE side = 1),
+         p AS (SELECT event_id, user_id, t,
+                 CASE WHEN b IS NULL THEN f
+                      WHEN f IS NULL THEN b
+                      WHEN f.rt - t < t - b.rt THEN f
+                      ELSE b END AS m
+               FROM g)
+         SELECT event_id, user_id, t AS ts_us,
+                m.p_event_id AS p_event_id_asof,
+                round(m.value, 4) AS value_asof
+         FROM p"""
   )
 }

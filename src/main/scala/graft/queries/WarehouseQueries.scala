@@ -180,6 +180,16 @@ object WarehouseQueries {
       GraphAlgs.labelPropagation(basketEdges(s, dir), "a", "b", rounds = 3)
     }),
 
+    // Common-neighbor link prediction (GraphAlgs.linkPrediction):
+    // non-adjacent part pairs sharing >= 2 basket neighbors, scored by
+    // exact neighborhood-Jaccard ppm — the "suggest a co-purchase"
+    // candidate table. Wedge join through degree-capped middles (the
+    // triangles shape), pair-count prune BEFORE the degree joins.
+    "graph_link_prediction" -> ((s, dir) => {
+      GraphAlgs.linkPrediction(basketEdges(s, dir), "a", "b",
+        minCommon = 2L, maxDegree = 10000L)
+    }),
+
     // Bounded k-core peeling (k=30, inside the scale-stable degree band,
     // 3 rounds) over the basket graph — the density filter: each round removes every node whose degree
     // fell below k and restricts the shrinking edge set. Exact integer
@@ -574,6 +584,57 @@ object WarehouseQueries {
         .withColumn("conv_ppm", expr("n_converted * 1000000L DIV n_users"))
     }),
 
+    // Fuzzy name linkage (TextOps.jaroWinkler — a compiled Catalyst
+    // expression; Spark ships levenshtein but no Jaro family): distinct
+    // part names blocked on their last token, every in-block pair
+    // scored by textbook Jaro-Winkler. Oracle cross-checks against
+    // DuckDB's native jaro_winkler_similarity — two independent
+    // implementations agreeing at 4dp on every pair.
+    "link_fuzzy_names" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("name_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("blk"))
+      a.join(b, Seq("blk")).where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(graft.functions.TextOps.jaroWinkler(col("name_a"),
+            col("name_b")), 4).as("jw"))
+    }),
+
+    // KMV (theta) sketch set operations (KmvSketch.pairOps): per-
+    // segment distinct-part sketches (bottom-256 of a 48-bit md5) and
+    // every pairwise union/INTERSECTION/Jaccard estimate from the
+    // merged samples — the set algebra HLL can't do, deterministic by
+    // construction so the oracle replays the whole sketch bit for bit.
+    "sketch_kmv_set_ops" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("l_partkey"))
+      val sk = graft.operators.KmvSketch.sketch(items, Seq("seg"),
+        "l_partkey", k = 256)
+      graft.operators.KmvSketch.pairOps(sk, "seg", k = 256)
+    }),
+
+    // Stratified treatment-effect estimate (Causal.stratifiedAte):
+    // high-payload events ("treatment" = props k > 50) vs high-value
+    // outcomes, adjusted within event_type strata — naive vs
+    // stratified ppm columns side by side, every division integral so
+    // the one-row report hash-matches the oracle. Off-support strata
+    // drop from the weighted average, visibly (n_on_support).
+    "causal_stratified_ate" -> ((s, dir) => {
+      graft.operators.Causal.stratifiedAte(
+        Tables.events(s, dir).select(col("event_type"),
+          when(regexp_extract(col("props"), "[0-9]+", 0).cast("long") > 50,
+            1L).otherwise(0L).as("t"),
+          when(col("value") > 66.0, 1L).otherwise(0L).as("y")),
+        Seq("event_type"), "t", "y")
+    }),
+
     // Linear multi-touch attribution: purchases credit the same
     // user's view/click touches in a 1-day lookback, integer ppm
     // credits summing to exactly 1e6 per conversion (remainder on the
@@ -718,6 +779,107 @@ object WarehouseQueries {
                        THEN 'update' END AS change
            FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
          WHERE change IS NOT NULL""",
+    "link_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+         b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+         SELECT a.p_name AS name_a, b2.p_name AS name_b,
+           round(jaro_winkler_similarity(a.p_name, b2.p_name), 4) AS jw
+         FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name""",
+    "sketch_kmv_set_ops" ->
+      """WITH items AS (SELECT DISTINCT c_mktsegment AS seg, l_partkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                         JOIN customer ON o_custkey = c_custkey),
+         hs AS (SELECT DISTINCT seg,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+               AS BIGINT) AS h
+           FROM items),
+         sk AS (SELECT seg, h,
+             row_number() OVER (PARTITION BY seg ORDER BY h) AS rk
+           FROM hs QUALIFY rk <= 256),
+         est AS (SELECT seg, max(rk) AS n_kept,
+             max(CASE WHEN rk = 256 THEN h END) AS hk FROM sk GROUP BY 1),
+         e2 AS (SELECT seg, CAST(CASE WHEN n_kept < 256 THEN n_kept
+             ELSE (255 * 281474976710656) // hk END AS BIGINT) AS ed
+           FROM est),
+         pairs AS (SELECT a.seg AS ga, b.seg AS gb
+           FROM e2 a, e2 b WHERE a.seg < b.seg),
+         mg AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+             SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+             FROM pairs p JOIN sk s ON s.seg = p.ga
+             UNION ALL
+             SELECT p.ga, p.gb, s.h, 0, 1
+             FROM pairs p JOIN sk s ON s.seg = p.gb)
+           GROUP BY 1, 2, 3),
+         smp AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+             ORDER BY h) AS rk FROM mg QUALIFY rk <= 256),
+         agg AS (SELECT ga, gb, count(*) AS m,
+             CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS bth,
+             max(CASE WHEN rk = 256 THEN h END) AS hk
+           FROM smp GROUP BY 1, 2),
+         eu AS (SELECT ga, gb, bth, hk,
+             CAST(CASE WHEN hk IS NULL THEN m
+               ELSE (255 * 281474976710656) // hk END AS BIGINT) AS est_union,
+             CAST(CASE WHEN hk IS NULL THEN bth
+               ELSE (CAST(bth AS HUGEINT) * 255 * 281474976710656)
+                 // (256 * hk) END AS BIGINT) AS est_inter
+           FROM agg)
+         SELECT eu.ga AS grp_a, eu.gb AS grp_b, ea.ed AS est_a,
+           eb.ed AS est_b, est_union, est_inter,
+           CAST((1000000 * est_inter) // est_union AS BIGINT) AS jaccard_ppm
+         FROM eu JOIN e2 ea ON eu.ga = ea.seg
+                 JOIN e2 eb ON eu.gb = eb.seg""",
+    "causal_stratified_ate" ->
+      """WITH e AS (SELECT event_type,
+             CASE WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 50
+               THEN 1 ELSE 0 END AS t,
+             CASE WHEN value > 66.0 THEN 1 ELSE 0 END AS y
+           FROM events),
+         s AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n1,
+             CAST(count(*) - sum(t) AS BIGINT) AS n0,
+             CAST(sum(t * y) AS BIGINT) AS y1,
+             CAST(sum((1 - t) * y) AS BIGINT) AS y0
+           FROM e GROUP BY 1),
+         se AS (SELECT *, CASE WHEN n1 > 0 AND n0 > 0
+             THEN (1000000 * (CAST(y1 AS HUGEINT) * n0
+               - CAST(y0 AS HUGEINT) * n1)) // (CAST(n1 AS HUGEINT) * n0)
+             END AS ate FROM s)
+         SELECT CAST(sum(n1 + n0) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN ate IS NOT NULL THEN n1 + n0 ELSE 0 END)
+             AS BIGINT) AS n_on_support,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(CASE WHEN sum(n1) > 0 AND sum(n0) > 0
+             THEN (1000000 * (CAST(sum(y1) AS HUGEINT) * sum(n0)
+               - CAST(sum(y0) AS HUGEINT) * sum(n1)))
+               // (CAST(sum(n1) AS HUGEINT) * sum(n0)) END AS BIGINT)
+             AS naive_ate_ppm,
+           CAST(CASE WHEN sum(CASE WHEN ate IS NOT NULL THEN n1 + n0
+               ELSE 0 END) > 0
+             THEN sum(CASE WHEN ate IS NOT NULL
+                 THEN CAST(n1 + n0 AS HUGEINT) * ate ELSE 0 END)
+               // sum(CASE WHEN ate IS NOT NULL THEN n1 + n0 ELSE 0 END)
+             END AS BIGINT) AS ate_ppm
+         FROM se""",
+    "graph_link_prediction" -> {
+      s"""WITH $BasketEdgeSql,
+         und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY 1),
+         okm AS (SELECT node AS m FROM deg WHERE deg <= 10000),
+         half AS (SELECT u.b AS m, u.a
+                  FROM und u JOIN okm ON u.b = okm.m),
+         pairs AS (SELECT h1.a, h2.a AS b, CAST(count(*) AS BIGINT) AS common
+                   FROM half h1 JOIN half h2 ON h1.m = h2.m
+                   WHERE h1.a < h2.a GROUP BY 1, 2),
+         cand AS (SELECT p.* FROM pairs p
+                  WHERE common >= 2 AND NOT EXISTS (
+                    SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b))
+         SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+                CAST((1000000 * c.common)
+                  // (da.deg + db.deg - c.common) AS BIGINT) AS jaccard_ppm
+         FROM cand c JOIN deg da ON c.a = da.node
+                     JOIN deg db ON c.b = db.node"""
+    },
     "graph_label_prop" -> {
       val head =
         s"""WITH $BasketEdgeSql,

@@ -155,6 +155,35 @@ class ScoresSpec extends SparkSpec {
     assert(again.toMap.get("g2").contains(625000L))
   }
 
+  test("averagePrecision: sklearn example, tie collapse, degenerate null") {
+    import spark.implicits._
+    // the sklearn docs example: y=[0,0,1,1], scores=[.1,.4,.35,.8]
+    // → AP = 1·(1/2) + (2/3)·(1/2) = 0.8333…
+    val df = Seq(
+      ("g1", 10L, 0L), ("g1", 40L, 0L), ("g1", 35L, 1L), ("g1", 80L, 1L),
+      // tied scores collapse to one threshold: P = 1/2 at the single cut
+      ("g2", 7L, 1L), ("g2", 7L, 0L),
+      ("g3", 1L, 0L), ("g3", 2L, 0L) // no positives → undefined
+    ).toDF("grp", "s", "y")
+    val out = Scores.averagePrecision(df, "s", "y", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getLong(1) == 2L && out("g1").getLong(2) == 2L)
+    assert(out("g1").getLong(3) == 833333333L &&
+      out("g1").getDouble(4) == 0.8333)
+    assert(out("g2").getLong(3) == 500000000L)
+    assert(out("g3").isNullAt(3) && out("g3").isNullAt(4))
+    // all-positive group: AP = 1 exactly
+    val ones = Scores.averagePrecision(
+      Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("grp", "s", "y"),
+      "s", "y", Seq("grp")).head()
+    assert(ones.getLong(3) == 1000000000L && ones.getDouble(4) == 1.0)
+    // pure aggregates → partition/order invariant
+    val again = Scores.averagePrecision(df.repartition(7).orderBy(col("s")),
+      "s", "y", Seq("grp")).collect()
+      .filter(!_.isNullAt(3)).map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again.get("g1").contains(833333333L))
+  }
+
   test("cohenKappa: textbook contingency, perfect and chance agreement") {
     import spark.implicits._
     // the classic 2×2 example: a=yes/b=yes 20, yes/no 5, no/yes 10,

@@ -61,6 +61,76 @@ class AsofJoinSpec extends SparkSpec {
     assert(btol(4L) == None)
   }
 
+  test("nearest: closest side wins, ties resolve backward, tolerance per side") {
+    val (trades, quotes) = frames
+    val near = AsofJoin.asofJoin(trades, quotes, "sym", "t", Seq("px"),
+        direction = "nearest")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(near(1L) == Some(2.0)) // Δ=0 beats the quote 1 away
+    assert(near(2L) == Some(3.0)) // only backward exists (19)
+    assert(near(3L) == Some(1.0)) // only forward exists (8)
+    assert(near(4L) == Some(4.0))
+    assert(near(5L) == Some(4.0))
+    // equidistant: trade A t=9 sits exactly between quotes 8 and 10 →
+    // the BACKWARD candidate (px 1.0) must win deterministically
+    import spark.implicits._
+    val mid = AsofJoin.asofJoin(Seq((9L, "A", 9L)).toDF("trade_id", "sym", "t"),
+      quotes, "sym", "t", Seq("px"), direction = "nearest").head()
+    assert(mid.getDouble(3) == 1.0)
+    // tolerance gates per side BEFORE the pick: trade B t=15 is 35 from
+    // the only quote → null at tol 10, matched at tol 40
+    val tol = AsofJoin.asofJoin(trades, quotes, "sym", "t", Seq("px"),
+        direction = "nearest", tolerance = Some(10L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(tol(5L) == None && tol(1L) == Some(2.0))
+    // out of range on the only side: trade A t=30 has backward 19
+    // (Δ=11) and no forward → null at tol 10
+    val t30 = AsofJoin.asofJoin(Seq((9L, "A", 30L)).toDF("trade_id", "sym", "t"),
+      quotes, "sym", "t", Seq("px"), direction = "nearest",
+      tolerance = Some(10L)).head()
+    assert(t30.isNullAt(3))
+    // near side gated out, far side in range: trade A t=18 at tol 1
+    // has backward 10 (Δ=8, out) but forward 19 (Δ=1, in) → matches
+    val t18 = AsofJoin.asofJoin(Seq((9L, "A", 18L)).toDF("trade_id", "sym", "t"),
+      quotes, "sym", "t", Seq("px"), direction = "nearest",
+      tolerance = Some(1L)).head()
+    assert(t18.getDouble(3) == 3.0)
+  }
+
+  test("nearest ≡ brute-force argmin by (|Δt|, side) on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+      .toDF("lid", "k", "t")
+    // right timestamps UNIQUE per key (7·Δi ≢ 0 mod 997 within a
+    // residue class): duplicate (k, t) rights would make the brute
+    // argmin and the window's struct-order tie-break diverge on v
+    val rights = (1 to 200).map(i =>
+      (s"k${i % 10}", (i * 7L) % 997L, i.toDouble))
+      .toDF("k", "t", "v")
+    val got = AsofJoin.asofJoin(lefts, rights, "k", "t", Seq("v"),
+        direction = "nearest")
+      .select(col("lid"), col("v_asof"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // brute force: per left, min (|Δt|, after-bit, right-struct) —
+    // backward wins distance ties, equal-time equals backward
+    val brute = lefts.as("l").join(rights.as("r"),
+        col("l.k") === col("r.k"), "left")
+      .groupBy(col("lid"))
+      .agg(min(struct(abs(col("r.t") - col("l.t")).as("d"),
+        when(col("r.t") > col("l.t"), 1).otherwise(0).as("side"),
+        col("r.t"), col("v"))).as("m"))
+      .select(col("lid"), col("m.v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == brute)
+  }
+
   test("forward ≡ brute-force θ-join + per-left argmin on random data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -295,6 +295,97 @@ class GraphAlgsSpec extends SparkSpec {
     assert(m == Map("A" -> 500000L, "B" -> 500000L, "purchase" -> 1000000L), m)
   }
 
+  test("node2vecWalks: exact replay of the weighted second-order draw") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 on 2; undirected (both orientations)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L))
+      .flatMap { case (a, b) => Seq((a.toString, b.toString),
+        (b.toString, a.toString)) }
+    val edges = und.toDF("src", "dst")
+    val starts = Seq("1", "2", "3", "4").toDF("start")
+    val (p, q) = (2L, 3L)
+    val got = GraphAlgs.node2vecWalks(edges, "src", "dst", starts, "start",
+        steps = 3, p = p, q = q)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    // independent replay: same md5 draw, same weight triple
+    val adj = und.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sorted }.toMap
+    def draw48(key: String): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      BigInt(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def step(start: String, prev: String, cur: String, t: Int): Option[String] = {
+      val nbrs = adj.getOrElse(cur, Nil)
+      if (nbrs.isEmpty) return None
+      val ws = nbrs.map { x =>
+        if (x == prev) q
+        else if (adj.getOrElse(prev, Nil).contains(x)) p * q
+        else p
+      }
+      val tot = ws.sum
+      val r = (draw48(s"$start:$prev:$cur:$t") mod BigInt(tot)).toLong
+      val cum = ws.scanLeft(0L)(_ + _).tail
+      Some(nbrs(cum.indexWhere(_ > r)))
+    }
+    for (s0 <- Seq("1", "2", "3", "4")) {
+      var (prev, cur) = ("-", s0)
+      assert(got((s0, 0L)) == s0)
+      for (t <- 1 to 3) {
+        val nxt = step(s0, prev, cur, t).get // no sinks in this graph
+        assert(got((s0, t.toLong)) == nxt,
+          s"start=$s0 step=$t: got ${got((s0, t.toLong))}, replay $nxt")
+        prev = cur; cur = nxt
+      }
+    }
+    // deterministic under repartition
+    val again = GraphAlgs.node2vecWalks(edges.repartition(5), "src", "dst",
+        starts, "start", steps = 3, p = p, q = q)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(again == got)
+  }
+
+  test("node2vecWalks: a walk reaching a sink ends there") {
+    import spark.implicits._
+    // directed path 1→2→3 with NO edges out of 3
+    val edges = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+    val starts = Seq("1").toDF("start")
+    val out = GraphAlgs.node2vecWalks(edges, "src", "dst", starts, "start",
+        steps = 4, p = 1L, q = 1L)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(out == Map(0L -> "1", 1L -> "2", 2L -> "3"))
+  }
+
+  test("linkPrediction: common neighbors, Jaccard ppm, hub cap, adjacency excluded") {
+    import spark.implicits._
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share BOTH
+    // square neighbors; plus node 5 hanging off 1 (degree 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L))
+      .toDF("a", "b")
+    val out = GraphAlgs.linkPrediction(edges, "a", "b", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // adjacent pairs never appear; (1,3): common {2,4}, deg 3 and 2 →
+    // 2/(3+2-2) = 666666 ppm; (2,4): common {1,3}, deg 2,2 → 2/2 = 1e6
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(out((1L, 3L)) == ((2L, 3L, 2L, 666666L)))
+    assert(out((2L, 4L)) == ((2L, 2L, 2L, 1000000L)))
+    // minCommon 1 admits the degree-1 wedges through node 1
+    val loose = GraphAlgs.linkPrediction(edges, "a", "b", minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((2L, 5L)) && loose.contains((4L, 5L)) &&
+      loose.contains((3L, 5L)) == false)
+    // capping out node 1 (degree 3) removes every wedge through it:
+    // (2,4) survives via node 3 only, with common dropping to 1
+    val capped = GraphAlgs.linkPrediction(edges, "a", "b", minCommon = 1L,
+        maxDegree = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!capped.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(capped((2L, 4L)) == 1L && capped((1L, 3L)) == 2L)
+  }
+
   test("labelPropagation: two cliques with a bridge resolve to two communities") {
     import spark.implicits._
     // K4 on {1..4}, K4 on {11..14}, one bridge 4-11
