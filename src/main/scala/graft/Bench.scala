@@ -50,6 +50,8 @@ object Bench {
       if (selected.keys.exists(Set("graph_search_topk",
           "graph_search_ivf_seeded")))
         graft.queries.VectorQueries.ensureFixtures(spark, sfDir)
+      if (selected.contains("graph_walk_skipgrams"))
+        graft.queries.GraphQueries.ensureFixtures(spark, sfDir)
       System.gc()
     }
     // deterministic (sorted) execution order for comparable timings

@@ -80,6 +80,24 @@ object VectorOps {
     */
   def int8Scale(v: Column): Column = maxAbs(v) / lit(127.0)
 
+  /** MIPS→cosine reduction, data side (Bachrach et al. 2014 / the
+    * XBOX transform): append √(M² − ‖x‖²) so every augmented corpus
+    * vector has norm exactly M — then cosine (or Euclidean) order over
+    * the augmented space IS inner-product order, and the whole
+    * cosine-ANN stack (LSH/IVF/PQ buckets, partition pruning and all)
+    * serves max-inner-product retrieval unchanged. `m` must be ≥ the
+    * corpus max norm (one agg); the clamp guards float dust at the max
+    * itself.
+    */
+  def mipsAugmentData(v: Column, m: Column): Column =
+    concat(v, array(sqrt(greatest(m * m - dot(v, v), lit(0.0)))))
+
+  /** MIPS→cosine reduction, query side: append 0 — the extra corpus
+    * dimension never contributes to the inner product, so
+    * aug(q)·aug(x) = q·x exactly.
+    */
+  def mipsAugmentQuery(v: Column): Column = concat(v, array(lit(0.0)))
+
   /** Signed random-hyperplane LSH signature: bit i = (v · plane_i) > 0,
     * packed into a long. Planes must be the same on every call site —
     * generate them once with a fixed seed (see SimilaritySearch.hyperplanes).

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.redactPii)
     ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectFunction(GraftExtensions.vecMaxAbs)
+    ext.injectFunction(GraftExtensions.jaroWinkler)
   }
 }
 
@@ -55,6 +56,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "vec_scale(array, scalar)")
       VecScale(children.head, children(1))
+    })
+
+  val jaroWinkler: FunctionDescription = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaro_winkler(stringA, stringB)")
+      JaroWinkler(children.head, children(1))
     })
 
   val minShingleMd5: FunctionDescription = (
@@ -113,7 +122,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii,
-      nfcNormalize, vecMaxAbs).foreach {
+      nfcNormalize, vecMaxAbs, jaroWinkler).foreach {
       case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
     }

@@ -307,6 +307,64 @@ object Scores {
           round(col("__ap").cast("double") / 1e9, 4)).as("ap")): _*)
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric A/B comparison for skewed metrics (revenue,
+    * latency) where a means test misleads: U counts how often a group-1
+    * value outranks a group-0 value (ties half), normalized by the
+    * large-sample z with the TIE-CORRECTED variance
+    *
+    * {{{ V = n₀n₁/12 · [(n+1) − Σ(t³−t)/(n(n−1))] }}}
+    *
+    * Everything is exact integers until the final z: 2U comes from the
+    * same doubled-average-rank identity [[aucRoc]] uses (2U₁ =
+    * 2Σranks₁ − n₁(n₁+1)), the tie term sums t³−t over the
+    * score-distinct table, and z is a fixed double expression over
+    * those exact sums — deterministic cross-engine. DECIMAL(38,0)
+    * products hold to ~10⁹ rows.
+    *
+    * @param groupCol 0/1 integer column (the two samples)
+    * @return one row: (n0, n1, u_x2 = 2U₁, tie_cubes, z) — z null when
+    *         either sample is empty or the variance is 0 (all values
+    *         tied)
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val byScore = df.select(col(valueCol).as("__s"),
+        col(groupCol).cast("long").as("__g"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__g")).as("__n1"))
+    // score-distinct table is values-sized; the cum window rides a
+    // constant partition key — cheap here, and PlanSpec-visible if the
+    // optimizer ever folds it (the Privacy lesson: prefer PrefixSum on
+    // data-sized frames; this one is bounded by distinct values)
+    val cum = graft.operators.PrefixSum.withRunningTotal(
+        byScore.withColumn("__v", col("__n")), "__v", "__cuminc", "__s")
+      .withColumn("__cum", col("__cuminc") - col("__n"))
+    val stats = cum.agg(
+        sum(expr("CAST(__n1 AS DECIMAL(38,0)) * (2 * __cum + __n + 1)"))
+          .as("__two_ranks"),
+        sum(col("__n1")).as("n1"),
+        (sum(col("__n")) - sum(col("__n1"))).as("n0"),
+        sum(expr("CAST(__n AS DECIMAL(38,0)) * __n * __n - __n")).as("__tc"))
+      .select(col("n0"), col("n1"),
+        expr("CAST(__two_ranks - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS LONG)")
+          .as("u_x2"),
+        col("__tc").cast("long").as("tie_cubes"))
+    stats.select(col("n0"), col("n1"), col("u_x2"), col("tie_cubes"),
+      when(col("n0") > 0 && col("n1") > 0 &&
+        expr("""CAST(n0 + n1 + 1 AS DOUBLE)
+                - CAST(tie_cubes AS DOUBLE)
+                  / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE))""")
+          > 0.0,
+        round(expr(
+          """(CAST(u_x2 AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             / (2.0 * sqrt(
+               CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+               * (CAST(n0 + n1 + 1 AS DOUBLE)
+                  - CAST(tie_cubes AS DOUBLE)
+                    / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE)))))"""),
+          4)).as("z"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two label
     * columns (two annotators, a model vs a heuristic, two pipeline
     * versions): κ = (p_o − p_e)/(1 − p_e) with p_e from the raters'

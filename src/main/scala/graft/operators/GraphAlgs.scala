@@ -180,6 +180,89 @@ object GraphAlgs {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Sampled-source betweenness dependencies (Brandes 2001, the
+    * pivot-sampling form of Bader et al.) — "which nodes do shortest
+    * paths FUNNEL through": exact single-source shortest-path DAGs from
+    * a pinned seed set, then the backward dependency accumulation
+    * δ(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w)). Full betweenness is
+    * all-sources (O(nm) — the known lower bound); pivot sampling is THE
+    * standard scale treatment, and the seed set is explicit in the
+    * contract rather than hidden in an estimator.
+    *
+    * Determinism: path counts σ are exact integers (per-level sums over
+    * the BFS DAG); δ is carried at ppm scale with ONE integral division
+    * per DAG edge — `(σ_v · (10⁶ + δ_w)) div σ_w` — so the oracle
+    * replays every level bit for bit (truncation < #succ/10⁶ per node,
+    * the PSI-family discipline). The product widens to DECIMAL(38,0):
+    * σ·δ_ppm holds while σ · 10⁶·(downstream count) < 10³⁸.
+    *
+    * Scale shape: level frames are (seed, node)-keyed and grow with the
+    * hop-bounded ball, never the whole graph times levels; each level
+    * is one keyed edge join + one anti-join against the visited set +
+    * one sum aggregate, and the backward pass re-joins the SAME level
+    * frames. `maxHops` bounds both passes (hop-limited betweenness —
+    * state the bound when comparing to exact BC).
+    *
+    * @return (node, dependency_ppm) — Σ over seeds of 10⁶·δ, nodes
+    *         reached at level ≥ 1 (a source's own δ is not counted,
+    *         per Brandes)
+    */
+  def betweennessFromSeeds(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need >= 1 hop; got $maxHops")
+    val e = canonical(edges, srcCol, dstCol)
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lvl0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .withColumn("node", col("seed")).withColumn("sig", lit(1L))
+    // hop count is a small FIXED bound: level frames carry a LAZY
+    // persist (each is consumed by the next level, the visited chain,
+    // and twice by the backward pass — caching beats both re-evaluation
+    // and the eager-checkpoint discipline, whose ~14 sequential
+    // materializations of tiny frames cost 2 s extra at sf0.1);
+    // Verify/Bench unpersist per query
+    val levels = collection.mutable.ArrayBuffer(lvl0)
+    var visited = lvl0.select(col("seed"), col("node"))
+    for (_ <- 1 to maxHops) {
+      val next = levels.last
+        .join(und, levels.last("node") === und("src"))
+        .select(col("seed"), col("dst").as("node"), col("sig"))
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .groupBy(col("seed"), col("node")).agg(sum(col("sig")).as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      levels += next
+      visited = visited.unionByName(next.select(col("seed"), col("node")))
+    }
+    // backward: deepest level has delta = 0; each level's delta sums over
+    // its DAG successors one level down
+    var below = levels.last.withColumn("dppm", lit(0L))
+    val contribs = collection.mutable.ArrayBuffer(
+      below.select(col("node"), col("dppm")))
+    for (l <- (maxHops - 1) to 0 by -1) {
+      val cur = levels(l)
+      val succ = below.select(col("seed"), col("node").as("__w"),
+        col("sig").as("__wsig"), col("dppm").as("__wd"))
+      val d = cur
+        .join(und, cur("node") === und("src"))
+        .select(col("seed"), col("node"), col("sig"), col("dst").as("__w"))
+        .join(succ, Seq("seed", "__w"))
+        .groupBy(col("seed"), col("node"), col("sig"))
+        .agg(sum(expr(
+          """(CAST(sig AS DECIMAL(38,0)) * (1000000 + __wd)) div __wsig"""))
+          .as("dppm"))
+      // nodes of this level with NO successors below keep delta = 0 but
+      // are still emitted (they carry no dependency)
+      below = cur.join(d.select(col("seed"), col("node"), col("dppm")),
+          Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sig"),
+          coalesce(col("dppm"), lit(0L)).as("dppm"))
+      if (l >= 1) contribs += below.select(col("node"), col("dppm"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("dppm")).as("dependency_ppm"))
+  }
+
   /** node2vec-biased random walks (Grover & Leskovec 2016) — the
     * second-order upgrade to [[randomWalks]]: each hop weights a
     * candidate neighbor x of the current node v by where it sits
@@ -228,11 +311,21 @@ object GraphAlgs {
       state.select(col("start"), lit(0L).as("step"), col("node")))
     val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to steps) {
-      val cand = broadcast(state)
+      val hop = broadcast(state)
         .join(e.select(col("src").as("node"), col("dst").as("nbr")),
           Seq("node"))
-        .join(e.select(col("src").as("prev"), col("dst").as("nbr"),
-          lit(1).as("__adj")), Seq("prev", "nbr"), "left")
+        .localCheckpoint(true)
+      // common-neighbor test WITHOUT shuffling the edge set: stream e
+      // once against the broadcast (prev, nbr) candidate pairs (a LEFT
+      // join on e's side would force a sort-merge exchange of the whole
+      // edge list every hop — the semi-then-broadcast-back shape keeps
+      // each hop at two e scans and zero e exchanges)
+      val adjHits = e.join(broadcast(hop.select(col("prev").as("src"),
+          col("nbr").as("dst")).distinct()), Seq("src", "dst"), "left_semi")
+        .select(col("src").as("prev"), col("dst").as("nbr"),
+          lit(1).as("__adj"))
+      val cand = hop
+        .join(broadcast(adjHits), Seq("prev", "nbr"), "left")
         .withColumn("__w",
           when(col("nbr") === col("prev"), lit(q))
             .when(col("__adj").isNotNull, lit(p * q))
@@ -253,6 +346,7 @@ object GraphAlgs {
         .select(col("start"), col("node").as("prev"),
           col("__next").as("node"))
         .localCheckpoint(true)
+      CheckpointShim.freeLocalCheckpointIfAny(hop)
       hops += state
       out += state.select(col("start"), lit(t.toLong).as("step"), col("node"))
     }

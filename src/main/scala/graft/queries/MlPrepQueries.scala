@@ -707,6 +707,10 @@ object MlPrepQueries {
     // pred ± q-hat audited on the held-out half — the distribution-free
     // 90% guarantee, checked. All integer micro-units → hash-exact.
     "conformal_interval" -> ((s, dir) => {
+      // the gated projection feeds four consumers; measured: re-running
+      // the codegen'd scan+md5 per consumer beats persisting the 600k-row
+      // frame (3.3 s vs ~5.2 s solo-warm at sf0.1) — recompute wins while
+      // the gate is cheaper than a materialize+read cycle
       val li = Tables.lineitem(s, dir).select(
         col("l_returnflag").as("grp"),
         (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)

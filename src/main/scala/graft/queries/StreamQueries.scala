@@ -144,6 +144,24 @@ object StreamQueries {
           col("n_censored"), col("hazard_ppm"), col("cum_hazard_ppm"))
     }),
 
+    // Two-sample log-rank test (Survival.logRank): do odd- and
+    // even-keyed users' lifetime curves differ beyond chance? Same
+    // duration/censoring derivation as survival_km; observed-vs-
+    // hypergeometric terms snapped to DECIMAL(20,8) per event time, so
+    // the one-row chi-square report hash-matches the oracle.
+    "survival_logrank" -> ((s, dir) => {
+      val life = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+      val gmax = life.agg(max(col("last_us")).as("gm"))
+      val durations = life.crossJoin(broadcast(gmax))
+        .select(pmod(col("user_id"), lit(2)).as("grp"),
+          expr("(last_us - first_us) div 3600000000L").as("t_hours"),
+          (col("last_us") <= col("gm") - lit(86400000000L))
+            .cast("long").as("event"))
+      graft.operators.Survival.logRank(durations, "grp", "t_hours", "event")
+    }),
+
     // Kaplan-Meier survivor function over the same lifetimes — the
     // product-limit complement of survival_curve's hazard table:
     // S(t) = Π_{t'≤t} (1 − d/n), computed as exp of a PrefixSum of
@@ -750,6 +768,47 @@ object StreamQueries {
                 CAST(n * 1000000 // n_src AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (src)""",
     "event_markov_stationary" -> MarkovStationaryOracle,
+    "survival_logrank" ->
+      """WITH life AS (SELECT user_id, min(epoch_us(ts)) AS fu,
+             max(epoch_us(ts)) AS lu FROM events GROUP BY 1),
+         g AS (SELECT max(lu) AS gm FROM life),
+         d AS (SELECT user_id % 2 AS grp, (lu - fu) // 3600000000 AS t,
+             CASE WHEN lu <= gm - 86400000000 THEN 1 ELSE 0 END AS ev
+           FROM life, g),
+         byt AS (SELECT t,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS end0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS end1,
+             CAST(sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT) AS ev0,
+             CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS ev1
+           FROM d GROUP BY 1),
+         cum AS (SELECT *,
+             sum(end0) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS c0,
+             sum(end1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS c1,
+             sum(end0) OVER () AS t0, sum(end1) OVER () AS t1
+           FROM byt),
+         att AS (SELECT ev1, t0 - (c0 - end0) + t1 - (c1 - end1) AS nn,
+             t1 - (c1 - end1) AS n1, ev0 + ev1 AS dd
+           FROM cum),
+         terms AS (SELECT ev1,
+             CAST(CAST(ev1 AS DOUBLE)
+               - CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE)
+               AS DECIMAL(20,8)) AS ome,
+             CAST(CASE WHEN nn <= 1 THEN 0.0 ELSE
+               CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 - CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(nn - dd AS DOUBLE) / CAST(nn - 1 AS DOUBLE))
+               END AS DECIMAL(20,8)) AS v
+           FROM att WHERE dd > 0)
+         SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+           CAST(sum(ev1) AS BIGINT) AS n_obs_g1,
+           round(CAST(sum(ome) AS DOUBLE), 4) AS obs_minus_exp,
+           round(CAST(sum(v) AS DOUBLE), 4) AS variance,
+           CASE WHEN sum(v) > 0 THEN
+             round(CAST(sum(ome) AS DOUBLE) * CAST(sum(ome) AS DOUBLE)
+               / CAST(sum(v) AS DOUBLE), 4) END AS chi2
+         FROM terms""",
     "survival_km" ->
       """WITH life AS (SELECT user_id, min(epoch_us(ts)) AS fu,
              max(epoch_us(ts)) AS lu FROM events GROUP BY 1),

@@ -321,6 +321,46 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Dunning log-likelihood collocations — the statistically sound
+    // ranking PMI can't give (PMI explodes on rare pairs; G² weighs
+    // evidence): ADJACENT bigrams (sequence order, complementing
+    // text_pmi_pairs' document co-occurrence) scored by the 4-cell
+    // entropy form 2·Σ k·ln(kN/RC), each term an exact integer ratio
+    // under one ln, snapped to DECIMAL(20,8) — hash-exact top 20.
+    "text_collocations_llr" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("__t"))
+        .where(size(col("__t")) >= 2)
+      val bg = toks.select(explode(expr(
+          """transform(sequence(0, size(__t) - 2),
+             i -> struct(__t[i] AS w1, __t[i + 1] AS w2))""")).as("__b"))
+        .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+        .where(col("w1") =!= "" && col("w2") =!= "")
+        .localCheckpoint(true)
+      val k11 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+      val n = bg.agg(count(lit(1)).as("nn"))
+      def term(k: String, r: String, c: String) = expr(
+        s"""CAST(CASE WHEN $k = 0 THEN 0.0 ELSE
+            CAST($k AS DOUBLE) * ln(CAST($k AS DOUBLE) * CAST(nn AS DOUBLE)
+              / (CAST($r AS DOUBLE) * CAST($c AS DOUBLE)))
+            END AS DECIMAL(20,8))""")
+      k11.join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .where(col("k11") >= 5)
+        .withColumn("__k12", col("c1") - col("k11"))
+        .withColumn("__k21", col("c2") - col("k11"))
+        .withColumn("__k22", col("nn") - col("c1") - col("c2") + col("k11"))
+        .withColumn("__llr",
+          term("k11", "c1", "c2") + term("__k12", "c1", "nn - c2") +
+          term("__k21", "nn - c1", "c2") + term("__k22", "nn - c1", "nn - c2"))
+        .select(col("w1"), col("w2"), col("k11"), col("c1"), col("c2"),
+          round((col("__llr") * 2).cast("double"), 4).as("llr"))
+        .orderBy(col("llr").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "source_distinctive_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val alpha = 0.01
@@ -1081,6 +1121,43 @@ object TextQueries {
            CAST(CASE WHEN pb > 0 THEN (tp * 1000000) // pb END AS BIGINT)
              AS recall_ppm
          FROM m""",
+    "text_collocations_llr" ->
+      """WITH x AS (SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+           FROM x, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+           WHERE toks[u.i] <> '' AND toks[u.i + 1] <> ''),
+         k AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+           FROM bg GROUP BY 1, 2),
+         a AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         b AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bg),
+         j AS (SELECT k.w1, k.w2, k11, c1, c2, nn,
+             c1 - k11 AS k12, c2 - k11 AS k21,
+             nn - c1 - c2 + k11 AS k22
+           FROM k JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN nt
+           WHERE k11 >= 5),
+         t AS (SELECT w1, w2, k11, c1, c2,
+             CAST(CASE WHEN k11 = 0 THEN 0.0 ELSE
+               CAST(k11 AS DOUBLE) * ln(CAST(k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+               END AS DECIMAL(20,8))
+             + CAST(CASE WHEN k12 = 0 THEN 0.0 ELSE
+               CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE) * CAST(nn AS DOUBLE)
+                 / (CAST(c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE)))
+               END AS DECIMAL(20,8))
+             + CAST(CASE WHEN k21 = 0 THEN 0.0 ELSE
+               CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE) * CAST(nn AS DOUBLE)
+                 / (CAST(nn - c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+               END AS DECIMAL(20,8))
+             + CAST(CASE WHEN k22 = 0 THEN 0.0 ELSE
+               CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE) * CAST(nn AS DOUBLE)
+                 / (CAST(nn - c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE)))
+               END AS DECIMAL(20,8)) AS llr8
+           FROM j)
+         SELECT w1, w2, k11, c1, c2,
+           round(CAST(llr8 * 2 AS DOUBLE), 4) AS llr
+         FROM t ORDER BY llr DESC, w1, w2 LIMIT 20""",
     "text_pmi_pairs" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t AS token
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -68,6 +68,36 @@ object VectorQueries {
         Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10)
     }),
 
+    // Max-inner-product retrieval THROUGH the cosine stack
+    // (VectorOps.mipsAugment*, the XBOX transform): corpus vectors gain
+    // a √(M²−‖x‖²) dimension so all augmented norms equal M, queries
+    // gain a 0 — augmented-cosine order IS inner-product order, which
+    // lets every cosine-ANN structure (LSH/IVF/PQ partition pruning)
+    // serve recsys-style MIPS unchanged. Ranked here by the augmented
+    // cosine, scored by the true inner product; the oracle ranks by
+    // the inner product directly — the hash match IS the transform's
+    // order-preservation guarantee on this data.
+    "sim_topk_mips" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val m = e.agg(max(graft.functions.VectorOps.l2Norm(col("embedding")))
+        .as("m"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(m)).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.functions.VectorOps.dot(col("embedding"), col("qv"))
+            .as("__ip"),
+          graft.functions.VectorOps.cosine(
+            graft.functions.VectorOps.mipsAugmentData(col("embedding"),
+              col("m")),
+            graft.functions.VectorOps.mipsAugmentQuery(col("qv")))
+            .as("__ac"))
+        .orderBy(col("__ac").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("__ip"), 4).as("inner_product"))
+    }),
+
     // Filtered vector search: exact top-k restricted to the query's own
     // label class — the metadata predicate pushes into the candidate
     // scan before any distance math.
@@ -429,6 +459,18 @@ object VectorQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sim_topk_mips" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         dots AS (SELECT vec_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp
+                FROM ex GROUP BY vec_id)
+         SELECT vec_id, round(dp, 4) AS inner_product
+         FROM dots ORDER BY dp DESC, vec_id ASC LIMIT 10""",
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          ex AS (SELECT e.vec_id,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.car.Splits
@@ -584,6 +584,76 @@ object WarehouseQueries {
         .withColumn("conv_ppm", expr("n_converted * 1000000L DIV n_users"))
     }),
 
+    // Sequential probability ratio test curve (Wald SPRT): per arm,
+    // the cumulative log-likelihood ratio of the design alternative
+    // (p1 = 0.5) vs the null (p0 = 0.4) as users arrive by hour, with
+    // the ±ln(19) decision bounds (α = β = 0.05) — the always-peeking
+    // experimentation monitor a fixed-horizon test can't give. Exact
+    // integer arrival/conversion cums (one arm-partitioned window);
+    // the two ln constants multiply exact counts and SNAP to
+    // DECIMAL(20,8) (the text_entropy libm rule) so every row
+    // hash-matches.
+    "ab_sprt_curve" -> ((s, dir) => {
+      val gate = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(when(col("event_type") === "purchase" && col("value") > 80.0,
+            1L).otherwise(0L)).as("conv"))
+        .select(when(gate < 32768, lit("A")).otherwise(lit("B")).as("arm"),
+          expr("first_us div 3600000000L").as("hour"), col("conv"))
+      val byHour = users.groupBy(col("arm"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      graft.operators.Sprt.curve(byHour, "arm", "hour",
+        p0 = 0.4, p1 = 0.5, bound = 2.94443898)
+    }),
+
+    // Streaming SPRT maintenance (SprtStream): the same decision curve
+    // folded from three arrival-time batches of versioned additive
+    // counts — incremental ≡ one-shot is proven BY the oracle (it IS
+    // ab_sprt_curve's), the markov_maintained discipline.
+    "sprt_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("sprt-gate")
+      val countsDir = s"$base/counts"
+      val gate = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(when(col("event_type") === "purchase" && col("value") > 80.0,
+            1L).otherwise(0L)).as("conv"))
+        .select(when(gate < 32768, lit("A")).otherwise(lit("B")).as("arm"),
+          expr("first_us div 3600000000L").as("hour"), col("conv"))
+      val Row(hMin: Long, hMax: Long) =
+        users.agg(min(col("hour")), max(col("hour"))).head
+      val h1 = hMin + (hMax - hMin) / 3
+      val h2 = hMin + 2 * (hMax - hMin) / 3
+      graft.streaming.SprtStream.applyBatch(
+        users.where(col("hour") < h1), countsDir, 0)
+      graft.streaming.SprtStream.applyBatch(
+        users.where(col("hour") >= h1 && col("hour") < h2), countsDir, 1)
+      graft.streaming.SprtStream.applyBatch(
+        users.where(col("hour") >= h2), countsDir, 2)
+      graft.streaming.SprtStream.curve(s, countsDir,
+        p0 = 0.4, p1 = 0.5, bound = 2.94443898)
+    }),
+
+    // Mann-Whitney rank-sum A/B (Scores.mannWhitney): does order value
+    // DIFFER between md5-gated customer arms, nonparametrically? 2U
+    // from the doubled-average-rank identity, tie-corrected variance
+    // from the score-distinct t³−t sum — exact integers, one final
+    // double z shared verbatim with the oracle.
+    "ab_mannwhitney" -> ((s, dir) => {
+      graft.metrics.Scores.mannWhitney(
+        Tables.orders(s, dir).select(
+          (col("o_totalprice").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long").as("v"),
+          when(conv(substring(md5(col("o_custkey").cast("string")), 1, 4),
+            16, 10).cast("long") < 32768, 0L).otherwise(1L).as("g")),
+        "v", "g")
+    }),
+
     // Fuzzy name linkage (TextOps.jaroWinkler — a compiled Catalyst
     // expression; Spark ships levenshtein but no Jaro family): distinct
     // part names blocked on their last token, every in-block pair
@@ -620,6 +690,37 @@ object WarehouseQueries {
       graft.operators.KmvSketch.pairOps(sk, "seg", k = 256)
     }),
 
+    // Streaming KMV maintenance (KmvStream): the per-segment distinct-
+    // part sketch folded from three orderkey-range batches — merge =
+    // dedup + re-rank + cut (the spec-pinned mergeability law), so the
+    // maintained estimates are bit-identical to the one-shot sketch
+    // over everything so far; the oracle proves it.
+    "kmv_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("kmv-gate")
+      val skDir = s"$base/sketch"
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("l_partkey"),
+          col("l_orderkey"))
+      val Row(kMin: Long, kMax: Long) =
+        items.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
+      val k1 = kMin + (kMax - kMin) / 3
+      val k2 = kMin + 2 * (kMax - kMin) / 3
+      graft.streaming.KmvStream.applyBatch(
+        items.where(col("l_orderkey") < k1), "seg", "l_partkey", 256, skDir, 0)
+      graft.streaming.KmvStream.applyBatch(
+        items.where(col("l_orderkey") >= k1 && col("l_orderkey") < k2),
+        "seg", "l_partkey", 256, skDir, 1)
+      graft.streaming.KmvStream.applyBatch(
+        items.where(col("l_orderkey") >= k2), "seg", "l_partkey", 256, skDir, 2)
+      graft.streaming.KmvStream.estimates(s, skDir, "seg", 256)
+    }),
+
     // Stratified treatment-effect estimate (Causal.stratifiedAte):
     // high-payload events ("treatment" = props k > 50) vs high-value
     // outcomes, adjusted within event_type strata — naive vs
@@ -648,6 +749,43 @@ object WarehouseQueries {
         model = "linear", lookbackUs = 86400000000L))
     })
   )
+
+  /** Shared by ab_sprt_curve and sprt_maintained: the maintained curve
+    * must equal the one-shot batch computation bit for bit.
+    */
+  private val SprtSql: String =
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS fu,
+           max(CASE WHEN event_type = 'purchase' AND value > 80.0
+             THEN 1 ELSE 0 END) AS conv
+         FROM events GROUP BY 1),
+       t AS (SELECT CASE WHEN CAST(('0x' || substr(md5(
+             CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) < 32768
+           THEN 'A' ELSE 'B' END AS arm,
+           fu // 3600000000 AS hour, conv FROM u),
+       h AS (SELECT arm, hour, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(conv) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+       cm AS (SELECT arm, hour,
+           CAST(sum(n) OVER (PARTITION BY arm ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_cum,
+           CAST(sum(c) OVER (PARTITION BY arm ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS conv_cum
+         FROM h),
+       l AS (SELECT arm, hour, n_cum, conv_cum,
+           CAST(CAST(conv_cum AS DOUBLE)
+             * ln(CAST(0.5 AS DOUBLE) / CAST(0.4 AS DOUBLE))
+             AS DECIMAL(20,8))
+           + CAST(CAST(n_cum - conv_cum AS DOUBLE)
+             * ln(CAST(0.5 AS DOUBLE) / CAST(0.6 AS DOUBLE))
+             AS DECIMAL(20,8)) AS llr8
+         FROM cm)
+       SELECT arm, hour, n_cum, conv_cum,
+         round(CAST(llr8 AS DOUBLE), 4) AS llr,
+         CASE WHEN llr8 >= 2.94443898 THEN 'reject_h0'
+              WHEN llr8 <= -2.94443898 THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+       FROM l"""
 
   def oracleSql: Map[String, String] = Map(
     "scd2_history" -> HistorySql,
@@ -779,12 +917,64 @@ object WarehouseQueries {
                        THEN 'update' END AS change
            FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
          WHERE change IS NOT NULL""",
+    "ab_sprt_curve" -> SprtSql,
+    // incremental maintenance ≡ one-shot: the oracle IS the batch curve
+    "sprt_maintained" -> SprtSql,
+    "ab_mannwhitney" ->
+      """WITH t AS (SELECT
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+               1, 4)) AS BIGINT) < 32768 THEN 0 ELSE 1 END AS g
+           FROM orders),
+         d AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS n1 FROM t GROUP BY 1),
+         c AS (SELECT s, n, n1,
+             CAST(coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM d),
+         a AS (SELECT sum(CAST(n1 AS HUGEINT) * (2 * cum + n + 1)) AS tr,
+             sum(n1) AS n1s, sum(n) - sum(n1) AS n0s,
+             sum(CAST(n AS HUGEINT) * n * n - n) AS tc FROM c),
+         s2 AS (SELECT CAST(n0s AS BIGINT) AS n0, CAST(n1s AS BIGINT) AS n1,
+             CAST(tr - CAST(n1s AS HUGEINT) * (n1s + 1) AS BIGINT) AS u_x2,
+             CAST(tc AS BIGINT) AS tie_cubes FROM a)
+         SELECT n0, n1, u_x2, tie_cubes,
+           CASE WHEN n0 > 0 AND n1 > 0 AND
+               (CAST(n0 + n1 + 1 AS DOUBLE) - CAST(tie_cubes AS DOUBLE)
+                 / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE)))
+               > 0.0
+             THEN round((CAST(u_x2 AS DOUBLE)
+               - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+               / (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+                 * (CAST(n0 + n1 + 1 AS DOUBLE) - CAST(tie_cubes AS DOUBLE)
+                   / (CAST(n0 + n1 AS DOUBLE)
+                     * CAST(n0 + n1 - 1 AS DOUBLE))))), 4)
+           END AS z
+         FROM s2""",
     "link_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
          b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
          SELECT a.p_name AS name_a, b2.p_name AS name_b,
            round(jaro_winkler_similarity(a.p_name, b2.p_name), 4) AS jw
          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name""",
+    // maintained ≡ one-shot: the oracle IS the single-pass sketch
+    "kmv_maintained" ->
+      """WITH items AS (SELECT DISTINCT c_mktsegment AS seg, l_partkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                         JOIN customer ON o_custkey = c_custkey),
+         hs AS (SELECT DISTINCT seg,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+               AS BIGINT) AS h
+           FROM items),
+         sk AS (SELECT seg, h,
+             row_number() OVER (PARTITION BY seg ORDER BY h) AS rk
+           FROM hs QUALIFY rk <= 256),
+         est AS (SELECT seg, max(rk) AS n_kept,
+             max(CASE WHEN rk = 256 THEN h END) AS hk FROM sk GROUP BY 1)
+         SELECT seg, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(CASE WHEN n_kept < 256 THEN n_kept
+             ELSE (255 * 281474976710656) // hk END AS BIGINT)
+             AS est_distinct
+         FROM est""",
     "sketch_kmv_set_ops" ->
       """WITH items AS (SELECT DISTINCT c_mktsegment AS seg, l_partkey
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -25,6 +25,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(again == viaColumn)
   }
 
+  test("jaro_winkler is SQL-callable and matches the Column form") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS j").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    import org.apache.spark.sql.functions._
+    val viaColumn = spark.range(1)
+      .select(TextOps.jaroWinkler(lit("MARTHA"), lit("MARHTA")))
+      .head().getDouble(0)
+    assert(r.getDouble(0) == viaColumn)
+  }
+
   test("min_shingle_md5 equals the interpreted functions formulation") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
@@ -111,6 +123,39 @@ class GraftExtensionsSpec extends SparkSpec {
     // null propagates
     assert(Seq(Option.empty[String]).toDF("t")
       .select(TextOps.nfcNormalize(col("t"))).head().isNullAt(0))
+  }
+
+  test("mipsAugment: norms equalize to M, inner products survive, order = dot order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val vecs = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.5, 0.1)),
+      (3L, Array(-2.0, 6.0)), (4L, Array(1.0, 1.0)))
+      .toDF("id", "v")
+    val m = vecs.agg(max(VectorOps.l2Norm(col("v"))).as("m"))
+    val aug = vecs.crossJoin(broadcast(m))
+      .select(col("id"), col("v"),
+        VectorOps.mipsAugmentData(col("v"), col("m")).as("av"))
+    // every augmented vector has norm M (= ||(-2,6)|| here)
+    val norms = aug.select(VectorOps.l2Norm(col("av"))).collect()
+      .map(_.getDouble(0))
+    val bigM = math.sqrt(40.0)
+    assert(norms.forall(n => math.abs(n - bigM) < 1e-12), norms.toSeq)
+    // aug(q)·aug(x) = q·x exactly (query side appends 0)
+    val q = Array(2.0, -1.0)
+    val ips = aug.select(col("id"),
+        VectorOps.dot(col("v"), lit(q)).as("ip"),
+        VectorOps.dot(col("av"),
+          VectorOps.mipsAugmentQuery(lit(q))).as("aip"))
+      .collect()
+    assert(ips.forall(r => r.getDouble(1) == r.getDouble(2)))
+    // cosine order over the augmented space == inner-product order
+    val byCos = aug.crossJoin(broadcast(m))
+      .select(col("id"), VectorOps.cosine(col("av"),
+        VectorOps.mipsAugmentQuery(lit(q))).as("c"))
+      .orderBy(col("c").desc).collect().map(_.getLong(0)).toSeq
+    val byDot = ips.sortBy(-_.getDouble(1)).map(_.getLong(0)).toSeq
+    assert(byCos == byDot)
   }
 
   test("matryoshkaTruncate: unit-norm prefix; d >= len degenerates to l2Normalize") {

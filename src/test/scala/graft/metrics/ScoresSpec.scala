@@ -184,6 +184,27 @@ class ScoresSpec extends SparkSpec {
     assert(again.get("g1").contains(833333333L))
   }
 
+  test("mannWhitney: hand-computed U, tie correction, z") {
+    import spark.implicits._
+    // g0 = {1,2,3}, g1 = {2,4}; avg ranks 1, 2.5, 2.5, 4, 5 →
+    // R1 = 7.5, 2U1 = 15 − 2·3 = 9; ties: one pair → t³−t = 6
+    // V = (6/12)·(6 − 6/20) = 2.85; z = 3 / (2·√2.85) = 0.8885
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (2L, 1L), (4L, 1L))
+      .toDF("v", "g")
+    val out = Scores.mannWhitney(df, "v", "g").head()
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 9L && out.getLong(3) == 6L)
+    assert(out.getDouble(4) == 0.8885)
+    // order invariance (exact rank sums via PrefixSum)
+    val again = Scores.mannWhitney(df.repartition(7).orderBy(col("v").desc),
+      "v", "g").head()
+    assert(again == out)
+    // all values tied → variance 0 → null z, u_x2 = n0·n1 (all half-wins)
+    val tied = Seq((5L, 0L), (5L, 0L), (5L, 1L)).toDF("v", "g")
+    val t = Scores.mannWhitney(tied, "v", "g").head()
+    assert(t.getLong(2) == 2L && t.isNullAt(4))
+  }
+
   test("cohenKappa: textbook contingency, perfect and chance agreement") {
     import spark.implicits._
     // the classic 2×2 example: a=yes/b=yes 20, yes/no 5, no/yes 10,

@@ -295,6 +295,35 @@ class GraphAlgsSpec extends SparkSpec {
     assert(m == Map("A" -> 500000L, "B" -> 500000L, "purchase" -> 1000000L), m)
   }
 
+  test("betweennessFromSeeds: diamond dependencies, multi-seed sums") {
+    import spark.implicits._
+    // diamond 1-2-4, 1-3-4: from seed 1, both middles carry δ = σ/σ(4)
+    // = 1/2 → 500000 ppm; the far end carries 0
+    val edges = Seq(("1", "2"), ("1", "3"), ("2", "4"), ("3", "4"))
+      .toDF("a", "b")
+    val one = GraphAlgs.betweennessFromSeeds(edges, "a", "b",
+        Seq("1").toDF("seed"), "seed", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("2" -> 500000L, "3" -> 500000L, "4" -> 0L))
+    // two opposite seeds: middle dependencies add up symmetrically
+    val two = GraphAlgs.betweennessFromSeeds(edges, "a", "b",
+        Seq("1", "4").toDF("seed"), "seed", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two("2") == 1000000L && two("3") == 1000000L)
+    assert(two("1") == 0L && two("4") == 0L)
+    // path 1-2-3: the cut vertex carries the full unit
+    val path = GraphAlgs.betweennessFromSeeds(
+        Seq(("1", "2"), ("2", "3")).toDF("a", "b"),
+        "a", "b", Seq("1").toDF("seed"), "seed", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(path == Map("2" -> 1000000L, "3" -> 0L))
+    // deterministic under repartition
+    val again = GraphAlgs.betweennessFromSeeds(edges.repartition(5), "a", "b",
+        Seq("1", "4").toDF("seed"), "seed", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == two)
+  }
+
   test("node2vecWalks: exact replay of the weighted second-order draw") {
     import spark.implicits._
     // triangle 1-2-3 with pendant 4 on 2; undirected (both orientations)
