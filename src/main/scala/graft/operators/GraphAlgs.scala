@@ -180,6 +180,53 @@ object GraphAlgs {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Bounded k-truss peeling (Cohen 2008) — the edge-strength sibling
+    * of [[kCoreBounded]]: each round computes every edge's triangle
+    * SUPPORT (how many triangles contain it) and deletes edges
+    * supported by fewer than k−2, shrinking the graph for the next
+    * round. Where k-core keeps well-connected NODES, k-truss keeps
+    * edges embedded in dense mutual neighborhoods — the community
+    * scaffold, much more noise-robust than degree.
+    *
+    * Bounded rounds are the distributed contract (the kCore/SSSP
+    * discipline — full decomposition iterates to fixpoint); each round
+    * is one [[triangles]] enumeration (degree-oriented wedge join, the
+    * same bounded fan-out) + one support aggregate + one pruning join,
+    * all exact integers. A final support pass prices the SURVIVING
+    * edges, so the output is consistent with the emitted graph.
+    *
+    * @return (a, b, support) — canonical surviving edges with their
+    *         triangle support in the final graph
+    */
+  def kTrussBounded(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3; got $k")
+    require(rounds >= 1, s"need >= 1 round; got $rounds")
+    def support(e: DataFrame): DataFrame =
+      triangles(e, "a", "b")
+        .select(explode(array(
+          struct(col("t1").as("a"), col("t2").as("b")),
+          struct(col("t2").as("a"), col("t3").as("b")),
+          struct(col("t1").as("a"), col("t3").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    var e = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val kept = e.join(support(e), Seq("a", "b"), "left")
+        .where(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      CheckpointShim.freeLocalCheckpointIfAny(e)
+      e = kept
+    }
+    val out = e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint(true)
+    CheckpointShim.freeLocalCheckpointIfAny(e)
+    out
+  }
+
   /** Sampled-source betweenness dependencies (Brandes 2001, the
     * pivot-sampling form of Bader et al.) — "which nodes do shortest
     * paths FUNNEL through": exact single-source shortest-path DAGs from
@@ -297,6 +344,10 @@ object GraphAlgs {
       p: Long, q: Long): DataFrame = {
     require(steps >= 1, s"need >= 1 step; got $steps")
     require(p >= 1 && q >= 1, s"p and q must be positive integers; got $p, $q")
+    // cumulative weights are deg·p·q longs; cap the product so a hub's
+    // running sum can never wrap silently (10¹² leaves 10⁶ degrees)
+    require(p * q <= 1000000000000L,
+      s"p*q must be <= 1e12 (weight-sum headroom); got ${p * q}")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
       .localCheckpoint(true)

@@ -35,6 +35,11 @@ object Isotonic {
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
       .orderBy(col("bin"))
       .collect()
+    // the driver-side loop is only honest on a DISCRETIZED axis — fail
+    // loudly if a caller fed raw scores (the contract says bin first)
+    require(bins.length <= 100000,
+      s"pavCalibrate got ${bins.length} distinct bins — discretize the " +
+        "score axis first (driver PAV state must stay bins-sized)")
     // blocks as (minBin, weight, positives); merge while decreasing
     case class Block(minBin: Long, w: BigInt, y: BigInt)
     val stack = collection.mutable.ArrayBuffer.empty[Block]

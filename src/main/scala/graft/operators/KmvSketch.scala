@@ -54,7 +54,12 @@ object KmvSketch {
 
   /** Distinct-count estimates from a sketch: exact when the set had
     * < k members (the sketch IS the set), `((k−1)·2⁴⁸) div h_k` when
-    * saturated.
+    * saturated. The one unguarded corner: a value hashing to exactly 0
+    * makes h_k = 0 possible only when the k-th SMALLEST of ≥ k hashes
+    * is 0 — i.e. k distinct values all collide on 0, probability
+    * ~2⁻⁴⁸ᵏ — so the integral division's null-on-zero is left as the
+    * (unreachable in practice) honest answer rather than a fabricated
+    * estimate.
     *
     * @return per group: (…groupCols, n_kept, est_distinct)
     */

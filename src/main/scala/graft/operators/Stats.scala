@@ -577,6 +577,48 @@ object Stats {
     * integer position. Three shuffles total, each on keys that
     * distribute.
     */
+  /** Distribution-free confidence interval for the MEDIAN by order
+    * statistics (the binomial/sign argument, Conover's normal
+    * approximation for the ranks): the interval [x₍ₗ₎, x₍ᵤ₎] with
+    * l = ⌊(n − z√n)/2⌋, u = ⌈(n + z√n)/2 + 1⌉ (clamped to [1, n])
+    * covers the population median at ≈ the z-level with NO
+    * distributional assumption — the right error bar for the skewed
+    * metrics this suite medians (prices, latencies).
+    *
+    * Exactness: the interval endpoints and the median itself are ORDER
+    * STATISTICS of the integer value column — selected rows, not
+    * arithmetic — so every output is an exact input value (the median
+    * is reported as its lower/upper middle pair rather than their
+    * possibly-fractional mean). The only doubles are the rank formulas
+    * over (n, z): identical IEEE ops both engines. One group-partitioned
+    * rank window + one gather aggregate.
+    *
+    * @param valueCol integer-typed (caller micro-scales)
+    * @return per group: (…groupCols, n, median_lo, median_hi, ci_lo,
+    *         ci_hi)
+    */
+  def medianCi(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val grp = groupCols.map(col)
+    val ranked = df.select(grp :+ col(valueCol).cast("long").as("__v"): _*)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(grp: _*).orderBy(col("__v"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .withColumn("__mlo", expr("(__n + 1) div 2"))
+      .withColumn("__mhi", expr("(__n + 2) div 2"))
+      .withColumn("__cl", greatest(lit(1L), expr(
+        s"CAST(floor((CAST(__n AS DOUBLE) - $z * sqrt(CAST(__n AS DOUBLE))) / 2.0) AS BIGINT)")))
+      .withColumn("__cu", least(col("__n"), expr(
+        s"CAST(ceil((CAST(__n AS DOUBLE) + $z * sqrt(CAST(__n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)")))
+    ranked.groupBy(grp: _*)
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__r") === col("__mlo"), col("__v"))).as("median_lo"),
+        min(when(col("__r") === col("__mhi"), col("__v"))).as("median_hi"),
+        min(when(col("__r") === col("__cl"), col("__v"))).as("ci_lo"),
+        min(when(col("__r") === col("__cu"), col("__v"))).as("ci_hi"))
+  }
+
   def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
       idCol: String): DataFrame = {
     val base = df.select(col(idCol), col(groupCol), col(valueCol))

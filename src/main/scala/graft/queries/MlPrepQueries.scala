@@ -821,6 +821,18 @@ object MlPrepQueries {
         "feature", "category", "y")
     }),
 
+    // Order-statistic median CI (Stats.medianCi): distribution-free
+    // 95% bounds on the median line price per returnflag — every
+    // output an exact input value (selected order statistics, no
+    // interpolation), ranks from the Conover normal approximation.
+    "stats_median_ci" -> ((s, dir) => {
+      graft.operators.Stats.medianCi(
+        Tables.lineitem(s, dir).select(col("l_returnflag").as("grp"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("price_cents")),
+        Seq("grp"), "price_cents")
+    }),
+
     // Isotonic (PAV) calibration (Isotonic.pavCalibrate): the unique
     // least-squares monotone map from $20k price bands to the urgent-
     // priority rate — data-sized work is one bin aggregate, PAV runs
@@ -1816,6 +1828,28 @@ object MlPrepQueries {
          SELECT sc.feature, sc.category, sc.pos, sc.neg,
            round(CAST(sc.lnv AS DOUBLE), 4) AS woe, iv.iv
          FROM sc JOIN iv USING (feature)""",
+    "stats_median_ci" ->
+      """WITH t AS (SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM lineitem),
+         r AS (SELECT grp, v,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM t),
+         k AS (SELECT grp, v, rk, n,
+             (n + 1) // 2 AS mlo, (n + 2) // 2 AS mhi,
+             greatest(1, CAST(floor((CAST(n AS DOUBLE)
+               - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS cl,
+             least(n, CAST(ceil((CAST(n AS DOUBLE)
+               + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)) AS cu
+           FROM r)
+         SELECT grp, max(n) AS n,
+           min(CASE WHEN rk = mlo THEN v END) AS median_lo,
+           min(CASE WHEN rk = mhi THEN v END) AS median_hi,
+           min(CASE WHEN rk = cl THEN v END) AS ci_lo,
+           min(CASE WHEN rk = cu THEN v END) AS ci_hi
+         FROM k GROUP BY 1""",
     // PAV unrolled: each step finds the LEFTMOST adjacent violation
     // (pooled-rate comparison by exact cross-multiplication) and merges
     // that one pair; 25 steps bound the 26-bin table's pooling, and

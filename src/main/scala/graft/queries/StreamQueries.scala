@@ -533,6 +533,30 @@ object StreamQueries {
             .cast("long")).as("n_full_funnel"))
     }),
 
+    // Streaming funnel maintenance (FunnelStream): per-user first-stage
+    // timestamps min-merged across three time batches — min is
+    // idempotent/commutative, so even out-of-order batches converge to
+    // the one-shot report; the oracle (funnel_conversion's) proves it.
+    "funnel_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("funnel-gate")
+      val stateDir = s"$base/state"
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      val Row(tMin: Long, tMax: Long) =
+        e.agg(min(col("ts_us")), max(col("ts_us"))).head
+      val t1 = tMin + (tMax - tMin) / 3
+      val t2 = tMin + 2 * (tMax - tMin) / 3
+      // deliberately apply MIDDLE batch last: the min-merge must not
+      // care about cross-batch event order
+      graft.streaming.FunnelStream.applyBatch(
+        e.where(col("ts_us") < t1), stateDir, 0)
+      graft.streaming.FunnelStream.applyBatch(
+        e.where(col("ts_us") >= t2), stateDir, 1)
+      graft.streaming.FunnelStream.applyBatch(
+        e.where(col("ts_us") >= t1 && col("ts_us") < t2), stateDir, 2)
+      graft.streaming.FunnelStream.report(s, stateDir)
+    }),
+
     // As-of join: each click picks up the user's latest purchase at or
     // before it (AsofJoin operator — union + one key-partitioned running
     // window, not a per-key cross product). µs granularity to match the
@@ -725,6 +749,23 @@ object StreamQueries {
           s" FROM conv_$ch cv, conv_b cb")
     head + chains + "\n         " + finals.mkString("\n         UNION ALL ")
   }
+
+  /** Shared by funnel_conversion and funnel_maintained (the maintained
+    * report must equal the one-shot bit for bit).
+    */
+  private val FunnelSql: String =
+    """WITH u AS (SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+         FROM events GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+              CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+              CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                   AND c > v AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+       FROM u"""
 
   def oracleSql: Map[String, String] = Map(
     "markov_conversion" -> MarkovConversionOracle,
@@ -920,19 +961,9 @@ object StreamQueries {
          FROM act JOIN coh ON act.user_id = coh.user_id
          WHERE h - cohort_h <= 3
          GROUP BY 1, 2""",
-    "funnel_conversion" ->
-      """WITH u AS (SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
-             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
-             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
-           FROM events GROUP BY user_id)
-         SELECT CAST(count(*) AS BIGINT) AS n_users,
-                CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-                CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-                CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
-                     AND c > v AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-         FROM u""",
+    "funnel_conversion" -> FunnelSql,
+    // maintained ≡ one-shot: same oracle, by design
+    "funnel_maintained" -> FunnelSql,
     "stream_hourly_agg" ->
       """WITH g AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_epoch,
                   event_type,

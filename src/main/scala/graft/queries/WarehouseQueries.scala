@@ -190,6 +190,16 @@ object WarehouseQueries {
         minCommon = 2L, maxDegree = 10000L)
     }),
 
+    // Bounded k-truss peeling (GraphAlgs.kTrussBounded, k=4, 2 rounds):
+    // edges must sit in >= 2 triangles to survive each round — the
+    // edge-strength community scaffold next to graph_kcore's node
+    // filter. Exact integer supports; each oracle round replays the
+    // id-ordered triangle enumeration bit for bit.
+    "graph_ktruss" -> ((s, dir) => {
+      GraphAlgs.kTrussBounded(basketEdges(s, dir), "a", "b",
+        k = 4, rounds = 2)
+    }),
+
     // Bounded k-core peeling (k=30, inside the scale-stable degree band,
     // 3 rounds) over the basket graph — the density filter: each round removes every node whose degree
     // fell below k and restricts the shrinking edge set. Exact integer
@@ -639,6 +649,25 @@ object WarehouseQueries {
         p0 = 0.4, p1 = 0.5, bound = 2.94443898)
     }),
 
+    // Delta-method ratio-metric A/B (RatioMetric.ratioDelta): revenue
+    // per event between md5 arms, analyzed as Σrevenue/Σevents over
+    // per-user totals with the Taylor variance — the correct inference
+    // for random-denominator metrics. Exact DECIMAL moments; the
+    // double tail is shared verbatim with the oracle.
+    "ab_ratio_delta" -> ((s, dir) => {
+      val gate = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("event_type") === "purchase",
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+            .otherwise(0L)).as("y"))
+        .select(when(gate < 32768, 0L).otherwise(1L).as("arm"),
+          col("y"), col("x"))
+      graft.operators.RatioMetric.ratioDelta(users, "arm", "y", "x")
+    }),
+
     // Mann-Whitney rank-sum A/B (Scores.mannWhitney): does order value
     // DIFFER between md5-gated customer arms, nonparametrically? 2U
     // from the doubled-average-rank identity, tie-corrected variance
@@ -920,6 +949,45 @@ object WarehouseQueries {
     "ab_sprt_curve" -> SprtSql,
     // incremental maintenance ≡ one-shot: the oracle IS the batch curve
     "sprt_maintained" -> SprtSql,
+    "ab_ratio_delta" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         t AS (SELECT CASE WHEN CAST(('0x' || substr(md5(
+               CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) < 32768
+             THEN 0 ELSE 1 END AS arm, y, x FROM u),
+         m AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+           FROM t GROUP BY 1),
+         s AS (SELECT arm, n,
+             CASE WHEN n >= 2 AND sx > 0
+               THEN CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) END AS r,
+             CASE WHEN n >= 2 AND sx > 0 THEN
+               ((CAST(n * syy - sy * sy AS DOUBLE)
+                 - 2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                 + (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                   * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                   * CAST(n * sxx - sx * sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                / (CAST(n AS DOUBLE)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             END AS v
+           FROM m)
+         SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.r, 6) AS ratio_a, round(b.r, 6) AS ratio_b,
+           round(b.r - a.r, 6) AS diff,
+           round(sqrt(a.v + b.v), 6) AS se_diff,
+           CASE WHEN a.v + b.v > 0.0
+             THEN round((b.r - a.r) / sqrt(a.v + b.v), 4) END AS z
+         FROM (SELECT * FROM s WHERE arm = 0) a
+         CROSS JOIN (SELECT * FROM s WHERE arm = 1) b""",
     "ab_mannwhitney" ->
       """WITH t AS (SELECT
              CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,
@@ -1050,6 +1118,40 @@ object WarehouseQueries {
                // sum(CASE WHEN ate IS NOT NULL THEN n1 + n0 ELSE 0 END)
              END AS BIGINT) AS ate_ppm
          FROM se""",
+    "graph_ktruss" -> {
+      val head =
+        s"""WITH $BasketEdgeSql,
+           e0 AS MATERIALIZED (SELECT a, b FROM e)"""
+      val rounds = (1 to 2).map { i =>
+        s""",
+           tri$i AS MATERIALIZED (
+             SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e${i - 1} e1
+             JOIN e${i - 1} e2 ON e2.a = e1.b
+             JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           sup$i AS MATERIALIZED (
+             SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+               SELECT x AS a, y AS b FROM tri$i
+               UNION ALL SELECT y, z FROM tri$i
+               UNION ALL SELECT x, z FROM tri$i)
+             GROUP BY 1, 2),
+           e$i AS MATERIALIZED (
+             SELECT e.a, e.b FROM e${i - 1} e
+             LEFT JOIN sup$i s ON s.a = e.a AND s.b = e.b
+             WHERE coalesce(s.s, 0) >= 2)"""
+      }.mkString
+      head + rounds + """,
+           trif AS (SELECT e1.a AS x, e1.b AS y, e2x.b AS z
+             FROM e2 e1 JOIN e2 e2x ON e2x.a = e1.b
+             JOIN e2 e3 ON e3.a = e1.a AND e3.b = e2x.b),
+           supf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+               SELECT x AS a, y AS b FROM trif
+               UNION ALL SELECT y, z FROM trif
+               UNION ALL SELECT x, z FROM trif)
+             GROUP BY 1, 2)
+           SELECT e.a, e.b, coalesce(supf.s, 0) AS support
+           FROM e2 e LEFT JOIN supf ON supf.a = e.a AND supf.b = e.b"""
+    },
     "graph_link_prediction" -> {
       s"""WITH $BasketEdgeSql,
          und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),

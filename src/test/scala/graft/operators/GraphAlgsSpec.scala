@@ -295,6 +295,30 @@ class GraphAlgsSpec extends SparkSpec {
     assert(m == Map("A" -> 500000L, "B" -> 500000L, "purchase" -> 1000000L), m)
   }
 
+  test("kTrussBounded: K4 survives at k=4, a hanging triangle peels off") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // K4 on {1..4} (every edge in 2 triangles) + triangle {4,5,6}
+    // (support 1 each) + pendant edge 6-7 (support 0)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(4L, 5L, 6L)) :+ ((6L, 7L))).toDF("a", "b")
+    val out = GraphAlgs.kTrussBounded(edges, "a", "b", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == clique(Seq(1L, 2L, 3L, 4L)).toSet)
+    assert(out.values.forall(_ == 2L), out)
+    // k=3 keeps both triangle structures, drops only the pendant
+    val loose = GraphAlgs.kTrussBounded(edges, "a", "b", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(4L, 5L, 6L))).toSet)
+    // determinism under repartition (exact integer supports)
+    val again = GraphAlgs.kTrussBounded(edges.repartition(5), "a", "b",
+      k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == out)
+  }
+
   test("betweennessFromSeeds: diamond dependencies, multi-seed sums") {
     import spark.implicits._
     // diamond 1-2-4, 1-3-4: from seed 1, both middles carry δ = σ/σ(4)

@@ -297,4 +297,24 @@ class StatsSpec extends SparkSpec {
     assert(out.where(col("v") =!= col("v_qnorm")).isEmpty)
     assert(out.count() == 20)
   }
+
+  test("medianCi: order-statistic endpoints, odd/even medians, clamping") {
+    import spark.implicits._
+    // odd group: values 10..90 by 10 (n=9) → median rank 5 both, value
+    // 50; ranks l = floor((9-1.96·3)/2) = 1, u = ceil((9+1.96·3)/2+1) = 9
+    val odd = (1L to 9L).map(i => ("o", i * 10L)).toDF("g", "v")
+    val o = Stats.medianCi(odd, Seq("g"), "v").head()
+    assert(o.getLong(1) == 9L)
+    assert(o.getLong(2) == 50L && o.getLong(3) == 50L)
+    assert(o.getLong(4) == 10L && o.getLong(5) == 90L)
+    // even group: n=4 → middle pair ranks 2,3; tiny n clamps to [1, n]
+    val even = Seq(("e", 1L), ("e", 3L), ("e", 7L), ("e", 9L)).toDF("g", "v")
+    val e = Stats.medianCi(even, Seq("g"), "v").head()
+    assert(e.getLong(2) == 3L && e.getLong(3) == 7L)
+    assert(e.getLong(4) == 1L && e.getLong(5) == 9L)
+    // every output is an input value; order invariance
+    val again = Stats.medianCi(odd.repartition(5).orderBy(col("v").desc),
+      Seq("g"), "v").head()
+    assert(again == o)
+  }
 }
