@@ -321,6 +321,18 @@ object TextQueries {
         .limit(20)
     }),
 
+    // RAKE keyphrases (Rake.keywordScores): stopword-delimited token
+    // runs scored by Σ deg/freq of their words — gaps-and-islands
+    // segmentation, exact integer degree/frequency, one ppm division
+    // per word. Top 20 corpus keyphrases, hash-exact.
+    "text_keywords_rake" -> ((s, dir) => {
+      graft.operators.Rake.keywordScores(
+        Tables.documents(s, dir), "doc_id", "text",
+        stopwords = Seq("a", "the"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
+    }),
+
     // Dunning log-likelihood collocations — the statistically sound
     // ranking PMI can't give (PMI explodes on rare pairs; G² weighs
     // evidence): ADJACENT bigrams (sequence order, complementing
@@ -1121,6 +1133,35 @@ object TextQueries {
            CAST(CASE WHEN pb > 0 THEN (tp * 1000000) // pb END AS BIGINT)
              AS recall_ppm
          FROM m""",
+    "text_keywords_rake" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, u.i AS pos, toks[u.i] AS w
+           FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+         f AS (SELECT doc_id, pos, w,
+             CASE WHEN w IN ('a', 'the') OR w = '' THEN 1 ELSE 0 END AS stop
+           FROM p),
+         r AS (SELECT *, sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM f),
+         ph AS (SELECT doc_id, run,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS len
+           FROM r WHERE stop = 0 GROUP BY 1, 2),
+         ws AS (SELECT u.w, CAST(sum(ph.len) AS BIGINT) AS deg,
+             CAST(count(*) AS BIGINT) AS freq
+           FROM ph, unnest(string_split(ph.phrase, ' ')) AS u(w)
+           GROUP BY 1),
+         sc AS (SELECT w, (1000000 * deg) // freq AS score FROM ws),
+         occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM ph GROUP BY 1)
+         SELECT o.phrase, o.n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(sc.score) AS BIGINT) AS score_ppm
+         FROM occ o, unnest(string_split(o.phrase, ' ')) AS u(w)
+         JOIN sc ON sc.w = u.w
+         GROUP BY 1, 2
+         ORDER BY score_ppm DESC, phrase LIMIT 20""",
     "text_collocations_llr" ->
       """WITH x AS (SELECT string_split(text, ' ') AS toks FROM documents
            WHERE len(string_split(text, ' ')) >= 2),

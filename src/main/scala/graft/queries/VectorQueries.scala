@@ -231,6 +231,43 @@ object VectorQueries {
         nprobe = 6, rerank = 50)
     }),
 
+    // Operational recall audit: the EXACT measurement behind the
+    // "nprobe=6/kCells=8 is a recall necessity" claim, as a runnable
+    // query instead of a spec constant — per query, |IVF-PQ top-5 ∩
+    // brute top-5| / 5 in exact ppm, plus the corpus-wide mean. When
+    // the embedding distribution drifts (see ann_drift) this row is
+    // what an operator re-runs before touching the config. ANN floats
+    // are engine-specific → rows-only.
+    "ann_recall_audit" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
+      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8,
+        maxIter = 3)
+      val codebooks = SimilaritySearch.fitPq(
+        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
+        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2)
+      val approx = SimilaritySearch.knnJoinIvfPq(
+        e, queries, "embedding", "vec_id", k = 5, centroids, codebooks,
+        nprobe = 6, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = SimilaritySearch.knnJoinBruteForce(
+        e, queries, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+      val perQuery = exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          expr("(1000000 * coalesce(__hits, 0)) div __k").as("recall_ppm"))
+      perQuery.agg(count(lit(1)).as("n_queries"),
+        expr("sum(recall_ppm) div count(1)").as("mean_recall_ppm"),
+        min(col("recall_ppm")).as("min_recall_ppm"))
+    }),
+
     // k-NN GRAPH construction by NN-descent — the all-pairs complement
     // of the per-query ANN joins: every vector's 10 best cosine
     // neighbors in n·k² candidate scores per round instead of brute
