@@ -211,4 +211,62 @@ object PageRank {
     Seq(eod, nodes, nodesBt).foreach(_.unpersist(false))
     out
   }
+
+  /** Weighted PageRank — the random surfer follows an out-edge with
+    * probability proportional to its WEIGHT (interaction counts,
+    * transition frequencies) instead of uniformly: per-edge
+    * contribution `(r·w) div Σw_out`. Parallel input edges merge their
+    * weights up front (a multigraph IS its weight table here).
+    *
+    * Same guarantees as [[ranks]], same one-exchange-per-round shape:
+    * the weighted-outdegree annotation folds into the SAME
+    * src-partitioned window pass `prepare` uses for counts, and mass
+    * conservation still bounds every sum below `scale`
+    * (Σ_e (r·w) div Σw ≤ r by truncation) — so the damping multiply
+    * cannot overflow at any graph size. The per-edge product widens to
+    * DECIMAL(38,0): `r ≤ scale` times an arbitrary int64 weight is the
+    * one place the unweighted overflow argument doesn't carry.
+    *
+    * @param wCol positive integer edge weights; rows with w ≤ 0 are
+    *             dropped (a zero-weight edge routes no mass and would
+    *             only distort the out-sum)
+    */
+  def weightedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val eod = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .where(col("w") > 0)
+      .repartition(parts, col("src"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .withColumn("wout", sum(col("w")).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eod.select(col("src").as("node"))
+      .unionAll(eod.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "weighted pagerank needs a non-empty edge list")
+    require(n <= scale,
+      s"node count $n exceeds scale=$scale — base mass scale/n would be 0")
+    val base = scale / n
+    val baseTerm = (15L * base) / 100L
+    var r = nodes.withColumn("r", lit(base))
+    for (_ <- 1 to iters) {
+      val summed = eod
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(CAST(r AS DECIMAL(38,0)) * w) div wout").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      r = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"), (lit(baseTerm) +
+          expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+    }
+    val out = r.select(col("node"), col("r").as("pr_fx"))
+      .localCheckpoint(true)
+    Seq(eod, nodes).foreach(_.unpersist(false))
+    out
+  }
 }

@@ -137,6 +137,19 @@ object GraphQueries {
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
     }),
 
+    // Weighted PageRank (PageRank.weightedRanks): the surfer follows
+    // supplier→part edges with probability ∝ shipment multiplicity —
+    // heavy trade routes carry more importance than incidental ones.
+    // Same exact-integer fixed point as graph_pagerank, per-edge
+    // (r·w) div Σw with the product widened to DECIMAL(38,0).
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).groupBy(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.weightedRanks(e, "src", "dst", "w", iters = 5)
+    }),
+
     // HITS hubs & authorities on the directed supplier→part graph
     // (GraphAlgs.hits): which suppliers span the influential parts,
     // which parts are endorsed by the broad suppliers — the mutual-
@@ -592,6 +605,7 @@ object GraphQueries {
                 CAST(0 AS BIGINT) AS label
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
+    "graph_pagerank_weighted" -> WeightedPageRankOracle,
     "graph_random_walks" -> RandomWalksOracle,
     "graph_node2vec_walks" -> Node2vecOracle,
     "graph_walk_skipgrams" -> SkipgramOracle,
@@ -718,6 +732,37 @@ object GraphQueries {
     * portable SQL). Every operation is integer — `//`, `sum`, `*` — so
     * the unrolled SQL reproduces the distributed loop's exact integers.
     */
+  /** graph_pagerank_weighted oracle: the 5 weighted iterations
+    * unrolled — per-edge `(r·w) // Σw_out` in HUGEINT, the same
+    * damping integers as the unweighted oracle.
+    */
+  private val WeightedPageRankOracle: String = {
+    val head =
+      """WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         c AS (SELECT count(*) AS n FROM nodes),
+         wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wo
+           FROM e GROUP BY src),
+         it0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, c)"""
+    val steps = (1 to 5).map { i =>
+      s""",
+         it$i AS (SELECT nodes.node,
+               (15 * (1000000000000 // c.n)) // 100
+               + (85 * COALESCE(s$i.m, 0)) // 100 AS r
+             FROM nodes
+             LEFT JOIN (SELECT e.dst AS node,
+                          sum((CAST(p.r AS HUGEINT) * e.w) // o.wo) AS m
+                        FROM e JOIN it${i - 1} p ON e.src = p.node
+                        JOIN wout o ON e.src = o.src
+                        GROUP BY e.dst) s$i ON nodes.node = s$i.node, c)"""
+    }.mkString
+    head + steps +
+      "\n         SELECT node, CAST(r AS BIGINT) AS pr_fx FROM it5"
+  }
+
   private val PageRankOracle: String = {
     val head =
       """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -97,4 +97,34 @@ class PageRankSpec extends SparkSpec {
         Seq("nope").toDF("node"), iters = 2)
     }
   }
+
+  test("weightedRanks: uniform weights ≡ unweighted; heavy edges route more mass") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val uniform = edges.withColumn("w", org.apache.spark.sql.functions.lit(7L))
+    val wOut = PageRank.weightedRanks(uniform, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = PageRank.ranks(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wOut == plain)
+    // skew a's mass toward b (w 9 vs 1): b must gain, c must lose
+    val skew = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "c", 7L),
+      ("c", "a", 7L)).toDF("src", "dst", "w")
+    val sk = PageRank.weightedRanks(skew, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk("b") > wOut("b") && sk("c") < wOut("c"))
+    // zero/negative-weight edges drop; determinism under repartition
+    val withZero = skew.unionAll(Seq(("a", "z", 0L)).toDF("src", "dst", "w"))
+    val z = PageRank.weightedRanks(withZero.repartition(5), "src", "dst",
+      "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!z.contains("z") && z == sk)
+    // parallel edges merge weights: (a,b,4)+(a,b,5) ≡ (a,b,9)
+    val par = Seq(("a", "b", 4L), ("a", "b", 5L), ("a", "c", 1L),
+      ("b", "c", 7L), ("c", "a", 7L)).toDF("src", "dst", "w")
+    val p = PageRank.weightedRanks(par, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == sk)
+  }
 }
