@@ -399,11 +399,17 @@ object Scores {
         expr("(1000000 * __agree) div __tot").as("po_ppm"),
         expr("(1000000 * __rc) div (CAST(__tot AS DECIMAL(38,0)) * __tot)")
           .as("pe_ppm"),
-        expr("""(1000000 * (CAST(__tot AS DECIMAL(38,0)) * __agree - __rc))
-                div (CAST(__tot AS DECIMAL(38,0)) * __tot - __rc)""")
+        // p_e = 1 (both raters emit one identical category) zeroes the
+        // denominator; kappa is undefined there → null, ANSI-safe
+        expr("""CASE WHEN CAST(__tot AS DECIMAL(38,0)) * __tot = __rc
+                THEN NULL
+                ELSE (1000000 * (CAST(__tot AS DECIMAL(38,0)) * __agree - __rc))
+                     div (CAST(__tot AS DECIMAL(38,0)) * __tot - __rc) END""")
           .as("kappa_ppm"),
-        round(expr("""(CAST(__tot AS DECIMAL(38,0)) * __agree - __rc)
-                / (CAST(__tot AS DECIMAL(38,0)) * __tot - __rc)""")
+        round(expr("""CASE WHEN CAST(__tot AS DECIMAL(38,0)) * __tot = __rc
+                THEN NULL
+                ELSE (CAST(__tot AS DECIMAL(38,0)) * __agree - __rc)
+                     / (CAST(__tot AS DECIMAL(38,0)) * __tot - __rc) END""")
           .cast("double"), 4).as("kappa"))
       // 1-row result: materialize eagerly so the contingency checkpoint
       // (3 consumers above) can release before returning

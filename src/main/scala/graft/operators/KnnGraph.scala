@@ -265,8 +265,13 @@ object KnnGraph {
       col(vecCol).cast("array<double>").as("__v"))
     val assigned = corpus
       .withColumn("__a", array_min(array(cellDists(col("__v")): _*)))
+      // cell assignment keeps the reduced ||c||²-2v·c form (||v||² is
+      // constant across cells), but the medoid election compares
+      // ACROSS members, so it must add each member's own ||v||² back
+      // to get the true squared distance to the centroid
       .select(col("node_id"), col("__a").getField("cid").as("cell"),
-        col("__a").getField("d").as("__d"))
+        (col("__a").getField("d") +
+          VectorOps.dot(col("__v"), col("__v"))).as("__d"))
     val medoids = assigned
       .groupBy(col("cell"))
       // min over (distance, id) structs: the member nearest its

@@ -601,7 +601,8 @@ object Stats {
       z: Double = 1.96): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val grp = groupCols.map(col)
-    val ranked = df.select(grp :+ col(valueCol).cast("long").as("__v"): _*)
+    val ranked = df.where(col(valueCol).isNotNull)
+      .select(grp :+ col(valueCol).cast("long").as("__v"): _*)
       .withColumn("__r", row_number().over(
         Window.partitionBy(grp: _*).orderBy(col("__v"))).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))

@@ -43,9 +43,11 @@ object WoeEncoding {
     val tot = cats.groupBy(col("feature"))
       .agg(sum(col("pos")).as("__p"), sum(col("neg")).as("__n"))
     val scored = cats.join(tot, Seq("feature"))
+      // count×count products widen to DECIMAL(38,0) before the double
+      // division — plain int64 wraps past ~3e9 rows per feature
       .withColumn("__lnv", expr(
-        """CAST(ln(CAST((2 * pos + 1) * (__n + 1) AS DOUBLE)
-           / CAST((2 * neg + 1) * (__p + 1) AS DOUBLE)) AS DECIMAL(20,8))"""))
+        """CAST(ln(CAST((2 * CAST(pos AS DECIMAL(38,0)) + 1) * (__n + 1) AS DOUBLE)
+           / CAST((2 * CAST(neg AS DECIMAL(38,0)) + 1) * (__p + 1) AS DOUBLE)) AS DECIMAL(20,8))"""))
       .withColumn("__term", expr(
         """CAST((CAST(2 * pos + 1 AS DOUBLE) / CAST(2 * (__p + 1) AS DOUBLE)
             - CAST(2 * neg + 1 AS DOUBLE) / CAST(2 * (__n + 1) AS DOUBLE))

@@ -38,7 +38,9 @@ object GraphQueries {
     * warm-up via [[ensureFixtures]], or on first use elsewhere.
     */
   private[graft] def storedWalks(s: SparkSession, dir: String): DataFrame = {
-    val tag = f"n2v_walks_s3p1q4_v1_${dir.hashCode}%08x"
+    // content-stamped so a regenerated lineitem at the same path can
+    // never serve a stale walk fixture
+    val tag = s"n2v_walks_s3p1q4_v1_${Tables.contentStamp(dir, "lineitem")}"
     val path = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
     if (!new java.io.File(path, "_SUCCESS").exists()) {

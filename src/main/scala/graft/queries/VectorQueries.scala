@@ -27,10 +27,12 @@ object VectorQueries {
     * row (`knn_graph`, a full in-body nnDescent). nnDescent is
     * deterministic, so a fixture from any prior session is
     * bit-identical to a fresh build; the version tag busts the cache
-    * if the build parameters or algorithm change.
+    * if the build parameters or algorithm change, and the
+    * [[Tables.contentStamp]] component busts it when the SOURCE data
+    * is regenerated at the same path (different sf or seed).
     */
   private[graft] def storedKnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val tag = f"knn_graph_k10i3_v1_${dir.hashCode}%08x"
+    val tag = s"knn_graph_k10i3_v1_${Tables.contentStamp(dir, "embeddings")}"
     val path = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
     if (!new java.io.File(path, "_SUCCESS").exists()) {

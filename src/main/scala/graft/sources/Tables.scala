@@ -17,6 +17,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Cheap content signature for a stored-artifact fixture tag: a hash
+    * of every underlying file's (relative name, length, mtime). Pure
+    * filesystem metadata — no Spark job — but it changes whenever the
+    * table is regenerated at the same path (different sf or seed), so
+    * a fixture keyed on it can never serve stale data the way a
+    * path-string hash could.
+    */
+  def contentStamp(sfDir: String, name: String): String = {
+    val root = new java.io.File(s"$sfDir/$name.parquet")
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(files)
+      else Seq(f)
+    val sig = files(root)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    f"${java.util.UUID.nameUUIDFromBytes(sig.getBytes("UTF-8")).toString.take(12)}%s"
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")

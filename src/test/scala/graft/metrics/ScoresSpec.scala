@@ -220,5 +220,10 @@ class ScoresSpec extends SparkSpec {
       (Seq(("x", "x"), ("y", "y"), (null, "x")): Seq[(String, String)])
         .toDF("a", "b"), "a", "b").head()
     assert(perfect.getLong(0) == 2L && perfect.getDouble(4) == 1.0)
+    // degenerate p_e = 1 (one identical category from both raters):
+    // κ is undefined — null, not a division error / wrap
+    val degen = Scores.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b").head()
+    assert(degen.getLong(0) == 2L && degen.isNullAt(3) && degen.isNullAt(4))
   }
 }

@@ -316,5 +316,12 @@ class StatsSpec extends SparkSpec {
     val again = Stats.medianCi(odd.repartition(5).orderBy(col("v").desc),
       Seq("g"), "v").head()
     assert(again == o)
+    // nulls are excluded BEFORE ranking — they must not consume ranks
+    // and shift the order statistics (the quantilesWeighted convention)
+    val withNulls = odd.select(col("g"), col("v").cast("long").as("v"))
+      .unionAll(Seq(("o", Option.empty[Long]), ("o", Option.empty[Long]))
+        .toDF("g", "v"))
+    val nn = Stats.medianCi(withNulls, Seq("g"), "v").head()
+    assert(nn == o)
   }
 }
