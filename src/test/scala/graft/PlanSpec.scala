@@ -353,4 +353,27 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"partitionless WindowExec in scd2_history:\n${df.queryExecution.sparkPlan}")
   }
+
+  test("scd2_asof (buildHistory + range predicate) plans exactly one shuffle") {
+    // the r13 bench recorded a transient 5× wall-time blip on this row
+    // with zero code change; the fresh-suite rerun was back at r12
+    // levels. Pin the plan so a real regression (an extra exchange
+    // sneaking between the key-partitioned windows / aggregate) can
+    // never hide behind "suite noise": run-length encoding is ONE
+    // hash(key) exchange reused by both windows and the aggregate.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off for the assertion: EnsureRequirements inserts the
+    // exchanges only in executedPlan, and AdaptiveSparkPlanExec hides
+    // its subtree from collect until execution
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("scd2_asof")(spark, dir)
+      val shuffles = df.queryExecution.executedPlan.collectWithSubqueries {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.size == 1,
+        s"${shuffles.size} shuffle exchanges in scd2_asof:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
