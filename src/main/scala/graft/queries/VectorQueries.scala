@@ -127,7 +127,9 @@ object VectorQueries {
     }),
 
     // LSH-bucketed ANN (random-hyperplane signature prune + exact rerank).
-    // Deterministic, hash not SQL-expressible → rows-only.
+    // Oracle-matched: the hyperplanes are seed-fixed JVM Gaussian draws,
+    // embedded verbatim as literals in [[lshOracleSql]] — the signature
+    // is then plain sign arithmetic on both engines.
     "sim_lsh_topk" -> ((s, dir) => {
       SimilaritySearch.lshTopK(
         Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L, k = 10,
@@ -277,6 +279,9 @@ object VectorQueries {
     // All equi-joins + per-src windows; KnnGraphSpec pins monotone
     // recall and the >= 0.8 convergence floor. Seeded-hash init →
     // deterministic, but engine-specific → rows-only.
+    // Full in-body NN-descent build — oracle-matched: XxSql replays the
+    // seeded-hash init and all 3 descent rounds in DuckDB, so the gate
+    // hash-checks the entire graph, not just its row count.
     "knn_graph" -> ((s, dir) => {
       graft.operators.KnnGraph.nnDescent(
         Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 3)
@@ -291,7 +296,8 @@ object VectorQueries {
     // KnnGraphSpec pins recall ≥ IVF-at-half-the-corpus, determinism,
     // and stored ≡ inline. The graph comes from the parquet fixture —
     // the timed body measures the SEARCH, the build is `knn_graph`'s
-    // row. Engine-specific graph + seeds → rows-only.
+    // row. Oracle-matched: XxSql replays graph build + hash-seeded
+    // beam search end to end in DuckDB.
     "graph_search_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.KnnGraph.graphSearch(storedKnnGraph(s, dir), e,
@@ -497,7 +503,56 @@ object VectorQueries {
     })
   )
 
+  /** DuckDB replay of `sim_lsh_topk`: the 6×64 hyperplanes come from
+    * the SAME seeded [[SimilaritySearch.hyperplanes]] call the query
+    * uses, embedded as double literals (Double.toString round-trips
+    * exactly through DuckDB's parser). Bit i of the signature is the
+    * SIGN of v·plane_i — robust to sum-order float dust — so bucket
+    * equality, the exact rerank, and the round-4dp-then-order finish
+    * all replay exactly.
+    */
+  private def lshOracleSql: String = {
+    val planes = SimilaritySearch.hyperplanes(nPlanes = 6, dim = 64)
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    s"""WITH pl(p, pv) AS (VALUES $rows),
+       ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                embedding FROM embeddings),
+       pd AS (SELECT e.vec_id, pl.p,
+                sum(CAST(e.embedding[CAST(e.i AS INT)] AS DOUBLE)
+                  * pl.pv[CAST(e.i AS INT)]) AS dp
+              FROM ex e CROSS JOIN pl GROUP BY e.vec_id, pl.p),
+       sig AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+               FROM pd GROUP BY vec_id),
+       qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = 0),
+       qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       cand AS (SELECT s.vec_id FROM sig s CROSS JOIN qb
+                WHERE s.bucket = qb.qbucket AND s.vec_id <> 0),
+       cx AS (SELECT e.vec_id,
+                unnest(generate_series(1, len(e.embedding))) AS i,
+                e.embedding, qv.qv
+              FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+              CROSS JOIN qv),
+       dots AS (SELECT vec_id,
+                sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM cx GROUP BY vec_id)
+       SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+       FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sim_lsh_topk" -> lshOracleSql,
+    // NN-descent and the beam search replay EXACTLY in DuckDB: their
+    // only non-SQL ingredient was the seeded xxhash64 init / seed
+    // election, which XxSql unrolls as 64-bit modular arithmetic.
+    "knn_graph" -> XxSql.knnGraphOracleSql(k = 10, iters = 3),
+    "graph_search_topk" -> XxSql.graphSearchOracleSql(k = 10, iters = 3,
+      beam = 20, hops = 3, seedsPerQuery = 8, searchK = 10, queryMod = 50),
     "sim_topk_mips" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          ex AS (SELECT e.vec_id,

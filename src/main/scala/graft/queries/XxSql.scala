@@ -1,0 +1,233 @@
+package graft.queries
+
+/** DuckDB-SQL replay of Spark's `xxhash64` over LONG inputs, plus the
+  * oracle bodies for the hash-seeded vector-graph queries built on it.
+  *
+  * Spark's `xxhash64(c1, c2, …)` folds XXH64 over the columns' byte
+  * encodings: `h = hashLong(c_i, h)` starting from seed 42, where
+  * `hashLong` is the 8-byte-input specialization of XXH64 (one k1
+  * round + avalanche). That is pure 64-bit modular integer arithmetic,
+  * so it replays EXACTLY in DuckDB — multiplication mod 2^64 via
+  * 32-bit limb splitting in HUGEINT, rotation via disjoint-range
+  * shift-and-add, xor through UBIGINT. Each hash unrolls to a chain of
+  * ~9 single-column CTE steps (nesting the expressions instead would
+  * blow up exponentially: every `mul64` references its operand four
+  * times).
+  *
+  * This is what moves NN-descent (`knn_graph`) and graph-guided beam
+  * search (`graph_search_topk`) from rows-only to full DuckDB hash
+  * oracles: their ONLY non-SQL ingredient was the seeded-hash init /
+  * seed election; every other step (cosine scoring, top-k windows,
+  * frontier set algebra) is plain relational algebra both engines
+  * already agree on. Doubles are compared after round-to-4dp, and the
+  * internal rank windows tie-break on ids, so last-ulp accumulation
+  * differences between the engines' dot products cannot flip a row.
+  */
+private[queries] object XxSql {
+
+  private val M = "18446744073709551616" // 2^64
+  private val P1 = "11400714785074694791" // 0x9E3779B185EBCA87 as u64
+  private val P2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val P3 = "1609587929392839161" // 0x165667B19E3779F9
+  private val P4 = "9650029242287828579" // 0x85EBCA77C2B2AE63
+  private val P5 = "2870177450012600261" // 0x27D4EB2F165667C5
+
+  /** a·b mod 2^64 with a,b < 2^64, in HUGEINT: split b into 32-bit
+    * limbs so every intermediate stays under 2^97 (HUGEINT holds 2^127).
+    */
+  private def mul64(a: String, b: String): String =
+    s"((($a) * (($b) % 4294967296) + ((($a) * (($b) // 4294967296)) % 4294967296) * 4294967296) % $M)"
+
+  /** rotl64: the two shifted halves occupy disjoint bit ranges, so
+    * OR = ADD and the left shift is an exact sub-2^64 product.
+    */
+  private def rotl(a: String, r: Int): String = {
+    val lo = BigInt(1) << (64 - r)
+    val hi = BigInt(1) << r
+    s"(((($a) % $lo) * $hi) + (($a) // $lo))"
+  }
+
+  private def xor(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+
+  private def shr(a: String, n: Int): String = s"(($a) // ${BigInt(1) << n})"
+
+  /** Signed BIGINT expr → its two's-complement u64 value as HUGEINT. */
+  def u64(v: String): String =
+    s"(((CAST(($v) AS HUGEINT) % $M) + $M) % $M)"
+
+  /** u64 HUGEINT expr → the signed BIGINT Spark's xxhash64 returns. */
+  def toSigned(h: String): String =
+    s"CAST(CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - $M ELSE ($h) END AS BIGINT)"
+
+  /** The XXH64-of-one-long round as (columnName, expr) steps — apply
+    * with [[chain]]. `v` and `seed` are u64 HUGEINT exprs (or prior
+    * step columns); the final step lands in column `out`.
+    */
+  def xx64Steps(v: String, seed: String, out: String, tag: String): Seq[(String, String)] = Seq(
+    s"${tag}_h0" -> s"((($seed) + $P5 + 8) % $M)",
+    s"${tag}_k3" -> mul64(rotl(mul64(v, P2), 31), P1),
+    s"${tag}_h1" -> xor(s"${tag}_h0", s"${tag}_k3"),
+    s"${tag}_h2" -> s"((${mul64(rotl(s"${tag}_h1", 27), P1)} + $P4) % $M)",
+    s"${tag}_h3" -> xor(s"${tag}_h2", shr(s"${tag}_h2", 33)),
+    s"${tag}_h4" -> mul64(s"${tag}_h3", P2),
+    s"${tag}_h5" -> xor(s"${tag}_h4", shr(s"${tag}_h4", 29)),
+    s"${tag}_h6" -> mul64(s"${tag}_h5", P3),
+    out -> xor(s"${tag}_h6", shr(s"${tag}_h6", 32)))
+
+  /** Render hash steps as a chain of one-column-per-layer CTEs rooted
+    * at CTE `base`; returns (sqlFragment, lastCteName). Layer-per-step
+    * keeps the generated text LINEAR in the number of steps.
+    */
+  def chain(base: String, steps: Seq[(String, String)], prefix: String): (String, String) = {
+    var prev = base
+    val sb = new StringBuilder
+    steps.zipWithIndex.foreach { case ((name, ex), i) =>
+      val cte = s"$prefix$i"
+      sb.append(s", $cte AS (SELECT *, $ex AS $name FROM $prev)")
+      prev = cte
+    }
+    (sb.toString, prev)
+  }
+
+  // ---------------------------------------------------------------
+  // Shared relational fragments for the vector-graph oracles
+  // ---------------------------------------------------------------
+
+  /** Exact-cosine scoring of a (src, dst) pair CTE against the `vecs` /
+    * `nrm` base CTEs — DuckDB mirror of KnnGraph's score(): dot via
+    * unnest-sum in double, divided by precomputed norms. MATERIALIZED:
+    * every consumer references it at least twice and DuckDB would
+    * otherwise inline (and re-scan the parquet for) each reference.
+    */
+  private def scoreSql(pairsCte: String, out: String): String =
+    s""", $out AS MATERIALIZED (
+       SELECT p.src, p.dst, dp.dp / (ns.nm * nd.nm) AS cos
+       FROM $pairsCte p
+       JOIN (SELECT p2.src, p2.dst,
+               sum(CAST(es.embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(ed.embedding[CAST(g.i AS INT)] AS DOUBLE)) AS dp
+             FROM $pairsCte p2
+             JOIN vecs es ON es.id = p2.src
+             JOIN vecs ed ON ed.id = p2.dst,
+             LATERAL (SELECT unnest(generate_series(1, len(es.embedding))) AS i) g
+             GROUP BY p2.src, p2.dst) dp ON dp.src = p.src AND dp.dst = p.dst
+       JOIN nrm ns ON ns.id = p.src
+       JOIN nrm nd ON nd.id = p.dst)"""
+
+  /** Per-src top-k by (cos DESC, dst ASC) — KnnGraph's topK window. */
+  private def topkSql(scoredCte: String, out: String, k: Int): String =
+    s""", $out AS MATERIALIZED (SELECT src, dst, cos FROM (
+       SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+       FROM $scoredCte) WHERE rk <= $k)"""
+
+  /** The full NN-descent replay as a WITH-clause body: seeded double-
+    * bucket init (`pmod(xxhash64(id, seed+salt), n div (k+1))`), then
+    * `iters` rounds of 2-hop candidate generation + rescoring + top-k.
+    * Returns (sql, finalGraphCte); `sql` opens with "WITH" so callers
+    * append their own CTEs and final SELECT.
+    */
+  def nnDescentReplay(k: Int, iters: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH vecs AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
+       nrm AS MATERIALIZED (SELECT id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nm
+               FROM (SELECT id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM vecs) GROUP BY id),
+       nn AS (SELECT greatest(CAST(1 AS HUGEINT), CAST(count(*) AS HUGEINT) // ${k + 1}) AS nb FROM vecs),
+       hbase AS (SELECT id, ${u64("id")} AS uid FROM vecs)""")
+    val (s0, l0) = chain("hbase", xx64Steps("uid", "42", "t_h", "ta"), "hx")
+    sb.append(s0)
+    val (s1, l1) = chain(l0, xx64Steps("42", "t_h", "b0h", "sa"), "hy")
+    sb.append(s1)
+    val (s2, l2) = chain(l1, xx64Steps("43", "t_h", "b1h", "sb"), "hz")
+    sb.append(s2)
+    sb.append(s""",
+       bk AS MATERIALIZED (SELECT id,
+         (((${toSigned("b0h")} % nb) + nb) % nb) AS b0,
+         (((${toSigned("b1h")} % nb) + nb) % nb) AS b1
+         FROM $l2 CROSS JOIN nn),
+       pairs0 AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM (
+           SELECT a.id AS src, b.id AS dst FROM bk a JOIN bk b ON a.b0 = b.b0 WHERE a.id <> b.id
+           UNION ALL
+           SELECT a.id AS src, b.id AS dst FROM bk a JOIN bk b ON a.b1 = b.b1 WHERE a.id <> b.id))""")
+    sb.append(scoreSql("pairs0", "sc0"))
+    sb.append(topkSql("sc0", "g0", k))
+    var g = "g0"
+    (1 to iters).foreach { it =>
+      sb.append(s""",
+       und$it AS (SELECT src, dst FROM $g UNION ALL SELECT dst AS src, src AS dst FROM $g),
+       cand$it AS MATERIALIZED (
+         SELECT DISTINCT a.src, b.dst FROM und$it a JOIN und$it b ON a.dst = b.src
+         WHERE a.src <> b.dst),
+       fresh$it AS MATERIALIZED (SELECT c.src, c.dst FROM cand$it c ANTI JOIN $g e ON c.src = e.src AND c.dst = e.dst)""")
+      sb.append(scoreSql(s"fresh$it", s"scn$it"))
+      sb.append(s""",
+       mrg$it AS (SELECT src, dst, cos FROM scn$it UNION ALL SELECT src, dst, cos FROM $g)""")
+      sb.append(topkSql(s"mrg$it", s"g$it", k))
+      g = s"g$it"
+    }
+    (sb.toString, g)
+  }
+
+  /** Oracle for `knn_graph`: the NN-descent replay plus the final
+    * rank/round projection.
+    */
+  def knnGraphOracleSql(k: Int, iters: Int): String = {
+    val (body, g) = nnDescentReplay(k, iters)
+    s"""$body
+       SELECT src AS id, dst AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank,
+         round(cos, 4) AS cosine
+       FROM $g"""
+  }
+
+  /** Oracle for `graph_search_topk`: rebuild the stored graph with
+    * [[nnDescentReplay]], elect the `seedsPerQuery` shared entry nodes
+    * by the same salted hash order, then unroll the beam search —
+    * per-hop frontier = (beam ⋈ undirected edges) \ beam, rescored and
+    * merged under the per-query top-`beam` window, top-`k` at the end.
+    */
+  def graphSearchOracleSql(k: Int, iters: Int, beam: Int, hops: Int,
+      seedsPerQuery: Int, searchK: Int, queryMod: Int): String = {
+    val sb = new StringBuilder
+    val (body, g) = nnDescentReplay(k, iters)
+    sb.append(body)
+    sb.append(s""",
+       sbase AS (SELECT id, ${u64("id")} AS uid FROM vecs)""")
+    val (q0, lq0) = chain("sbase", xx64Steps("uid", "42", "q_t", "qa"), "qx")
+    sb.append(q0)
+    val (q1, lq1) = chain(lq0, xx64Steps("42", "q_t", "q_h", "qb"), "qy")
+    sb.append(q1)
+    sb.append(s""",
+       seeds AS MATERIALIZED (SELECT id AS node_id FROM $lq1
+         ORDER BY ${toSigned("q_h")} ASC, id ASC LIMIT $seedsPerQuery),
+       queries AS MATERIALIZED (SELECT id AS query_id FROM vecs WHERE id % $queryMod = 0),
+       seeded AS (SELECT q.query_id AS src, s.node_id AS dst FROM queries q CROSS JOIN seeds s
+                  WHERE s.node_id <> q.query_id)""")
+    sb.append(scoreSql("seeded", "bs0"))
+    sb.append(topkSql("bs0", "beam0", beam))
+    sb.append(s""",
+       gund AS MATERIALIZED (SELECT src AS a, dst AS b FROM $g UNION ALL SELECT dst AS a, src AS b FROM $g)""")
+    var bm = "beam0"
+    (1 to hops).foreach { h =>
+      sb.append(s""",
+       fr$h AS MATERIALIZED (
+         SELECT f.src, f.dst FROM (
+           SELECT DISTINCT bmr.src, u.b AS dst FROM $bm bmr JOIN gund u ON u.a = bmr.dst) f
+         ANTI JOIN $bm e ON f.src = e.src AND f.dst = e.dst
+         WHERE f.src <> f.dst)""")
+      sb.append(scoreSql(s"fr$h", s"bs$h"))
+      sb.append(s""",
+       bmrg$h AS (SELECT src, dst, cos FROM $bm UNION ALL SELECT src, dst, cos FROM bs$h)""")
+      sb.append(topkSql(s"bmrg$h", s"beam$h", beam))
+      bm = s"beam$h"
+    }
+    sb.append(s"""
+       SELECT src AS query_id, dst AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank,
+         round(cos, 4) AS cosine
+       FROM (SELECT src, dst, cos FROM (
+         SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+         FROM $bm) WHERE rk <= $searchK)""")
+    sb.toString
+  }
+}
