@@ -357,7 +357,8 @@ object VectorQueries {
     // (new→old via beam walk, reverse edges re-rank only the reached
     // old nodes, exact new↔new within the bounded batch), never a
     // rebuild. KnnGraphSpec pins recall-tracks-rebuild and the
-    // id-collision guard. Engine-specific graph → rows-only.
+    // id-collision guard. Oracle-matched via XxSql's full replay
+    // (descent on the old corpus + beam insert + batch brute force).
     "knn_graph_insert" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val old = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
@@ -372,7 +373,8 @@ object VectorQueries {
     // built on the full corpus — surviving edges pass through, only
     // nodes that lost a neighbor re-search the pruned graph to refill
     // (≤ |removed|·k of them). No output edge touches a removed id
-    // (spec-pinned). Engine-specific graph → rows-only.
+    // (spec-pinned). Oracle-matched via XxSql's full replay (descent
+    // + prune + affected-only re-search).
     "knn_graph_remove" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val graph = graft.operators.KnnGraph.nnDescent(
@@ -553,6 +555,10 @@ object VectorQueries {
     "knn_graph" -> XxSql.knnGraphOracleSql(k = 10, iters = 3),
     "graph_search_topk" -> XxSql.graphSearchOracleSql(k = 10, iters = 3,
       beam = 20, hops = 3, seedsPerQuery = 8, searchK = 10, queryMod = 50),
+    "knn_graph_insert" -> XxSql.knnGraphInsertOracleSql(k = 10, iters = 2,
+      beam = 10, hops = 2, seedsPerQuery = 8, batchMod = 10),
+    "knn_graph_remove" -> XxSql.knnGraphRemoveOracleSql(k = 10, iters = 2,
+      beam = 10, hops = 2, seedsPerQuery = 8, removeMod = 10),
     "sim_topk_mips" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          ex AS (SELECT e.vec_id,

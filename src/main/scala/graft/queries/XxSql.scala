@@ -14,14 +14,17 @@ package graft.queries
   * blow up exponentially: every `mul64` references its operand four
   * times).
   *
-  * This is what moves NN-descent (`knn_graph`) and graph-guided beam
-  * search (`graph_search_topk`) from rows-only to full DuckDB hash
-  * oracles: their ONLY non-SQL ingredient was the seeded-hash init /
-  * seed election; every other step (cosine scoring, top-k windows,
-  * frontier set algebra) is plain relational algebra both engines
-  * already agree on. Doubles are compared after round-to-4dp, and the
-  * internal rank windows tie-break on ids, so last-ulp accumulation
-  * differences between the engines' dot products cannot flip a row.
+  * This is what moves NN-descent (`knn_graph`), graph-guided beam
+  * search (`graph_search_topk`), and the incremental graph maintenance
+  * pair (`knn_graph_insert` / `knn_graph_remove`) from rows-only to
+  * full DuckDB hash oracles: their ONLY non-SQL ingredient was the
+  * seeded-hash init / seed election; every other step (cosine scoring,
+  * top-k windows, frontier set algebra) is plain relational algebra
+  * both engines already agree on. Doubles are compared after
+  * round-to-4dp, internal rank windows tie-break on ids, and the
+  * maintenance merges rank over ALREADY-ROUNDED edge scores, so
+  * last-ulp accumulation differences between the engines' dot products
+  * cannot flip a row.
   */
 private[queries] object XxSql {
 
@@ -96,9 +99,12 @@ private[queries] object XxSql {
 
   /** Exact-cosine scoring of a (src, dst) pair CTE against the `vecs` /
     * `nrm` base CTEs — DuckDB mirror of KnnGraph's score(): dot via
-    * unnest-sum in double, divided by precomputed norms. MATERIALIZED:
-    * every consumer references it at least twice and DuckDB would
-    * otherwise inline (and re-scan the parquet for) each reference.
+    * unnest-sum in double, divided by precomputed norms. `vecs`/`nrm`
+    * always cover the FULL embeddings table (per-id vectors and norms
+    * do not depend on which subset a query ranges over — subset
+    * semantics live entirely in the pair sets). MATERIALIZED: every
+    * consumer references it at least twice and DuckDB would otherwise
+    * inline (and re-scan the parquet for) each reference.
     */
   private def scoreSql(pairsCte: String, out: String): String =
     s""", $out AS MATERIALIZED (
@@ -120,19 +126,22 @@ private[queries] object XxSql {
        SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
        FROM $scoredCte) WHERE rk <= $k)"""
 
-  /** The full NN-descent replay as a WITH-clause body: seeded double-
-    * bucket init (`pmod(xxhash64(id, seed+salt), n div (k+1))`), then
-    * `iters` rounds of 2-hop candidate generation + rescoring + top-k.
-    * Returns (sql, finalGraphCte); `sql` opens with "WITH" so callers
-    * append their own CTEs and final SELECT.
+  /** The full NN-descent replay as a WITH-clause body over the corpus
+    * subset `corpusWhere` (a predicate on `id`): seeded double-bucket
+    * init (`pmod(xxhash64(id, seed+salt), n div (k+1))`), then `iters`
+    * rounds of 2-hop candidate generation + rescoring + top-k.
+    * Returns (sql, finalGraphCte) where the graph CTE is
+    * (src, dst, cos) with UNROUNDED cos; `sql` opens with "WITH" so
+    * callers append their own CTEs and final SELECT.
     */
-  def nnDescentReplay(k: Int, iters: Int): (String, String) = {
+  def nnDescentReplay(k: Int, iters: Int, corpusWhere: String = "TRUE"): (String, String) = {
     val sb = new StringBuilder
     sb.append(s"""WITH vecs AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
        nrm AS MATERIALIZED (SELECT id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nm
                FROM (SELECT id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM vecs) GROUP BY id),
-       nn AS (SELECT greatest(CAST(1 AS HUGEINT), CAST(count(*) AS HUGEINT) // ${k + 1}) AS nb FROM vecs),
-       hbase AS (SELECT id, ${u64("id")} AS uid FROM vecs)""")
+       corpus AS MATERIALIZED (SELECT id FROM vecs WHERE $corpusWhere),
+       nn AS (SELECT greatest(CAST(1 AS HUGEINT), CAST(count(*) AS HUGEINT) // ${k + 1}) AS nb FROM corpus),
+       hbase AS (SELECT id, ${u64("id")} AS uid FROM corpus)""")
     val (s0, l0) = chain("hbase", xx64Steps("uid", "42", "t_h", "ta"), "hx")
     sb.append(s0)
     val (s1, l1) = chain(l0, xx64Steps("42", "t_h", "b0h", "sa"), "hy")
@@ -168,31 +177,20 @@ private[queries] object XxSql {
     (sb.toString, g)
   }
 
-  /** Oracle for `knn_graph`: the NN-descent replay plus the final
-    * rank/round projection.
+  /** The graph-guided beam search replay (KnnGraph.graphSearch): elect
+    * `seedsPerQuery` shared entry nodes from the `seedsWhere` corpus
+    * subset by the salted-hash order, then `hops` rounds of frontier =
+    * (beam ⋈ undirected `graphCte` edges) \ beam, rescored and merged
+    * under the per-query top-`beam` window. Returns (sql, beamCte)
+    * where the beam CTE is (src = query_id, dst = node_id, cos)
+    * UNROUNDED, pre-top-k — callers cut to k and round.
     */
-  def knnGraphOracleSql(k: Int, iters: Int): String = {
-    val (body, g) = nnDescentReplay(k, iters)
-    s"""$body
-       SELECT src AS id, dst AS neighbor_id,
-         CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank,
-         round(cos, 4) AS cosine
-       FROM $g"""
-  }
-
-  /** Oracle for `graph_search_topk`: rebuild the stored graph with
-    * [[nnDescentReplay]], elect the `seedsPerQuery` shared entry nodes
-    * by the same salted hash order, then unroll the beam search —
-    * per-hop frontier = (beam ⋈ undirected edges) \ beam, rescored and
-    * merged under the per-query top-`beam` window, top-`k` at the end.
-    */
-  def graphSearchOracleSql(k: Int, iters: Int, beam: Int, hops: Int,
-      seedsPerQuery: Int, searchK: Int, queryMod: Int): String = {
+  def beamSearchReplay(graphCte: String, seedsWhere: String,
+      queriesWhere: String, beam: Int, hops: Int,
+      seedsPerQuery: Int): (String, String) = {
     val sb = new StringBuilder
-    val (body, g) = nnDescentReplay(k, iters)
-    sb.append(body)
     sb.append(s""",
-       sbase AS (SELECT id, ${u64("id")} AS uid FROM vecs)""")
+       sbase AS (SELECT id, ${u64("id")} AS uid FROM vecs WHERE $seedsWhere)""")
     val (q0, lq0) = chain("sbase", xx64Steps("uid", "42", "q_t", "qa"), "qx")
     sb.append(q0)
     val (q1, lq1) = chain(lq0, xx64Steps("42", "q_t", "q_h", "qb"), "qy")
@@ -200,13 +198,13 @@ private[queries] object XxSql {
     sb.append(s""",
        seeds AS MATERIALIZED (SELECT id AS node_id FROM $lq1
          ORDER BY ${toSigned("q_h")} ASC, id ASC LIMIT $seedsPerQuery),
-       queries AS MATERIALIZED (SELECT id AS query_id FROM vecs WHERE id % $queryMod = 0),
+       queries AS MATERIALIZED (SELECT id AS query_id FROM vecs WHERE $queriesWhere),
        seeded AS (SELECT q.query_id AS src, s.node_id AS dst FROM queries q CROSS JOIN seeds s
                   WHERE s.node_id <> q.query_id)""")
     sb.append(scoreSql("seeded", "bs0"))
     sb.append(topkSql("bs0", "beam0", beam))
     sb.append(s""",
-       gund AS MATERIALIZED (SELECT src AS a, dst AS b FROM $g UNION ALL SELECT dst AS a, src AS b FROM $g)""")
+       gund AS MATERIALIZED (SELECT src AS a, dst AS b FROM $graphCte UNION ALL SELECT dst AS a, src AS b FROM $graphCte)""")
     var bm = "beam0"
     (1 to hops).foreach { h =>
       sb.append(s""",
@@ -221,13 +219,125 @@ private[queries] object XxSql {
       sb.append(topkSql(s"bmrg$h", s"beam$h", beam))
       bm = s"beam$h"
     }
-    sb.append(s"""
-       SELECT src AS query_id, dst AS neighbor_id,
+    (sb.toString, bm)
+  }
+
+  /** Final (id, neighbor_id, rank, cosine) projection shared by every
+    * graph-shaped oracle: per-src rank over (cos DESC, dst ASC), cos
+    * rounded iff `roundCos` (the maintenance merges rank over
+    * already-rounded scores and must NOT round twice).
+    */
+  private def rankedOut(fromCte: String, srcAs: String,
+      roundCos: Boolean): String = {
+    val cosOut = if (roundCos) "round(cos, 4)" else "cos"
+    s"""
+       SELECT src AS $srcAs, dst AS neighbor_id,
          CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank,
-         round(cos, 4) AS cosine
-       FROM (SELECT src, dst, cos FROM (
+         $cosOut AS cosine
+       FROM $fromCte"""
+  }
+
+  /** Oracle for `knn_graph`: the NN-descent replay plus the final
+    * rank/round projection.
+    */
+  def knnGraphOracleSql(k: Int, iters: Int): String = {
+    val (body, g) = nnDescentReplay(k, iters)
+    body + rankedOut(g, "id", roundCos = true)
+  }
+
+  /** Oracle for `graph_search_topk`: rebuild the stored graph, elect
+    * hash seeds over the full corpus, beam-search the `id % queryMod`
+    * queries, top-`searchK`.
+    */
+  def graphSearchOracleSql(k: Int, iters: Int, beam: Int, hops: Int,
+      seedsPerQuery: Int, searchK: Int, queryMod: Int): String = {
+    val sb = new StringBuilder
+    val (body, g) = nnDescentReplay(k, iters)
+    sb.append(body)
+    val (search, bm) = beamSearchReplay(g, "TRUE", s"id % $queryMod = 0",
+      beam, hops, seedsPerQuery)
+    sb.append(search)
+    sb.append(topkSql(bm, "bfin", searchK))
+    sb.append(rankedOut("bfin", "query_id", roundCos = true))
+    sb.toString
+  }
+
+  /** Oracle for `knn_graph_insert`: NN-descent on the `id % 10 <> 0`
+    * corpus, beam-search the fresh batch into it (new→old), reverse
+    * those edges (old→new), exact new↔new top-k within the batch, then
+    * the incumbent ∪ all three merged under max-dedup + per-src top-k —
+    * every merge input carries its ROUNDED score, exactly as the Spark
+    * operator consumes its sub-results.
+    */
+  def knnGraphInsertOracleSql(k: Int, iters: Int, beam: Int,
+      hops: Int, seedsPerQuery: Int, batchMod: Int): String = {
+    val oldW = s"id % $batchMod <> 0"
+    val newW = s"id % $batchMod = 0"
+    val sb = new StringBuilder
+    val (body, g) = nnDescentReplay(k, iters, oldW)
+    sb.append(body)
+    val (search, bm) = beamSearchReplay(g, oldW, newW, beam, hops, seedsPerQuery)
+    sb.append(search)
+    // new→old: beam output cut to k, rounded (graphSearch's contract)
+    sb.append(topkSql(bm, "no_k", k))
+    // new↔new: brute-force top-k within the batch (knnJoinBruteForce —
+    // ranks on the unrounded cos, outputs rounded)
+    sb.append(s""",
+       newids AS MATERIALIZED (SELECT id FROM vecs WHERE $newW),
+       nnp AS (SELECT a.id AS src, b.id AS dst FROM newids a JOIN newids b ON a.id <> b.id)""")
+    sb.append(scoreSql("nnp", "nnsc"))
+    sb.append(topkSql("nnsc", "nn_k", k))
+    sb.append(s""",
+       merged AS (
+         SELECT src, dst, max(cos) AS cos FROM (
+           SELECT src, dst, round(cos, 4) AS cos FROM $g
+           UNION ALL SELECT src, dst, round(cos, 4) AS cos FROM no_k
+           UNION ALL SELECT dst AS src, src AS dst, round(cos, 4) AS cos FROM no_k
+           UNION ALL SELECT src, dst, round(cos, 4) AS cos FROM nn_k)
+         GROUP BY src, dst),
+       ranked AS (SELECT src, dst, cos FROM (
          SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
-         FROM $bm) WHERE rk <= $searchK)""")
+         FROM merged) WHERE rk <= $k)""")
+    sb.append(rankedOut("ranked", "id", roundCos = false))
+    sb.toString
+  }
+
+  /** Oracle for `knn_graph_remove`: NN-descent on the full corpus,
+    * prune every edge touching a removed id, re-search ONLY the nodes
+    * that lost a neighbor against the pruned graph (seeds elected from
+    * survivors), merge kept ∪ refill under max-dedup + per-src top-k.
+    */
+  def knnGraphRemoveOracleSql(k: Int, iters: Int, beam: Int,
+      hops: Int, seedsPerQuery: Int, removeMod: Int): String = {
+    val remW = s"id % $removeMod = 0"
+    val survW = s"id % $removeMod <> 0"
+    val sb = new StringBuilder
+    val (body, g) = nnDescentReplay(k, iters)
+    sb.append(body)
+    sb.append(s""",
+       kept AS MATERIALIZED (
+         SELECT src, dst, round(cos, 4) AS cos FROM $g
+         WHERE NOT (src % $removeMod = 0) AND NOT (dst % $removeMod = 0)),
+       keptg AS (SELECT src, dst FROM kept)""")
+    // affected: survivors whose list lost a neighbor
+    sb.append(s""",
+       affected AS MATERIALIZED (
+         SELECT DISTINCT src AS id FROM $g
+         WHERE dst % $removeMod = 0 AND NOT (src % $removeMod = 0))""")
+    val (search, bm) = beamSearchReplay("keptg", survW,
+      s"($survW) AND id IN (SELECT id FROM affected)", beam, hops, seedsPerQuery)
+    sb.append(search)
+    sb.append(topkSql(bm, "rf_k", k))
+    sb.append(s""",
+       merged AS (
+         SELECT src, dst, max(cos) AS cos FROM (
+           SELECT src, dst, cos FROM kept
+           UNION ALL SELECT src, dst, round(cos, 4) AS cos FROM rf_k)
+         GROUP BY src, dst),
+       ranked AS (SELECT src, dst, cos FROM (
+         SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+         FROM merged) WHERE rk <= $k)""")
+    sb.append(rankedOut("ranked", "id", roundCos = false))
     sb.toString
   }
 }
