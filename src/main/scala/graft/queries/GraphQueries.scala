@@ -515,10 +515,35 @@ object GraphQueries {
         .select(col("entity_id"), posexplode(col("vector")))
         .select(col("entity_id"), col("pos").cast("long").as("pos"),
           round(col("col"), 4).as("value"))
+    }),
+
+    // The training loop's DETERMINISTIC gate: one epoch of the same
+    // trainer, hash-matched against a DuckDB oracle that unrolls the
+    // whole epoch — xxhash64 init, hash-corrupted negatives, additive
+    // scores, sigmoid gradients, per-id means, weight-decayed SGD step
+    // (XxSql.embeddingEpoch1OracleSql). g7's 2-epoch row stays rows-only
+    // (epoch 2 compounds epoch 1's float dust), but every moving part
+    // of the loop is exactly re-derived here each round.
+    "g7_embedding_epoch1" -> ((s, dir) => {
+      import graft.car.EmbeddingTrainer
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      val edges = e.select(col("vec_id").as("head_id"),
+        pmod(col("vec_id"), lit(3)).as("relation_id"),
+        pmod(col("vec_id") + 7, lit(n)).as("tail_id"))
+      val trained = EmbeddingTrainer.train(edges, n, 3,
+        EmbeddingTrainer.Config(dim = 4, epochs = 1, lr = 0.5, negRate = 1,
+          trackLoss = false))
+      trained.entityEmb
+        .select(col("entity_id"), posexplode(col("vector")))
+        .select(col("entity_id"), col("pos").cast("long").as("pos"),
+          round(col("col"), 4).as("value"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g7_embedding_epoch1" -> XxSql.embeddingEpoch1OracleSql(
+      dim = 4, lr = 0.5, regRatio = 0.01, numRelations = 3),
     "g1_vocab_entities" ->
       """WITH a AS (
            SELECT 'c_nationkey' AS name, CAST(c_nationkey AS VARCHAR) AS value FROM customer

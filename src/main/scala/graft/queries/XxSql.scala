@@ -78,6 +78,23 @@ private[queries] object XxSql {
     s"${tag}_h6" -> mul64(s"${tag}_h5", P3),
     out -> xor(s"${tag}_h6", shr(s"${tag}_h6", 32)))
 
+  /** The XXH64-of-one-INT round (Spark hashes 4-byte values through a
+    * shorter mix: `h ^= (i & 0xFFFFFFFF)·P1; h = rotl(h,23)·P2 + P3`
+    * then the shared avalanche) — needed wherever an IntegerType column
+    * or literal sits inside an `xxhash64(...)` fold (`explode(sequence)`
+    * positions, small int literals).
+    */
+  def xxIntSteps(i: String, seed: String, out: String, tag: String): Seq[(String, String)] = Seq(
+    s"${tag}_h0" -> s"((($seed) + $P5 + 4) % $M)",
+    s"${tag}_h1" -> xor(s"${tag}_h0",
+      mul64(s"((($i) % 4294967296 + 4294967296) % 4294967296)", P1)),
+    s"${tag}_h2" -> s"((${mul64(rotl(s"${tag}_h1", 23), P2)} + $P3) % $M)",
+    s"${tag}_h3" -> xor(s"${tag}_h2", shr(s"${tag}_h2", 33)),
+    s"${tag}_h4" -> mul64(s"${tag}_h3", P2),
+    s"${tag}_h5" -> xor(s"${tag}_h4", shr(s"${tag}_h4", 29)),
+    s"${tag}_h6" -> mul64(s"${tag}_h5", P3),
+    out -> xor(s"${tag}_h6", shr(s"${tag}_h6", 32)))
+
   /** Render hash steps as a chain of one-column-per-layer CTEs rooted
     * at CTE `base`; returns (sqlFragment, lastCteName). Layer-per-step
     * keeps the generated text LINEAR in the number of steps.
@@ -338,6 +355,101 @@ private[queries] object XxSql {
          SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
          FROM merged) WHERE rk <= $k)""")
     sb.append(rankedOut("ranked", "id", roundCos = false))
+    sb.toString
+  }
+
+  /** Oracle for `g7_embedding_epoch1` — ONE epoch of the KG-embedding
+    * trainer unrolled (EmbeddingTrainer.train with epochs = 1,
+    * batchFraction = 1, negRate = 1, trackLoss = false):
+    *
+    *  1. init: value(id,pos) = (pmod(xxhash64(id, pos, tableSeed), 1e6)
+    *     / 5e5 − 1) / √dim, with tableSeed 42 for entities / 43 for
+    *     relations — the (long, int, long) hash fold, replayed with
+    *     [[xx64Steps]] + [[xxIntSteps]];
+    *  2. negatives: per positive, a coin and a corrupt-entity draw from
+    *     the (head, rel, tail, rep, epochSeed) fold + its rehash —
+    *     exactly Triplets.negativeSample(rate = 1, seed = 43);
+    *  3. scores s_h + r_r − s_t from per-id value sums, g = σ(score) −
+    *     label, per-id mean gradients, weight-decayed SGD step.
+    *
+    * Doubles flow unrounded to the final round-4dp projection, matching
+    * the trainer; both engines' sums/exp differ by ulps at most, and
+    * the gate canonicalizes at 4dp.
+    */
+  def embeddingEpoch1OracleSql(dim: Int, lr: Double, regRatio: Double,
+      numRelations: Int): String = {
+    val b = 1.0 / math.sqrt(dim.toDouble)
+    val sb = new StringBuilder
+    sb.append(s"""WITH nct AS (SELECT count(*) AS n FROM embeddings),
+       ids AS (SELECT vec_id AS id FROM embeddings),
+       rids AS (SELECT unnest(generate_series(0, ${numRelations - 1})) AS id),
+       ebase AS (SELECT 'e' AS tbl, id, unnest(generate_series(0, ${dim - 1})) AS pos FROM ids
+                 UNION ALL SELECT 'r' AS tbl, id, unnest(generate_series(0, ${dim - 1})) AS pos FROM rids),
+       ub AS (SELECT *, ${u64("id")} AS uid FROM ebase)""")
+    val (i0, li0) = chain("ub", xx64Steps("uid", "42", "i_t1", "ia"), "ix")
+    sb.append(i0)
+    val (i1, li1) = chain(li0, xxIntSteps("pos", "i_t1", "i_t2", "ib"), "iy")
+    sb.append(i1)
+    val (i2, li2) = chain(li1,
+      xx64Steps("CASE WHEN tbl = 'e' THEN 42 ELSE 43 END", "i_t2", "i_h", "ic"), "iz")
+    sb.append(i2)
+    sb.append(s""",
+       init AS MATERIALIZED (SELECT tbl, id, pos,
+         ((((${toSigned("i_h")} % 1000000) + 1000000) % 1000000) / 500000.0 - 1.0) * $b AS value
+         FROM $li2),
+       edges AS (SELECT vec_id AS head_id, vec_id % $numRelations AS relation_id,
+                 (vec_id + 7) % (SELECT n FROM nct) AS tail_id FROM embeddings),
+       ebu AS (SELECT *, ${u64("head_id")} AS uh FROM edges)""")
+    val (n0, ln0) = chain("ebu", xx64Steps("uh", "42", "n_t1", "na"), "nx")
+    sb.append(n0)
+    val (n1, ln1) = chain(ln0, xx64Steps(u64("relation_id"), "n_t1", "n_t2", "nb"), "ny")
+    sb.append(n1)
+    val (n2, ln2) = chain(ln1, xx64Steps(u64("tail_id"), "n_t2", "n_t3", "nc"), "nz")
+    sb.append(n2)
+    val (n3, ln3) = chain(ln2, xxIntSteps("0", "n_t3", "n_t4", "nd"), "nw")
+    sb.append(n3)
+    val (n4, ln4) = chain(ln3, xx64Steps("43", "n_t4", "n_h", "ne"), "nv")
+    sb.append(n4)
+    val (c0, lc0) = chain(ln4, xx64Steps(u64(toSigned("n_h")), "42", "c_t", "ca"), "cx")
+    sb.append(c0)
+    val (c1, lc1) = chain(lc0, xxIntSteps("1", "c_t", "c_h", "cb"), "cy")
+    sb.append(c1)
+    sb.append(s""",
+       negs AS MATERIALIZED (
+         SELECT CASE WHEN coin THEN ce ELSE head_id END AS head_id,
+                relation_id,
+                CASE WHEN NOT coin THEN ce ELSE tail_id END AS tail_id,
+                0 AS label
+         FROM (SELECT head_id, relation_id, tail_id,
+                 (((${toSigned("n_h")} % 2) + 2) % 2) = 0 AS coin,
+                 (((${toSigned("c_h")} % (SELECT n FROM nct)) + (SELECT n FROM nct)) % (SELECT n FROM nct)) AS ce
+               FROM $lc1)),
+       batch AS MATERIALIZED (
+         SELECT * FROM negs
+         UNION ALL SELECT head_id, relation_id, tail_id, 1 AS label FROM edges),
+       sums AS MATERIALIZED (SELECT tbl, id, sum(value) AS vsum FROM init GROUP BY tbl, id),
+       scored AS MATERIALIZED (
+         SELECT b.head_id, b.relation_id, b.tail_id, b.label,
+                1.0 / (1.0 + exp(-(hs.vsum + rs.vsum - ts.vsum))) - CAST(b.label AS DOUBLE) AS g
+         FROM batch b
+         JOIN (SELECT id, vsum FROM sums WHERE tbl = 'e') hs ON hs.id = b.head_id
+         JOIN (SELECT id, vsum FROM sums WHERE tbl = 'r') rs ON rs.id = b.relation_id
+         JOIN (SELECT id, vsum FROM sums WHERE tbl = 'e') ts ON ts.id = b.tail_id),
+       grad AS MATERIALIZED (
+         SELECT tbl, id, sum(g) / count(*) AS grad FROM (
+           SELECT 'e' AS tbl, head_id AS id, g FROM scored
+           UNION ALL SELECT 'e' AS tbl, tail_id AS id, -g AS g FROM scored
+           UNION ALL SELECT 'r' AS tbl, relation_id AS id, g FROM scored)
+         GROUP BY tbl, id),
+       stepped AS (
+         SELECT i.tbl, i.id, i.pos,
+           i.value * (CASE WHEN i.tbl = 'e'
+               THEN 1.0 - $lr * 2.0 * $regRatio / ((SELECT CAST(n AS DOUBLE) FROM nct) * $dim)
+               ELSE 1.0 - $lr * 2.0 * $regRatio / (${numRelations.toDouble} * $dim) END)
+             - $lr * coalesce(g.grad, 0.0) AS value
+         FROM init i LEFT JOIN grad g ON g.tbl = i.tbl AND g.id = i.id)
+       SELECT id AS entity_id, CAST(pos AS BIGINT) AS pos, round(value, 4) AS value
+       FROM stepped WHERE tbl = 'e'""")
     sb.toString
   }
 }
