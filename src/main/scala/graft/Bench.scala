@@ -50,8 +50,11 @@ object Bench {
       if (selected.keys.exists(Set("graph_search_topk",
           "graph_search_ivf_seeded")))
         graft.queries.VectorQueries.ensureFixtures(spark, sfDir)
-      if (selected.contains("graph_walk_skipgrams"))
+      if (selected.contains("graph_walk_skipgrams") ||
+          selected.keys.exists(graft.queries.GraphQueries.supplyFixtureConsumers))
         graft.queries.GraphQueries.ensureFixtures(spark, sfDir)
+      if (selected.keys.exists(graft.queries.WarehouseQueries.basketFixtureConsumers))
+        graft.queries.WarehouseQueries.ensureFixtures(spark, sfDir)
       System.gc()
     }
     // deterministic (sorted) execution order for comparable timings
