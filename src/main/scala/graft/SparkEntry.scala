@@ -41,11 +41,13 @@ object SparkEntry {
     RelationalQueries.queries ++ AggregateQueries.queries ++
       FunctionQueries.queries ++ GraphQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ StreamQueries.queries ++
-      WarehouseQueries.queries ++ BpeQueries.queries ++ MlPrepQueries.queries
+      WarehouseQueries.queries ++ BpeQueries.queries ++
+      MlPrepQueries.queries ++ SqlFacadeQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AggregateQueries.oracleSql ++
       FunctionQueries.oracleSql ++ GraphQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++ StreamQueries.oracleSql ++
-      WarehouseQueries.oracleSql ++ MlPrepQueries.oracleSql
+      WarehouseQueries.oracleSql ++ MlPrepQueries.oracleSql ++
+      SqlFacadeQueries.oracleSql
 }
