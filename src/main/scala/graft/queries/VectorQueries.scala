@@ -437,9 +437,10 @@ object VectorQueries {
     // (Stats.topPrincipalComponent): dominant direction + variance
     // share of the embedding corpus — the anisotropy/drift probe.
     // Per-iteration work is one codegen'd-dot scan + a pos-keyed
-    // aggregate; the driver holds only d-length vectors. Iterative
-    // double math → rows-only; StatsSpec pins recovery of a planted
-    // direction.
+    // aggregate; the driver holds only d-length vectors. Oracle-matched:
+    // power iteration CONTRACTS, so cross-engine float dust decays and
+    // XxSql.topPcOracleSql's 15 unrolled rounds hash-match at 4dp;
+    // StatsSpec additionally pins recovery of a planted direction.
     "embedding_top_pc" -> ((s, dir) => {
       graft.operators.Stats.topPrincipalComponent(
         Tables.embeddings(s, dir), "embedding")
@@ -559,6 +560,7 @@ object VectorQueries {
       beam = 10, hops = 2, seedsPerQuery = 8, batchMod = 10),
     "knn_graph_remove" -> XxSql.knnGraphRemoveOracleSql(k = 10, iters = 2,
       beam = 10, hops = 2, seedsPerQuery = 8, removeMod = 10),
+    "embedding_top_pc" -> XxSql.topPcOracleSql(iters = 15),
     "sim_topk_mips" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          ex AS (SELECT e.vec_id,

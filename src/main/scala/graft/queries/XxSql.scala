@@ -358,6 +358,54 @@ private[queries] object XxSql {
     sb.toString
   }
 
+  /** Oracle for `embedding_top_pc` — the power iteration unrolled:
+    * per-pos mean, trace from the total second moment, then `iters`
+    * rounds of y = E[x(x·v)] − µ(µ·v) and L2 renormalization, each
+    * round one (rid ⋈ pos) join-aggregate pair over the flattened
+    * vectors. No hashing here at all — the operator was rows-only only
+    * because of its iterative double math, but power iteration
+    * CONTRACTS toward the dominant eigenvector, so cross-engine ulp
+    * dust decays instead of compounding and the 4dp gate holds (unlike
+    * g7's epoch 2, where SGD drift compounds — that one stays
+    * rows-only by design).
+    */
+  def topPcOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH x AS MATERIALIZED (
+      SELECT vec_id AS rid, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+            FROM embeddings WHERE embedding IS NOT NULL)),
+     nct AS (SELECT CAST(count(DISTINCT rid) AS DOUBLE) AS n FROM x),
+     mu AS MATERIALIZED (SELECT pos, sum(val) / (SELECT n FROM nct) AS mu FROM x GROUP BY pos),
+     ss AS (SELECT sum(val * val) AS s2 FROM x),
+     trace AS (SELECT (SELECT s2 FROM ss) / (SELECT n FROM nct)
+               - (SELECT sum(mu * mu) FROM mu) AS tr),
+     v0 AS (SELECT pos, 1.0 / (pos + 1) AS val FROM mu)""")
+    var prev = "v0"
+    (1 to iters).foreach { k =>
+      sb.append(s""",
+     dk$k AS MATERIALIZED (SELECT x.rid, sum(x.val * v.val) AS s
+            FROM x JOIN $prev v USING (pos) GROUP BY x.rid),
+     yk$k AS (SELECT x.pos, sum(x.val * d.s) / (SELECT n FROM nct) AS y
+            FROM x JOIN dk$k d USING (rid) GROUP BY x.pos),
+     md$k AS (SELECT sum(m.mu * v.val) AS mdv FROM mu m JOIN $prev v USING (pos)),
+     cy$k AS MATERIALIZED (SELECT y.pos, y.y - m.mu * (SELECT mdv FROM md$k) AS c
+            FROM yk$k y JOIN mu m USING (pos)),
+     nr$k AS (SELECT sqrt(sum(c * c)) AS nrm FROM cy$k),
+     v$k AS MATERIALIZED (SELECT pos, c / (SELECT nrm FROM nr$k) AS val FROM cy$k)""")
+      prev = s"v$k"
+    }
+    sb.append(s"""
+     SELECT CAST(pos AS BIGINT) AS pos, val AS loading,
+            (SELECT nrm FROM nr$iters) AS eigenvalue,
+            CASE WHEN (SELECT tr FROM trace) > 0
+                 THEN (SELECT nrm FROM nr$iters) / (SELECT tr FROM trace)
+                 ELSE 0.0 END AS variance_share
+     FROM v$iters""")
+    sb.toString
+  }
+
   /** Oracle for `g7_embedding_epoch1` — ONE epoch of the KG-embedding
     * trainer unrolled (EmbeddingTrainer.train with epochs = 1,
     * batchFraction = 1, negRate = 1, trackLoss = false):
