@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectFunction(GraftExtensions.vecMaxAbs)
     ext.injectFunction(GraftExtensions.jaroWinkler)
+    ext.injectFunction(GraftExtensions.signBits64)
   }
 }
 
@@ -56,6 +57,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "vec_scale(array, scalar)")
       VecScale(children.head, children(1))
+    })
+
+  val signBits64: FunctionDescription = (
+    FunctionIdentifier("sign_bits64"),
+    new ExpressionInfo(classOf[SignBits64].getName, "sign_bits64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "sign_bits64(array)")
+      SignBits64(children.head)
     })
 
   val jaroWinkler: FunctionDescription = (
@@ -122,7 +131,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii,
-      nfcNormalize, vecMaxAbs, jaroWinkler).foreach {
+      nfcNormalize, vecMaxAbs, jaroWinkler, signBits64).foreach {
       case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
     }

@@ -704,4 +704,67 @@ object SimilaritySearch {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Binary-quantized (sign-bit) search: every vector compresses to ONE
+    * 64-bit word ([[graft.functions.expressions.SignBits64]] — 32×
+    * smaller than float32), the coarse filter is Hamming distance =
+    * `bit_count(xor)` (two instructions per candidate), and the
+    * `rerank` smallest-Hamming candidates get the exact cosine. The
+    * memory-bound regime's standard first stage at corpus scale: the
+    * sign table fits where the vectors do not, and the scan is pure
+    * codegen'd long math. Fully deterministic (Hamming ties break on
+    * id, rerank ties on rounded cosine then id) → exact DuckDB oracle.
+    */
+  def hammingTopK(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, rerank: Int = 50): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank; got k=$k rerank=$rerank")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    def sig(c: Column) = ColumnShim.column(
+      graft.functions.expressions.SignBits64(ColumnShim.expression(c)))
+    val signed = df.select(col(idCol), col(vecCol), sig(col(vecCol)).as("__sig"))
+    val q = signed.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("__sig").as("__qsig"),
+        VectorOps.l2Norm(col(vecCol)).as("qn"))
+    signed.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("qv"), col("qn"),
+        bit_count(col("__sig").bitwiseXOR(col("__qsig"))).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(rerank)
+      .select(col(idCol), col("hamming"),
+        round(VectorOps.cosineWithNorms(col(vecCol), col("qv"),
+          VectorOps.l2Norm(col(vecCol)), col("qn")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the `k` NEAREST corpus vectors with a DIFFERENT
+    * label — the "confusable but wrong" examples a trainer wants.
+    * Exact brute-force form (the oracle/truth baseline — the IVF
+    * variants are the scale path, same as [[knnJoinIvf]] vs
+    * [[knnJoinBruteForce]]): one broadcast of the query batch, label
+    * inequality fused into the join predicate so same-label pairs
+    * never materialize.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"), VectorOps.l2Norm(col(vecCol)).as("qn"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        col(labelCol).as("nlabel"), VectorOps.l2Norm(col(vecCol)).as("vn"))
+      .join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") && col("nlabel") =!= col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("nlabel"),
+        VectorOps.cosineWithNorms(col("v"), col("qv"), col("vn"), col("qn")).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("nlabel").cast("long").as("neg_label"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
 }

@@ -126,6 +126,28 @@ object VectorQueries {
         Tables.embeddings(s, dir), "embedding", "vec_id", "label", minCosine = 0.4)
     }),
 
+    // Binary (sign-bit) quantized search: 1 bit/dim (32× smaller than
+    // float32), Hamming = XOR+POPCNT as the coarse filter, exact cosine
+    // rerank of the 50 best — the memory-bound first stage at corpus
+    // scale, via the compiled SignBits64 expression (SQL-registered as
+    // sign_bits64). Deterministic ties → exact oracle.
+    "sim_topk_hamming" -> ((s, dir) => {
+      SimilaritySearch.hammingTopK(
+        Tables.embeddings(s, dir), "embedding", "vec_id", queryId = 0L,
+        k = 10, rerank = 50)
+    }),
+
+    // Hard-negative mining (contrastive-training prep): per query, the
+    // 5 nearest corpus vectors with a DIFFERENT label — exact
+    // brute-force truth form; the IVF stack is the documented scale
+    // path exactly as for knn_join_*.
+    "knn_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilaritySearch.hardNegatives(
+        e, e.where(pmod(col("vec_id"), lit(100)) === 0),
+        "embedding", "vec_id", "label", k = 5)
+    }),
+
     // LSH-bucketed ANN (random-hyperplane signature prune + exact rerank).
     // Oracle-matched: the hyperplanes are seed-fixed JVM Gaussian draws,
     // embedded verbatim as literals in [[lshOracleSql]] — the signature
@@ -549,6 +571,55 @@ object VectorQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // sign bits as a HUGEINT power sum (bit 63 would overflow BIGINT);
+    // hamming = bit_count(xor) on the unsigned values — identical to
+    // Spark's long xor/popcount on the two's-complement form
+    "sim_topk_hamming" ->
+      """WITH sig AS MATERIALIZED (
+           SELECT vec_id, embedding,
+             CAST(sum(CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE) > 0
+               THEN CAST(2 ** (CAST(i AS INT) - 1) AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS s
+           FROM (SELECT vec_id, unnest(generate_series(1, least(len(embedding), 64))) AS i,
+                        embedding FROM embeddings)
+           GROUP BY vec_id, embedding),
+         q AS (SELECT embedding AS qv, s AS qs FROM sig WHERE vec_id = 0),
+         cand AS (SELECT g.vec_id, g.embedding, q.qv,
+                    CAST(bit_count(xor(g.s, q.qs)) AS BIGINT) AS hamming
+                  FROM sig g CROSS JOIN q WHERE g.vec_id <> 0
+                  ORDER BY hamming ASC, g.vec_id ASC LIMIT 50),
+         ex AS (SELECT vec_id, hamming,
+                  unnest(generate_series(1, len(embedding))) AS i,
+                  embedding, qv FROM cand),
+         dots AS (SELECT vec_id, hamming,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                  FROM ex GROUP BY vec_id, hamming)
+         SELECT vec_id, hamming, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "knn_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     CAST(e.label AS BIGINT) AS neg_label, e.embedding, q.qv
+                   FROM embeddings e CROSS JOIN q
+                   WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+         ex AS (SELECT query_id, neighbor_id, neg_label,
+                  unnest(generate_series(1, len(embedding))) AS i,
+                  embedding, qv FROM pairs),
+         dots AS (SELECT query_id, neighbor_id, neg_label,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE))
+                    / (sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))
+                       * sqrt(sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)))) AS cos
+                  FROM ex GROUP BY query_id, neighbor_id, neg_label),
+         ranked AS (SELECT query_id, neighbor_id, neg_label,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank, cos
+                    FROM dots)
+         SELECT query_id, neighbor_id, neg_label, CAST(rank AS BIGINT) AS rank,
+                round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5""",
     "sim_lsh_topk" -> lshOracleSql,
     // NN-descent and the beam search replay EXACTLY in DuckDB: their
     // only non-SQL ingredient was the seeded xxhash64 init / seed

@@ -384,4 +384,70 @@ class SimilaritySpec extends SparkSpec {
       .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells == Map(1L -> 0, 2L -> 1))
   }
+
+  test("SignBits64: bit i ⇔ element i > 0; matches the axis-aligned hyperplane form") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    def sig(c: org.apache.spark.sql.Column) = ColumnShim.column(
+      graft.functions.expressions.SignBits64(ColumnShim.expression(c)))
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.0f, 2.0f)),     // bits 0 and 3
+      (2L, Seq(-1.0f, -1.0f, -1.0f, -1.0f)),  // none
+      (3L, Seq.fill(64)(1.0f))                // all 64 (bit 63 = sign bit)
+    ).toDF("id", "v")
+    val out = df.select(col("id"), sig(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == ((1L << 0) | (1L << 3)))
+    assert(out(2L) == 0L)
+    assert(out(3L) == -1L) // all 64 bits set = two's-complement -1
+    // identical to the hyperplane signature with the identity basis
+    val planes = (0 until 4).map(i => Seq.tabulate(4)(j => if (i == j) 1.0 else 0.0))
+    val both = df.where(col("id") =!= 3).select(
+      sig(col("v")).as("a"),
+      VectorOps.hyperplaneSignature(col("v"), planes).as("b")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // SQL registration (GraftExtensions)
+    graft.functions.expressions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("sb_in")
+    val viaSql = spark.sql("SELECT sign_bits64(v) AS s FROM sb_in WHERE id = 1").head()
+    assert(viaSql.getLong(0) == ((1L << 0) | (1L << 3)))
+  }
+
+  test("hammingTopK: binary coarse filter + exact rerank finds the true neighbor") {
+    import spark.implicits._
+    // query 0 at (+,+,-,-); id 1 identical signs (hamming 0), id 2 one
+    // flip, id 3 opposite — rank must follow the exact cosine among the
+    // reranked set, which here agrees with hamming order
+    val df = Seq(
+      (0L, Seq(1.0f, 1.0f, -1.0f, -1.0f)),
+      (1L, Seq(0.9f, 1.1f, -0.8f, -1.2f)),
+      (2L, Seq(1.0f, -0.1f, -1.0f, -1.0f)),
+      (3L, Seq(-1.0f, -1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.hammingTopK(df, "embedding", "vec_id",
+      queryId = 0L, k = 3, rerank = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getLong(1) == 0L)            // hamming(query, id 1) = 0
+    assert(out.last.getLong(1) == 4L)            // id 3 flips all 4 sign bits
+    assert(out.head.getDouble(2) > 0.98)         // exact cosine survived rerank
+    // determinism across partitionings
+    val again = SimilaritySearch.hammingTopK(df.repartition(5), "embedding",
+      "vec_id", queryId = 0L, k = 3, rerank = 3).collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("hardNegatives: nearest different-label vectors only, exact top-k") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // query
+      (1L, Seq(0.99f, 0.1f), 0),  // same label — excluded however close
+      (2L, Seq(0.9f, 0.3f), 1),   // nearest wrong-label
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(-1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.hardNegatives(
+      df, df.where(col("vec_id") === 0), "embedding", "vec_id", "label", k = 2)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getLong(2) != 0L))       // no same-label row leaked
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
 }
