@@ -754,6 +754,28 @@ object WarehouseQueries {
       graft.operators.KmvSketch.pairOps(sk, "seg", k = 256)
     }),
 
+    // Mergeable deterministic quantile sketch (QuantileSketch): per
+    // (event_type, hour) bottom-256-by-md5(event_id) row samples,
+    // MERGED up to event_type, then p50/p90/p99 reads — the rollup
+    // never re-touches raw rows, and the oracle computes the GLOBAL
+    // per-type sketch directly, so the hash match IS the mergeability
+    // law (merged hourly sketches ≡ one-shot sketch) proven on real
+    // data every round.
+    "sketch_quantiles_kmv" -> ((s, dir) => {
+      val NanosPerHour = 3600L * 1000L * 1000L * 1000L
+      val e = Tables.events(s, dir)
+        .withColumn("hour_idx", expr(s"ts_ns div $NanosPerHour"))
+      val hourly = graft.operators.QuantileSketch.sketch(e,
+        Seq("event_type", "hour_idx"), "value", "event_id", k = 256)
+      val merged = graft.operators.QuantileSketch.merge(
+        hourly.select(col("event_type"), col("h"), col("v")),
+        Seq("event_type"), k = 256)
+      graft.operators.QuantileSketch.quantiles(merged, Seq("event_type"),
+        Seq(500000L, 900000L, 990000L))
+        .select(col("event_type"), col("q_ppm"), col("n_sample"),
+          (round(col("est"), 4) + lit(0.0)).as("est"))
+    }),
+
     // Streaming KMV maintenance (KmvStream): the per-segment distinct-
     // part sketch folded from three orderkey-range batches — merge =
     // dedup + re-rank + cut (the spec-pinned mergeability law), so the
@@ -1078,6 +1100,26 @@ object WarehouseQueries {
              ELSE (255 * 281474976710656) // hk END AS BIGINT)
              AS est_distinct
          FROM est""",
+    // global per-type bottom-256 directly — equal to the query's merged
+    // hourly sketches iff the merge law holds
+    "sketch_quantiles_kmv" ->
+      """WITH h AS (SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+               AS BIGINT) AS h,
+             value AS v
+           FROM events WHERE value IS NOT NULL),
+         sk AS (SELECT event_type, h, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           FROM h QUALIFY rk <= 256),
+         ranked AS (SELECT event_type, v, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vrk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM sk),
+         qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+         SELECT r.event_type, CAST(q.q_ppm AS BIGINT) AS q_ppm,
+                CAST(r.n AS BIGINT) AS n_sample, round(r.v, 4) AS est
+         FROM ranked r CROSS JOIN qs q
+         WHERE r.vrk = greatest(1, (q.q_ppm * r.n + 999999) // 1000000)""",
     "sketch_kmv_set_ops" ->
       """WITH items AS (SELECT DISTINCT c_mktsegment AS seg, l_partkey
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
