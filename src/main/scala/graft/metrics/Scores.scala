@@ -418,6 +418,63 @@ object Scores {
     out
   }
 
+  /** Krippendorff's alpha, nominal data — the agreement coefficient for
+    * VARIABLE raters per unit (kappa needs exactly two fixed raters;
+    * real annotation tables rarely oblige). Computed from the
+    * coincidence-matrix identity
+    *
+    * {{{ α = 1 − (n−1)·Σ_u[(m_u² − Σ_c o_uc²)/(m_u−1)] / (n² − Σ_c n_c²) }}}
+    *
+    * where m_u is unit u's value count, o_uc its per-category counts,
+    * n = Σ m_u over pairable units (m_u ≥ 2), n_c the category
+    * marginals over those units. Exact integers end to end: the
+    * per-unit rational scales by 10¹² through a truncating `div`
+    * (identical on both engines), every product widens to
+    * DECIMAL(38,0). Headroom: exact to n ≈ 10⁹ pairable values
+    * (10⁶·n·10¹²·n ≤ 10³⁸). Units with one value and null values are
+    * excluded (unpairable — the standard convention).
+    *
+    * @return one row: (n_units, n, alpha_ppm, alpha)
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      valueCol: String): DataFrame = {
+    val cnt = df.where(col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(valueCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    val units = cnt.groupBy(col("__u"))
+      .agg(sum(col("__o")).as("__m"),
+        sum(expr("CAST(__o AS DECIMAL(38,0)) * __o")).as("__so2"))
+      .where(col("__m") >= 2)
+      .localCheckpoint(true)
+    val doAgg = units.agg(
+      count(lit(1)).as("__nu"),
+      sum(col("__m")).as("__n"),
+      sum(expr(
+        """(1000000000000 * (CAST(__m AS DECIMAL(38,0)) * __m - __so2))
+           div (__m - 1)""")).as("__do12"))
+    val nc = cnt.join(units.select(col("__u")), Seq("__u"), "left_semi")
+      .groupBy(col("__c")).agg(sum(col("__o")).as("__nc"))
+      .agg(sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")).as("__snc2"))
+    val out = doAgg.crossJoin(broadcast(nc))
+      .select(col("__nu").as("n_units"), col("__n").as("n"),
+        // degenerate: one category everywhere → De = 0, α undefined
+        expr("""CASE WHEN CAST(__n AS DECIMAL(38,0)) * __n = __snc2
+                THEN NULL
+                ELSE 1000000 - (CAST(1000000 AS DECIMAL(38,0)) * (__n - 1) * __do12)
+                     div ((CAST(__n AS DECIMAL(38,0)) * __n - __snc2)
+                          * 1000000000000) END""").as("alpha_ppm"),
+        round(expr("""CASE WHEN CAST(__n AS DECIMAL(38,0)) * __n = __snc2
+                THEN NULL
+                ELSE 1.0 - CAST(CAST(__do12 AS DECIMAL(38,0)) * (__n - 1) AS DOUBLE)
+                     / CAST((CAST(__n AS DECIMAL(38,0)) * __n - __snc2)
+                            * 1000000000000 AS DOUBLE) END"""), 4).as("alpha"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.CheckpointShim.freeLocalCheckpointIfAny(cnt)
+    org.apache.spark.sql.graftshim.CheckpointShim.freeLocalCheckpointIfAny(units)
+    out
+  }
+
   /** Global candidate order shared by every query: (esum ASC, id ASC)
     * ≡ (score DESC, id ASC). DenseId = distributed range sort +
     * zipWithIndex, eagerly checkpointed; `grank0` is 0-based.

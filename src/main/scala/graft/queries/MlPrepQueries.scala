@@ -700,6 +700,16 @@ object MlPrepQueries {
         "rater_a", "rater_b")
     }),
 
+    // Krippendorff's alpha (Scores.krippendorffAlpha): agreement with
+    // VARIABLE raters per unit — each order's lineitems "annotate" the
+    // order with their return flag; kappa can't express this shape.
+    // Exact integers end to end (per-unit rationals scale by 10¹²
+    // through truncating div); alpha_ppm hash-exact.
+    "agreement_krippendorff" -> ((s, dir) => {
+      graft.metrics.Scores.krippendorffAlpha(
+        Tables.lineitem(s, dir), "l_orderkey", "l_returnflag")
+    }),
+
     // Split-conformal prediction intervals (Conformal.splitConformal):
     // a per-returnflag price-per-unit model fit on the md5-gated
     // calibration half, the k = ceil(0.9(n+1)) order statistic of its
@@ -1597,6 +1607,32 @@ object MlPrepQueries {
            round(CAST(tr - CAST(npos AS HUGEINT) * (npos + 1) AS DOUBLE)
              / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 4) AS auc
          FROM a""",
+    "agreement_krippendorff" ->
+      """WITH cnt AS (SELECT l_orderkey AS u, l_returnflag AS c,
+             CAST(count(*) AS BIGINT) AS o
+           FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
+         units AS (SELECT u, sum(o) AS m,
+             sum(CAST(o AS HUGEINT) * o) AS so2
+           FROM cnt GROUP BY 1 HAVING sum(o) >= 2),
+         da AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+             CAST(sum(m) AS BIGINT) AS n,
+             sum((1000000000000 * (CAST(m AS HUGEINT) * m - so2)) // (m - 1))
+               AS do12
+           FROM units),
+         nc AS (SELECT sum(CAST(s AS HUGEINT) * s) AS snc2 FROM (
+             SELECT sum(cnt.o) AS s FROM cnt
+             JOIN units ON cnt.u = units.u GROUP BY cnt.c)),
+         j AS (SELECT * FROM da CROSS JOIN nc)
+         SELECT nu AS n_units, n,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * n = snc2 THEN NULL
+             ELSE 1000000 - (1000000 * (n - 1) * do12)
+                  // ((CAST(n AS HUGEINT) * n - snc2) * 1000000000000)
+             END AS BIGINT) AS alpha_ppm,
+           round(CASE WHEN CAST(n AS HUGEINT) * n = snc2 THEN NULL
+             ELSE 1.0 - CAST((n - 1) * do12 AS DOUBLE)
+                  / CAST((CAST(n AS HUGEINT) * n - snc2)
+                         * 1000000000000 AS DOUBLE) END, 4) AS alpha
+         FROM j""",
     "agreement_kappa" ->
       """WITH t AS (SELECT
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'

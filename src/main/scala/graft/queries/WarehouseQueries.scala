@@ -629,6 +629,33 @@ object WarehouseQueries {
         .withColumn("conv_ppm", expr("n_converted * 1000000L DIV n_users"))
     }),
 
+    // CUPED variance reduction (Cuped.effect): the A/B read with each
+    // user's PRE-period purchase value as the covariate — θ fit pooled
+    // from exact DECIMAL sufficient statistics, effects and ρ² as fixed
+    // double expressions over them, so the whole estimator hash-matches.
+    // µ-scaling goes through DECIMAL(18,6)·10⁶ (exact on both engines,
+    // never a double→int cast).
+    "ab_cuped" -> ((s, dir) => {
+      val gate = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val byUser = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("ts_us") < SplitUs,
+            col("value").cast(DecimalType(18, 6)))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("__xd"),
+          sum(when(col("event_type") === "purchase" && col("ts_us") >= SplitUs,
+            col("value").cast(DecimalType(18, 6)))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("__yd"))
+        .select(
+          when(gate < 32768, lit("A")).otherwise(lit("B")).as("arm"),
+          expr("CAST(__yd * 1000000 AS BIGINT)").as("y_micro"),
+          expr("CAST(__xd * 1000000 AS BIGINT)").as("x_micro"))
+      graft.operators.Cuped.effect(byUser, "arm", "y_micro", "x_micro",
+        armA = "A", armB = "B")
+    }),
+
     // Sequential probability ratio test curve (Wald SPRT): per arm,
     // the cumulative log-likelihood ratio of the design alternative
     // (p1 = 0.5) vs the null (p0 = 0.4) as users arrive by hour, with
@@ -1561,6 +1588,47 @@ object WarehouseQueries {
            SELECT reach.node, s2.dst FROM reach JOIN sym s2 ON reach.r = s2.src)
          SELECT CAST(node AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
          FROM reach GROUP BY node""",
+    "ab_cuped" ->
+      """WITH pu AS (SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) < 32768 THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND epoch_us(ts) < 1705276800000000
+                 THEN CAST(value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND epoch_us(ts) >= 1705276800000000
+                 THEN CAST(value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM pu),
+         arms AS (SELECT arm, count(*) AS na,
+             sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+           FROM pu GROUP BY 1),
+         j AS (SELECT g.*,
+             a.na AS nA, a.sxa AS sxA, a.sya AS syA,
+             b.na AS nB, b.sxa AS sxB, b.sya AS syB,
+             CAST(g.sxy * g.n - g.sx * g.sy AS DOUBLE) AS covn,
+             CAST(g.sxx * g.n - g.sx * g.sx AS DOUBLE) AS varxn,
+             CAST(g.syy * g.n - g.sy * g.sy AS DOUBLE) AS varyn
+           FROM g, (SELECT * FROM arms WHERE arm = 'A') a,
+                (SELECT * FROM arms WHERE arm = 'B') b),
+         k AS (SELECT *,
+             CASE WHEN varxn = 0.0 THEN 0.0 ELSE covn / varxn END AS theta,
+             CAST(syA AS DOUBLE) / nA - CAST(syB AS DOUBLE) / nB AS dy,
+             CAST(sxA AS DOUBLE) / nA - CAST(sxB AS DOUBLE) / nB AS dx
+           FROM j)
+         SELECT n AS n_units, round(theta, 6) AS theta,
+           round(dy / 1e6, 4) AS effect_raw,
+           round((dy - theta * dx) / 1e6, 4) AS effect_cuped,
+           round(CASE WHEN varxn = 0.0 OR varyn = 0.0 THEN 0.0
+             ELSE (covn * covn) / (varxn * varyn) END, 4) AS var_reduction
+         FROM k""",
     "ab_experiment" ->
       """WITH u AS (SELECT user_id, event_type, value,
              CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))

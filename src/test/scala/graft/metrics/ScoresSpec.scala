@@ -226,4 +226,27 @@ class ScoresSpec extends SparkSpec {
       Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b").head()
     assert(degen.getLong(0) == 2L && degen.isNullAt(3) && degen.isNullAt(4))
   }
+
+  test("krippendorffAlpha: hand-computed nominal alpha, exclusions, degenerate") {
+    import spark.implicits._
+    // u1 [a,a], u2 [a,a], u3 [b] (unpairable — excluded), u4 [b,b,a]:
+    // Do terms 0 + 0 + (9−5)/2 = 2; n = 7, n_a = 5, n_b = 2 →
+    // α = 1 − 6·2/(49−29) = 0.4
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"), (3L, "b"),
+      (4L, "b"), (4L, "b"), (4L, "a"),
+      (5L, Option.empty[String].orNull)).toDF("u", "v")
+    val r = Scores.krippendorffAlpha(df, "u", "v").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L)
+    assert(r.getLong(2) == 400000L && r.getDouble(3) == 0.4)
+    // perfect agreement within every unit → α = 1
+    val perfect = Scores.krippendorffAlpha(
+      Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("u", "v"),
+      "u", "v").head()
+    assert(perfect.getLong(2) == 1000000L)
+    // one category everywhere → De = 0, α undefined → null
+    val degen = Scores.krippendorffAlpha(
+      Seq((1L, "x"), (1L, "x")).toDF("u", "v"), "u", "v").head()
+    assert(degen.isNullAt(2) && degen.isNullAt(3))
+  }
 }
