@@ -30,6 +30,30 @@ object WarehouseQueries {
     */
   private val SplitUs = 1705276800000000L
 
+  /** Shared oracle for `sketch_quantiles_kmv` (batch rollup) and
+    * `sketch_quantiles_maintained` (streaming fold): the GLOBAL
+    * per-type bottom-256-by-md5 row sample computed directly — both
+    * query forms must equal it, which is exactly the merge law.
+    */
+  private val QuantileSketchOracle: String =
+    """WITH h AS (SELECT event_type,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+             AS BIGINT) AS h,
+           value AS v
+         FROM events WHERE value IS NOT NULL),
+       sk AS (SELECT event_type, h, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         FROM h QUALIFY rk <= 256),
+       ranked AS (SELECT event_type, v, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vrk,
+           count(*) OVER (PARTITION BY event_type) AS n
+         FROM sk),
+       qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+       SELECT r.event_type, CAST(q.q_ppm AS BIGINT) AS q_ppm,
+              CAST(r.n AS BIGINT) AS n_sample, round(r.v, 4) AS est
+       FROM ranked r CROSS JOIN qs q
+       WHERE r.vrk = greatest(1, (q.q_ppm * r.n + 999999) // 1000000)"""
+
   /** Market-basket adjacency: consecutive parts (by part key) within
     * an order — a deterministic SPARSE projection of the co-purchase
     * graph (full per-order cliques on random data degenerate toward a
@@ -803,6 +827,35 @@ object WarehouseQueries {
           (round(col("est"), 4) + lit(0.0)).as("est"))
     }),
 
+    // Streaming quantile-sketch maintenance (QuantileStream): the
+    // per-type row sample folded from three event_id-range batches —
+    // the maintained sketch is bit-identical to the one-shot sketch
+    // over everything so far (bottom-k merge law), so THE SAME oracle
+    // as sketch_quantiles_kmv proves maintained ≡ one-shot each round.
+    "sketch_quantiles_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("qsk-gate")
+      val skDir = s"$base/sketch"
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val Row(iMin: Long, iMax: Long) =
+        e.agg(min(col("event_id")), max(col("event_id"))).head
+      val i1 = iMin + (iMax - iMin) / 3
+      val i2 = iMin + 2 * (iMax - iMin) / 3
+      graft.streaming.QuantileStream.applyBatch(
+        e.where(col("event_id") < i1), "event_type", "value", "event_id",
+        256, skDir, 0)
+      graft.streaming.QuantileStream.applyBatch(
+        e.where(col("event_id") >= i1 && col("event_id") < i2),
+        "event_type", "value", "event_id", 256, skDir, 1)
+      graft.streaming.QuantileStream.applyBatch(
+        e.where(col("event_id") >= i2), "event_type", "value", "event_id",
+        256, skDir, 2)
+      graft.streaming.QuantileStream.quantiles(s, skDir, "event_type",
+        Seq(500000L, 900000L, 990000L))
+        .select(col("event_type"), col("q_ppm"), col("n_sample"),
+          (round(col("est"), 4) + lit(0.0)).as("est"))
+    }),
+
     // Streaming KMV maintenance (KmvStream): the per-segment distinct-
     // part sketch folded from three orderkey-range batches — merge =
     // dedup + re-rank + cut (the spec-pinned mergeability law), so the
@@ -1128,25 +1181,10 @@ object WarehouseQueries {
              AS est_distinct
          FROM est""",
     // global per-type bottom-256 directly — equal to the query's merged
-    // hourly sketches iff the merge law holds
-    "sketch_quantiles_kmv" ->
-      """WITH h AS (SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
-               AS BIGINT) AS h,
-             value AS v
-           FROM events WHERE value IS NOT NULL),
-         sk AS (SELECT event_type, h, v,
-             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
-           FROM h QUALIFY rk <= 256),
-         ranked AS (SELECT event_type, v, h,
-             row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vrk,
-             count(*) OVER (PARTITION BY event_type) AS n
-           FROM sk),
-         qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
-         SELECT r.event_type, CAST(q.q_ppm AS BIGINT) AS q_ppm,
-                CAST(r.n AS BIGINT) AS n_sample, round(r.v, 4) AS est
-         FROM ranked r CROSS JOIN qs q
-         WHERE r.vrk = greatest(1, (q.q_ppm * r.n + 999999) // 1000000)""",
+    // hourly sketches (batch form) AND to the maintained fold (stream
+    // form) iff the merge law holds
+    "sketch_quantiles_kmv" -> QuantileSketchOracle,
+    "sketch_quantiles_maintained" -> QuantileSketchOracle,
     "sketch_kmv_set_ops" ->
       """WITH items AS (SELECT DISTINCT c_mktsegment AS seg, l_partkey
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -52,6 +52,28 @@ class QuantileSketchSpec extends SparkSpec {
     assert(ests(900000L) > ests(500000L)) // monotone reads
   }
 
+  test("stream fold: batches ≡ one-shot; replayed batch is a no-op") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => ("g", i, (i * 13 % 271).toDouble))
+      .toDF("g", "id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("qs-spec").toString
+    graft.streaming.QuantileStream.applyBatch(
+      df.where(col("id") <= 100), "g", "v", "id", 32, dir, 0)
+    graft.streaming.QuantileStream.applyBatch(
+      df.where(col("id") > 100 && col("id") <= 200), "g", "v", "id", 32, dir, 1)
+    // batch 1 REPLAYS (sink retry) before batch 2 arrives
+    graft.streaming.QuantileStream.applyBatch(
+      df.where(col("id") > 100 && col("id") <= 200), "g", "v", "id", 32, dir, 1)
+    graft.streaming.QuantileStream.applyBatch(
+      df.where(col("id") > 200), "g", "v", "id", 32, dir, 2)
+    val folded = graft.streaming.QuantileStream.quantiles(
+      spark, dir, "g", Seq(500000L)).head()
+    val oneShot = QuantileSketch.quantiles(
+      QuantileSketch.sketch(df, Seq("g"), "v", "id", 32),
+      Seq("g"), Seq(500000L)).head()
+    assert(folded == oneShot)
+  }
+
   test("determinism: same sketch and estimates on any partitioning") {
     import spark.implicits._
     val df = (1L to 500L).map(i => ("g", i, (i % 97).toDouble)).toDF("g", "id", "v")
