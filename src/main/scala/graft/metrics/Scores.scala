@@ -418,6 +418,55 @@ object Scores {
     out
   }
 
+  /** Spearman rank correlation with textbook tie-averaged ranks, exact
+    * to the last integer: a value's average rank is (min_rank +
+    * (ties−1)/2), so DOUBLED average ranks 2·r = 2·rank() + ties − 1
+    * are integers — and Pearson is scale-invariant, so ρ over the
+    * doubled ranks IS Spearman's ρ. All sufficient statistics
+    * accumulate as DECIMAL(38,0) products of those integer ranks
+    * (order-independent); the one double division happens at the end.
+    * Rows with a null on either side are excluded. Headroom: n ≤ ~10⁸
+    * keeps (2n)²·n inside DECIMAL(38,0).
+    *
+    * Spark shape: NO partitionless rank window (the banned global
+    * sweep) — each side's doubled rank is a pure function of its
+    * VALUE, so it comes from a per-distinct-value count + a
+    * [[graft.operators.PrefixSum]] running total (2·r(v) = 2·cum(v) −
+    * cnt(v) + 1), joined back by value. Distinct-value-sized frames
+    * everywhere except the two value joins.
+    *
+    * @return one row: (n, rho)
+    */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    def rank2(vcol: String): DataFrame = {
+      val cnts = t.groupBy(col(vcol).as("__v")).agg(count(lit(1)).as("__c"))
+      graft.operators.PrefixSum.withRunningTotal(cnts, "__c", "__cum", "__v")
+        .select(col("__v"),
+          (lit(2L) * col("__cum") - col("__c") + 1L).as("__r2"))
+    }
+    val ranked = t
+      .join(rank2("__a").select(col("__v").as("__a"), col("__r2").as("__ra")),
+        Seq("__a"))
+      .join(rank2("__b").select(col("__v").as("__b"), col("__r2").as("__rb")),
+        Seq("__b"))
+    ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(expr("CAST(__ra AS DECIMAL(38,0))")).as("__sx"),
+      sum(expr("CAST(__rb AS DECIMAL(38,0))")).as("__sy"),
+      sum(expr("CAST(__ra AS DECIMAL(38,0)) * __rb")).as("__sxy"),
+      sum(expr("CAST(__ra AS DECIMAL(38,0)) * __ra")).as("__sxx"),
+      sum(expr("CAST(__rb AS DECIMAL(38,0)) * __rb")).as("__syy"))
+    .select(col("__n").as("n"),
+      round(expr("""CASE WHEN (__sxx * __n - __sx * __sx) = 0
+              OR (__syy * __n - __sy * __sy) = 0 THEN NULL
+            ELSE CAST(__sxy * __n - __sx * __sy AS DOUBLE)
+              / sqrt(CAST(__sxx * __n - __sx * __sx AS DOUBLE)
+                   * CAST(__syy * __n - __sy * __sy AS DOUBLE)) END"""), 4)
+        .as("rho"))
+  }
+
   /** Krippendorff's alpha, nominal data — the agreement coefficient for
     * VARIABLE raters per unit (kappa needs exactly two fixed raters;
     * real annotation tables rarely oblige). Computed from the

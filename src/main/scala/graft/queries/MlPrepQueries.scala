@@ -700,6 +700,16 @@ object MlPrepQueries {
         "rater_a", "rater_b")
     }),
 
+    // Spearman rank correlation (Scores.spearman): monotone association
+    // between quantity and line price — textbook tie-averaged ranks
+    // kept EXACT by doubling (2·avg_rank is an integer), ranks derived
+    // from per-value counts + a PrefixSum running total (no global rank
+    // window), Pearson over the integer ranks from exact DECIMAL sums.
+    "rank_spearman" -> ((s, dir) => {
+      graft.metrics.Scores.spearman(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")
+    }),
+
     // Krippendorff's alpha (Scores.krippendorffAlpha): agreement with
     // VARIABLE raters per unit — each order's lineitems "annotate" the
     // order with their return flag; kappa can't express this shape.
@@ -1607,6 +1617,33 @@ object MlPrepQueries {
            round(CAST(tr - CAST(npos AS HUGEINT) * (npos + 1) AS DOUBLE)
              / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 4) AS auc
          FROM a""",
+    "rank_spearman" ->
+      """WITH t AS (SELECT l_quantity AS a, l_extendedprice AS b
+           FROM lineitem WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         ca AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         ra AS (SELECT v, 2 * sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r2
+           FROM ca),
+         cb AS (SELECT b AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         rb AS (SELECT v, 2 * sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r2
+           FROM cb),
+         j AS (SELECT ra.r2 AS x, rb.r2 AS y
+           FROM t JOIN ra ON t.a = ra.v JOIN rb ON t.b = rb.v),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM j)
+         SELECT n,
+           round(CASE WHEN (sxx * n - sx * sx) = 0 OR (syy * n - sy * sy) = 0
+             THEN NULL
+             ELSE CAST(sxy * n - sx * sy AS DOUBLE)
+               / sqrt(CAST(sxx * n - sx * sx AS DOUBLE)
+                    * CAST(syy * n - sy * sy AS DOUBLE)) END, 4) AS rho
+         FROM g""",
     "agreement_krippendorff" ->
       """WITH cnt AS (SELECT l_orderkey AS u, l_returnflag AS c,
              CAST(count(*) AS BIGINT) AS o

@@ -227,6 +227,30 @@ class ScoresSpec extends SparkSpec {
     assert(degen.getLong(0) == 2L && degen.isNullAt(3) && degen.isNullAt(4))
   }
 
+  test("spearman: hand-computed rho with ties, perfect, inverse, degenerate") {
+    import spark.implicits._
+    // x = 1,2,3,4 vs y = 2,1,4,3: ranks swap within pairs →
+    // d² = 1+1+1+1 = 4, ρ = 1 − 6·4/(4·15) = 0.6
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)).toDF("a", "b")
+    val r = Scores.spearman(df, "a", "b").head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.6)
+    // ties on one side: x = 1,1,2 (avg ranks 1.5,1.5,3) vs y = 1,2,3
+    // (ranks 1,2,3): Σxy-style Pearson over (3,3,6)/(2,4,6) = cov 1.5·√...
+    // → ρ = 0.866 (textbook tie-corrected value √3/2)
+    val ties = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("a", "b")
+    val rt = Scores.spearman(ties, "a", "b").head()
+    assert(rt.getDouble(1) == 0.866)
+    // perfect monotone → 1; inverse → −1; constant side → null
+    assert(Scores.spearman(
+      Seq((1.0, 10.0), (2.0, 20.0), (3.0, 21.0)).toDF("a", "b"),
+      "a", "b").head().getDouble(1) == 1.0)
+    assert(Scores.spearman(
+      Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("a", "b"),
+      "a", "b").head().getDouble(1) == -1.0)
+    assert(Scores.spearman(
+      Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b"), "a", "b").head().isNullAt(1))
+  }
+
   test("krippendorffAlpha: hand-computed nominal alpha, exclusions, degenerate") {
     import spark.implicits._
     // u1 [a,a], u2 [a,a], u3 [b] (unpairable — excluded), u4 [b,b,a]:
