@@ -179,8 +179,16 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard on the
     * candidates only. numHashes = bands × rowsPerBand. Signatures come
-    * from one grouped aggregation of builtin (codegen'd) xxhash64 mins —
-    * one shuffle keyed by doc, any corpus size.
+    * from one grouped aggregation of per-slot hash mins — one shuffle
+    * keyed by doc, any corpus size.
+    *
+    * Hash family: 48-bit md5 of `"slot:shingle"` (the [[KmvSketch]]
+    * draw discipline) rather than a JVM-only hash — any uniform family
+    * gives MinHash its collision-probability = Jaccard property, and
+    * md5 exists identically in the oracle engine, so the WHOLE
+    * pipeline (signatures, band buckets, candidates, exact verify)
+    * replays bit for bit in SQL. Band keys hash the slot values the
+    * same way.
     *
     * `maxBucketSize` caps the band buckets the same way `maxShingleDf`
     * caps the shingle index: a bucket holding k documents emits k² pairs,
@@ -199,13 +207,19 @@ object Dedup {
     // shingleJaccardPairs
     val shingles = shingleRows(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 48-bit md5 slot draw — shared form with the SQL oracle
+    def mh48(c: Column): Column =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
     // k min-hash slots in one aggregation pass
     val sigs = shingles.groupBy(col("doc")).agg(
-      min(xxhash64(lit(0), col("g"))).as("h0"),
-      (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i")): _*)
+      min(mh48(concat(lit("0:"), col("g")))).as("h0"),
+      (1 until k).map(i =>
+        min(mh48(concat(lit(s"$i:"), col("g")))).as(s"h$i")): _*)
     // band buckets: hash of each band's slots
     val banded = sigs.select(col("doc") +: (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      mh48(concat_ws(":",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i").cast("string")): _*))
         .as(s"b$b")
     }: _*)
     val bandRows = banded.select(col("doc"), explode(array((0 until bands).map { b =>

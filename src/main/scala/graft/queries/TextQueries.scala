@@ -453,7 +453,9 @@ object TextQueries {
     }),
 
     // MinHash+LSH near-dup (banded signature join → exact verify).
-    // Deterministic, not SQL-expressible → rows-only.
+    // Oracle-matched: the slot/band hashes are 48-bit md5 (the KMV
+    // draw discipline), so [[minhashOracleSql]] replays signatures,
+    // buckets, candidates, and the exact-Jaccard verify bit for bit.
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minHashLshPairs(Tables.documents(s, dir), "text", "doc_id")
     }),
@@ -982,7 +984,57 @@ object TextQueries {
     })
   )
 
+  /** DuckDB replay of `dedup_minhash` (Dedup.minHashLshPairs with the
+    * default 8 bands × 2 rows): word-5-gram shingles (the proven
+    * dedup_ngram_jaccard fragment), 16 min-of-md5-48 signature slots,
+    * md5-48 band buckets over the slot strings, candidate pairs per
+    * (band, bucket), exact Jaccard ≥ 0.5 verify. The bucket cap is
+    * omitted — TESTDATA never reaches it (the operator probes first).
+    */
+  private def minhashOracleSql(bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    def h48(arg: String) =
+      s"CAST(('0x' || substr(md5($arg), 1, 12)) AS BIGINT)"
+    val slots = (0 until k)
+      .map(i => s"min(${h48(s"'$i:' || g")}) AS h$i").mkString(",\n             ")
+    val bandCols = (0 until bands).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
+      s"${h48(parts)} AS b$b"
+    }.mkString(",\n             ")
+    val bandUnion = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS bucket FROM bsel")
+      .mkString("\n           UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       idx AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+       sh AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+       sig AS (SELECT doc_id,
+             $slots
+           FROM sh GROUP BY doc_id),
+       bsel AS (SELECT doc_id,
+             $bandCols
+           FROM sig),
+       bnd AS ($bandUnion),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bnd a JOIN bnd b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.g = sa.g
+           GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+       FROM inter JOIN card ca ON doc_a = ca.doc_id
+                  JOIN card cb ON doc_b = cb.doc_id
+       WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracleSql(bands = 8, rowsPerBand = 2),
     "pipeline_docs" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
