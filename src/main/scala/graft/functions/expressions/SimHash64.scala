@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -11,8 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * The pure-functions formulation (64 × `aggregate` folds over the token
   * hashes) is interpreted per element per bit — O(tokens × 64) lambda
   * frames per row. This expression walks the tokens once, keeping 64 int
-  * counters on the stack; tokens hash with the same XXH64 core as the
-  * builtin xxhash64 (seed 42).
+  * counters on the stack; tokens hash with a 64-bit md5 prefix (see
+  * [[hashToken]] — exactly replayable by a SQL oracle).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -54,8 +54,30 @@ case class SimHash64(child: Expression)
     sig
   }
 
-  private def hashToken(s: UTF8String): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+  // per-ROW digest instance (getInstance is the expensive part; reset
+  // is free) — one row hashes all its tokens through the same object
+  @transient private lazy val localMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 8 bytes (big-endian) of the token's md5 — equal to the
+    * first 16 hex chars of the md5 string, so a SQL oracle replays it
+    * as `('0x' || substr(md5(t), 1, 16))::UBIGINT`. md5 rather than a
+    * JVM-only hash for the same reason as MinHash's slot draws: any
+    * uniform 64-bit family gives SimHash its similarity property, and
+    * this one exists identically in the oracle engine.
+    */
+  private def hashToken(s: UTF8String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -460,7 +460,10 @@ object TextQueries {
       Dedup.minHashLshPairs(Tables.documents(s, dir), "text", "doc_id")
     }),
 
-    // SimHash near-dup (4×16-bit segment join, Hamming ≤ 3) → rows-only.
+    // SimHash near-dup (4×16-bit segment join, Hamming ≤ 3).
+    // Oracle-matched: SimHash64's token hash is a 64-bit md5 prefix,
+    // so the oracle replays per-token votes, the signature, segment
+    // buckets, and the Hamming verify exactly.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(Tables.documents(s, dir), "text", "doc_id")
     }),
@@ -1035,6 +1038,31 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracleSql(bands = 8, rowsPerBand = 2),
+    // SimHash replay: one vote row per (token occurrence × bit), the
+    // signature as a HUGEINT power sum (bit 63 would overflow BIGINT),
+    // u64 shifts for the segment keys, bit_count(xor) for Hamming
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         th AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h FROM tok),
+         votes AS (SELECT doc_id, jj.j,
+             sum(CASE WHEN (h >> CAST(jj.j AS INT)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
+           GROUP BY doc_id, jj.j),
+         sig AS (SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** j AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS s
+           FROM votes GROUP BY doc_id),
+         seg AS (SELECT doc_id, s, gg.seg,
+             (s >> CAST(gg.seg * 16 AS INT)) & 65535 AS segval
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS seg) gg),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+           FROM seg a JOIN seg b ON a.seg = b.seg AND a.segval = b.segval
+             AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""",
     "pipeline_docs" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
