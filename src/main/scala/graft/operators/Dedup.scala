@@ -182,10 +182,12 @@ object Dedup {
     * from one grouped aggregation of per-slot hash mins — one shuffle
     * keyed by doc, any corpus size.
     *
-    * Hash family: 48-bit md5 of `"slot:shingle"` (the [[KmvSketch]]
-    * draw discipline) rather than a JVM-only hash — any uniform family
-    * gives MinHash its collision-probability = Jaccard property, and
-    * md5 exists identically in the oracle engine, so the WHOLE
+    * Hash family: two 48-bit md5 draws per shingle combined as
+    * `slot_i = (h1 + i·h2) mod 2⁴⁸` — the Kirsch-Mitzenmacher
+    * construction (two hashes simulate k), so a shingle pays TWO md5s
+    * instead of k while keeping MinHash's collision-probability =
+    * Jaccard property. md5 + exact integer mixing exist identically in
+    * the oracle engine ([[KmvSketch]]'s draw discipline), so the WHOLE
     * pipeline (signatures, band buckets, candidates, exact verify)
     * replays bit for bit in SQL. Band keys hash the slot values the
     * same way.
@@ -207,14 +209,20 @@ object Dedup {
     // shingleJaccardPairs
     val shingles = shingleRows(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 48-bit md5 slot draw — shared form with the SQL oracle
+    // 48-bit md5 draws — shared form with the SQL oracle
     def mh48(c: Column): Column =
       conv(substring(md5(c), 1, 12), 16, 10).cast("long")
-    // k min-hash slots in one aggregation pass
-    val sigs = shingles.groupBy(col("doc")).agg(
-      min(mh48(concat(lit("0:"), col("g")))).as("h0"),
+    // k min-hash slots in one aggregation pass, from TWO md5s per
+    // shingle: slot_i = (h1 + i·h2) mod 2^48 (exact long arithmetic —
+    // i·h2 ≤ 15·2^48 ≪ 2^63)
+    val withDraws = shingles
+      .withColumn("__h1", mh48(col("g")))
+      .withColumn("__h2", mh48(concat(lit("#"), col("g"))))
+    val sigs = withDraws.groupBy(col("doc")).agg(
+      min(pmod(col("__h1"), lit(1L << 48))).as("h0"),
       (1 until k).map(i =>
-        min(mh48(concat(lit(s"$i:"), col("g")))).as(s"h$i")): _*)
+        min(pmod(col("__h1") + lit(i.toLong) * col("__h2"), lit(1L << 48)))
+          .as(s"h$i")): _*)
     // band buckets: hash of each band's slots
     val banded = sigs.select(col("doc") +: (0 until bands).map { b =>
       mh48(concat_ws(":",

@@ -989,17 +989,20 @@ object TextQueries {
 
   /** DuckDB replay of `dedup_minhash` (Dedup.minHashLshPairs with the
     * default 8 bands × 2 rows): word-5-gram shingles (the proven
-    * dedup_ngram_jaccard fragment), 16 min-of-md5-48 signature slots,
-    * md5-48 band buckets over the slot strings, candidate pairs per
-    * (band, bucket), exact Jaccard ≥ 0.5 verify. The bucket cap is
-    * omitted — TESTDATA never reaches it (the operator probes first).
+    * dedup_ngram_jaccard fragment), 16 Kirsch-Mitzenmacher signature
+    * slots from two md5-48 draws, md5-48 band buckets over the slot
+    * strings, candidate pairs per (band, bucket), exact Jaccard ≥ 0.5
+    * verify. The bucket cap is omitted — TESTDATA never reaches it
+    * (the operator probes first).
     */
   private def minhashOracleSql(bands: Int, rowsPerBand: Int): String = {
     val k = bands * rowsPerBand
     def h48(arg: String) =
       s"CAST(('0x' || substr(md5($arg), 1, 12)) AS BIGINT)"
+    val two48 = 1L << 48
     val slots = (0 until k)
-      .map(i => s"min(${h48(s"'$i:' || g")}) AS h$i").mkString(",\n             ")
+      .map(i => s"min((h1 + $i * h2) % $two48) AS h$i")
+      .mkString(",\n             ")
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
@@ -1013,9 +1016,11 @@ object TextQueries {
                  unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
        sh AS (SELECT DISTINCT doc_id,
                 array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+       sd AS (SELECT doc_id, g, ${h48("g")} AS h1, ${h48("'#' || g")} AS h2
+           FROM sh),
        sig AS (SELECT doc_id,
              $slots
-           FROM sh GROUP BY doc_id),
+           FROM sd GROUP BY doc_id),
        bsel AS (SELECT doc_id,
              $bandCols
            FROM sig),
