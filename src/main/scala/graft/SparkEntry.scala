@@ -49,5 +49,5 @@ object SparkEntry {
       FunctionQueries.oracleSql ++ GraphQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++ StreamQueries.oracleSql ++
       WarehouseQueries.oracleSql ++ MlPrepQueries.oracleSql ++
-      SqlFacadeQueries.oracleSql
+      SqlFacadeQueries.oracleSql ++ BpeQueries.oracleSql
 }

@@ -37,6 +37,27 @@ object BpeTrainer {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(maxWords)
 
+  /** First-round adjacent-pair statistics as a DISTRIBUTED frame —
+    * exactly the `pairCounts` the merge loop's round 1 builds from the
+    * word dictionary (count-weighted adjacent character pairs), but as
+    * dataflow, so the DuckDB oracle can hash-check them and BpeSpec can
+    * pin `train(…, 1).head == argmin by (−count, left, right)` of this
+    * table: the trainer's selection rule is thereby gated by the exact
+    * oracle even though the multi-round loop itself is sequential by
+    * design (each round's statistics depend on the previous merge).
+    */
+  def pairStats(df: DataFrame, textCol: String,
+      maxWords: Int = 1 << 16): DataFrame =
+    wordCounts(df, textCol, maxWords)
+      .where(length(col("word")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, length(word) - 1),
+           i -> struct(substring(word, i, 1) AS l,
+                       substring(word, i + 1, 1) AS r))""")).as("p"),
+        col("cnt"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
   /** Learn up to `numMerges` merges from the corpus. Stops early when
     * no adjacent pair remains (every word fully merged).
     */

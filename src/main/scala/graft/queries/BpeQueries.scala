@@ -29,8 +29,35 @@ object BpeQueries {
       val merges = BpeTrainer.train(docs, "text", NumMerges)
       BpeTrainer.encode(docs, "doc_id", "text", merges)
         .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+    }),
+
+    // The trainer's ROUND-1 statistics, hash-gated: the top-20
+    // count-weighted adjacent character pairs over the word dictionary
+    // — exactly what the loop's first argmin selects from (BpeSpec pins
+    // train(…,1).head == this table's top row), so the selection rule
+    // is oracle-checked even though rounds 2+ stay sequential by
+    // design.
+    "bpe_pair_stats" -> ((s, dir) => {
+      BpeTrainer.pairStats(Tables.documents(s, dir), "text")
+        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(20)
     })
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "bpe_pair_stats" ->
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word
+           ORDER BY cnt DESC, word ASC LIMIT 65536),
+         p AS (SELECT substring(word, CAST(i AS INT), 1) AS l,
+                 substring(word, CAST(i AS INT) + 1, 1) AS r, cnt
+               FROM (SELECT word, cnt,
+                       unnest(generate_series(1, length(word) - 1)) AS i
+                     FROM w WHERE length(word) >= 2))
+         SELECT l AS "left", r AS "right",
+                CAST(sum(cnt) AS BIGINT) AS pair_count
+         FROM p GROUP BY 1, 2
+         ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 20"""
+  )
 }

@@ -114,4 +114,21 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top === Seq(("a", 3L), ("b", 3L)))
   }
+
+  test("pairStats top row IS the trainer's first merge (the gated rule)") {
+    val df = Seq("abab abc", "abab xy", "abab").toDF("text")
+    val stats = BpeTrainer.pairStats(df, "text")
+      .orderBy(org.apache.spark.sql.functions.col("pair_count").desc,
+        org.apache.spark.sql.functions.col("left").asc,
+        org.apache.spark.sql.functions.col("right").asc)
+      .collect()
+    // 'abab' ×3: pairs ab×2,ba×1 each; 'abc': ab,bc; 'xy': xy →
+    // (a,b) 7, (b,a) 3, then singles
+    assert(stats.head.getString(0) == "a" && stats.head.getString(1) == "b")
+    assert(stats.head.getLong(2) == 7L)
+    val counts = BpeTrainer.wordCounts(df, "text", 1 << 16)
+      .as[(String, Long)].collect().toSeq
+    val firstMerge = BpeTrainer.trainFromCounts(counts, 1).head
+    assert(firstMerge == (stats.head.getString(0), stats.head.getString(1)))
+  }
 }
