@@ -35,26 +35,39 @@ object Cuped {
     */
   def effect(df: DataFrame, armCol: String, metricCol: String,
       covCol: String, armA: String, armB: String): DataFrame = {
+    require(armA != armB, s"Cuped.effect: armA and armB are both '$armA'")
     val base = df.select(col(armCol).cast("string").as("__arm"),
       col(metricCol).cast("long").as("__y"), col(covCol).cast("long").as("__x"))
+    val isA = col("__arm") === lit(armA)
+    val isB = col("__arm") === lit(armB)
+    def decSumIf(c: org.apache.spark.sql.Column, valueCol: String) =
+      sum(when(c, col(valueCol).cast("decimal(38,0)")))
+    // single conditional aggregation: pooled AND per-arm sufficient
+    // statistics in one pass — no per-arm frames, no crossJoin, and the
+    // empty-arm / stray-arm-value cases fail loudly instead of silently
+    // producing an empty (or inflated-pooled-stats) result
     val g = base.agg(
       count(lit(1)).as("__n"),
       sum(expr("CAST(__x AS DECIMAL(38,0))")).as("__sx"),
       sum(expr("CAST(__y AS DECIMAL(38,0))")).as("__sy"),
       sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxx"),
       sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxy"),
-      sum(expr("CAST(__y AS DECIMAL(38,0)) * __y")).as("__syy"))
-    val arms = base.groupBy(col("__arm")).agg(
-      count(lit(1)).as("__na"),
-      sum(expr("CAST(__x AS DECIMAL(38,0))")).as("__sxa"),
-      sum(expr("CAST(__y AS DECIMAL(38,0))")).as("__sya"))
-    val a = arms.where(col("__arm") === armA)
-      .select(col("__na").as("__nA"), col("__sxa").as("__sxA"),
-        col("__sya").as("__syA"))
-    val b = arms.where(col("__arm") === armB)
-      .select(col("__na").as("__nB"), col("__sxa").as("__sxB"),
-        col("__sya").as("__syB"))
-    g.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      sum(expr("CAST(__y AS DECIMAL(38,0)) * __y")).as("__syy"),
+      sum(when(isA, 1L).otherwise(0L)).as("__nA"),
+      decSumIf(isA, "__x").as("__sxA"), decSumIf(isA, "__y").as("__syA"),
+      sum(when(isB, 1L).otherwise(0L)).as("__nB"),
+      decSumIf(isB, "__x").as("__sxB"), decSumIf(isB, "__y").as("__syB"),
+      sum(when(!(isA || isB), 1L).otherwise(0L)).as("__nOther"))
+      .withColumn("__n", when(
+        col("__nA") === 0L || col("__nB") === 0L || col("__nOther") > 0L,
+        raise_error(concat(
+          lit(s"Cuped.effect: arm '$armA' has "), col("__nA"),
+          lit(s" rows, arm '$armB' has "), col("__nB"),
+          lit(" rows, other arm values: "), col("__nOther"),
+          lit(" rows — both arms must be non-empty and the arm column " +
+            "must contain exactly these two values"))).cast("long"))
+        .otherwise(col("__n")))
+    g
       // every operand below is an EXACT integer (decimal) — the doubles
       // are the same fixed expression tree on both engines
       .withColumn("__covn",

@@ -81,7 +81,11 @@ object Dedup {
       df.select(col(idCol).cast("long"), col(textCol).cast("string"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          // limit -1 keeps trailing empty tokens — DuckDB string_split
+          // semantics, which every shingle-replay oracle assumes; the
+          // default split(' ') silently drops them, so a document with a
+          // trailing space would shingle differently on the two engines
+          val toks = text.split(" ", -1)
           val out = scala.collection.mutable.Set.empty[String]
           if (toks.length <= n) out += toks.mkString(" ")
           else toks.sliding(n).foreach(w => out += w.mkString(" "))

@@ -34,7 +34,10 @@ object QuantileSketch {
       idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
     val grp = groupCols.map(col)
-    val w = Window.partitionBy(grp: _*).orderBy(col("h"))
+    // (h, v) not h alone: two ids colliding on the 48-bit prefix at the
+    // rank-k boundary must resolve the same way on every partitioning
+    // (and in the DuckDB oracle) or the bit-exact replay contract breaks
+    val w = Window.partitionBy(grp: _*).orderBy(col("h"), col("v"))
     df.select(grp :+ KmvSketch.hash48(col(idCol)).as("h")
         :+ col(valueCol).as("v"): _*)
       .where(col("v").isNotNull)
@@ -50,7 +53,7 @@ object QuantileSketch {
     */
   def merge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val grp = groupCols.map(col)
-    val w = Window.partitionBy(grp: _*).orderBy(col("h"))
+    val w = Window.partitionBy(grp: _*).orderBy(col("h"), col("v"))
     sketches.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k)
       .drop("__rk")

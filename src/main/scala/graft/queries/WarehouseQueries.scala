@@ -42,7 +42,7 @@ object WarehouseQueries {
            value AS v
          FROM events WHERE value IS NOT NULL),
        sk AS (SELECT event_type, h, v,
-           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk
          FROM h QUALIFY rk <= 256),
        ranked AS (SELECT event_type, v, h,
            row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vrk,

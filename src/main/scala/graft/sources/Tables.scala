@@ -26,11 +26,22 @@ object Tables {
     */
   def contentStamp(sfDir: String, name: String): String = {
     val root = new java.io.File(s"$sfDir/$name.parquet")
+    if (!root.exists())
+      throw new IllegalArgumentException(
+        s"contentStamp: no such table path $root")
     def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(files)
-      else Seq(f)
+      if (f.isDirectory) {
+        // listFiles() is null on permission/IO races, not just missing dirs
+        val kids = Option(f.listFiles()).getOrElse(
+          throw new java.io.UncheckedIOException(new java.io.IOException(
+            s"contentStamp: cannot list $f")))
+        kids.toSeq.sortBy(_.getName).flatMap(files)
+      } else Seq(f)
+    val rootPath = root.toPath
+    // relative path, not bare name: same-named part files in different
+    // subdirs must contribute distinct signature entries
     val sig = files(root)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(f => s"${rootPath.relativize(f.toPath)}:${f.length}:${f.lastModified}")
       .mkString("|")
     f"${java.util.UUID.nameUUIDFromBytes(sig.getBytes("UTF-8")).toString.take(12)}%s"
   }
