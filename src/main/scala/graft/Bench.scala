@@ -85,6 +85,41 @@ object Bench {
       System.gc()
       (name, dt, err)
     }
+    // noise-immunity pass: any query whose in-suite time moved >1.3×
+    // against the committed per-query reference (BENCH_ref.json, the
+    // best of the last two rounds' in-suite times) is re-run SOLO-WARM —
+    // once untimed, then once timed on a quiet JVM — and both numbers
+    // are recorded. Two rounds in a row burned the top action item on
+    // adjudicating suite-order/host noise by hand; with both columns in
+    // one file, a regression is attributable without re-running anything:
+    // solo_warm ≈ ref ⇒ suite/host noise; solo_warm ≫ ref ⇒ real.
+    val refTimes: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_ref.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val body = txt.substring(txt.indexOf("\"queries\""))
+          """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val soloWarm: Seq[(String, Double)] =
+      results.collect {
+        case (name, dt, None)
+            if dt >= 0.5 && refTimes.get(name).exists(r => dt > 1.3 * r) =>
+          name
+      }.map { name =>
+        val fn = selected(name)
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        (name, dt)
+      }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -99,8 +134,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.nonEmpty)
+    val sw = soloWarm.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"solo_warm":$sw,"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
     println(full)
     // the full line routinely exceeds the driver's log-tail capture
     // window (r5/r6/r8 all recorded parsed=null from a truncated line) —
