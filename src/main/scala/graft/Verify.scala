@@ -55,8 +55,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Some oracles audit an engine artifact the replay can't derive in
+    // SQL (a learned BPE merge table, an ANN candidate set): they read
+    // the SIBLING query's dumped parquet via read_parquet. The dump dir
+    // is only known here, so those oracles carry the __VERIFY_OUT__
+    // placeholder and get the absolute path substituted at dump time —
+    // the checker runs against the same outDir it compares results from.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

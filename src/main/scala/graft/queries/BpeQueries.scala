@@ -6,10 +6,17 @@ import graft.operators.BpeTrainer
 import graft.sources.Tables
 
 /** BPE tokenizer training + application over the documents corpus.
-  * Not SQL-expressible (the merge loop is iterative), so both queries
-  * are rows-only — but fully deterministic (lexicographic tie-breaks
-  * end to end), and BpeSpec pins the trainer against an independent
-  * flat-multiset reference implementation.
+  * The merge LOOP is iterative (each round's statistics depend on the
+  * previous merge), so `bpe_train` stays rows-only — but its selection
+  * rule is hash-gated via `bpe_pair_stats`, and `bpe_encode` is fully
+  * hash-gated: encoding under a FIXED merge table is pure relational
+  * logic, so its oracle replays the greedy encode in a recursive CTE
+  * against the merge table the engine itself dumped (`__VERIFY_OUT__`).
+  * Fully deterministic (lexicographic tie-breaks end to end); BpeSpec
+  * additionally pins the trainer against an independent flat-multiset
+  * reference implementation. The replay's chr(30)/chr(31) sentinels
+  * assume those control codes never appear inside a word — true of any
+  * text corpus that strips control characters.
   */
 object BpeQueries {
 
@@ -45,6 +52,67 @@ object BpeQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Full greedy-encode replay, hash-gated: given the learned merge
+    // table (read from the engine's own `bpe_train` dump — the merge
+    // LOOP stays sequential by design, but encoding under a FIXED
+    // table is pure relational logic), a recursive CTE re-derives every
+    // word's tokenization: wrap symbols in chr(30) sentinels, find the
+    // lowest-rank adjacent pair present (list_position over the
+    // rank-ordered merge list; 0 = absent), merge ALL its occurrences
+    // left-to-right via replace() (whose non-overlapping scan is
+    // exactly BpeTrainer.mergeAll's), repeat until no pair applies.
+    // Depth is bounded by max word length. Per-doc n_tokens then sums
+    // the per-distinct-word token counts — bit-identical to the
+    // engine's distributed memoized encode.
+    "bpe_encode" -> ("""WITH RECURSIVE
+         m AS (SELECT list(l || chr(31) || r ORDER BY rank) AS ml FROM (
+                 SELECT rank, "left" AS l, "right" AS r
+                 FROM read_parquet('__VERIFY_OUT__/bpe_train/*.parquet'))),
+         w0 AS (SELECT DISTINCT word FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                WHERE word <> ''),
+         init AS (SELECT word,
+                    chr(30) || array_to_string(
+                      list_transform(range(1, length(word) + 1),
+                        i -> substring(word, CAST(i AS INT), 1)),
+                      chr(30) || chr(30)) || chr(30) AS s,
+                    0 AS it
+                  FROM w0),
+         enc AS (
+           SELECT word, s, it FROM init
+           UNION ALL
+           SELECT word, next_s, it + 1 FROM (
+             SELECT word, it, s,
+               CASE WHEN best IS NULL THEN s
+                    ELSE replace(s,
+                      chr(30) || split_part(ml[best], chr(31), 1) || chr(30) || chr(30)
+                              || split_part(ml[best], chr(31), 2) || chr(30),
+                      chr(30) || replace(ml[best], chr(31), '') || chr(30))
+               END AS next_s
+             FROM (
+               SELECT word, s, it, ml,
+                 list_min(list_filter(
+                   list_transform(range(1, len(syms)),
+                     i -> list_position(ml, syms[CAST(i AS INT)] || chr(31)
+                                            || syms[CAST(i AS INT) + 1])),
+                   p -> p > 0)) AS best
+               FROM (
+                 SELECT word, s, it, ml,
+                   list_transform(string_split(s, chr(30) || chr(30)),
+                     x -> trim(x, chr(30))) AS syms
+                 FROM enc CROSS JOIN m))
+           ) WHERE next_s <> s),
+         fin AS (SELECT word, arg_max(s, it) AS s FROM enc GROUP BY word),
+         wt AS (SELECT word, len(string_split(s, chr(30) || chr(30))) AS n_tok
+                FROM fin),
+         docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+         SELECT d.doc_id, CAST(coalesce(sum(wt.n_tok), 0) AS BIGINT) AS n_tokens
+         FROM documents d
+         LEFT JOIN (SELECT doc_id, word FROM docw WHERE word <> '') dw
+           ON d.doc_id = dw.doc_id
+         LEFT JOIN wt ON dw.word = wt.word
+         GROUP BY d.doc_id"""),
     "bpe_pair_stats" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
