@@ -43,12 +43,45 @@ object VectorQueries {
     s.read.parquet(path.toString)
   }
 
+  /** The audit's IVF-PQ candidate top-5 pair set as a STORED artifact
+    * (same discipline as [[storedKnnGraph]]): built once per corpus
+    * stamp, then READ by both `ann_audit_pairs` (the dump the oracle
+    * consumes) and `ann_recall_audit` (the audit itself). Routing both
+    * through one parquet guarantees the audited set and the dumped set
+    * are the SAME rows even though the KMeans quantizer underneath is
+    * float-trajectory-dependent — which is what lets the audit MATH be
+    * hash-gated while the index stays rows-only.
+    */
+  private[graft] def storedAnnAuditPairs(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"ann_audit_pairs_v1_${Tables.contentStamp(dir, "embeddings")}"
+    val path = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
+      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8,
+        maxIter = 3)
+      val codebooks = SimilaritySearch.fitPq(
+        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
+        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2)
+      SimilaritySearch.knnJoinIvfPq(
+        e, queries, "embedding", "vec_id", k = 5, centroids, codebooks,
+        nprobe = 6, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(path.toString)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Pre-build the stored-artifact fixtures OUTSIDE any timed body —
     * called from Bench's untimed session warm-up so the first
     * consumer's bench row doesn't absorb the one-off build.
     */
   def ensureFixtures(s: SparkSession, dir: String): Unit = {
     storedKnnGraph(s, dir)
+    storedAnnAuditPairs(s, dir)
     ()
   }
 
@@ -257,27 +290,34 @@ object VectorQueries {
         nprobe = 6, rerank = 50)
     }),
 
+    // The IVF-PQ candidate set under audit, as its own dumped row (the
+    // stored fixture both it and ann_recall_audit read — see
+    // storedAnnAuditPairs). KMeans float trajectories are
+    // engine-specific → rows-only; the audit MATH over this set is the
+    // hash-gated part.
+    "ann_audit_pairs" -> ((s, dir) => {
+      storedAnnAuditPairs(s, dir)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // Operational recall audit: the EXACT measurement behind the
     // "nprobe=6/kCells=8 is a recall necessity" claim, as a runnable
     // query instead of a spec constant — per query, |IVF-PQ top-5 ∩
     // brute top-5| / 5 in exact ppm, plus the corpus-wide mean. When
     // the embedding distribution drifts (see ann_drift) this row is
-    // what an operator re-runs before touching the config. ANN floats
-    // are engine-specific → rows-only.
+    // what an operator re-runs before touching the config.
+    // Hash-gated: the exact top-5 is the (already hash-passing)
+    // brute-force SQL, the candidate set is the engine's own
+    // ann_audit_pairs dump, and every recall figure is integer ppm —
+    // so the oracle re-derives the whole audit bit for bit. Only the
+    // candidate set itself stays rows-only (KMeans floats).
     "ann_recall_audit" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val e = Tables.embeddings(s, dir)
       val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
-      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8,
-        maxIter = 3)
-      val codebooks = SimilaritySearch.fitPq(
-        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
-        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2)
-      val approx = SimilaritySearch.knnJoinIvfPq(
-        e, queries, "embedding", "vec_id", k = 5, centroids, codebooks,
-        nprobe = 6, rerank = 50)
-        .select(col("query_id"), col("neighbor_id"))
+      val approx = storedAnnAuditPairs(s, dir)
+      // raw embeddings, not the normalized copy: cosine order is
+      // scale-invariant, and this keeps the exact side the SAME floats
+      // the hash-passing knn_join_bruteforce oracle replays
       val exact = SimilaritySearch.knnJoinBruteForce(
         e, queries, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -693,6 +733,40 @@ object VectorQueries {
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    // Exact side = the knn_join_bruteforce replay (hash-passing on its
+    // own row); candidate side = the engine's ann_audit_pairs dump;
+    // recall in exact integer ppm — the full audit re-derived.
+    "ann_recall_audit" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         dots AS (SELECT query_id, neighbor_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY query_id, neighbor_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, neighbor_id ASC) AS rank
+                  FROM dots) WHERE rank <= 5),
+         approx AS (SELECT query_id, neighbor_id
+                FROM read_parquet('__VERIFY_OUT__/ann_audit_pairs/*.parquet')),
+         hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
+                FROM exact e JOIN approx a
+                  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                GROUP BY e.query_id),
+         pq AS (SELECT e.query_id,
+                  (1000000 * coalesce(any_value(h.h), 0)) // count(*) AS recall_ppm
+                FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+                GROUP BY e.query_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(sum(recall_ppm) // count(*) AS BIGINT) AS mean_recall_ppm,
+                CAST(min(recall_ppm) AS BIGINT) AS min_recall_ppm
+         FROM pq""",
     "knn_join_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                     FROM embeddings WHERE vec_id % 50 = 0),
