@@ -57,4 +57,99 @@ object GraftSql {
         keyCol, timeCol, payloadCols, direction = direction,
         tolerance = tolerance)
       .createOrReplaceTempView(outView)
+
+  /** Exact cosine k-NN join of a query view against a corpus view →
+    * `outView(query_id, neighbor_id, rank, cosine)`. This is the exact
+    * baseline; at corpus scale swap in the IVF(-PQ) variants
+    * ([[graft.operators.SimilaritySearch.knnJoinIvfPq]]) behind the
+    * same output shape.
+    */
+  def registerKnnJoin(s: SparkSession, corpusView: String,
+      queriesView: String, vecCol: String, idCol: String, k: Int,
+      outView: String): Unit =
+    graft.operators.SimilaritySearch.knnJoinBruteForce(
+        s.table(corpusView), s.table(queriesView), vecCol, idCol, k)
+      .createOrReplaceTempView(outView)
+
+  /** MinHash-LSH near-duplicate pairs over a document view →
+    * `outView(doc_a, doc_b, jaccard)` (banded signature join, exact
+    * Jaccard verify — [[graft.operators.Dedup.minHashLshPairs]]).
+    */
+  def registerMinHashDedup(s: SparkSession, docsView: String, idCol: String,
+      textCol: String, outView: String, shingleLen: Int = 5,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): Unit =
+    graft.operators.Dedup.minHashLshPairs(s.table(docsView), textCol, idCol,
+        shingleLen = shingleLen, bands = bands, rowsPerBand = rowsPerBand,
+        minJaccard = minJaccard)
+      .createOrReplaceTempView(outView)
+
+  /** SCD type-2 history from a change-log view →
+    * `outView(key, state, valid_from, valid_to, is_current)`
+    * ([[graft.operators.Scd.buildHistory]]).
+    */
+  def registerScd2History(s: SparkSession, logView: String, keyCol: String,
+      tsCol: String, tieCol: String, stateCol: String,
+      outView: String): Unit =
+    graft.operators.Scd.buildHistory(s.table(logView), keyCol, tsCol,
+        tieCol, stateCol)
+      .createOrReplaceTempView(outView)
+
+  /** Point-in-time slice of a type-2 history view: every key's state
+    * as of `atEpoch` ([[graft.operators.Scd.asOf]]).
+    */
+  def registerScd2AsOf(s: SparkSession, historyView: String, atEpoch: Long,
+      outView: String): Unit =
+    graft.operators.Scd.asOf(s.table(historyView), lit(atEpoch))
+      .createOrReplaceTempView(outView)
+
+  /** Population-stability-index drift report between a baseline view
+    * and a current view → `outView(bin, n_base, n_cur, psi_term)`
+    * ([[graft.operators.Drift.psiByBin]]; bins fit on the baseline).
+    */
+  def registerPsiDrift(s: SparkSession, baseView: String, curView: String,
+      valueCol: String, k: Int, outView: String): Unit =
+    graft.operators.Drift.psiByBin(s.table(baseView), s.table(curView),
+        valueCol, k)
+      .createOrReplaceTempView(outView)
+
+  /** Strict-order funnel over an event view → one-row
+    * `outView(n_users, n_reach_1 … n_reach_N)`: per user, the FIRST
+    * time of each stage type; a user reaches stage i when every prior
+    * stage happened and each first-time is strictly after the previous
+    * stage's. One hash aggregate per grouping — no per-user state.
+    */
+  def registerFunnel(s: SparkSession, eventsView: String, userCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String],
+      outView: String): Unit = {
+    require(stages.nonEmpty, "registerFunnel: need at least one stage")
+    val firsts = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"__t$i") }
+    val perUser = s.table(eventsView)
+      .groupBy(col(userCol)).agg(firsts.head, firsts.tail: _*)
+    val reach = (1 to stages.size).map { n =>
+      val present = (0 until n).map(i => col(s"__t$i").isNotNull)
+        .reduce(_ && _)
+      val ordered = (1 until n).map(i => col(s"__t$i") > col(s"__t${i - 1}"))
+        .foldLeft(lit(true))(_ && _)
+      sum((present && ordered).cast("long")).as(s"n_reach_$n")
+    }
+    perUser.agg(count(lit(1)).as("n_users"), reach: _*)
+      .createOrReplaceTempView(outView)
+  }
+
+  /** Mergeable deterministic quantile estimates over a rows view →
+    * `outView(…groupCols, q_ppm, n_sample, est)` — the
+    * [[graft.operators.QuantileSketch]] bottom-k-by-md5 row sample,
+    * sketched then read in one registration (the sketch itself stays a
+    * composable intermediate; persist it to roll up forever).
+    */
+  def registerQuantiles(s: SparkSession, rowsView: String,
+      groupCols: Seq[String], valueCol: String, idCol: String, k: Int,
+      qPpms: Seq[Long], outView: String): Unit =
+    graft.operators.QuantileSketch.quantiles(
+        graft.operators.QuantileSketch.sketch(s.table(rowsView), groupCols,
+          valueCol, idCol, k),
+        groupCols, qPpms)
+      .createOrReplaceTempView(outView)
 }

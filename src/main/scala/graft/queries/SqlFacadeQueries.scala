@@ -61,6 +61,93 @@ object SqlFacadeQueries {
                  CAST(sum(CAST(round(value_asof, 4) AS DECIMAL(18,4)))
                    AS DOUBLE) AS attributed
                FROM graft_asof GROUP BY user_id""")
+    }),
+
+    // Exact k-NN join through the facade: query view carved in SQL,
+    // the join through the wrapper, the top-3 cut in SQL. Same oracle
+    // as knn_join_bruteforce, filtered on the integer rank.
+    "sql_knn" -> ((s, dir) => {
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      s.sql("""CREATE OR REPLACE TEMP VIEW knn_queries AS
+               SELECT * FROM embeddings WHERE vec_id % 50 = 0""")
+      GraftSql.registerKnnJoin(s, "embeddings", "knn_queries",
+        "embedding", "vec_id", k = 5, outView = "graft_knn")
+      s.sql("""SELECT query_id, neighbor_id, rank, cosine
+               FROM graft_knn WHERE rank <= 3""")
+    }),
+
+    // MinHash-LSH near-dup pairs through the facade, then a per-doc
+    // rollup in SQL. round(max) = max(round) (round is monotone), so
+    // the 4dp figure matches the oracle's rounded-then-maxed value.
+    "sql_minhash_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerMinHashDedup(s, "documents", "doc_id", "text",
+        outView = "graft_neardups")
+      s.sql("""SELECT doc_a, CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(max(jaccard), 4) AS max_jaccard
+               FROM graft_neardups GROUP BY doc_a""")
+    }),
+
+    // SCD2 build + point-in-time slice through the facade, then a
+    // per-state census in SQL — epoch-µs integers end to end.
+    "sql_scd2" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW change_log AS
+               SELECT user_id, ts_ns div 1000 AS ts_us, event_id,
+                      event_type AS state FROM events_ns""")
+      GraftSql.registerScd2History(s, "change_log", "user_id", "ts_us",
+        "event_id", "state", outView = "graft_scd2")
+      // 2024-01-15T00:00:00Z in epoch µs — the same mid-span slice
+      // point as scd2_asof
+      GraftSql.registerScd2AsOf(s, "graft_scd2", 1705276800000000L,
+        outView = "graft_scd2_asof")
+      s.sql("""SELECT state, CAST(count(*) AS BIGINT) AS n_users,
+                 min(valid_from) AS first_valid_from
+               FROM graft_scd2_asof GROUP BY state""")
+    }),
+
+    // PSI drift report through the facade: baseline/current views
+    // carved in SQL, the report consumed with an integer-column filter.
+    "sql_psi_drift" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""CREATE OR REPLACE TEMP VIEW li_base AS SELECT * FROM lineitem
+               WHERE l_shipdate < TIMESTAMP '1999-01-01'""")
+      s.sql("""CREATE OR REPLACE TEMP VIEW li_cur AS SELECT * FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1999-01-01'""")
+      GraftSql.registerPsiDrift(s, "li_base", "li_cur", "l_extendedprice",
+        k = 10, outView = "graft_psi")
+      s.sql("""SELECT CAST(bin AS BIGINT) AS bin, n_base, n_cur,
+                 CAST(psi_term AS DOUBLE) AS psi_term
+               FROM graft_psi WHERE n_cur > 0""")
+    }),
+
+    // Strict-order funnel through the facade, conversion ppm in SQL —
+    // all-integer math over the one-row report.
+    "sql_funnel" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW funnel_events AS
+               SELECT user_id, event_type, ts_ns div 1000 AS ts_us
+               FROM events_ns""")
+      GraftSql.registerFunnel(s, "funnel_events", "user_id", "event_type",
+        "ts_us", Seq("view", "click", "purchase"), outView = "graft_funnel")
+      s.sql("""SELECT n_users, n_reach_1 AS n_view,
+                 n_reach_2 AS n_view_click, n_reach_3 AS n_full_funnel,
+                 (1000000 * n_reach_3) div n_reach_1 AS full_conv_ppm
+               FROM graft_funnel""")
+    }),
+
+    // Deterministic quantile sketch through the facade: p90 per event
+    // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
+    // on the integer q_ppm.
+    "sql_quantiles" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW metric_rows AS
+               SELECT event_type, event_id, value FROM events_ns""")
+      GraftSql.registerQuantiles(s, "metric_rows", Seq("event_type"),
+        "value", "event_id", k = 256, qPpms = Seq(500000L, 900000L, 990000L),
+        outView = "graft_quantiles")
+      s.sql("""SELECT event_type, q_ppm, n_sample, round(est, 4) + 0.0 AS est
+               FROM graft_quantiles WHERE q_ppm = 900000""")
     })
   )
 
@@ -96,6 +183,34 @@ object SqlFacadeQueries {
                 CAST(count(am) AS BIGINT) AS n_attributed,
                 CAST(sum(CAST(round(am, 4) AS DECIMAL(18,4))) AS DOUBLE)
                   AS attributed
-         FROM w WHERE side = 1 GROUP BY user_id"""
+         FROM w WHERE side = 1 GROUP BY user_id""",
+    // the facade rows below REUSE the already-passing oracle body of
+    // the operator they wrap, with the same SQL composition applied on
+    // top — the gate proves wrapper + composition add nothing
+    "sql_knn" ->
+      s"""SELECT query_id, neighbor_id, rank, cosine
+          FROM (${VectorQueries.oracleSql("knn_join_bruteforce")})
+          WHERE rank <= 3""",
+    "sql_minhash_dedup" ->
+      s"""SELECT doc_a, CAST(count(*) AS BIGINT) AS n_pairs,
+            max(jaccard) AS max_jaccard
+          FROM (${TextQueries.oracleSql("dedup_minhash")})
+          GROUP BY doc_a""",
+    "sql_scd2" ->
+      s"""SELECT state, CAST(count(*) AS BIGINT) AS n_users,
+            min(valid_from) AS first_valid_from
+          FROM (${WarehouseQueries.oracleSql("scd2_asof")})
+          GROUP BY state""",
+    "sql_psi_drift" ->
+      s"""SELECT bin, n_base, n_cur, psi_term
+          FROM (${MlPrepQueries.oracleSql("drift_psi")})
+          WHERE n_cur > 0""",
+    "sql_funnel" ->
+      s"""SELECT n_users, n_view, n_view_click, n_full_funnel,
+            (1000000 * n_full_funnel) // n_view AS full_conv_ppm
+          FROM (${StreamQueries.oracleSql("funnel_conversion")})""",
+    "sql_quantiles" ->
+      s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
+          WHERE q_ppm = 900000"""
   )
 }
