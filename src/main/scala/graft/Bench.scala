@@ -98,9 +98,16 @@ object Bench {
         val p = java.nio.file.Paths.get("BENCH_ref.json")
         if (java.nio.file.Files.exists(p)) {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          val body = txt.substring(txt.indexOf("\"queries\""))
-          """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+          // the reference times are tied to one dataset — comparing an
+          // sf1 (or sf0.01) run against sf0.1 references would flag
+          // every query; skip the pass when the sf doesn't match
+          val refSf = """"sf"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          if (refSf.exists(sf => sfDir.stripSuffix("/") == sf)) {
+            val body = txt.substring(txt.indexOf("\"queries\""))
+            """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+          } else Map.empty
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
     val soloWarm: Seq[(String, Double)] =
