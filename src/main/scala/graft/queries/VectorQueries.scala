@@ -31,17 +31,61 @@ object VectorQueries {
     * [[Tables.contentStamp]] component busts it when the SOURCE data
     * is regenerated at the same path (different sf or seed).
     */
-  private[graft] def storedKnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val tag = s"knn_graph_k10i3_v1_${Tables.contentStamp(dir, "embeddings")}"
+  /** Write-once content-keyed parquet fixture under the JVM temp dir —
+    * the shared discipline behind every stored artifact here.
+    */
+  private[graft] def storedFixture(s: SparkSession, tag: String)(
+      build: => DataFrame): DataFrame = {
     val path = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      graft.operators.KnnGraph.nnDescent(
-        Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 3)
-        .write.mode("overwrite").parquet(path.toString)
+      build.write.mode("overwrite").parquet(path.toString)
     }
     s.read.parquet(path.toString)
   }
+
+  private[graft] def storedKnnGraph(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"knn_graph_k10i3_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      graft.operators.KnnGraph.nnDescent(
+        Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 3)
+    }
+
+  /** Centroid list ⇄ frame: the dumped-quantizer bridge. A fitted
+    * quantizer is a tiny driver object; as (cell, pos, value) DOUBLE
+    * rows it round-trips through parquet EXACTLY, so a consumer that
+    * collects the fixture back runs on bit-identical centroids to the
+    * ones the oracle reads from the Verify dump — which is what lets
+    * every KMeans CONSUMER be hash-gated even though the fit itself is
+    * an MLlib float trajectory no other engine reproduces.
+    */
+  private[graft] def centroidsToDF(s: SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cents.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (v, p) => (cid, p, v) } }
+      .toDF("cell", "pos", "value")
+  }
+
+  private[graft] def centroidsFromDF(df: DataFrame): Seq[(Int, Seq[Double])] =
+    df.select(col("cell").cast("int"), col("pos").cast("int"),
+        col("value").cast("double"))
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+
+  /** The k=8 coarse quantizer over RAW embeddings (1/16 hash sample,
+    * 3 Lloyd rounds) — shared by sim_ivf_topk / knn_join_ivf /
+    * graph_search_ivf_seeded and dumped as `ann_quantizer_ivf8`.
+    */
+  private[graft] def storedIvf8Raw(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_ivf8_raw_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      centroidsToDF(s, SimilaritySearch.fitIvf(
+        Tables.embeddings(s, dir)
+          .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", k = 8, maxIter = 3))
+    }
 
   /** The audit's IVF-PQ candidate top-5 pair set as a STORED artifact
     * (same discipline as [[storedKnnGraph]]): built once per corpus
@@ -52,11 +96,9 @@ object VectorQueries {
     * float-trajectory-dependent — which is what lets the audit MATH be
     * hash-gated while the index stays rows-only.
     */
-  private[graft] def storedAnnAuditPairs(s: SparkSession, dir: String): DataFrame = {
-    val tag = s"ann_audit_pairs_v1_${Tables.contentStamp(dir, "embeddings")}"
-    val path = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+  private[graft] def storedAnnAuditPairs(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_audit_pairs_v1_${Tables.contentStamp(dir, "embeddings")}") {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         VectorOps.l2Normalize(col("embedding")).as("embedding"))
       val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
@@ -70,10 +112,7 @@ object VectorQueries {
         e, queries, "embedding", "vec_id", k = 5, centroids, codebooks,
         nprobe = 6, rerank = 50)
         .select(col("query_id"), col("neighbor_id"))
-        .write.mode("overwrite").parquet(path.toString)
     }
-    s.read.parquet(path.toString)
-  }
 
   /** Pre-build the stored-artifact fixtures OUTSIDE any timed body —
     * called from Bench's untimed session warm-up so the first
@@ -199,11 +238,20 @@ object VectorQueries {
     // full-table Lloyd pass is exactly the cost that explodes at 100 TB
     // (FAISS-style IVF trains on a bounded sample for the same reason).
     // Centroid floats are engine-specific → rows-only.
+    // The k=8 coarse quantizer itself, dumped for the oracles: the fit
+    // is an MLlib float trajectory (rows-only), but once dumped, every
+    // CONSUMER below it (sim_ivf_topk, knn_join_ivf) replays hash-exact
+    // against these centroids.
+    "ann_quantizer_ivf8" -> ((s, dir) => {
+      storedIvf8Raw(s, dir).orderBy(col("cell"), col("pos"))
+    }),
+
+    // Hash-gated given the dumped quantizer: assignment (argmin of
+    // ||c||²−2·v·c with (d, cell) ties), nprobe=2 probe, and exact
+    // cosine rerank all replay in SQL from ann_quantizer_ivf8.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilaritySearch.fitIvf(
-        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", k = 8, maxIter = 3)
+      val centroids = centroidsFromDF(storedIvf8Raw(s, dir))
       SimilaritySearch.ivfTopK(e, "embedding", "vec_id", queryId = 0L,
         k = 10, centroids, nprobe = 2)
     }),
@@ -235,12 +283,11 @@ object VectorQueries {
 
     // IVF-pruned k-NN join: same query batch, scoring restricted to each
     // query's 2 nearest KMeans cells (cell-key join = partition pruning
-    // at scale). Centroid floats are engine-specific → rows-only.
+    // at scale). Hash-gated given ann_quantizer_ivf8: per-query probe
+    // ranking, corpus assignment, and the cosine top-5 replay in SQL.
     "knn_join_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilaritySearch.fitIvf(
-        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", k = 8, maxIter = 3)
+      val centroids = centroidsFromDF(storedIvf8Raw(s, dir))
       SimilaritySearch.knnJoinIvf(
         e, e.where(pmod(col("vec_id"), lit(50)) === 0),
         "embedding", "vec_id", k = 5, centroids, nprobe = 2)
@@ -379,9 +426,7 @@ object VectorQueries {
     "graph_search_ivf_seeded" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
-      val centroids = SimilaritySearch.fitIvf(
-        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", k = 8, maxIter = 3)
+      val centroids = centroidsFromDF(storedIvf8Raw(s, dir))
       val seeds = graft.operators.KnnGraph.ivfSeeds(
         e, queries, "embedding", "vec_id", centroids, nprobe = 2)
       graft.operators.KnnGraph.graphSearch(storedKnnGraph(s, dir), e,
@@ -733,6 +778,93 @@ object VectorQueries {
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    // Given the dumped k=8 quantizer, the whole IVF search replays:
+    // corpus cell assignment by argmin(||c||²−2·v·c) with (d, cell)
+    // ties, the query's 2 probe cells by TRUE squared distance
+    // (probeCells' formula), exact cosine top-10 within the probed
+    // cells — the same ranking discipline as the brute-force oracle.
+    "sim_ivf_topk" ->
+      """WITH cent AS (SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
+              FROM read_parquet('__VERIFY_OUT__/ann_quantizer_ivf8/*.parquet')),
+         cn AS (SELECT cell, sum(value * value) AS n2 FROM cent GROUP BY cell),
+         vd AS (SELECT e.vec_id, c.cell,
+                  sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.value) AS dp
+                FROM embeddings e CROSS JOIN cent c
+                GROUP BY e.vec_id, c.cell),
+         asg AS (SELECT vec_id, cell FROM (
+                  SELECT v.vec_id, v.cell,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY cn.n2 - 2 * v.dp ASC, v.cell ASC) AS rk
+                  FROM vd v JOIN cn ON v.cell = cn.cell) WHERE rk = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         qd AS (SELECT c.cell,
+                  sum((c.value - CAST(q.qv[c.pos + 1] AS DOUBLE))
+                    * (c.value - CAST(q.qv[c.pos + 1] AS DOUBLE))) AS d2
+                FROM cent c CROSS JOIN q GROUP BY c.cell),
+         probed AS (SELECT cell FROM (
+                  SELECT cell, row_number() OVER (ORDER BY d2 ASC, cell ASC) AS rk
+                  FROM qd) WHERE rk <= 2),
+         ex AS (SELECT e.vec_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e
+                JOIN asg a ON e.vec_id = a.vec_id
+                JOIN probed p ON a.cell = p.cell
+                CROSS JOIN q WHERE e.vec_id <> 0),
+         dots AS (SELECT vec_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY vec_id)
+         SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    // Same dumped quantizer; per-query probe cells use knnJoinIvf's own
+    // ||c||²−2·q·c ordering (NOT the true distance — the constant −||q||²
+    // cancels in the order but not in the floats, so the replay mirrors
+    // the exact expression), then the brute-force ranking restricted to
+    // each query's probed cells.
+    "knn_join_ivf" ->
+      """WITH cent AS (SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
+              FROM read_parquet('__VERIFY_OUT__/ann_quantizer_ivf8/*.parquet')),
+         cn AS (SELECT cell, sum(value * value) AS n2 FROM cent GROUP BY cell),
+         vd AS (SELECT e.vec_id, c.cell,
+                  sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.value) AS dp
+                FROM embeddings e CROSS JOIN cent c
+                GROUP BY e.vec_id, c.cell),
+         asg AS (SELECT vec_id, cell FROM (
+                  SELECT v.vec_id, v.cell,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY cn.n2 - 2 * v.dp ASC, v.cell ASC) AS rk
+                  FROM vd v JOIN cn ON v.cell = cn.cell) WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % 50 = 0),
+         qprobe AS (SELECT query_id, cell FROM (
+                  SELECT v.vec_id AS query_id, v.cell,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY cn.n2 - 2 * v.dp ASC, v.cell ASC) AS rk
+                  FROM vd v JOIN cn ON v.cell = cn.cell
+                  WHERE v.vec_id % 50 = 0) WHERE rk <= 2),
+         ex AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM qprobe p
+                JOIN asg a ON a.cell = p.cell
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                JOIN q ON q.query_id = p.query_id
+                WHERE e.vec_id <> p.query_id),
+         dots AS (SELECT query_id, neighbor_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY query_id, neighbor_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                  dp / (sqrt(na) * sqrt(nb)) AS cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, neighbor_id ASC) AS rank
+                FROM dots)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5""",
     // Exact side = the knn_join_bruteforce replay (hash-passing on its
     // own row); candidate side = the engine's ann_audit_pairs dump;
     // recall in exact integer ppm — the full audit re-derived.
