@@ -87,6 +87,67 @@ object VectorQueries {
         "embedding", k = 8, maxIter = 3))
     }
 
+  /** PQ codebooks ⇄ frame, same contract as [[centroidsToDF]]:
+    * (sub, code, pos, value) DOUBLE rows, exact through parquet.
+    */
+  private[graft] def codebooksToDF(s: SparkSession,
+      cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import s.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.flatMap { case (ci, c) =>
+        c.zipWithIndex.map { case (v, p) => (sub, ci, p, v) } } }
+      .toDF("sub", "code", "pos", "value")
+  }
+
+  private[graft] def codebooksFromDF(df: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = df.select(col("sub").cast("int"), col("code").cast("int"),
+      col("pos").cast("int"), col("value").cast("double")).collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, subRows) =>
+      subRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (ci, cRows) =>
+        ci -> cRows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+    }
+  }
+
+  private def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      VectorOps.l2Normalize(col("embedding")).as("embedding"))
+
+  /** The k=4 drift-monitor quantizer over NORMALIZED embeddings —
+    * ann_drift's baseline fit, dumped as `ann_quantizer_ivf4_norm`.
+    */
+  private[graft] def storedIvf4Norm(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_ivf4_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      centroidsToDF(s, SimilaritySearch.fitIvf(
+        normalizedEmbeddings(s, dir)
+          .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", k = 4, maxIter = 2))
+    }
+
+  /** The k=8 coarse quantizer over NORMALIZED embeddings plus its m=16
+    * residual PQ codebooks — the ann_index_rows pair, dumped as
+    * `ann_quantizer_ivf8_norm` / `ann_codebook_pq16_norm`.
+    */
+  private[graft] def storedIvf8Norm(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_ivf8_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      centroidsToDF(s, SimilaritySearch.fitIvf(
+        normalizedEmbeddings(s, dir)
+          .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", k = 8, maxIter = 3))
+    }
+
+  private[graft] def storedPq16Norm(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_pq16_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      val sample = normalizedEmbeddings(s, dir)
+        .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      codebooksToDF(s, SimilaritySearch.fitPq(
+        SimilaritySearch.cellResiduals(sample, "embedding",
+          centroidsFromDF(storedIvf8Norm(s, dir))),
+        "__resid", dim = 64, m = 16, codesPerSub = 16, maxIter = 2))
+    }
+
   /** The audit's IVF-PQ candidate top-5 pair set as a STORED artifact
     * (same discipline as [[storedKnnGraph]]): built once per corpus
     * stamp, then READ by both `ann_audit_pairs` (the dump the oracle
@@ -445,16 +506,24 @@ object VectorQueries {
     // are engine-specific → rows-only. The library row carries
     // `pq_code array<int>`; the query projects it to a dash-joined
     // scalar so the rows-only checker can sort/hash the cell.
+    // The dumped quantizer artifacts themselves (rows-only — MLlib
+    // float trajectories); everything downstream of them replays.
+    "ann_quantizer_ivf4_norm" -> ((s, dir) => {
+      storedIvf4Norm(s, dir).orderBy(col("cell"), col("pos"))
+    }),
+    "ann_quantizer_ivf8_norm" -> ((s, dir) => {
+      storedIvf8Norm(s, dir).orderBy(col("cell"), col("pos"))
+    }),
+    "ann_codebook_pq16_norm" -> ((s, dir) => {
+      storedPq16Norm(s, dir).orderBy(col("sub"), col("code"), col("pos"))
+    }),
+
     "ann_index_rows" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
-      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8, maxIter = 3)
-      val codebooks = SimilaritySearch.fitPq(
-        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
-        "__resid", dim = 64, m = 16, codesPerSub = 16, maxIter = 2)
+      val e = normalizedEmbeddings(s, dir)
       graft.streaming.AnnIndexStream.indexRows(
-          e, "embedding", "vec_id", centroids, codebooks)
+          e, "embedding", "vec_id",
+          centroidsFromDF(storedIvf8Norm(s, dir)),
+          codebooksFromDF(storedPq16Norm(s, dir)))
         .select(col("vec_id"), col("cell"),
           concat_ws("-", col("pq_code").cast("array<string>")).as("pq_code"))
     }),
@@ -499,10 +568,9 @@ object VectorQueries {
     // cell-count-sized; the whole query is two aggregate passes + a
     // broadcast join. KMeans floats are engine-specific → rows-only.
     "ann_drift" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val e = normalizedEmbeddings(s, dir)
       val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 4, maxIter = 2)
+      val centroids = centroidsFromDF(storedIvf4Norm(s, dir))
       val baseline = graft.streaming.AnnIndexStream.residualStats(
         sample, "embedding", centroids)
       graft.streaming.AnnIndexStream.quantizerDrift(
@@ -655,6 +723,95 @@ object VectorQueries {
        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
   }
 
+  /** Shared SQL prologue: per-element L2-NORMALIZED embeddings as
+    * (vec_id, i, v) rows — v = double(e[i]) × (1/‖e‖), the exact
+    * VecScale form (multiply by the reciprocal, not divide).
+    */
+  private val NormalizedNv: String =
+    """nrm AS (SELECT vec_id,
+           sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+         FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+               FROM embeddings)
+         GROUP BY vec_id),
+       nv AS (SELECT vec_id, CAST(i AS INT) AS i,
+           CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / nrm) AS v
+         FROM (SELECT e.vec_id, e.embedding, n.nrm,
+                 unnest(generate_series(1, len(e.embedding))) AS i
+               FROM embeddings e JOIN nrm n USING (vec_id)))"""
+
+  /** Cell assignment over `nv` against a dumped centroid frame:
+    * argmin(||c||²−2·v·c) with (d, cell) ties — emits CTEs
+    * `cent`/`cn`/`vd`/`asg` reading `read_parquet('<dump>')`.
+    */
+  private def assignCtes(dumpRelPath: String): String =
+    s"""cent AS (SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
+           FROM read_parquet('__VERIFY_OUT__/$dumpRelPath/*.parquet')),
+       cn AS (SELECT cell, sum(value * value) AS n2 FROM cent GROUP BY cell),
+       vd AS (SELECT nv.vec_id, c.cell, sum(nv.v * c.value) AS dp
+           FROM nv JOIN cent c ON c.pos + 1 = nv.i
+           GROUP BY nv.vec_id, c.cell),
+       asg AS (SELECT vec_id, cell FROM (
+           SELECT vd.vec_id, vd.cell,
+             row_number() OVER (PARTITION BY vd.vec_id
+               ORDER BY cn.n2 - 2 * vd.dp ASC, vd.cell ASC) AS rk
+           FROM vd JOIN cn USING (cell)) WHERE rk = 1)"""
+
+  private def annDriftOracleSql: String = {
+    val (hashFrag, hashLast) = XxSql.chain("hb",
+      XxSql.xx64Steps("uid", "42", "sh", "sa"), "dsx")
+    s"""WITH $NormalizedNv,
+       ${assignCtes("ann_quantizer_ivf4_norm")},
+       rn AS (SELECT nv.vec_id,
+           sqrt(sum((nv.v - c.value) * (nv.v - c.value))) AS rn
+         FROM nv JOIN asg a USING (vec_id)
+         JOIN cent c ON c.cell = a.cell AND c.pos + 1 = nv.i
+         GROUP BY nv.vec_id),
+       hb AS (SELECT vec_id, ${XxSql.u64("vec_id")} AS uid FROM embeddings)
+       $hashFrag,
+       samp AS (SELECT vec_id FROM $hashLast WHERE sh % 16 = 0),
+       cur AS (SELECT a.cell, CAST(count(*) AS BIGINT) AS n, avg(rn.rn) AS m
+         FROM asg a JOIN rn USING (vec_id) GROUP BY a.cell),
+       bas AS (SELECT a.cell, avg(rn.rn) AS m
+         FROM asg a JOIN rn USING (vec_id) JOIN samp USING (vec_id)
+         GROUP BY a.cell)
+       SELECT cur.cell, cur.n,
+              round(cur.m, 4) AS current_norm,
+              round(bas.m, 4) AS fit_norm,
+              round(cur.m / bas.m, 4) AS drift_ratio,
+              (bas.m IS NULL OR cur.m / bas.m > 1.25) AS refit
+       FROM cur LEFT JOIN bas USING (cell)"""
+  }
+
+  private def annIndexRowsOracleSql: String =
+    s"""WITH $NormalizedNv,
+       ${assignCtes("ann_quantizer_ivf8_norm")},
+       resid AS (SELECT nv.vec_id, nv.i, nv.v - c.value AS r
+         FROM nv JOIN asg a USING (vec_id)
+         JOIN cent c ON c.cell = a.cell AND c.pos + 1 = nv.i),
+       cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+           CAST(pos AS INT) AS pos, value
+         FROM read_parquet('__VERIFY_OUT__/ann_codebook_pq16_norm/*.parquet')),
+       cbn AS (SELECT sub, code, sum(value * value) AS n2
+         FROM cb GROUP BY sub, code),
+       -- subspace width 4 = 64 dims / m=16: residual element i (1-based)
+       -- belongs to sub s at position i - s*4 - 1
+       sd AS (SELECT r.vec_id, cb.sub, cb.code, sum(r.r * cb.value) AS dp
+         FROM resid r JOIN cb ON r.i = cb.sub * 4 + cb.pos + 1
+         GROUP BY r.vec_id, cb.sub, cb.code),
+       codes AS (SELECT vec_id, sub, code FROM (
+           SELECT sd.vec_id, sd.sub, sd.code,
+             row_number() OVER (PARTITION BY sd.vec_id, sd.sub
+               ORDER BY cbn.n2 - 2 * sd.dp ASC, sd.code ASC) AS rk
+           FROM sd JOIN cbn ON sd.sub = cbn.sub AND sd.code = cbn.code)
+         WHERE rk = 1),
+       pq AS (SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code
+         FROM codes GROUP BY vec_id)
+       SELECT a.vec_id, a.cell, pq.pq_code
+       FROM asg a JOIN pq USING (vec_id)"""
+
   def oracleSql: Map[String, String] = Map(
     // sign bits as a HUGEINT power sum (bit 63 would overflow BIGINT);
     // hamming = bit_count(xor) on the unsigned values — identical to
@@ -778,6 +935,17 @@ object VectorQueries {
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    // Drift report replay given the dumped k=4 normalized quantizer:
+    // l2-normalize (× reciprocal norm, mirroring VecScale), assign by
+    // argmin(||c||²−2·v·c, cell), per-vector residual norm, per-cell
+    // mean — current over everything, baseline over the 1/16 xxhash64
+    // sample (the hash replayed via the XxSql HUGEINT chain).
+    "ann_drift" -> annDriftOracleSql,
+    // Index-row replay given BOTH dumped quantizers: cell assignment as
+    // above, then per-subspace code = argmin(||cb||²−2·r_s·cb, code)
+    // over the residual slices — PqCodes' exact rule — joined back as
+    // the dash-string the query emits.
+    "ann_index_rows" -> annIndexRowsOracleSql,
     // Given the dumped k=8 quantizer, the whole IVF search replays:
     // corpus cell assignment by argmin(||c||²−2·v·c) with (d, cell)
     // ties, the query's 2 probe cells by TRUE squared distance
