@@ -137,6 +137,19 @@ object VectorQueries {
         "embedding", k = 8, maxIter = 3))
     }
 
+  /** The m=8 RAW-vector PQ codebooks (8-dim subspaces, 3 Lloyd
+    * rounds) — sim_pq_topk's quantizer, dumped as
+    * `ann_codebook_pq8_raw`.
+    */
+  private[graft] def storedPq8Raw(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_pq8_raw_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      codebooksToDF(s, SimilaritySearch.fitPq(
+        Tables.embeddings(s, dir)
+          .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
+        "embedding", dim = 64, m = 8, codesPerSub = 16, maxIter = 3))
+    }
+
   private[graft] def storedPq16Norm(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
       s"ann_pq16_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
@@ -322,14 +335,18 @@ object VectorQueries {
     // 8 O(1) literal-table lookups, never a vector op — then exact
     // cosine on the 40 best. The compressed-storage scale path: a
     // persisted pqEncode table reads 8 ints/vector until the bounded
-    // rerank. Centroid floats are engine-specific → rows-only.
+    // rerank. Hash-gated given the ann_codebook_pq8_raw dump: encode,
+    // LUT distances, ADC rank, and the exact rerank all replay in SQL.
     "sim_pq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val codebooks = SimilaritySearch.fitPq(
-        e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", dim = 64, m = 8, codesPerSub = 16, maxIter = 3)
       SimilaritySearch.pqTopK(e, "embedding", "vec_id", queryId = 0L,
-        k = 10, codebooks, rerank = 40)
+        k = 10, codebooksFromDF(storedPq8Raw(s, dir)), rerank = 40)
+    }),
+
+    // The m=8 raw codebooks themselves (rows-only — MLlib floats);
+    // sim_pq_topk replays hash-exact against this dump.
+    "ann_codebook_pq8_raw" -> ((s, dir) => {
+      storedPq8Raw(s, dir).orderBy(col("sub"), col("code"), col("pos"))
     }),
 
     // Batch k-NN join: exact cosine top-5 neighbors for every 50th
@@ -584,12 +601,18 @@ object VectorQueries {
 
     // Semantic dedup (SemDeDup shape): cosine near-dup pairs blocked by
     // IVF cells from a real KMeans coarse quantizer — the blocking that
-    // keeps the pair space Σ per-cell n² instead of global n². Centroid
-    // floats are engine-specific → rows-only (the k=1 full-block case is
-    // asserted ≡ brute-force in DedupSpec).
+    // keeps the pair space Σ per-cell n² instead of global n². The
+    // blocking quantizer is the shared ann_quantizer_ivf8 dump, so the
+    // whole pipeline (assignment, within-cell pairs, cosine threshold)
+    // replays hash-exact; the k=1 full-block case is asserted ≡
+    // brute-force in DedupSpec, and semanticDedupPairs (which fits its
+    // own quantizer) stays the library entry point.
     "dedup_semantic" -> ((s, dir) => {
-      Dedup.semanticDedupPairs(Tables.embeddings(s, dir), "embedding",
-        "vec_id", kCells = 8, minCosine = 0.4)
+      val blocked = SimilaritySearch.assignToCentroids(
+        Tables.embeddings(s, dir), "embedding",
+        centroidsFromDF(storedIvf8Raw(s, dir)))
+      Dedup.embeddingCosinePairs(blocked, "embedding", "vec_id", "cell",
+        minCosine = 0.4)
     }),
 
     // Per-label centroid vectors (class prototypes — the center step of
@@ -745,18 +768,40 @@ object VectorQueries {
     * argmin(||c||²−2·v·c) with (d, cell) ties — emits CTEs
     * `cent`/`cn`/`vd`/`asg` reading `read_parquet('<dump>')`.
     */
-  private def assignCtes(dumpRelPath: String): String =
+  private def assignCtes(dumpRelPath: String, elems: String = "nv"): String =
     s"""cent AS (SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
            FROM read_parquet('__VERIFY_OUT__/$dumpRelPath/*.parquet')),
        cn AS (SELECT cell, sum(value * value) AS n2 FROM cent GROUP BY cell),
-       vd AS (SELECT nv.vec_id, c.cell, sum(nv.v * c.value) AS dp
-           FROM nv JOIN cent c ON c.pos + 1 = nv.i
-           GROUP BY nv.vec_id, c.cell),
+       vd AS (SELECT $elems.vec_id, c.cell, sum($elems.v * c.value) AS dp
+           FROM $elems JOIN cent c ON c.pos + 1 = $elems.i
+           GROUP BY $elems.vec_id, c.cell),
        asg AS (SELECT vec_id, cell FROM (
            SELECT vd.vec_id, vd.cell,
              row_number() OVER (PARTITION BY vd.vec_id
                ORDER BY cn.n2 - 2 * vd.dp ASC, vd.cell ASC) AS rk
            FROM vd JOIN cn USING (cell)) WHERE rk = 1)"""
+
+  /** Raw (unnormalized) per-element embeddings as (vec_id, i, v). */
+  private val RawEv: String =
+    """ev AS (SELECT vec_id, CAST(i AS INT) AS i,
+           CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+         FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+               FROM embeddings))"""
+
+  private def dedupSemanticOracleSql: String =
+    s"""WITH $RawEv,
+       ${assignCtes("ann_quantizer_ivf8", "ev")},
+       nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
+       pe AS (SELECT a.cell, e.vec_id, e.i, e.v, n.nrm
+         FROM ev e JOIN asg a USING (vec_id) JOIN nrm n USING (vec_id)),
+       pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           sum(x.v * y.v) / (any_value(x.nrm) * any_value(y.nrm)) AS cos
+         FROM pe x JOIN pe y
+           ON x.cell = y.cell AND x.i = y.i AND x.vec_id < y.vec_id
+         GROUP BY x.vec_id, y.vec_id)
+       SELECT id_a, id_b, round(cos, 4) AS cosine
+       FROM pairs WHERE cos >= 0.4"""
 
   private def annDriftOracleSql: String = {
     val (hashFrag, hashLast) = XxSql.chain("hb",
@@ -783,6 +828,51 @@ object VectorQueries {
               (bas.m IS NULL OR cur.m / bas.m > 1.25) AS refit
        FROM cur LEFT JOIN bas USING (cell)"""
   }
+
+  private def simPqTopKOracleSql: String =
+    s"""WITH ev AS (SELECT vec_id, CAST(i AS INT) AS i,
+           CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+         FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+               FROM embeddings)),
+       cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+           CAST(pos AS INT) AS pos, value
+         FROM read_parquet('__VERIFY_OUT__/ann_codebook_pq8_raw/*.parquet')),
+       cbn AS (SELECT sub, code, sum(value * value) AS n2
+         FROM cb GROUP BY sub, code),
+       -- subspace width 8 = 64 dims / m=8
+       sd AS (SELECT e.vec_id, cb.sub, cb.code, sum(e.v * cb.value) AS dp
+         FROM ev e JOIN cb ON e.i = cb.sub * 8 + cb.pos + 1
+         WHERE e.vec_id <> 0 GROUP BY e.vec_id, cb.sub, cb.code),
+       codes AS (SELECT vec_id, sub, code FROM (
+           SELECT sd.vec_id, sd.sub, sd.code,
+             row_number() OVER (PARTITION BY sd.vec_id, sd.sub
+               ORDER BY cbn.n2 - 2 * sd.dp ASC, sd.code ASC) AS rk
+           FROM sd JOIN cbn ON sd.sub = cbn.sub AND sd.code = cbn.code)
+         WHERE rk = 1),
+       lut AS (SELECT cb.sub, cb.code,
+           sum((q.v - cb.value) * (q.v - cb.value)) AS d2
+         FROM cb JOIN (SELECT * FROM ev WHERE vec_id = 0) q
+           ON q.i = cb.sub * 8 + cb.pos + 1
+         GROUP BY cb.sub, cb.code),
+       adc AS (SELECT c.vec_id, sum(l.d2) AS adc
+         FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         GROUP BY c.vec_id),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rk
+           FROM adc) WHERE rk <= 40),
+       ex AS (SELECT e.vec_id,
+           unnest(generate_series(1, len(e.embedding))) AS i,
+           e.embedding, q.qv
+         FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q),
+       dots AS (SELECT vec_id,
+           sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+           sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+           sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+         FROM ex GROUP BY vec_id)
+       SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+       FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
 
   private def annIndexRowsOracleSql: String =
     s"""WITH $NormalizedNv,
@@ -935,6 +1025,16 @@ object VectorQueries {
                 FROM ex GROUP BY id_a, id_b)
          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""",
+    // Cell-blocked cosine pairs replay given the shared k=8 raw
+    // quantizer dump: assignment, within-cell id<id pairs, the 0.4
+    // threshold on the unrounded cosine, 4dp output.
+    "dedup_semantic" -> dedupSemanticOracleSql,
+    // PQ-ADC replay given the dumped m=8 raw codebooks: every corpus
+    // vector's codes by PqCodes' argmin rule, the query's per-subspace
+    // LUT of true squared distances, ADC = the 8 LUT picks summed,
+    // top-40 by (adc, id), then the exact-cosine top-10 — the full
+    // candidate + rerank pipeline re-derived.
+    "sim_pq_topk" -> simPqTopKOracleSql,
     // Drift report replay given the dumped k=4 normalized quantizer:
     // l2-normalize (× reciprocal norm, mirroring VecScale), assign by
     // argmin(||c||²−2·v·c, cell), per-vector residual norm, per-cell
