@@ -161,6 +161,21 @@ object VectorQueries {
         "__resid", dim = 64, m = 16, codesPerSub = 16, maxIter = 2))
     }
 
+  /** The m=64 (1-dim subspace) residual codebooks over the NORMALIZED
+    * sample — knn_join_pq / ann_audit_pairs' fine quantizer, dumped as
+    * `ann_codebook_pq64_norm`.
+    */
+  private[graft] def storedPq64Norm(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"ann_pq64_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      val sample = normalizedEmbeddings(s, dir)
+        .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+      codebooksToDF(s, SimilaritySearch.fitPq(
+        SimilaritySearch.cellResiduals(sample, "embedding",
+          centroidsFromDF(storedIvf8Norm(s, dir))),
+        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2))
+    }
+
   /** The audit's IVF-PQ candidate top-5 pair set as a STORED artifact
     * (same discipline as [[storedKnnGraph]]): built once per corpus
     * stamp, then READ by both `ann_audit_pairs` (the dump the oracle
@@ -172,18 +187,13 @@ object VectorQueries {
     */
   private[graft] def storedAnnAuditPairs(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_audit_pairs_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        VectorOps.l2Normalize(col("embedding")).as("embedding"))
-      val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
-      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8,
-        maxIter = 3)
-      val codebooks = SimilaritySearch.fitPq(
-        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
-        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2)
+      s"ann_audit_pairs_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      val e = normalizedEmbeddings(s, dir)
       SimilaritySearch.knnJoinIvfPq(
-        e, queries, "embedding", "vec_id", k = 5, centroids, codebooks,
+        e, e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 5,
+        centroidsFromDF(storedIvf8Norm(s, dir)),
+        codebooksFromDF(storedPq64Norm(s, dir)),
         nprobe = 6, rerank = 50)
         .select(col("query_id"), col("neighbor_id"))
     }
@@ -311,7 +321,6 @@ object VectorQueries {
     // COARSE quantizer needs cluster shape, not every vector, and a
     // full-table Lloyd pass is exactly the cost that explodes at 100 TB
     // (FAISS-style IVF trains on a bounded sample for the same reason).
-    // Centroid floats are engine-specific → rows-only.
     // The k=8 coarse quantizer itself, dumped for the oracles: the fit
     // is an MLlib float trajectory (rows-only), but once dumped, every
     // CONSUMER below it (sim_ivf_topk, knn_join_ivf) replays hash-exact
@@ -378,7 +387,9 @@ object VectorQueries {
     // partition-prunable by cell at scale. Both quantizers fit on the
     // same deterministic 1/16 hash sample; top-25 per query reranked
     // exactly. SimilaritySpec pins recall@10 ≥ 0.9 at this
-    // configuration. Centroid floats are engine-specific → rows-only.
+    // configuration. Hash-gated given the ivf8_norm + pq64_norm dumps:
+    // the whole pipeline (assignment, residual codes, per-(query, cell)
+    // LUTs with the ||q−c||² term, ADC top-50, exact rerank) replays.
     // Configuration, chosen by MEASUREMENT on the synthetic embeddings
     // (isotropic — no label/cluster cosine structure, the adversarial
     // case for ANN; see SimilaritySpec's pinned bar):
@@ -400,26 +411,26 @@ object VectorQueries {
     //    (SimilaritySpec pins the second kCells=16 point). At 100 TB
     //    re-derive kCells from √n, keeping cells ~10⁴-member sized.
     "knn_join_pq" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
-      val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      val centroids = SimilaritySearch.fitIvf(sample, "embedding", k = 8, maxIter = 3)
-      // 2 Lloyd rounds: 1-dim scalar codebooks converge in 1-2 rounds
-      // (measured recall identical to 3), and each round is a whole job
-      val codebooks = SimilaritySearch.fitPq(
-        SimilaritySearch.cellResiduals(sample, "embedding", centroids),
-        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2)
+      val e = normalizedEmbeddings(s, dir)
       SimilaritySearch.knnJoinIvfPq(
         e, e.where(pmod(col("vec_id"), lit(50)) === 0),
-        "embedding", "vec_id", k = 5, centroids, codebooks,
+        "embedding", "vec_id", k = 5,
+        centroidsFromDF(storedIvf8Norm(s, dir)),
+        codebooksFromDF(storedPq64Norm(s, dir)),
         nprobe = 6, rerank = 50)
+    }),
+
+    // The m=64 residual codebooks (rows-only — MLlib floats);
+    // knn_join_pq and ann_audit_pairs replay hash-exact against it.
+    "ann_codebook_pq64_norm" -> ((s, dir) => {
+      storedPq64Norm(s, dir).orderBy(col("sub"), col("code"), col("pos"))
     }),
 
     // The IVF-PQ candidate set under audit, as its own dumped row (the
     // stored fixture both it and ann_recall_audit read — see
-    // storedAnnAuditPairs). KMeans float trajectories are
-    // engine-specific → rows-only; the audit MATH over this set is the
-    // hash-gated part.
+    // storedAnnAuditPairs). Hash-gated: it runs knnJoinIvfPq on the
+    // dumped ivf8_norm/pq64_norm quantizers, so the same IVFPQ replay
+    // that gates knn_join_pq re-derives this pair set exactly.
     "ann_audit_pairs" -> ((s, dir) => {
       storedAnnAuditPairs(s, dir)
         .orderBy(col("query_id"), col("neighbor_id"))
@@ -874,6 +885,87 @@ object VectorQueries {
        SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
 
+  /** The full IVFPQ (knnJoinIvfPq, nprobe=6, rerank=50, k=5) replay as
+    * a WITH body ending in CTE `fin(query_id, neighbor_id, rank, cos)`
+    * — shared by knn_join_pq (full projection) and ann_audit_pairs
+    * (pair projection; its stored fixture runs the same pipeline on
+    * the same dumped quantizers). Subspace width is 1 (64 dims / m=64),
+    * so each code's "dot" is a single product.
+    */
+  private def ivfPqReplayCtes: String =
+    s"""WITH $NormalizedNv,
+       ${assignCtes("ann_quantizer_ivf8_norm")},
+       resid AS (SELECT nv.vec_id, nv.i, nv.v - c.value AS r
+         FROM nv JOIN asg a USING (vec_id)
+         JOIN cent c ON c.cell = a.cell AND c.pos + 1 = nv.i),
+       cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+           CAST(pos AS INT) AS pos, value
+         FROM read_parquet('__VERIFY_OUT__/ann_codebook_pq64_norm/*.parquet')),
+       cbn AS (SELECT sub, code, sum(value * value) AS n2
+         FROM cb GROUP BY sub, code),
+       sd AS (SELECT r.vec_id, cb.sub, cb.code, sum(r.r * cb.value) AS dp
+         FROM resid r JOIN cb ON r.i = cb.sub + cb.pos + 1
+         GROUP BY r.vec_id, cb.sub, cb.code),
+       codes AS (SELECT vec_id, sub, code FROM (
+           SELECT sd.vec_id, sd.sub, sd.code,
+             row_number() OVER (PARTITION BY sd.vec_id, sd.sub
+               ORDER BY cbn.n2 - 2 * sd.dp ASC, sd.code ASC) AS rk
+           FROM sd JOIN cbn ON sd.sub = cbn.sub AND sd.code = cbn.code)
+         WHERE rk = 1),
+       qprobe AS (SELECT vec_id AS query_id, cell FROM (
+           SELECT vd.vec_id, vd.cell,
+             row_number() OVER (PARTITION BY vd.vec_id
+               ORDER BY cn.n2 - 2 * vd.dp ASC, vd.cell ASC) AS rk
+           FROM vd JOIN cn USING (cell) WHERE vd.vec_id % 50 = 0)
+         WHERE rk <= 6),
+       qres AS (SELECT p.query_id, p.cell, nv.i, nv.v - c.value AS r
+         FROM qprobe p JOIN nv ON nv.vec_id = p.query_id
+         JOIN cent c ON c.cell = p.cell AND c.pos + 1 = nv.i),
+       qresn AS (SELECT query_id, cell, sum(r * r) AS n2q
+         FROM qres GROUP BY query_id, cell),
+       lut AS (SELECT qr.query_id, qr.cell, cb.sub, cb.code,
+           any_value(cbn.n2) - 2 * sum(qr.r * cb.value) AS d
+         FROM qres qr JOIN cb ON qr.i = cb.sub + cb.pos + 1
+         JOIN cbn ON cbn.sub = cb.sub AND cbn.code = cb.code
+         GROUP BY qr.query_id, qr.cell, cb.sub, cb.code),
+       cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
+         FROM qprobe p JOIN asg a ON a.cell = p.cell
+         WHERE a.vec_id <> p.query_id),
+       adc AS (SELECT cd.query_id, cd.neighbor_id,
+           sum(l.d) + any_value(qn.n2q) AS adc
+         FROM cand cd
+         JOIN codes co ON co.vec_id = cd.neighbor_id
+         JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+           AND l.sub = co.sub AND l.code = co.code
+         JOIN qresn qn ON qn.query_id = cd.query_id AND qn.cell = cd.cell
+         GROUP BY cd.query_id, cd.neighbor_id),
+       top AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc ASC, neighbor_id ASC) AS rk
+           FROM adc) WHERE rk <= 50),
+       nnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM nv GROUP BY vec_id),
+       dots AS (SELECT t.query_id, t.neighbor_id, sum(x.v * y.v) AS dp
+         FROM top t JOIN nv x ON x.vec_id = t.neighbor_id
+         JOIN nv y ON y.vec_id = t.query_id AND y.i = x.i
+         GROUP BY t.query_id, t.neighbor_id),
+       fin AS (SELECT d.query_id, d.neighbor_id,
+           d.dp / (nx.nn * ny.nn) AS cos,
+           row_number() OVER (PARTITION BY d.query_id
+             ORDER BY d.dp / (nx.nn * ny.nn) DESC, d.neighbor_id ASC) AS rank
+         FROM dots d JOIN nnrm nx ON nx.vec_id = d.neighbor_id
+         JOIN nnrm ny ON ny.vec_id = d.query_id)"""
+
+  private def knnJoinPqOracleSql: String =
+    s"""$ivfPqReplayCtes
+       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+              round(cos, 4) AS cosine
+       FROM fin WHERE rank <= 5"""
+
+  private def annAuditPairsOracleSql: String =
+    s"""$ivfPqReplayCtes
+       SELECT query_id, neighbor_id FROM fin WHERE rank <= 5"""
+
   private def annIndexRowsOracleSql: String =
     s"""WITH $NormalizedNv,
        ${assignCtes("ann_quantizer_ivf8_norm")},
@@ -1029,6 +1121,12 @@ object VectorQueries {
     // quantizer dump: assignment, within-cell id<id pairs, the 0.4
     // threshold on the unrounded cosine, 4dp output.
     "dedup_semantic" -> dedupSemanticOracleSql,
+    // Full IVFPQ replay (assignment → residual codes → per-(query,
+    // cell) LUTs carrying ||q−c||² → ADC top-50 → exact rerank) given
+    // the ivf8_norm + pq64_norm dumps; ann_audit_pairs is the same
+    // replay's pair projection.
+    "knn_join_pq" -> knnJoinPqOracleSql,
+    "ann_audit_pairs" -> annAuditPairsOracleSql,
     // PQ-ADC replay given the dumped m=8 raw codebooks: every corpus
     // vector's codes by PqCodes' argmin rule, the query's per-subspace
     // LUT of true squared distances, ADC = the 8 LUT picks summed,
