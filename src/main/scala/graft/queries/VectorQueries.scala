@@ -511,7 +511,8 @@ object VectorQueries {
     // 16-cluster grid measures cell seeding beating hash seeding at
     // every hop count and at hops=3 beating hash at hops=4; on these
     // isotropic embeddings it is the same-answer cheaper-seed path.
-    // Engine-specific graph + KMeans floats → rows-only.
+    // Hash-gated given the ann_quantizer_ivf8 dump: XxSql replays the
+    // graph build, the medoid-seed election, and the beam walk.
     "graph_search_ivf_seeded" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
@@ -1051,6 +1052,9 @@ object VectorQueries {
     "knn_graph" -> XxSql.knnGraphOracleSql(k = 10, iters = 3),
     "graph_search_topk" -> XxSql.graphSearchOracleSql(k = 10, iters = 3,
       beam = 20, hops = 3, seedsPerQuery = 8, searchK = 10, queryMod = 50),
+    "graph_search_ivf_seeded" -> XxSql.graphSearchIvfSeededOracleSql(
+      k = 10, iters = 3, beam = 20, hops = 3, searchK = 10, queryMod = 50,
+      nprobe = 2),
     "knn_graph_insert" -> XxSql.knnGraphInsertOracleSql(k = 10, iters = 2,
       beam = 10, hops = 2, seedsPerQuery = 8, batchMod = 10),
     "knn_graph_remove" -> XxSql.knnGraphRemoveOracleSql(k = 10, iters = 2,

@@ -218,7 +218,21 @@ private[queries] object XxSql {
        queries AS MATERIALIZED (SELECT id AS query_id FROM vecs WHERE $queriesWhere),
        seeded AS (SELECT q.query_id AS src, s.node_id AS dst FROM queries q CROSS JOIN seeds s
                   WHERE s.node_id <> q.query_id)""")
-    sb.append(scoreSql("seeded", "bs0"))
+    val (walk, bm) = beamSearchReplayFromSeeded(graphCte, "seeded", beam, hops)
+    sb.append(walk)
+    (sb.toString, bm)
+  }
+
+  /** The beam walk given an ALREADY-BUILT entry-pair CTE
+    * `(src=query_id, dst=seed node)` — per-query IVF medoid seeds,
+    * precomputed warm starts, anything. The caller's CTE must mirror
+    * graphSearch's seed semantics: self-pairs excluded, multiplicity
+    * preserved (duplicate seed rows score twice there too).
+    */
+  def beamSearchReplayFromSeeded(graphCte: String, seededCte: String,
+      beam: Int, hops: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb.append(scoreSql(seededCte, "bs0"))
     sb.append(topkSql("bs0", "beam0", beam))
     sb.append(s""",
        gund AS MATERIALIZED (SELECT src AS a, dst AS b FROM $graphCte UNION ALL SELECT dst AS a, src AS b FROM $graphCte)""")
@@ -273,6 +287,59 @@ private[queries] object XxSql {
     sb.append(body)
     val (search, bm) = beamSearchReplay(g, "TRUE", s"id % $queryMod = 0",
       beam, hops, seedsPerQuery)
+    sb.append(search)
+    sb.append(topkSql(bm, "bfin", searchK))
+    sb.append(rankedOut("bfin", "query_id", roundCos = true))
+    sb.toString
+  }
+
+  /** Oracle for `graph_search_ivf_seeded`: the same NN-descent graph +
+    * beam walk as [[graphSearchOracleSql]], but entered from per-query
+    * IVF medoid seeds derived from the DUMPED `ann_quantizer_ivf8`
+    * centroids — KnnGraph.ivfSeeds replayed exactly: cell assignment by
+    * the reduced ||c||²−2·v·c form with (d, cell) ties, medoid election
+    * by TRUE squared distance (the member's own Σv² added back) with
+    * (d, id) ties, the query's `nprobe` cells by the reduced form, and
+    * seed multiplicity preserved (two probed cells sharing a medoid
+    * score it twice, as Spark does).
+    */
+  def graphSearchIvfSeededOracleSql(k: Int, iters: Int, beam: Int,
+      hops: Int, searchK: Int, queryMod: Int, nprobe: Int): String = {
+    val sb = new StringBuilder
+    val (body, g) = nnDescentReplay(k, iters)
+    sb.append(body)
+    sb.append(s""",
+       icent AS (SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
+         FROM read_parquet('__VERIFY_OUT__/ann_quantizer_ivf8/*.parquet')),
+       icn AS (SELECT cell, sum(value * value) AS n2 FROM icent GROUP BY cell),
+       ivd AS (SELECT v.id, c.cell,
+           sum(CAST(v.embedding[c.pos + 1] AS DOUBLE) * c.value) AS dp
+         FROM vecs v CROSS JOIN icent c GROUP BY v.id, c.cell),
+       vsq AS (SELECT id,
+           sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS s2
+         FROM (SELECT id, unnest(generate_series(1, len(embedding))) AS i,
+                 embedding FROM vecs) GROUP BY id),
+       iasg AS (SELECT id, cell, d FROM (
+           SELECT v.id, v.cell, icn.n2 - 2 * v.dp AS d,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY icn.n2 - 2 * v.dp ASC, v.cell ASC) AS rk
+           FROM ivd v JOIN icn USING (cell)) WHERE rk = 1),
+       med AS (SELECT cell, id AS node_id FROM (
+           SELECT a.cell, a.id,
+             row_number() OVER (PARTITION BY a.cell
+               ORDER BY a.d + v.s2 ASC, a.id ASC) AS rk
+           FROM iasg a JOIN vsq v ON v.id = a.id) WHERE rk = 1),
+       qpr AS (SELECT id AS query_id, cell FROM (
+           SELECT v.id, v.cell,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY icn.n2 - 2 * v.dp ASC, v.cell ASC) AS rk
+           FROM ivd v JOIN icn USING (cell)
+           WHERE v.id % $queryMod = 0) WHERE rk <= $nprobe),
+       iseeded AS (SELECT q.query_id AS src, m.node_id AS dst
+         FROM qpr q JOIN med m USING (cell)
+         WHERE m.node_id <> q.query_id)""")
+    val (search, bm) = beamSearchReplayFromSeeded(g, "iseeded", beam, hops)
     sb.append(search)
     sb.append(topkSql(bm, "bfin", searchK))
     sb.append(rankedOut("bfin", "query_id", roundCos = true))
