@@ -47,8 +47,7 @@ object Bench {
       // at scale they are offline-persisted indexes, and timing the
       // one-off build inside whichever consumer runs first would
       // mis-attribute ~3.4 s of nnDescent to a SEARCH row
-      if (selected.keys.exists(Set("graph_search_topk",
-          "graph_search_ivf_seeded", "ann_audit_pairs", "ann_recall_audit")))
+      if (selected.keys.exists(graft.queries.VectorQueries.fixtureConsumers))
         graft.queries.VectorQueries.ensureFixtures(spark, sfDir)
       if (selected.contains("graph_walk_skipgrams") ||
           selected.keys.exists(graft.queries.GraphQueries.supplyFixtureConsumers))
