@@ -138,6 +138,24 @@ object GraftSql {
       .createOrReplaceTempView(outView)
   }
 
+  /** Connected components of an undirected edge view →
+    * `outView(id, cluster)` (cluster = min reachable id), via the same
+    * large-star/small-star contraction the dedup clusters use —
+    * O(log² n) rounds, billion-edge-safe. Iterative: registration runs
+    * the contraction (like [[registerPageRank]]), the view holds the
+    * result.
+    */
+  def registerComponents(s: SparkSession, edgesView: String, srcCol: String,
+      dstCol: String, outView: String): Unit = {
+    val e = graft.operators.GraphAlgs.canonical(
+      s.table(edgesView), srcCol, dstCol).localCheckpoint(true)
+    val nodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b"))).distinct()
+    graft.operators.Dedup.duplicateClustersStar(nodes, "node",
+        e.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .createOrReplaceTempView(outView)
+  }
+
   /** Mergeable deterministic quantile estimates over a rows view →
     * `outView(…groupCols, q_ppm, n_sample, est)` — the
     * [[graft.operators.QuantileSketch]] bottom-k-by-md5 row sample,

@@ -136,6 +136,25 @@ object SqlFacadeQueries {
                FROM graft_funnel""")
     }),
 
+    // Connected components through the facade: the basket edge
+    // derivation staged in plain SQL (collect_set + transform —
+    // Catalyst built-ins), the contraction through the wrapper, a
+    // component-size census in SQL after.
+    "sql_components" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""CREATE OR REPLACE TEMP VIEW basket_edges AS
+               SELECT e.a, e.b FROM (
+                 SELECT explode(transform(sequence(0, size(ps) - 2),
+                   i -> struct(ps[i] AS a, ps[i + 1] AS b))) AS e
+                 FROM (SELECT sort_array(collect_set(l_partkey)) AS ps
+                       FROM lineitem GROUP BY l_orderkey)
+                 WHERE size(ps) >= 2)""")
+      GraftSql.registerComponents(s, "basket_edges", "a", "b",
+        outView = "graft_components")
+      s.sql("""SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM graft_components GROUP BY cluster""")
+    }),
+
     // Deterministic quantile sketch through the facade: p90 per event
     // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
     // on the integer q_ppm.
@@ -211,6 +230,10 @@ object SqlFacadeQueries {
           FROM (${StreamQueries.oracleSql("funnel_conversion")})""",
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
-          WHERE q_ppm = 900000"""
+          WHERE q_ppm = 900000""",
+    "sql_components" ->
+      s"""SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM (${WarehouseQueries.oracleSql("graph_components")})
+          GROUP BY cluster"""
   )
 }
