@@ -109,12 +109,16 @@ object Bench {
           } else Map.empty
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
+    // a uniformly slow host flags half the suite — cap the re-run pass
+    // at the 24 worst ratios so the bench's own wall clock stays
+    // bounded (the cap keeps every genuinely suspicious row: a real
+    // plan regression lands far above the noise band)
     val soloWarm: Seq[(String, Double)] =
       results.collect {
         case (name, dt, None)
             if dt >= 0.5 && refTimes.get(name).exists(r => dt > 1.3 * r) =>
-          name
-      }.map { name =>
+          (name, dt / refTimes(name))
+      }.sortBy(-_._2).take(24).map(_._1).sorted.map { name =>
         val fn = selected(name)
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
