@@ -231,8 +231,11 @@ object VectorQueries {
     // Multimodal decode plumbing as a gate query: binary payloads
     // (document text bytes — the stub arm; real image/audio payloads
     // take the same path through javax.imageio/sampled, spec-proven)
-    // batched per partition, one feature row per media item. Checksums
-    // are engine-specific → rows-only.
+    // batched per partition, one feature row per media item.
+    // Hash-gated: text payloads always take the deterministic stub arm
+    // (no codec reads them), whose 31-polynomial byte checksum and
+    // derived pseudo-dimensions replay exactly in HUGEINT SQL — the
+    // REAL decode arms stay spec-tested with codec fixtures.
     "media_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.documentFeatures(
         s, Tables.documents(s, dir), partitions = 32)
@@ -1014,7 +1017,44 @@ object VectorQueries {
        SELECT a.vec_id, a.cell, pq.pq_code
        FROM asg a JOIN pq USING (vec_id)"""
 
+  /** Stub-arm replay for media_features: checksum = fold(sum·31 + byte)
+    * over the UTF-8 payload as a closed-form power sum in HUGEINT mod
+    * 2⁶⁴ (the corpus is ASCII, so ord(char) = byte; a recursive CTE
+    * tabulates 31^k), signed like Java's long wraparound; width/height
+    * are floorMod of the signed sum (DuckDB's % and // are C-truncating
+    * like Java's, so the +m)%m fold reproduces floorMod exactly).
+    */
+  private def mediaFeaturesOracleSql: String = {
+    val M = "18446744073709551616"
+    s"""WITH RECURSIVE pw(k, p) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL
+           SELECT k + 1, (p * 31) % $M FROM pw
+           WHERE k < (SELECT max(length(text)) FROM documents)),
+       ch AS (SELECT doc_id, length(text) AS n,
+                unnest(generate_series(1, length(text))) AS i, text
+              FROM documents),
+       su AS (SELECT c.doc_id, any_value(c.n) AS n,
+                sum((CAST(ord(substr(c.text, CAST(c.i AS INT), 1)) AS HUGEINT)
+                   * pw.p) % $M) % $M AS us
+              FROM ch c JOIN pw ON pw.k = c.n - c.i
+              GROUP BY c.doc_id),
+       sg AS (SELECT d.doc_id,
+                CAST(coalesce(su.n, length(d.text)) AS BIGINT) AS n,
+                CAST(CASE WHEN coalesce(su.us, 0) >= 9223372036854775808
+                     THEN coalesce(su.us, 0) - $M
+                     ELSE coalesce(su.us, 0) END AS BIGINT) AS s
+              FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id)
+       SELECT doc_id AS media_id, 'image' AS modality, n AS n_bytes,
+              CAST(((s % 1920) + 1920) % 1920 + 1 AS INT) AS width,
+              CAST((((s // 7) % 1080) + 1080) % 1080 + 1 AS INT) AS height,
+              s AS checksum
+       FROM sg"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // Stub-arm byte-checksum replay — see mediaFeaturesOracleSql.
+    "media_features" -> mediaFeaturesOracleSql,
     // sign bits as a HUGEINT power sum (bit 63 would overflow BIGINT);
     // hamming = bit_count(xor) on the unsigned values — identical to
     // Spark's long xor/popcount on the two's-complement form
