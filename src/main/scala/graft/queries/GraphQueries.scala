@@ -562,6 +562,12 @@ object GraphQueries {
   def oracleSql: Map[String, String] = Map(
     "g7_embedding_epoch1" -> XxSql.embeddingEpoch1OracleSql(
       dim = 4, lr = 0.5, regRatio = 0.01, numRelations = 3),
+    // the FULL 2-epoch training loop, unrolled: epoch 2's negatives
+    // re-drawn with seed 44 and its step taken from epoch 1's unrounded
+    // values — one extra lr-scaled layer over epoch 1's ulp dust stays
+    // far inside the 4dp gate, so the whole train row hash-matches
+    "g7_embedding_train" -> XxSql.embeddingEpochsOracleSql(
+      dim = 4, lr = 0.5, regRatio = 0.01, numRelations = 3, epochs = 2),
     "g1_vocab_entities" ->
       """WITH a AS (
            SELECT 'c_nationkey' AS name, CAST(c_nationkey AS VARCHAR) AS value FROM customer

@@ -492,7 +492,20 @@ private[queries] object XxSql {
     * the gate canonicalizes at 4dp.
     */
   def embeddingEpoch1OracleSql(dim: Int, lr: Double, regRatio: Double,
-      numRelations: Int): String = {
+      numRelations: Int): String =
+    embeddingEpochsOracleSql(dim, lr, regRatio, numRelations, epochs = 1)
+
+  /** The N-epoch generalization: each epoch re-draws its negatives with
+    * that epoch's seed (cfg.seed + epoch = 42 + ep, exactly the
+    * trainer's loop) and steps from the PREVIOUS epoch's unrounded
+    * values. Epoch 2's cross-engine drift is bounded by epoch 1's ulp
+    * dust times one more lr-scaled arithmetic layer — far inside the
+    * 4dp gate for small epoch counts, which is what lets the full
+    * `g7_embedding_train` (2 epochs) hash-match, not just epoch 1.
+    */
+  def embeddingEpochsOracleSql(dim: Int, lr: Double, regRatio: Double,
+      numRelations: Int, epochs: Int): String = {
+    require(epochs >= 1, s"need epochs >= 1; got $epochs")
     val b = 1.0 / math.sqrt(dim.toDouble)
     val sb = new StringBuilder
     sb.append(s"""WITH nct AS (SELECT count(*) AS n FROM embeddings),
@@ -515,22 +528,25 @@ private[queries] object XxSql {
        edges AS (SELECT vec_id AS head_id, vec_id % $numRelations AS relation_id,
                  (vec_id + 7) % (SELECT n FROM nct) AS tail_id FROM embeddings),
        ebu AS (SELECT *, ${u64("head_id")} AS uh FROM edges)""")
-    val (n0, ln0) = chain("ebu", xx64Steps("uh", "42", "n_t1", "na"), "nx")
-    sb.append(n0)
-    val (n1, ln1) = chain(ln0, xx64Steps(u64("relation_id"), "n_t1", "n_t2", "nb"), "ny")
-    sb.append(n1)
-    val (n2, ln2) = chain(ln1, xx64Steps(u64("tail_id"), "n_t2", "n_t3", "nc"), "nz")
-    sb.append(n2)
-    val (n3, ln3) = chain(ln2, xxIntSteps("0", "n_t3", "n_t4", "nd"), "nw")
-    sb.append(n3)
-    val (n4, ln4) = chain(ln3, xx64Steps("43", "n_t4", "n_h", "ne"), "nv")
-    sb.append(n4)
-    val (c0, lc0) = chain(ln4, xx64Steps(u64(toSigned("n_h")), "42", "c_t", "ca"), "cx")
-    sb.append(c0)
-    val (c1, lc1) = chain(lc0, xxIntSteps("1", "c_t", "c_h", "cb"), "cy")
-    sb.append(c1)
-    sb.append(s""",
-       negs AS MATERIALIZED (
+    var state = "init"
+    for (ep <- 1 to epochs) {
+      val negSeed = 42 + ep
+      val (n0, ln0) = chain("ebu", xx64Steps("uh", "42", "n_t1", s"na$ep"), s"nx${ep}_")
+      sb.append(n0)
+      val (n1, ln1) = chain(ln0, xx64Steps(u64("relation_id"), "n_t1", "n_t2", s"nb$ep"), s"ny${ep}_")
+      sb.append(n1)
+      val (n2, ln2) = chain(ln1, xx64Steps(u64("tail_id"), "n_t2", "n_t3", s"nc$ep"), s"nz${ep}_")
+      sb.append(n2)
+      val (n3, ln3) = chain(ln2, xxIntSteps("0", "n_t3", "n_t4", s"nd$ep"), s"nw${ep}_")
+      sb.append(n3)
+      val (n4, ln4) = chain(ln3, xx64Steps(s"$negSeed", "n_t4", "n_h", s"ne$ep"), s"nv${ep}_")
+      sb.append(n4)
+      val (c0, lc0) = chain(ln4, xx64Steps(u64(toSigned("n_h")), "42", "c_t", s"ca$ep"), s"cx${ep}_")
+      sb.append(c0)
+      val (c1, lc1) = chain(lc0, xxIntSteps("1", "c_t", "c_h", s"cb$ep"), s"cy${ep}_")
+      sb.append(c1)
+      sb.append(s""",
+       negs$ep AS MATERIALIZED (
          SELECT CASE WHEN coin THEN ce ELSE head_id END AS head_id,
                 relation_id,
                 CASE WHEN NOT coin THEN ce ELSE tail_id END AS tail_id,
@@ -539,32 +555,35 @@ private[queries] object XxSql {
                  (((${toSigned("n_h")} % 2) + 2) % 2) = 0 AS coin,
                  (((${toSigned("c_h")} % (SELECT n FROM nct)) + (SELECT n FROM nct)) % (SELECT n FROM nct)) AS ce
                FROM $lc1)),
-       batch AS MATERIALIZED (
-         SELECT * FROM negs
+       batch$ep AS MATERIALIZED (
+         SELECT * FROM negs$ep
          UNION ALL SELECT head_id, relation_id, tail_id, 1 AS label FROM edges),
-       sums AS MATERIALIZED (SELECT tbl, id, sum(value) AS vsum FROM init GROUP BY tbl, id),
-       scored AS MATERIALIZED (
+       sums$ep AS MATERIALIZED (SELECT tbl, id, sum(value) AS vsum FROM $state GROUP BY tbl, id),
+       scored$ep AS MATERIALIZED (
          SELECT b.head_id, b.relation_id, b.tail_id, b.label,
                 1.0 / (1.0 + exp(-(hs.vsum + rs.vsum - ts.vsum))) - CAST(b.label AS DOUBLE) AS g
-         FROM batch b
-         JOIN (SELECT id, vsum FROM sums WHERE tbl = 'e') hs ON hs.id = b.head_id
-         JOIN (SELECT id, vsum FROM sums WHERE tbl = 'r') rs ON rs.id = b.relation_id
-         JOIN (SELECT id, vsum FROM sums WHERE tbl = 'e') ts ON ts.id = b.tail_id),
-       grad AS MATERIALIZED (
+         FROM batch$ep b
+         JOIN (SELECT id, vsum FROM sums$ep WHERE tbl = 'e') hs ON hs.id = b.head_id
+         JOIN (SELECT id, vsum FROM sums$ep WHERE tbl = 'r') rs ON rs.id = b.relation_id
+         JOIN (SELECT id, vsum FROM sums$ep WHERE tbl = 'e') ts ON ts.id = b.tail_id),
+       grad$ep AS MATERIALIZED (
          SELECT tbl, id, sum(g) / count(*) AS grad FROM (
-           SELECT 'e' AS tbl, head_id AS id, g FROM scored
-           UNION ALL SELECT 'e' AS tbl, tail_id AS id, -g AS g FROM scored
-           UNION ALL SELECT 'r' AS tbl, relation_id AS id, g FROM scored)
+           SELECT 'e' AS tbl, head_id AS id, g FROM scored$ep
+           UNION ALL SELECT 'e' AS tbl, tail_id AS id, -g AS g FROM scored$ep
+           UNION ALL SELECT 'r' AS tbl, relation_id AS id, g FROM scored$ep)
          GROUP BY tbl, id),
-       stepped AS (
+       stepped$ep AS MATERIALIZED (
          SELECT i.tbl, i.id, i.pos,
            i.value * (CASE WHEN i.tbl = 'e'
                THEN 1.0 - $lr * 2.0 * $regRatio / ((SELECT CAST(n AS DOUBLE) FROM nct) * $dim)
                ELSE 1.0 - $lr * 2.0 * $regRatio / (${numRelations.toDouble} * $dim) END)
              - $lr * coalesce(g.grad, 0.0) AS value
-         FROM init i LEFT JOIN grad g ON g.tbl = i.tbl AND g.id = i.id)
+         FROM $state i LEFT JOIN grad$ep g ON g.tbl = i.tbl AND g.id = i.id)""")
+      state = s"stepped$ep"
+    }
+    sb.append(s"""
        SELECT id AS entity_id, CAST(pos AS BIGINT) AS pos, round(value, 4) AS value
-       FROM stepped WHERE tbl = 'e'""")
+       FROM $state WHERE tbl = 'e'""")
     sb.toString
   }
 }
