@@ -376,4 +376,53 @@ class PlanSpec extends SparkSpec {
         s"${shuffles.size} shuffle exchanges in scd2_asof:\n${df.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("dedup_semantic pairs: the only join is a hash equi-join on the cell key") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the SemDeDup blocking claim, pinned: within-cell pairing must
+    // ride the cell key — a quantizer regression that loses the key
+    // would silently fall back to an all-pairs product
+    val df = SparkEntry.queries("dedup_semantic")(spark, dir)
+    val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case n: BroadcastNestedLoopJoinExec => n
+    }
+    assert(bad.isEmpty,
+      s"non-equi join in dedup_semantic:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("ann_index_rows is a pure map plan: scan + projections, zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // stateless quantizer application is THE streaming-ingest claim —
+    // assignment and PQ encoding are codegen'd projections, so index
+    // maintenance shuffles nothing
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("ann_index_rows")(spark, dir)
+      val shuffles = df.queryExecution.executedPlan.collectWithSubqueries {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"${shuffles.size} exchanges in ann_index_rows:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("GraftSql views are plan-transparent: facade quantiles ≡ direct operator plan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"g${i % 2}", i, (i * 13 % 89).toDouble))
+    rows.toDF("grp", "id", "v").createOrReplaceTempView("ps_rows")
+    GraftSql.registerQuantiles(spark, "ps_rows", Seq("grp"), "v", "id",
+      k = 16, qPpms = Seq(500000L), outView = "ps_q")
+    val direct = graft.operators.QuantileSketch.quantiles(
+      graft.operators.QuantileSketch.sketch(
+        spark.table("ps_rows"), Seq("grp"), "v", "id", 16),
+      Seq("grp"), Seq(500000L))
+    // sameResult canonicalizes expression ids — the view must add NO
+    // plan nodes, which is the facade's co-optimization guarantee
+    assert(spark.table("ps_q").queryExecution.optimizedPlan
+      .sameResult(direct.queryExecution.optimizedPlan),
+      "facade view plan differs from the direct operator plan")
+  }
 }
