@@ -156,6 +156,98 @@ object GraftSql {
       .createOrReplaceTempView(outView)
   }
 
+  /** Absorption probability by value iteration over a transition-count
+    * view → `outView(state, p_fx, p_ppm)`: from each state, the
+    * probability of reaching `absorbing` within `iters` steps — the
+    * conversion-potential read behind Markov attribution
+    * ([[graft.operators.GraphAlgs.absorptionProbability]]; exact
+    * fixed-point integers, sinks count as non-converting).
+    */
+  def registerAbsorption(s: SparkSession, transView: String, srcCol: String,
+      dstCol: String, nCol: String, absorbing: String, iters: Int,
+      outView: String): Unit =
+    graft.operators.GraphAlgs.absorptionProbability(s.table(transView),
+        srcCol, dstCol, nCol, absorbing, iters)
+      .createOrReplaceTempView(outView)
+
+  /** Gap-based sessionization of an event view →
+    * `outView(userCol, session_id, start_us, end_us, n_events,
+    * total_value)` — a new session starts when the gap to the user's
+    * previous event exceeds `gapUs`
+    * ([[graft.streaming.EventStreams.sessionizeBatch]]; the same
+    * expressions run streaming under a watermark).
+    */
+  def registerSessionize(s: SparkSession, eventsView: String, gapUs: Long,
+      outView: String, userCol: String = "user_id",
+      tsCol: String = "ts_us", valueCol: String = "value"): Unit =
+    graft.streaming.EventStreams.sessionizeBatch(s.table(eventsView),
+        gapUs, userCol, tsCol, valueCol)
+      .createOrReplaceTempView(outView)
+
+  /** Fixed-bin histograms of every listed column in two passes total →
+    * `outView(col_name, bucket, cnt)`
+    * ([[graft.operators.Histograms.sweep]] — one min/max aggregate +
+    * one explode/groupBy, however many columns are swept).
+    */
+  def registerHistogram(s: SparkSession, rowsView: String,
+      columns: Seq[String], bins: Int, outView: String): Unit =
+    graft.operators.Histograms.sweep(s.table(rowsView), columns, bins)
+      .createOrReplaceTempView(outView)
+
+  /** CUPED variance-reduced A/B read over a per-unit view →
+    * one-row `outView(n_units, theta, effect_raw, effect_cuped,
+    * var_reduction)` ([[graft.operators.Cuped.effect]]; θ fit pooled
+    * from exact DECIMAL sufficient statistics, loud failure on empty
+    * or stray arms).
+    */
+  def registerCuped(s: SparkSession, unitsView: String, armCol: String,
+      metricCol: String, covariateCol: String, armA: String, armB: String,
+      outView: String): Unit =
+    graft.operators.Cuped.effect(s.table(unitsView), armCol, metricCol,
+        covariateCol, armA, armB)
+      .createOrReplaceTempView(outView)
+
+  /** Per-group winsorization of `valueCol` → `outView` = the input
+    * columns plus `<valueCol>_w` clamped to the group's exact
+    * [lo, hi] percentiles ([[graft.operators.Outliers.winsorize]];
+    * one stats aggregate, broadcast back, codegen'd clamp).
+    */
+  def registerWinsorize(s: SparkSession, rowsView: String, valueCol: String,
+      groupCols: Seq[String], lo: Double, hi: Double,
+      outView: String): Unit =
+    graft.operators.Outliers.winsorize(s.table(rowsView), valueCol,
+        groupCols, lo, hi)
+      .createOrReplaceTempView(outView)
+
+  /** Deterministic weighted sample without replacement → `outView` =
+    * the `n` input rows with the largest md5-Gumbel keys
+    * ([[graft.operators.CorpusPrep.weightedSample]] — reproducible on
+    * any engine, no rand()).
+    */
+  def registerWeightedSample(s: SparkSession, rowsView: String,
+      idCol: String, weightCol: String, n: Int, outView: String): Unit =
+    graft.operators.CorpusPrep.weightedSample(s.table(rowsView), idCol,
+        weightCol, n)
+      .createOrReplaceTempView(outView)
+
+  /** Multi-touch attribution over an event view →
+    * `outView(touch_type, n_conversions_touched, credit_ppm_total)`:
+    * conversions credit the same user's prior touches inside the
+    * lookback under `model` ∈ {first_touch, last_touch, linear},
+    * integer ppm credits summing to exactly 1e6 per conversion
+    * ([[graft.operators.Attribution.creditTouches]] rolled up by
+    * [[graft.operators.Attribution.channelCredit]]).
+    */
+  def registerAttribution(s: SparkSession, eventsView: String,
+      userCol: String, tsCol: String, typeCol: String, idCol: String,
+      touchTypes: Seq[String], convType: String, model: String,
+      lookbackUs: Long, outView: String): Unit =
+    graft.operators.Attribution.channelCredit(
+        graft.operators.Attribution.creditTouches(s.table(eventsView),
+          userCol, tsCol, typeCol, idCol, touchTypes, convType, model,
+          lookbackUs))
+      .createOrReplaceTempView(outView)
+
   /** Mergeable deterministic quantile estimates over a rows view →
     * `outView(…groupCols, q_ppm, n_sample, est)` — the
     * [[graft.operators.QuantileSketch]] bottom-k-by-md5 row sample,

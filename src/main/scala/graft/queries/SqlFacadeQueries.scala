@@ -155,6 +155,123 @@ object SqlFacadeQueries {
                FROM graft_components GROUP BY cluster""")
     }),
 
+    // Absorption probability through the facade: the transition counts
+    // staged with a plain SQL lead() window, the 8-step value iteration
+    // through the wrapper, the converting states read back in SQL.
+    // Same exact-integer oracle as markov_conversion.
+    "sql_markov" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW markov_trans AS
+               SELECT src, dst, count(*) AS n FROM (
+                 SELECT event_type AS src,
+                        lead(event_type, 1) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts_ns div 1000, event_id) AS dst
+                 FROM events_ns)
+               WHERE dst IS NOT NULL GROUP BY src, dst""")
+      GraftSql.registerAbsorption(s, "markov_trans", "src", "dst", "n",
+        absorbing = "purchase", iters = 8, outView = "graft_conv")
+      s.sql("SELECT state, p_ppm FROM graft_conv WHERE p_ppm > 0")
+    }),
+
+    // Sessionization through the facade: the event view carved in SQL,
+    // the 30-minute-gap session build through the wrapper, the
+    // multi-event sessions read back in SQL — exact integer µs bounds.
+    "sql_sessionize" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW session_events AS
+               SELECT user_id, ts_ns div 1000 AS ts_us, value
+               FROM events_ns""")
+      GraftSql.registerSessionize(s, "session_events",
+        gapUs = 30L * 60L * 1000L * 1000L, outView = "graft_sessions")
+      s.sql("""SELECT user_id, session_id, start_us, end_us, n_events,
+                 total_value
+               FROM graft_sessions WHERE n_events >= 3""")
+    }),
+
+    // Histogram sweep through the facade: three columns binned in two
+    // passes total, one column's distribution consumed in SQL.
+    "sql_histogram" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      GraftSql.registerHistogram(s, "lineitem",
+        Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 40,
+        outView = "graft_hist")
+      s.sql("""SELECT col_name, bucket, cnt FROM graft_hist
+               WHERE col_name = 'l_quantity'""")
+    }),
+
+    // CUPED through the facade: the per-user pre/post DECIMAL sums and
+    // the md5 arm gate staged in plain SQL (the same integers ab_cuped
+    // builds with DataFrame code), the estimator through the wrapper.
+    "sql_cuped" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW ab_units AS
+               SELECT CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING)),
+                             1, 4), 16, 10) AS BIGINT) < 32768
+                           THEN 'A' ELSE 'B' END AS arm,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts_ns div 1000 >= 1705276800000000
+                          THEN CAST(value AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        * 1000000 AS BIGINT) AS y_micro,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts_ns div 1000 < 1705276800000000
+                          THEN CAST(value AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        * 1000000 AS BIGINT) AS x_micro
+               FROM events_ns GROUP BY user_id""")
+      GraftSql.registerCuped(s, "ab_units", "arm", "y_micro", "x_micro",
+        armA = "A", armB = "B", outView = "graft_cuped")
+      s.sql("SELECT * FROM graft_cuped")
+    }),
+
+    // Winsorization through the facade: the slim projection staged in
+    // SQL, the per-group [p05, p95] clamp through the wrapper, a
+    // keyed slice read back. Same oracle as a19_winsorize, filtered.
+    "sql_winsorize" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""CREATE OR REPLACE TEMP VIEW li_slim AS
+               SELECT l_orderkey, l_linenumber, l_returnflag,
+                      l_extendedprice FROM lineitem""")
+      GraftSql.registerWinsorize(s, "li_slim", "l_extendedprice",
+        Seq("l_returnflag"), lo = 0.05, hi = 0.95, outView = "graft_wins")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+                 round(l_extendedprice_w, 4) AS price_w
+               FROM graft_wins WHERE l_orderkey % 10 = 0""")
+    }),
+
+    // Deterministic weighted sampling through the facade: token-count
+    // weights staged in SQL (split keeps trailing empties — string_split
+    // parity), the md5-Gumbel top-100 through the wrapper.
+    "sql_weighted_sample" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""CREATE OR REPLACE TEMP VIEW doc_weights AS
+               SELECT doc_id,
+                      CAST(size(split(text, ' ', -1)) AS BIGINT) AS n_tokens
+               FROM documents""")
+      GraftSql.registerWeightedSample(s, "doc_weights", "doc_id",
+        "n_tokens", n = 100, outView = "graft_sample")
+      s.sql("SELECT doc_id, n_tokens FROM graft_sample")
+    }),
+
+    // Linear multi-touch attribution through the facade: the event view
+    // carved in SQL, credit assignment + channel rollup through the
+    // wrapper, whole-conversion equivalents derived in SQL after —
+    // integer ppm end to end.
+    "sql_attribution" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ns")
+      s.sql("""CREATE OR REPLACE TEMP VIEW attr_events AS
+               SELECT event_id, user_id, ts_ns div 1000 AS ts_us,
+                      event_type FROM events_ns""")
+      GraftSql.registerAttribution(s, "attr_events", "user_id", "ts_us",
+        "event_type", "event_id", touchTypes = Seq("view", "click"),
+        convType = "purchase", model = "linear",
+        lookbackUs = 86400000000L, outView = "graft_attr")
+      s.sql("""SELECT touch_type, n_conversions_touched, credit_ppm_total,
+                 credit_ppm_total div 1000000 AS full_credits
+               FROM graft_attr""")
+    }),
+
     // Deterministic quantile sketch through the facade: p90 per event
     // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
     // on the integer q_ppm.
@@ -231,6 +348,25 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    "sql_markov" ->
+      s"""SELECT state, p_ppm
+          FROM (${StreamQueries.oracleSql("markov_conversion")})
+          WHERE p_ppm > 0""",
+    "sql_sessionize" ->
+      s"""SELECT * FROM (${StreamQueries.oracleSql("stream_sessionize")})
+          WHERE n_events >= 3""",
+    "sql_histogram" ->
+      s"""SELECT * FROM (${AggregateQueries.oracleSql("a12_histogram_sweep")})
+          WHERE col_name = 'l_quantity'""",
+    "sql_cuped" -> WarehouseQueries.oracleSql("ab_cuped"),
+    "sql_winsorize" ->
+      s"""SELECT * FROM (${AggregateQueries.oracleSql("a19_winsorize")})
+          WHERE l_orderkey % 10 = 0""",
+    "sql_weighted_sample" -> TextQueries.oracleSql("weighted_sample"),
+    "sql_attribution" ->
+      s"""SELECT touch_type, n_conversions_touched, credit_ppm_total,
+            credit_ppm_total // 1000000 AS full_credits
+          FROM (${WarehouseQueries.oracleSql("attribution_linear")})""",
     "sql_components" ->
       s"""SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes
           FROM (${WarehouseQueries.oracleSql("graph_components")})

@@ -68,6 +68,111 @@ class GraftSqlSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("registerAttribution: linear credits sum to exactly 1e6 per conversion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 touches → 333333 + 333333 + 333334 (remainder on the LAST touch)
+    Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "view"),
+      (4L, 1L, 40L, "buy"),
+      (5L, 2L, 10L, "view"), (6L, 2L, 20L, "buy"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .createOrReplaceTempView("gs_attr")
+    GraftSql.registerAttribution(spark, "gs_attr", "user_id", "ts_us",
+      "event_type", "event_id", touchTypes = Seq("view", "click"),
+      convType = "buy", model = "linear", lookbackUs = 1000L,
+      outView = "gs_credit")
+    val total = spark.table("gs_credit")
+      .agg(org.apache.spark.sql.functions.sum(col("credit_ppm_total")))
+      .head().getLong(0)
+    assert(total == 2000000L, s"2 conversions must credit exactly 2e6, got $total")
+    val byType = spark.table("gs_credit").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("credit_ppm_total")))
+      .toMap
+    // user 1: view 333333 + 333334(last) ; user 2: view 1000000
+    assert(byType("view") == 333333L + 333334L + 1000000L)
+    assert(byType("click") == 333333L)
+  }
+
+  test("registerAttribution: lookback boundary — conv-time touch excluded, edge included") {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, 100L, "view"),  // exactly conv_ts - lookback: INCLUDED (>=)
+      (2L, 1L, 200L, "view"),  // exactly conv_ts: EXCLUDED (strict <)
+      (3L, 1L, 200L, "buy"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .createOrReplaceTempView("gs_attr")
+    GraftSql.registerAttribution(spark, "gs_attr", "user_id", "ts_us",
+      "event_type", "event_id", touchTypes = Seq("view"), convType = "buy",
+      model = "linear", lookbackUs = 100L, outView = "gs_credit")
+    val rows = spark.table("gs_credit").collect()
+    assert(rows.length == 1 &&
+      rows.head.getLong(rows.head.fieldIndex("credit_ppm_total")) == 1000000L)
+  }
+
+  test("registerSessionize: a gap EQUAL to gapUs keeps the session open") {
+    import spark.implicits._
+    Seq((1L, 0L, 1.0), (1L, 100L, 1.0),   // gap == 100 → same session
+        (1L, 201L, 1.0))                   // gap 101 > 100 → new session
+      .toDF("user_id", "ts_us", "value")
+      .createOrReplaceTempView("gs_sess_events")
+    GraftSql.registerSessionize(spark, "gs_sess_events", gapUs = 100L,
+      outView = "gs_sessions")
+    val sess = spark.table("gs_sessions").collect()
+    assert(sess.length == 2, s"expected 2 sessions, got ${sess.length}")
+    val n = sess.map(r => r.getLong(r.fieldIndex("n_events"))).sorted.toSeq
+    assert(n == Seq(1L, 2L))
+  }
+
+  test("registerHistogram: a constant column lands every row in bucket 0") {
+    import spark.implicits._
+    (1 to 50).map(i => (7.0, i.toDouble)).toDF("c_const", "c_var")
+      .createOrReplaceTempView("gs_hist_rows")
+    GraftSql.registerHistogram(spark, "gs_hist_rows",
+      Seq("c_const", "c_var"), bins = 10, outView = "gs_hist")
+    val rows = spark.table("gs_hist")
+      .where(org.apache.spark.sql.functions.col("col_name") === "c_const")
+      .collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 0L &&
+      rows.head.getLong(2) == 50L)
+  }
+
+  test("registerAbsorption: a 2-state chain reaches the hand-computed probability") {
+    import spark.implicits._
+    // a → buy (3), a → a (1): P(absorb within k) = 1 − 0.25^k; at
+    // iters=2 → 0.9375 exactly → 937500 ppm
+    Seq(("a", "buy", 3L), ("a", "a", 1L))
+      .toDF("src", "dst", "n").createOrReplaceTempView("gs_trans")
+    GraftSql.registerAbsorption(spark, "gs_trans", "src", "dst", "n",
+      absorbing = "buy", iters = 2, outView = "gs_absorb")
+    val p = spark.table("gs_absorb").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("p_ppm"))).toMap
+    assert(p("buy") == 1000000L)
+    assert(p("a") == 937500L, s"expected 937500 ppm, got ${p("a")}")
+  }
+
+  test("registerCuped fails loudly on a stray arm value") {
+    import spark.implicits._
+    Seq(("A", 10L, 1L), ("B", 20L, 2L), ("C", 30L, 3L))
+      .toDF("arm", "y", "x").createOrReplaceTempView("gs_units")
+    GraftSql.registerCuped(spark, "gs_units", "arm", "y", "x",
+      armA = "A", armB = "B", outView = "gs_cuped")
+    val e = intercept[Exception] { spark.table("gs_cuped").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("other arm values")), e.getMessage)
+  }
+
+  test("registerWeightedSample: zero-weight rows never sampled; n > rows keeps all") {
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 0L), (3L, 2L)).toDF("id", "w")
+      .createOrReplaceTempView("gs_wrows")
+    GraftSql.registerWeightedSample(spark, "gs_wrows", "id", "w", n = 10,
+      outView = "gs_ws")
+    val ids = spark.table("gs_ws").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
   test("registration is lazy: the wrapper captures a logical plan") {
     import spark.implicits._
     Seq((1L, "t", 1L)).toDF("user_id", "event_type", "ts")
