@@ -225,6 +225,67 @@ object CorpusPrep {
       .drop("__r")
   }
 
+  /** Token-balanced shard assignment by sorted snake (boustrophedon)
+    * placement — the data-parallel trainer's "give every worker the
+    * same token load" step. Documents rank globally by weight
+    * descending (id tiebreak); rank r goes to shard `pos` on even
+    * rounds and `nShards − 1 − pos` on odd rounds (round = ⌊(r−1)/N⌋,
+    * pos = (r−1) mod N), so each consecutive N-row band distributes its
+    * biggest-to-smallest items against the running totals — shard
+    * totals differ by at most one document's weight, without any
+    * sequential greedy loop.
+    *
+    * The global rank comes from [[PrefixSum]] (range-sort + two scans +
+    * a partition-count driver array), never a partitionless window; the
+    * snake itself is pure arithmetic on the rank — codegen'd on Spark,
+    * plain SQL anywhere else, bit-identical across engines, retries,
+    * and partitionings.
+    *
+    * Output = (idCol, weightCol, rank, shard).
+    */
+  def snakeShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need >= 1 shard; got $nShards")
+    val ranked = PrefixSum.withRunningTotal(
+      df.select(col(idCol), col(weightCol).cast("long").as(weightCol))
+        .withColumn("__neg_w", -col(weightCol))
+        .withColumn("__one", lit(1L)),
+      "__one", "rank", "__neg_w", idCol)
+    ranked
+      .withColumn("shard",
+        when(expr(s"((rank - 1L) div ${nShards}L) % 2 = 0"),
+          expr(s"(rank - 1L) % ${nShards}L"))
+          .otherwise(expr(s"${nShards - 1}L - (rank - 1L) % ${nShards}L")))
+      .drop("__neg_w", "__one")
+  }
+
+  /** Leakage-safe holdout: every member of a near-duplicate CLUSTER
+    * lands on the same side of the split. A row-level md5 gate (R1)
+    * leaks — a test document's near-duplicate trains the model on the
+    * answer — so the gate here draws on the CLUSTER id: one uniform
+    * draw per cluster, inherited by every member. `clustered` is the
+    * (id, cluster) frame [[Dedup.duplicateClusters]] /
+    * [[Dedup.duplicateClustersStar]] produce (singletons are their own
+    * cluster, so un-duplicated documents still split at `testFraction`).
+    *
+    * The gate is the [[graft.car.Splits.hashSplit]] discipline applied
+    * to clusters: a pure function of the cluster id — reproducible
+    * across runs/engines, auditable in SQL, zero extra shuffles (one
+    * codegen'd projection over the cluster frame).
+    *
+    * Output = input + `split` ∈ {'test', 'train'}.
+    */
+  def leakageSafeSplit(clustered: DataFrame, idCol: String,
+      clusterCol: String, testFraction: Double): DataFrame = {
+    require(testFraction > 0.0 && testFraction < 1.0,
+      s"testFraction must be in (0, 1); got $testFraction")
+    val gate = conv(substring(md5(col(clusterCol).cast("string")), 1, 4),
+      16, 10).cast("long")
+    clustered.withColumn("split",
+      when(gate < lit(testFraction) * lit(65536), lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Efraimidis-Spirakis selection key ln(u)/w from the seedless md5
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.

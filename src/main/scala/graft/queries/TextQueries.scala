@@ -913,6 +913,44 @@ object TextQueries {
         .weightedSample(docs, "doc_id", "n_tokens", n = 100)
     }),
 
+    // Token-balanced data-parallel shards: every document placed by the
+    // sorted snake (CorpusPrep.snakeShards) — global rank via PrefixSum
+    // (never a partitionless window), shard by pure arithmetic on the
+    // rank. The oracle replays rank and snake exactly; the balance
+    // claim itself is read through shard_snake_balance.
+    "shard_snake" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep.snakeShards(docs, "doc_id", "n_tokens",
+        nShards = 8)
+    }),
+
+    // The report a trainer reads off the snake assignment: per-shard
+    // document count and token total — the max-min spread is what the
+    // placement exists to minimize (≤ one document's tokens).
+    "shard_snake_balance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      graft.operators.CorpusPrep.snakeShards(docs, "doc_id", "n_tokens",
+        nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // Leakage-safe holdout: near-dup CLUSTERS (the star contraction over
+    // shingle-Jaccard pairs — same resolution dedup_clusters_star gates)
+    // draw ONE md5 uniform each, so a test document's near-duplicate can
+    // never train the model on the answer. Singletons are their own
+    // cluster and split at the same 20%.
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+      val clusters = Dedup.duplicateClustersStar(docs, "doc_id", pairs)
+      graft.operators.CorpusPrep.leakageSafeSplit(clusters, "id", "cluster",
+        testFraction = 0.2)
+    }),
+
     // Temperature-scaled mixture (α = 0.5, the multilingual-pretraining
     // reweighting): per-source keep rate ∝ (n_s)^(α-1), normalized so
     // the SMALLEST source keeps everything — rate_s = sqrt(min_n/n_s)
@@ -1747,27 +1785,62 @@ object TextQueries {
          FROM tk JOIN ratio USING (b) GROUP BY doc_id""",
     // identical fixed point to dedup_clusters — the star rounds and the
     // label loop must agree with the transitive closure exactly
-    "dedup_clusters_star" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         idx AS (SELECT doc_id, toks,
-                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
-         sh AS (SELECT DISTINCT doc_id,
-                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
-         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b FROM p0
-                   JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
-                   WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         reach(doc, r) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-         SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
-         FROM reach GROUP BY doc"""
+    "shard_snake" ->
+      s"""SELECT doc_id, n_tokens, rank, shard FROM ($SnakeOracle)""",
+    "shard_snake_balance" ->
+      s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM ($SnakeOracle) GROUP BY shard""",
+    "dedup_clusters_star" -> StarClustersOracle,
+    "split_leakage_safe" ->
+      s"""SELECT id, cluster,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))
+                   AS BIGINT) < 0.2 * 65536
+                 THEN 'test' ELSE 'train' END AS split
+          FROM ($StarClustersOracle)"""
   )
+
+  /** Shared by dedup_clusters_star and split_leakage_safe: min reachable
+    * doc id over the shingle-Jaccard edge set (recursive closure — the
+    * truth the O(log² n) star contraction must converge to).
+    */
+  private val StarClustersOracle: String =
+    """WITH RECURSIVE
+       tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       idx AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i FROM tok),
+       sh AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g FROM idx),
+       card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM p0
+                 JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+                 WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(doc, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
+       FROM reach GROUP BY doc"""
+
+  /** Shared by shard_snake and shard_snake_balance: global token-desc
+    * rank and the boustrophedon shard arithmetic, replayed exactly.
+    */
+  private val SnakeOracle: String =
+    """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+       r AS (SELECT doc_id, n_tokens,
+               CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                 AS BIGINT) AS rank
+             FROM d)
+       SELECT doc_id, n_tokens, rank,
+              CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0
+                   THEN (rank - 1) % 8
+                   ELSE 7 - ((rank - 1) % 8) END AS BIGINT) AS shard
+       FROM r"""
 }

@@ -158,6 +158,56 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("snakeShards: hand-checked placement and the ≤-one-document balance bound") {
+    import spark.implicits._
+    // weights 16..1 over 4 shards: ranks 1-4 → shards 0,1,2,3; ranks
+    // 5-8 (odd round) → 3,2,1,0; etc. Totals: 16+9+8+1 = 15+10+7+2 =
+    // 14+11+6+3 = 13+12+5+4 = 34 — the snake balances EXACTLY here
+    val docs = (1L to 16L).map(i => (i, 17L - i)).toDF("id", "w")
+    val out = CorpusPrep.snakeShards(docs, "id", "w", nShards = 4)
+    assert(out.count() == 16)
+    val shardOf = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("shard"))).toMap
+    // id 1 has the biggest weight → rank 1 → shard 0; id 5 → rank 5 →
+    // round 1 (odd) pos 0 → shard 3
+    assert(shardOf(1L) == 0L && shardOf(4L) == 3L &&
+      shardOf(5L) == 3L && shardOf(8L) == 0L, shardOf)
+    val totals = out.groupBy(col("shard")).agg(sum(col("w")))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(totals == Seq(34L, 34L, 34L, 34L), totals)
+  }
+
+  test("snakeShards: deterministic across partitionings, balance within max weight") {
+    import spark.implicits._
+    val docs = (0L until 303L).map(i => (i, 1L + (i * 37) % 97)).toDF("id", "w")
+    val out = CorpusPrep.snakeShards(docs, "id", "w", nShards = 8)
+    val totals = out.groupBy(col("shard")).agg(sum(col("w")).as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.length == 8)
+    assert(totals.max - totals.min <= 97L,
+      s"snake spread ${totals.max - totals.min} exceeds the max weight")
+    val again = CorpusPrep.snakeShards(docs.repartition(7), "id", "w", 8)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("leakageSafeSplit: cluster members never straddle the split; singletons split too") {
+    import spark.implicits._
+    // (id, cluster): three multi-member clusters + singletons
+    val clustered = ((1L to 30L).map(i => (i, i % 3 + 1L)) ++
+      (100L to 140L).map(i => (i, i))).toDF("id", "cluster")
+    val out = CorpusPrep.leakageSafeSplit(clustered, "id", "cluster", 0.3)
+    assert(out.count() == clustered.count()) // partition, nothing dropped
+    val sides = out.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("k"))
+    assert(sides.where(col("k") =!= 1L).isEmpty,
+      "a cluster straddles the train/test boundary")
+    // singleton draws land on both sides at a sane rate for 41 draws
+    val single = out.where(col("cluster") >= 100L)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(single.getOrElse("test", 0L) > 0L && single("train") > 0L, single)
+  }
+
   test("oversampleToMax: balanced input passes through with copy = 1") {
     import spark.implicits._
     val rows = (0L until 10L).map(i => (i, (i % 2).toString)).toDF("id", "cls")
