@@ -94,6 +94,100 @@ object Dedup {
     pairs.toDF("doc", "g")
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS technique): per document, the DISTINCT
+    * window-minimum 48-bit gram hashes. The guarantee that makes this
+    * the contamination-checker's index: any shared token run of at
+    * least `window + shingleLen − 1` tokens between two documents is
+    * CERTAIN to share a fingerprint, while the index holds only
+    * ~2/(window+1) of the full shingle set — at 100 TB that density
+    * factor is the difference between an index that fits and one that
+    * doesn't.
+    *
+    * Determinism: the gram hash is the md5-48 draw ([[KmvSketch.hash48]])
+    * and the window minimum is over hash VALUES (equal minima are the
+    * same fingerprint, so no tie rule is needed) — a pure function of
+    * the text, bit-identical across engines/retries/partitionings and
+    * replayable by a SQL oracle. Documents with fewer grams than the
+    * window contribute their single overall minimum, so short documents
+    * still index.
+    *
+    * Scale shape: one tokenize flatMap + ONE doc-partitioned window
+    * (the only shuffle, keyed by doc id) + a distinct. Output (doc, fp).
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 5, window: Int = 4): DataFrame = {
+    require(shingleLen >= 1 && window >= 1,
+      s"need positive shingleLen/window; got $shingleLen/$window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val grams: Dataset[(Long, Long, String)] = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // same tokenization contract as shingleRows: split(" ", -1)
+        // keeps trailing empties (string_split parity), ≤ n tokens →
+        // the whole document is its one gram
+        val toks = text.split(" ", -1)
+        val gs =
+          if (toks.length <= shingleLen) Iterator.single(toks.mkString(" "))
+          else toks.sliding(shingleLen).map(_.mkString(" "))
+        gs.zipWithIndex.map { case (g, p) => (id, p.toLong, g) }
+      }
+    val hashed = grams.toDF("doc", "pos", "g")
+      .select(col("doc"), col("pos"), KmvSketch.hash48(col("g")).as("h"))
+    val wspec = W.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    hashed
+      .withColumn("__n_in", count(col("h")).over(wspec))
+      .withColumn("fp", min(col("h")).over(wspec))
+      // full windows only — trailing partial windows select nothing new;
+      // the pos=0 arm is the short-document (grams < window) fallback
+      .where(col("__n_in") === window ||
+        (col("pos") === 0 && col("__n_in") < window))
+      .select(col("doc"), col("fp")).distinct()
+  }
+
+  /** Candidate near-dup / contamination pairs from winnowing
+    * fingerprints: documents sharing ≥ `minShared` fingerprints, with
+    * the exact Jaccard over their fingerprint SETS. Same inverted-index
+    * shape as [[shingleJaccardPairs]] on a ~2/(window+1)-density index;
+    * `maxFpDf` caps boilerplate fingerprints exactly as maxShingleDf
+    * caps stop-phrase shingles (a fingerprint held by k docs emits k²
+    * pairs). Unlike the Jaccard verify there, the cap here also bounds
+    * the intersection counts — winnowing is the SCREEN a full verify
+    * runs behind, so its scores stay index-local by design.
+    */
+  def winnowingPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 5, window: Int = 4, minShared: Long = 2,
+      maxFpDf: Long = 10000L): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, shingleLen, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps
+      .join(fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxFpDf), Seq("fp"))
+      .select(col("doc"), col("fp"))
+    val inter = rare
+      .join(rare.select(col("doc").as("doc2"), col("fp")), Seq("fp"))
+      .where(col("doc") < col("doc2"))
+      .select(col("doc").as("doc_a"), col("doc2").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= minShared)
+    val card = fps.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val result = inter
+      .join(card.select(col("doc").as("doc_a"), col("n")), Seq("doc_a"))
+      .join(card.select(col("doc").as("doc_b"), col("n").as("n2")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fp"),
+        round(col("n_shared_fp") / (col("n") + col("n2") - col("n_shared_fp")), 4)
+          .as("fp_jaccard"))
+      .localCheckpoint(true)
+    fps.unpersist(false)
+    result
+  }
+
   /** Shingles with document frequency above `maxDf` — the "stop-phrase"
     * keys the candidate joins must never self-join on (a shingle shared
     * by k documents emits k² pairs). Exposed so callers can inspect/log

@@ -951,6 +951,29 @@ object TextQueries {
         testFraction = 0.2)
     }),
 
+    // Winnowing fingerprint index (MOSS): the per-doc digest of the
+    // window-minimum gram hashes a contamination checker persists —
+    // count, min, and bit_xor reconstruct set equality without dumping
+    // every fingerprint. Any shared run of ≥ window+shingleLen−1 = 8
+    // tokens is guaranteed a shared fingerprint at ~2/(window+1) the
+    // index density of the full shingle set.
+    "winnow_index" -> ((s, dir) => {
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id",
+        shingleLen = 5, window = 4)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"),
+          expr("bit_xor(fp)").as("fp_xor"))
+    }),
+
+    // Winnowing candidate pairs: documents sharing ≥2 fingerprints with
+    // the exact fp-set Jaccard — the screening join the guarantee above
+    // makes sound. The oracle replays grams, hashes, window minima,
+    // the df cap, and the pair math bit for bit.
+    "dedup_winnowing" -> ((s, dir) => {
+      Dedup.winnowingPairs(Tables.documents(s, dir), "text", "doc_id",
+        shingleLen = 5, window = 4, minShared = 2)
+    }),
+
     // Temperature-scaled mixture (α = 0.5, the multilingual-pretraining
     // reweighting): per-source keep rate ∝ (n_s)^(α-1), normalized so
     // the SMALLEST source keeps everything — rate_s = sqrt(min_n/n_s)
@@ -1791,6 +1814,27 @@ object TextQueries {
       s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
           FROM ($SnakeOracle) GROUP BY shard""",
+    "winnow_index" ->
+      s"""SELECT doc, CAST(count(*) AS BIGINT) AS n_fp,
+            CAST(min(fp) AS BIGINT) AS fp_min,
+            CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+          FROM ($WinnowFpOracle) GROUP BY doc""",
+    "dedup_winnowing" ->
+      s"""WITH fps AS ($WinnowFpOracle),
+         dfc AS (SELECT fp, count(*) AS dfp FROM fps GROUP BY fp),
+         rare AS (SELECT doc, f.fp FROM fps f JOIN dfc USING (fp)
+                  WHERE dfp <= 10000),
+         pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_fp
+                FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc < b.doc
+                GROUP BY 1, 2),
+         card AS (SELECT doc, count(*) AS n FROM fps GROUP BY doc)
+         SELECT doc_a, doc_b, n_shared_fp,
+           round(n_shared_fp * 1.0 / (ca.n + cb.n - n_shared_fp), 4)
+             AS fp_jaccard
+         FROM pr JOIN card ca ON doc_a = ca.doc
+                 JOIN card cb ON doc_b = cb.doc
+         WHERE n_shared_fp >= 2""",
     "dedup_clusters_star" -> StarClustersOracle,
     "split_leakage_safe" ->
       s"""SELECT id, cluster,
@@ -1826,6 +1870,32 @@ object TextQueries {
          SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
        SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
        FROM reach GROUP BY doc"""
+
+  /** Shared by winnow_index and dedup_winnowing: the (doc, fp) winnowing
+    * fingerprint set — positional grams, md5-48 hashes, the 4-wide
+    * window minimum over full windows, and the short-document fallback
+    * (grams < window → the single overall minimum at pos 0).
+    */
+  private val WinnowFpOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+       idx AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+               FROM tok),
+       gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
+              FROM idx),
+       h AS (SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
+             FROM gr),
+       w AS (SELECT doc_id, pos,
+               count(h) OVER win AS n_in,
+               min(h) OVER win AS fp
+             FROM h
+             WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+       SELECT DISTINCT doc_id AS doc, fp FROM w
+       WHERE n_in = 4 OR (pos = 0 AND n_in < 4)"""
 
   /** Shared by shard_snake and shard_snake_balance: global token-desc
     * rank and the boustrophedon shard arithmetic, replayed exactly.

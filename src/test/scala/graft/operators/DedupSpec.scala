@@ -296,4 +296,63 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = 10)
     assert(capped.count() == 0)
   }
+
+  test("winnowing guarantee: a shared run of window+shingleLen−1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token run (= 4 + 5 − 1) embedded in
+    // otherwise-disjoint text; doc 3 is unrelated
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"one two three $run four five six seven"),
+      (2L, s"red green blue $run yellow purple orange pink"),
+      (3L, "wholly unrelated tokens that never overlap anything else here"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "text", "doc_id")
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "the guaranteed shared fingerprint is missing")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing density: the index is a strict subset of the shingle hashes, far smaller") {
+    import spark.implicits._
+    val toks = (0 until 400).map(i => s"w${(i * 7919) % 211}")
+    val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "text", "doc_id", shingleLen = 5,
+      window = 4)
+    val nFps = fps.count()
+    val nGrams = 400 - 4 // sliding(5) count
+    // expected density 2/(window+1) = 0.4; assert well under the full set
+    assert(nFps < nGrams * 6 / 10, s"$nFps fingerprints from $nGrams grams")
+    assert(nFps > 0)
+  }
+
+  test("winnowing short-document fallback: fewer grams than the window → one fingerprint") {
+    import spark.implicits._
+    val d = Seq((1L, "just five little tokens here"), // 5 tokens → 1 gram
+      (2L, "six tokens makes two grams now ok"))     // 7 tokens → 3 grams < 4
+      .toDF("doc_id", "text")
+    val counts = Dedup.winnowFingerprints(d, "text", "doc_id")
+      .groupBy(col("doc")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 1L, counts)
+    assert(counts(2L) == 1L, counts)
+  }
+
+  test("winnowingPairs: identical docs score fp_jaccard 1.0; determinism under repartition") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq((1L, base), (2L, base),
+      (3L, "completely different words about spark engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(d, "text", "doc_id", minShared = 1)
+    val rows = pairs.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
+    assert(rows.head.getDouble(rows.head.fieldIndex("fp_jaccard")) == 1.0)
+    val again = Dedup.winnowingPairs(d.repartition(5), "text", "doc_id",
+      minShared = 1)
+    assert(pairs.exceptAll(again).isEmpty && again.exceptAll(pairs).isEmpty)
+  }
 }
