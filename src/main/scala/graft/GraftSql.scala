@@ -248,6 +248,45 @@ object GraftSql {
           lookbackUs))
       .createOrReplaceTempView(outView)
 
+  /** Winnowing (MOSS) candidate pairs over a document view →
+    * `outView(doc_a, doc_b, n_shared_fp, fp_jaccard)`
+    * ([[graft.operators.Dedup.winnowingPairs]]; any shared run of
+    * `window + shingleLen − 1` tokens is guaranteed to pair).
+    */
+  def registerWinnowingPairs(s: SparkSession, docsView: String,
+      idCol: String, textCol: String, outView: String,
+      shingleLen: Int = 5, window: Int = 4, minShared: Long = 2): Unit =
+    graft.operators.Dedup.winnowingPairs(s.table(docsView), textCol, idCol,
+        shingleLen, window, minShared)
+      .createOrReplaceTempView(outView)
+
+  /** Token-balanced snake shard assignment over a weighted rows view →
+    * `outView(idCol, weightCol, rank, shard)`
+    * ([[graft.operators.CorpusPrep.snakeShards]]).
+    */
+  def registerSnakeShards(s: SparkSession, rowsView: String, idCol: String,
+      weightCol: String, nShards: Int, outView: String): Unit =
+    graft.operators.CorpusPrep.snakeShards(s.table(rowsView), idCol,
+        weightCol, nShards)
+      .createOrReplaceTempView(outView)
+
+  /** Leakage-safe holdout over a document view + near-dup pairs view
+    * (`doc_a`, `doc_b`) → `outView(id, cluster, split)`: clusters are
+    * the star-contraction components over the pairs (every document a
+    * node, singletons their own cluster), and the train/test gate draws
+    * once per CLUSTER ([[graft.operators.CorpusPrep.leakageSafeSplit]]),
+    * so near-duplicates never straddle the boundary. Iterative:
+    * registration runs the contraction (like [[registerComponents]]).
+    */
+  def registerLeakageSplit(s: SparkSession, docsView: String, idCol: String,
+      pairsView: String, testFraction: Double, outView: String): Unit = {
+    val clusters = graft.operators.Dedup.duplicateClustersStar(
+      s.table(docsView).select(col(idCol)), idCol, s.table(pairsView))
+    graft.operators.CorpusPrep.leakageSafeSplit(clusters, "id", "cluster",
+        testFraction)
+      .createOrReplaceTempView(outView)
+  }
+
   /** Mergeable deterministic quantile estimates over a rows view →
     * `outView(…groupCols, q_ppm, n_sample, est)` — the
     * [[graft.operators.QuantileSketch]] bottom-k-by-md5 row sample,

@@ -272,6 +272,47 @@ object SqlFacadeQueries {
                FROM graft_attr""")
     }),
 
+    // Winnowing contamination screen through the facade: the pairs view
+    // through the wrapper, the high-overlap cut in SQL.
+    "sql_winnowing" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerWinnowingPairs(s, "documents", "doc_id", "text",
+        outView = "graft_winnow")
+      s.sql("""SELECT doc_a, doc_b, n_shared_fp, fp_jaccard
+               FROM graft_winnow WHERE fp_jaccard >= 0.5""")
+    }),
+
+    // Snake sharding through the facade: token weights staged in SQL,
+    // the placement through the wrapper, the per-shard balance report
+    // in SQL — the same census shard_snake_balance gates directly.
+    "sql_shards" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""CREATE OR REPLACE TEMP VIEW doc_weights AS
+               SELECT doc_id,
+                      CAST(size(split(text, ' ', -1)) AS BIGINT) AS n_tokens
+               FROM documents""")
+      GraftSql.registerSnakeShards(s, "doc_weights", "doc_id", "n_tokens",
+        nShards = 8, outView = "graft_shards")
+      s.sql("""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+               FROM graft_shards GROUP BY shard""")
+    }),
+
+    // Leakage-safe split through the facade, CHAINED behind another
+    // facade operator: MinHash near-dup pairs feed the cluster-aware
+    // gate, the split census reads back in SQL — a SQL-only user
+    // composing two engine operators end to end.
+    "sql_leakage_split" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerMinHashDedup(s, "documents", "doc_id", "text",
+        outView = "graft_neardups")
+      GraftSql.registerLeakageSplit(s, "documents", "doc_id",
+        "graft_neardups", testFraction = 0.2, outView = "graft_split")
+      s.sql("""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+               FROM graft_split GROUP BY split""")
+    }),
+
     // Deterministic quantile sketch through the facade: p90 per event
     // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
     // on the integer q_ppm.
@@ -367,6 +408,29 @@ object SqlFacadeQueries {
       s"""SELECT touch_type, n_conversions_touched, credit_ppm_total,
             credit_ppm_total // 1000000 AS full_credits
           FROM (${WarehouseQueries.oracleSql("attribution_linear")})""",
+    "sql_winnowing" ->
+      s"""SELECT * FROM (${TextQueries.oracleSql("dedup_winnowing")})
+          WHERE fp_jaccard >= 0.5""",
+    "sql_shards" -> TextQueries.oracleSql("shard_snake_balance"),
+    "sql_leakage_split" ->
+      s"""WITH RECURSIVE
+         mh_pairs AS (${TextQueries.oracleSql("dedup_minhash")}),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                   UNION SELECT doc_b, doc_a FROM mh_pairs),
+         reach(doc, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT doc AS id, CAST(min(r) AS BIGINT) AS cluster
+                FROM reach GROUP BY doc),
+         g AS (SELECT id, cluster,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+                        1, 4)) AS BIGINT) < 0.2 * 65536
+                      THEN 'test' ELSE 'train' END AS split
+               FROM cl)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+         FROM g GROUP BY split""",
     "sql_components" ->
       s"""SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes
           FROM (${WarehouseQueries.oracleSql("graph_components")})
