@@ -965,6 +965,48 @@ object TextQueries {
           expr("bit_xor(fp)").as("fp_xor"))
     }),
 
+    // The stream-maintained winnowing index AS a gate row: documents
+    // replay as three id-range batches through WinnowStream.applyBatch
+    // (union + distinct folds, DurableIters-versioned) and the
+    // maintained index's per-doc digest is compared against the ONE-SHOT
+    // oracle — the hash match IS the incremental ≡ batch proof, in the
+    // gate itself (the quantile/kmv discipline applied to the
+    // contamination index).
+    "winnow_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("winnow-gate")
+      val ixDir = s"$base/index"
+      val docs = Tables.documents(s, dir)
+      val org.apache.spark.sql.Row(iMin: Long, iMax: Long) =
+        docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val i1 = iMin + (iMax - iMin) / 3
+      val i2 = iMin + 2 * (iMax - iMin) / 3
+      graft.streaming.WinnowStream.applyBatch(
+        docs.where(col("doc_id") < i1), "text", "doc_id", ixDir, 0)
+      graft.streaming.WinnowStream.applyBatch(
+        docs.where(col("doc_id") >= i1 && col("doc_id") < i2),
+        "text", "doc_id", ixDir, 1)
+      graft.streaming.WinnowStream.applyBatch(
+        docs.where(col("doc_id") >= i2), "text", "doc_id", ixDir, 2)
+      graft.streaming.WinnowStream.index(s, ixDir)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"),
+          expr("bit_xor(fp)").as("fp_xor"))
+    }),
+
+    // Screening a new batch against the maintained index: candidate
+    // contamination pairs between the arriving 1/7th of the corpus and
+    // everything already indexed — the decontamination read the index
+    // exists for. The join is keyed by fingerprint, so the probe cost
+    // follows the BATCH's fingerprints, never the index's bulk.
+    "winnow_screen" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ix = Dedup.winnowFingerprints(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0), "text", "doc_id")
+      val batch = Dedup.winnowFingerprints(
+        docs.where(pmod(col("doc_id"), lit(7)) === 0), "text", "doc_id")
+      graft.streaming.WinnowStream.screen(batch, ix, minShared = 1)
+    }),
+
     // Winnowing candidate pairs: documents sharing ≥2 fingerprints with
     // the exact fp-set Jaccard — the screening join the guarantee above
     // makes sound. The oracle replays grams, hashes, window minima,
@@ -1814,11 +1856,17 @@ object TextQueries {
       s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
           FROM ($SnakeOracle) GROUP BY shard""",
-    "winnow_index" ->
-      s"""SELECT doc, CAST(count(*) AS BIGINT) AS n_fp,
-            CAST(min(fp) AS BIGINT) AS fp_min,
-            CAST(bit_xor(fp) AS BIGINT) AS fp_xor
-          FROM ($WinnowFpOracle) GROUP BY doc""",
+    "winnow_index" -> WinnowDigestOracle,
+    // the maintained index must equal the one-shot computation bit for
+    // bit — same oracle, no allowance
+    "winnow_maintained" -> WinnowDigestOracle,
+    "winnow_screen" ->
+      s"""WITH fps AS ($WinnowFpOracle),
+         nw AS (SELECT doc AS new_doc, fp FROM fps WHERE doc % 7 = 0),
+         ix AS (SELECT doc AS index_doc, fp FROM fps WHERE doc % 7 <> 0)
+         SELECT new_doc, index_doc, CAST(count(*) AS BIGINT) AS n_shared_fp
+         FROM nw JOIN ix USING (fp)
+         GROUP BY 1, 2""",
     "dedup_winnowing" ->
       s"""WITH fps AS ($WinnowFpOracle),
          dfc AS (SELECT fp, count(*) AS dfp FROM fps GROUP BY fp),
@@ -1896,6 +1944,16 @@ object TextQueries {
                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
        SELECT DISTINCT doc_id AS doc, fp FROM w
        WHERE n_in = 4 OR (pos = 0 AND n_in < 4)"""
+
+  /** Shared by winnow_index and winnow_maintained: the per-doc digest
+    * (count / min / bit_xor) of the fingerprint set — the maintained
+    * index must hash-match the one-shot computation exactly.
+    */
+  private val WinnowDigestOracle: String =
+    s"""SELECT doc, CAST(count(*) AS BIGINT) AS n_fp,
+          CAST(min(fp) AS BIGINT) AS fp_min,
+          CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+        FROM ($WinnowFpOracle) GROUP BY doc"""
 
   /** Shared by shard_snake and shard_snake_balance: global token-desc
     * rank and the boustrophedon shard arithmetic, replayed exactly.
