@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecMaxAbs)
     ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectFunction(GraftExtensions.signBits64)
+    ext.injectFunction(GraftExtensions.hilbertKey)
   }
 }
 
@@ -127,11 +128,23 @@ object GraftExtensions {
       VecMaxAbs(children.head)
     })
 
+  /** Hilbert index of two pre-quantized bigint bucket columns at the
+    * 16-bit default order (65536² grid) — the SQL face of
+    * [[graft.operators.Layout.hilbertKey]].
+    */
+  val hilbertKey: FunctionDescription = (
+    FunctionIdentifier("hilbert_key"),
+    new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "hilbert_key(xBigint, yBigint)")
+      HilbertKey(children.head, children(1), bits = 16)
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(vecDot, simHash64, minShingleMd5, vecScale, redactPii,
-      nfcNormalize, vecMaxAbs, jaroWinkler, signBits64).foreach {
+      nfcNormalize, vecMaxAbs, jaroWinkler, signBits64, hilbertKey).foreach {
       case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
     }

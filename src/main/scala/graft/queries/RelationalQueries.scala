@@ -250,6 +250,19 @@ object RelationalQueries {
         graft.operators.Layout.zOrderKey(qa, qb, bits = 8).as("z_key"))
     }),
 
+    // Hilbert layout key over the same quantized pair as zorder_key —
+    // the stronger-locality clustering (consecutive keys are ALWAYS
+    // grid-adjacent; HilbertKeySpec pins the curve property and the
+    // neighbor-distance win over Morton). One codegen'd loop per row;
+    // the oracle unrolls the 8 xy2d rounds into plain SQL.
+    "hilbert_key" -> ((s, dir) => {
+      val qa = floor(col("l_extendedprice") / lit(1000.0)).cast("long")
+      val qb = floor(col("l_quantity")).cast("long")
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.hilbertKey(qa, qb, bits = 8).as("h_key"))
+    }),
+
     // TPC-H Q3 shape (shipping priority): the canonical 3-way
     // fact-to-fact join with filters on every input and a top-k by
     // aggregated revenue. Scale shape: each scan filters BEFORE the
@@ -389,6 +402,34 @@ object RelationalQueries {
               least(CAST(floor(l_quantity) AS BIGINT), 255) AS qb
             FROM lineitem)
           SELECT l_orderkey, l_linenumber, $interleave AS z_key FROM q"""
+    },
+    "hilbert_key" -> {
+      // the canonical xy2d walk, one CTE stage per round (top bit down):
+      // rx/ry from bit `sh`, d += s²·((3rx) XOR ry), then the frame
+      // rotation (reflect iff rx=1, swap) applied iff ry=0
+      val stages = (7 to 0 by -1).zipWithIndex.map { case (sh, i) =>
+        val prev = if (i == 0) "q" else s"st${sh + 1}"
+        val s2 = (1L << sh) * (1L << sh)
+        s"""st$sh AS (SELECT l_orderkey, l_linenumber,
+              CASE WHEN ((y >> $sh) & 1) = 0
+                   THEN (CASE WHEN ((x >> $sh) & 1) = 1 THEN 255 - y ELSE y END)
+                   ELSE x END AS x,
+              CASE WHEN ((y >> $sh) & 1) = 0
+                   THEN (CASE WHEN ((x >> $sh) & 1) = 1 THEN 255 - x ELSE x END)
+                   ELSE y END AS y,
+              d + $s2 * xor(3 * ((x >> $sh) & 1), (y >> $sh) & 1) AS d
+            FROM $prev)"""
+      }.mkString(",\n         ")
+      s"""WITH q AS (SELECT l_orderkey, l_linenumber,
+            greatest(CAST(0 AS BIGINT),
+              least(CAST(floor(l_extendedprice / 1000.0) AS BIGINT), 255)) AS x,
+            greatest(CAST(0 AS BIGINT),
+              least(CAST(floor(l_quantity) AS BIGINT), 255)) AS y,
+            CAST(0 AS BIGINT) AS d
+          FROM lineitem),
+         $stages
+         SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h_key
+         FROM st0"""
     },
     "strat_sample" ->
       """WITH w AS (SELECT * FROM (VALUES ('A', 0.2), ('N', 0.5), ('R', 0.8))
