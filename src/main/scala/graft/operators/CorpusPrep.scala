@@ -286,6 +286,39 @@ object CorpusPrep {
         .otherwise(lit("train")))
   }
 
+  /** Deterministic per-epoch training order: each epoch reshuffles the
+    * corpus with a fresh seedless draw — `key = md5₄₈("epoch:id")` — so
+    * shard assignment AND within-shard order change every epoch (the
+    * "different data order per epoch" a trainer wants) while staying a
+    * pure function of (epoch, id): bit-identical across engines,
+    * retries, and partitionings, SQL-replayable, and resumable
+    * mid-epoch (re-running the job regenerates exactly the order the
+    * crashed run was consuming — a rand() shuffle gives a DIFFERENT
+    * epoch on retry, silently skewing what the model saw).
+    *
+    * Scale shape: epochs fan out as an explode (no extra scans), the
+    * only shuffle is the (epoch, shard)-partitioned rank window, and
+    * shard count scales with the reader fleet.
+    *
+    * Output = (epoch, idCol, shard, ord) — ord is 1-based within
+    * (epoch, shard).
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs >= 1 && shards >= 1,
+      s"need positive epochs/shards; got $epochs/$shards")
+    val keyed = df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("__key", KmvSketch.hash48(
+        concat(col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("__key"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    keyed
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("epoch"), col(idCol), col("shard"), col("ord"))
+  }
+
   /** Efraimidis-Spirakis selection key ln(u)/w from the seedless md5
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.

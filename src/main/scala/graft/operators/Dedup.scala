@@ -188,6 +188,37 @@ object Dedup {
     result
   }
 
+  /** Quality-aware representative per duplicate cluster: instead of
+    * dedup's min-id convention, keep the member that maximizes
+    * `qualityCol` (ties → smallest id — fully deterministic, so the
+    * surviving corpus is reproducible). `clustered` is the (id, cluster)
+    * frame [[duplicateClusters]] / [[duplicateClustersStar]] produce;
+    * `quality` maps id → score (tokens, LM score, freshness — caller's
+    * choice). This is the "keep the best copy" policy a production
+    * dedup actually wants: near-duplicate groups usually contain one
+    * clean original and N truncated/boilerplated scrapes.
+    *
+    * Scale shape: one join on id + one cluster-partitioned rank window
+    * (the same shuffle budget as the min-id aggregate it replaces).
+    *
+    * Output = (cluster, rep_id, rep_quality, n_members).
+    */
+  def bestRepresentatives(clustered: DataFrame, idCol: String,
+      clusterCol: String, quality: DataFrame, qIdCol: String,
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val joined = clustered
+      .join(quality.select(col(qIdCol).as(idCol), col(qualityCol)), Seq(idCol))
+    val byCluster = W.partitionBy(col(clusterCol))
+    joined
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("__rn") === 1)
+      .select(col(clusterCol), col(idCol).as("rep_id"),
+        col(qualityCol).as("rep_quality"), col("n_members"))
+  }
+
   /** Shingles with document frequency above `maxDf` — the "stop-phrase"
     * keys the candidate joins must never self-join on (a shingle shared
     * by k documents emits k² pairs). Exposed so callers can inspect/log

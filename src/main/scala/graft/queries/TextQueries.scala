@@ -1016,6 +1016,30 @@ object TextQueries {
         shingleLen = 5, window = 4, minShared = 2)
     }),
 
+    // Deterministic per-epoch training order: 2 epochs × 4 shards, each
+    // epoch a fresh md5("epoch:id") reshuffle — order AND shard change
+    // per epoch, yet a crashed run resumes exactly the order it was
+    // consuming (a rand() shuffle gives a different epoch on retry).
+    "training_order" -> ((s, dir) => {
+      graft.operators.CorpusPrep.epochOrder(
+        Tables.documents(s, dir), "doc_id", epochs = 2, shards = 4)
+    }),
+
+    // Quality-aware dedup survivor: per near-dup cluster (the star
+    // contraction over shingle-Jaccard pairs), keep the member with the
+    // MOST tokens (ties → smallest id) — the "keep the clean original,
+    // drop the truncated scrapes" policy, instead of min-id.
+    "dedup_best_rep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+      val clusters = Dedup.duplicateClustersStar(docs, "doc_id", pairs)
+      val quality = docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      Dedup.bestRepresentatives(clusters, "id", "cluster",
+        quality, "doc_id", "n_tokens")
+    }),
+
     // Temperature-scaled mixture (α = 0.5, the multilingual-pretraining
     // reweighting): per-source keep rate ∝ (n_s)^(α-1), normalized so
     // the SMALLEST source keeps everything — rate_s = sqrt(min_n/n_s)
@@ -1883,6 +1907,30 @@ object TextQueries {
          FROM pr JOIN card ca ON doc_a = ca.doc
                  JOIN card cb ON doc_b = cb.doc
          WHERE n_shared_fp >= 2""",
+    "training_order" ->
+      """WITH e AS (SELECT doc_id, unnest(generate_series(0, 1)) AS epoch
+             FROM documents),
+         k AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+                 CAST(('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS key
+               FROM e)
+         SELECT epoch, doc_id, key % 4 AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, key % 4
+             ORDER BY key, doc_id) AS BIGINT) AS ord
+         FROM k""",
+    "dedup_best_rep" ->
+      s"""WITH cl AS ($StarClustersOracle),
+         q AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+         j AS (SELECT cl.cluster, cl.id, q.n_tokens,
+                 row_number() OVER (PARTITION BY cl.cluster
+                   ORDER BY q.n_tokens DESC, cl.id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cl.cluster) AS n_members
+               FROM cl JOIN q ON cl.id = q.doc_id)
+         SELECT cluster, id AS rep_id, n_tokens AS rep_quality,
+           CAST(n_members AS BIGINT) AS n_members
+         FROM j WHERE rn = 1""",
     "dedup_clusters_star" -> StarClustersOracle,
     "split_leakage_safe" ->
       s"""SELECT id, cluster,

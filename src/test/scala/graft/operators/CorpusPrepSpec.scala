@@ -208,6 +208,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(single.getOrElse("test", 0L) > 0L && single("train") > 0L, single)
   }
 
+  test("epochOrder: every (epoch, id) placed once; epochs really reshuffle") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(Tuple1(_)).toDF("id")
+    val out = CorpusPrep.epochOrder(docs, "id", epochs = 3, shards = 4)
+    assert(out.count() == 600)
+    assert(out.select("epoch", "id").distinct().count() == 600)
+    // within each (epoch, shard): ord is 1..n dense
+    val bad = out.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("ord")).as("mx"), min(col("ord")).as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.isEmpty)
+    // different epochs produce different orders (the reshuffle claim):
+    // the same id's (shard, ord) must differ somewhere between epochs
+    val e0 = out.where(col("epoch") === 0).select(col("id"), col("shard"), col("ord"))
+    val e1 = out.where(col("epoch") === 1).select(col("id"), col("shard"), col("ord"))
+    assert(e0.intersect(e1).count() < 200, "epoch 1 replayed epoch 0's order")
+    // deterministic across partitionings
+    val again = CorpusPrep.epochOrder(docs.repartition(7), "id", 3, 4)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("oversampleToMax: balanced input passes through with copy = 1") {
     import spark.implicits._
     val rows = (0L until 10L).map(i => (i, (i % 2).toString)).toDF("id", "cls")

@@ -297,6 +297,23 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("bestRepresentatives keeps the highest-quality member, min-id on ties") {
+    import spark.implicits._
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (4L, 4L), (5L, 4L),                             // cluster 4 (tie)
+      (6L, 6L))                                       // singleton
+      .toDF("id", "cluster")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 20L),
+      (4L, 7L), (5L, 7L), (6L, 1L)).toDF("doc_id", "q")
+    val reps = Dedup.bestRepresentatives(clustered, "id", "cluster",
+      quality, "doc_id", "q").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(reps(1L) == ((2L, 30L, 3L)))  // max quality wins
+    assert(reps(4L) == ((4L, 7L, 2L)))   // tie → smallest id
+    assert(reps(6L) == ((6L, 1L, 1L)))   // singleton survives
+  }
+
   test("winnowing guarantee: a shared run of window+shingleLen−1 tokens shares a fingerprint") {
     import spark.implicits._
     // docs 1 and 2 share an 8-token run (= 4 + 5 − 1) embedded in
