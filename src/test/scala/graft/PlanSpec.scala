@@ -201,6 +201,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"), plan)
   }
 
+  test("hilbert_key is a pure map plan inside whole-stage codegen") {
+    val qe = SparkEntry.queries("hilbert_key")(spark, dir).queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Scan parquet"), plan)
+    // the xy2d loop must live INSIDE a codegen stage, not fall back to
+    // interpreted projection
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val stages = qe.executedPlan.collectWithSubqueries {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(stages.nonEmpty, qe.executedPlan.toString)
+  }
+
   test("PageRank iterations plan at most one shuffle exchange each") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import spark.implicits._
