@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Batch lexical retrieval: a QUERY SET scored against a corpus through
+  * the inverted index — the "find supporting passages for every training
+  * example" shape a RAG-curation pipeline runs at corpus scale, where
+  * per-query loops are a non-starter.
+  *
+  * Scale shape: postings prune to the query VOCABULARY before anything
+  * joins (a million queries share a few thousand distinct terms, so the
+  * pruned tf table is corpus-postings-for-those-terms, not the corpus);
+  * the query⋈postings equi-join on the term key is the only fan-out,
+  * bounded by Σ_t df(t) over query terms; df/avgdl ride in as broadcast
+  * scalars; and the per-query top-k is a query-partitioned rank window —
+  * Catalyst plans map-side WindowGroupLimit, so at most k rows per
+  * (partition, query) reach the shuffle. BM25 terms snap to
+  * DECIMAL(20,8) (the text_entropy libm rule) so scores — and therefore
+  * RANKS — are aggregation-order-independent and replay exactly in SQL.
+  */
+object Retrieval {
+
+  /** Top-`k` corpus documents per query by BM25 (k1 = 1.2, b = 0.75 —
+    * the text_bm25 constants). `corpus` is (idCol, textCol); `queries`
+    * is (queryIdCol, queryTextCol). Output = (query_id, doc_id, rank,
+    * bm25), rank 1-based by (score desc, doc_id asc).
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val toks = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = dl.agg(avg(col("len")).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(TextOps.tokens(col(queryTextCol))).as("t"))
+      .where(col("t") =!= "").distinct()
+    // postings restricted to the query vocabulary FIRST — df per term is
+    // unchanged by the restriction (it counts docs per term), and the
+    // scored join never touches a term no query asked about
+    val tf = toks.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = qt
+      .join(tf, Seq("t"))
+      .join(broadcast(dft), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("term",
+        (col("idf") * ((col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * col("len") / col("avgdl")))))
+          .cast("decimal(20,8)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term")).as("__sd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sd").desc, col("doc_id").asc)
+    val result = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("__sd").cast("double"), 4).as("bm25"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+}

@@ -172,6 +172,20 @@ object TextQueries {
           round(sum(col("term")).cast("double"), 4).as("bm25"))
     }),
 
+    // Batch BM25 retrieval: every 50th document's 8-token prefix as a
+    // query set, top-5 corpus hits per query through the inverted-index
+    // probe (Retrieval.bm25TopK) — postings prune to the query
+    // vocabulary before any join, the per-query cut is a WindowGroupLimit
+    // rank window, and DECIMAL-snapped terms make the ranks replay
+    // exactly in SQL.
+    "bm25_batch_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
+    }),
+
     // Hybrid retrieval (RAG curation ranker): BM25 top-50 for the fixed
     // 3-term query FUSED with embedding-cosine top-50 to vector 0 by
     // reciprocal-rank fusion (rrf = Σ 1/(60+rank)). Lexical and dense
@@ -1641,6 +1655,38 @@ object TextQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                 round(CAST(sum(term) AS DOUBLE), 4) AS bm25
          FROM scored GROUP BY doc_id""",
+    "bm25_batch_topk" ->
+      """WITH toks AS (SELECT doc_id, t FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+         stats AS (SELECT avg(len) AS avgdl, count(*) AS n_docs FROM dl),
+         q AS (SELECT doc_id AS query_id,
+                 array_to_string((string_split(text, ' '))[1:8], ' ') AS qtext
+               FROM documents WHERE doc_id % 50 = 0),
+         qt AS (SELECT DISTINCT query_id, t FROM
+                  (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q)
+                WHERE t <> ''),
+         qv AS (SELECT DISTINCT t FROM qt),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                JOIN qv USING (t) GROUP BY 1, 2),
+         dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                 sum(CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+                         / (df + CAST(0.5 AS DOUBLE)))
+                   * ((tf * CAST(2.2 AS DOUBLE))
+                      / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * len / avgdl)))
+                   AS DECIMAL(20,8))) AS sd
+               FROM qt JOIN tf USING (t) JOIN dft USING (t)
+                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, sd,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sd DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM sc)
+         SELECT query_id, doc_id, rank, round(CAST(sd AS DOUBLE), 4) AS bm25
+         FROM r WHERE rank <= 5""",
     "text_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "durian elderberry fig"))
+    .toDF("doc_id", "text")
+
+  test("bm25TopK: tf dominance and index pruning on a hand-checked corpus") {
+    val queries = Seq((10L, "apple"), (11L, "missingterm"))
+      .toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(corpus, queries, k = 5).collect()
+    val hits = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // query 10: docs 1 and 2 only (doc 3 shares no term); doc 1 (tf=2)
+    // outranks doc 2 (tf=1, shorter) — 1.328 vs 1.114 by hand
+    assert(hits.toSet == Set((10L, 1L, 1L), (10L, 2L, 2L)), hits.toSeq)
+    // a query whose terms are absent retrieves nothing (inverted-index
+    // probe, not a scan-and-score-zero)
+    assert(!hits.exists(_._1 == 11L))
+  }
+
+  test("bm25TopK: k bounds every query's result; deterministic across partitionings") {
+    val docs = (1L to 60L)
+      .map(i => (i, s"term${i % 7} term${i % 5} term${i % 3} filler$i"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "term1 term2"), (101L, "term3 term4"))
+      .toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(docs, queries, k = 4)
+    val sizes = out.groupBy(col("query_id")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 4) && sizes.nonEmpty)
+    val again = Retrieval.bm25TopK(docs.repartition(7), queries, k = 4)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+}
