@@ -77,4 +77,33 @@ object Retrieval {
     toks.unpersist(false)
     result
   }
+
+  /** Reciprocal-rank fusion of a lexical hit list (query_id, doc_id,
+    * rank) and a dense hit list (query_id, neighbor_id, rank):
+    * rrf = Σ 1/(c + rank) over the lists a document appears in, top-`k`
+    * per query — the standard hybrid-retrieval combiner (Cormack et al.
+    * SIGIR'09), score-scale-free because it fuses RANKS. Both inputs
+    * are already k-bounded per query, so the full-outer join and the
+    * rank window touch ≤ 2k rows per query — fusion cost follows the
+    * QUERY count, never the corpus.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("__lr"))
+    val d = dense.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank").as("__dr"))
+    val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("__lr")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("__dr")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
 }

@@ -186,6 +186,25 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
     }),
 
+    // Batch hybrid retrieval: the SAME query set fused across both
+    // modalities — lexical top-5 (bm25_batch_topk's prefix queries) and
+    // dense top-5 (each query doc's embedding; vec_id aligns with
+    // doc_id in the star schema) combined by reciprocal-rank fusion.
+    // Both sides are k-bounded per query before the fuse, so the
+    // full-outer join and rank window touch ≤ 2k rows per query.
+    "hybrid_batch_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      val lex = graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
+      val e = Tables.embeddings(s, dir)
+      val dense = graft.operators.SimilaritySearch.knnJoinBruteForce(
+        e, e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 5)
+      graft.operators.Retrieval.rrfFuse(lex, dense, k = 5)
+    }),
+
     // Hybrid retrieval (RAG curation ranker): BM25 top-50 for the fixed
     // 3-term query FUSED with embedding-cosine top-50 to vector 0 by
     // reciprocal-rank fusion (rrf = Σ 1/(60+rank)). Lexical and dense
@@ -1655,37 +1674,21 @@ object TextQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                 round(CAST(sum(term) AS DOUBLE), 4) AS bm25
          FROM scored GROUP BY doc_id""",
-    "bm25_batch_topk" ->
-      """WITH toks AS (SELECT doc_id, t FROM
-           (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-           WHERE t <> ''),
-         dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
-         stats AS (SELECT avg(len) AS avgdl, count(*) AS n_docs FROM dl),
-         q AS (SELECT doc_id AS query_id,
-                 array_to_string((string_split(text, ' '))[1:8], ' ') AS qtext
-               FROM documents WHERE doc_id % 50 = 0),
-         qt AS (SELECT DISTINCT query_id, t FROM
-                  (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q)
-                WHERE t <> ''),
-         qv AS (SELECT DISTINCT t FROM qt),
-         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
-                JOIN qv USING (t) GROUP BY 1, 2),
-         dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         sc AS (SELECT qt.query_id, tf.doc_id,
-                 sum(CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
-                         / (df + CAST(0.5 AS DOUBLE)))
-                   * ((tf * CAST(2.2 AS DOUBLE))
-                      / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                         + CAST(0.75 AS DOUBLE) * len / avgdl)))
-                   AS DECIMAL(20,8))) AS sd
-               FROM qt JOIN tf USING (t) JOIN dft USING (t)
-                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-               GROUP BY 1, 2),
-         r AS (SELECT query_id, doc_id, sd,
+    "bm25_batch_topk" -> Bm25BatchOracle,
+    "hybrid_batch_rrf" ->
+      s"""WITH lex AS ($Bm25BatchOracle),
+         den AS (${VectorQueries.oracleSql("knn_join_bruteforce")}),
+         f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                 coalesce(l.doc_id, d.neighbor_id) AS doc_id,
+                 coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank), 0) AS rrf
+               FROM lex l FULL OUTER JOIN den d
+                 ON l.query_id = d.query_id AND l.doc_id = d.neighbor_id),
+         r AS (SELECT query_id, doc_id, rrf,
                  CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY sd DESC, doc_id ASC) AS BIGINT) AS rank
-               FROM sc)
-         SELECT query_id, doc_id, rank, round(CAST(sd AS DOUBLE), 4) AS bm25
+                   ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM f)
+         SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf
          FROM r WHERE rank <= 5""",
     "text_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -2038,6 +2041,43 @@ object TextQueries {
                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
        SELECT DISTINCT doc_id AS doc, fp FROM w
        WHERE n_in = 4 OR (pos = 0 AND n_in < 4)"""
+
+  /** Shared by bm25_batch_topk and hybrid_batch_rrf: prefix-query
+    * construction, query-vocabulary-pruned postings, DECIMAL-snapped
+    * BM25 terms, and the per-query top-5 rank cut.
+    */
+  private val Bm25BatchOracle: String =
+    """WITH toks AS (SELECT doc_id, t FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+       dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+       stats AS (SELECT avg(len) AS avgdl, count(*) AS n_docs FROM dl),
+       q AS (SELECT doc_id AS query_id,
+               array_to_string((string_split(text, ' '))[1:8], ' ') AS qtext
+             FROM documents WHERE doc_id % 50 = 0),
+       qt AS (SELECT DISTINCT query_id, t FROM
+                (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q)
+              WHERE t <> ''),
+       qv AS (SELECT DISTINCT t FROM qt),
+       tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+              JOIN qv USING (t) GROUP BY 1, 2),
+       dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       sc AS (SELECT qt.query_id, tf.doc_id,
+               sum(CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+                       / (df + CAST(0.5 AS DOUBLE)))
+                 * ((tf * CAST(2.2 AS DOUBLE))
+                    / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * len / avgdl)))
+                 AS DECIMAL(20,8))) AS sd
+             FROM qt JOIN tf USING (t) JOIN dft USING (t)
+               JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+             GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, sd,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sd DESC, doc_id ASC) AS BIGINT) AS rank
+             FROM sc)
+       SELECT query_id, doc_id, rank, round(CAST(sd AS DOUBLE), 4) AS bm25
+       FROM r WHERE rank <= 5"""
 
   /** Shared by winnow_index and winnow_maintained: the per-doc digest
     * (count / min / bit_xor) of the fingerprint set — the maintained

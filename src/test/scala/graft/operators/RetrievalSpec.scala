@@ -25,6 +25,17 @@ class RetrievalSpec extends SparkSpec {
     assert(!hits.exists(_._1 == 11L))
   }
 
+  test("rrfFuse: dual-list hits outrank single-list hits; both sides' strays survive") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Retrieval.rrfFuse(lex, dense, k = 5).collect()
+      .sortBy(_.getLong(2)).map(r => (r.getLong(1), r.getLong(2)))
+    // doc 11 appears in BOTH lists: 1/61 + 1/62 beats doc 10's 1/61 and
+    // doc 12's 1/62; the single-list docs keep their relative order
+    assert(fused.toSeq == Seq((11L, 1L), (10L, 2L), (12L, 3L)), fused.toSeq)
+  }
+
   test("bm25TopK: k bounds every query's result; deterministic across partitionings") {
     val docs = (1L to 60L)
       .map(i => (i, s"term${i % 7} term${i % 5} term${i % 3} filler$i"))
