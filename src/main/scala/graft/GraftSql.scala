@@ -287,6 +287,30 @@ object GraftSql {
       .createOrReplaceTempView(outView)
   }
 
+  /** Batch BM25 retrieval: a query view scored against a corpus view
+    * through the inverted index → `outView(query_id, doc_id, rank,
+    * bm25)` ([[graft.operators.Retrieval.bm25TopK]]; postings prune to
+    * the query vocabulary before any join).
+    */
+  def registerBm25TopK(s: SparkSession, corpusView: String,
+      queriesView: String, k: Int, outView: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", queryTextCol: String = "qtext"): Unit =
+    graft.operators.Retrieval.bm25TopK(s.table(corpusView),
+        s.table(queriesView), k, idCol, textCol, queryIdCol, queryTextCol)
+      .createOrReplaceTempView(outView)
+
+  /** Per-epoch deterministic training order over a rows view →
+    * `outView(epoch, idCol, shard, ord)`
+    * ([[graft.operators.CorpusPrep.epochOrder]] — every epoch a fresh
+    * seedless reshuffle, resumable mid-epoch).
+    */
+  def registerEpochOrder(s: SparkSession, rowsView: String, idCol: String,
+      epochs: Int, shards: Int, outView: String): Unit =
+    graft.operators.CorpusPrep.epochOrder(s.table(rowsView), idCol,
+        epochs, shards)
+      .createOrReplaceTempView(outView)
+
   /** Mergeable deterministic quantile estimates over a rows view →
     * `outView(…groupCols, q_ppm, n_sample, est)` — the
     * [[graft.operators.QuantileSketch]] bottom-k-by-md5 row sample,

@@ -313,6 +313,33 @@ object SqlFacadeQueries {
                FROM graft_split GROUP BY split""")
     }),
 
+    // Batch BM25 retrieval through the facade: the prefix-query view
+    // carved in SQL, the inverted-index scoring through the wrapper,
+    // the best hit per query read back.
+    "sql_retrieval" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""CREATE OR REPLACE TEMP VIEW prefix_queries AS
+               SELECT doc_id AS query_id,
+                      array_join(slice(split(text, ' ', -1), 1, 8), ' ')
+                        AS qtext
+               FROM documents WHERE doc_id % 50 = 0""")
+      GraftSql.registerBm25TopK(s, "documents", "prefix_queries", k = 5,
+        outView = "graft_hits")
+      s.sql("""SELECT query_id, doc_id, bm25 FROM graft_hits
+               WHERE rank = 1""")
+    }),
+
+    // Epoch ordering through the facade: the per-(epoch, shard) census
+    // a reader fleet provisions from, read back in SQL.
+    "sql_epoch_order" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerEpochOrder(s, "documents", "doc_id", epochs = 2,
+        shards = 4, outView = "graft_order")
+      s.sql("""SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 max(ord) AS max_ord
+               FROM graft_order GROUP BY epoch, shard""")
+    }),
+
     // Deterministic quantile sketch through the facade: p90 per event
     // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
     // on the integer q_ppm.
@@ -411,6 +438,15 @@ object SqlFacadeQueries {
     "sql_winnowing" ->
       s"""SELECT * FROM (${TextQueries.oracleSql("dedup_winnowing")})
           WHERE fp_jaccard >= 0.5""",
+    "sql_retrieval" ->
+      s"""SELECT query_id, doc_id, bm25
+          FROM (${TextQueries.oracleSql("bm25_batch_topk")})
+          WHERE rank = 1""",
+    "sql_epoch_order" ->
+      s"""SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+            max(ord) AS max_ord
+          FROM (${TextQueries.oracleSql("training_order")})
+          GROUP BY epoch, shard""",
     "sql_shards" -> TextQueries.oracleSql("shard_snake_balance"),
     "sql_leakage_split" ->
       s"""WITH RECURSIVE
