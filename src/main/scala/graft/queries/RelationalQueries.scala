@@ -14,6 +14,27 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** The canonical xy2d Hilbert rounds as CTE stages over a source CTE
+    * `q` exposing (passCols..., x, y, d) — shared by the hilbert_key
+    * and layout_audit oracles. One stage per round, top bit down:
+    * rx/ry from bit `sh`, d += s²·((3rx) XOR ry), then the frame
+    * rotation (reflect iff rx=1, swap) applied iff ry=0.
+    */
+  private def hilbertStages(passCols: String): String =
+    (7 to 0 by -1).zipWithIndex.map { case (sh, i) =>
+      val prev = if (i == 0) "q" else s"st${sh + 1}"
+      val s2 = (1L << sh) * (1L << sh)
+      s"""st$sh AS (SELECT $passCols,
+            CASE WHEN ((y >> $sh) & 1) = 0
+                 THEN (CASE WHEN ((x >> $sh) & 1) = 1 THEN 255 - y ELSE y END)
+                 ELSE x END AS x,
+            CASE WHEN ((y >> $sh) & 1) = 0
+                 THEN (CASE WHEN ((x >> $sh) & 1) = 1 THEN 255 - x ELSE x END)
+                 ELSE y END AS y,
+            d + $s2 * xor(3 * ((x >> $sh) & 1), (y >> $sh) & 1) AS d
+          FROM $prev)"""
+    }.mkString(",\n         ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 — scan with projection + predicate pushdown (utils.py:30-49 analog:
     // schema-on-read scan; here the filter and 2-column ReadSchema reach the
@@ -250,6 +271,49 @@ object RelationalQueries {
         graft.operators.Layout.zOrderKey(qa, qb, bits = 8).as("z_key"))
     }),
 
+    // Layout-effectiveness audit: the hilbert-vs-morton file-pruning
+    // claim MEASURED, not argued. Rows cluster into deterministic
+    // 4096-row "files" by key order (global rank via PrefixSum — never
+    // a partitionless window), each file gets its (qa, qb) min/max box,
+    // and six 2-d range queries count the files whose box they
+    // intersect — exactly the min/max skipping a parquet reader does.
+    // The oracle replays both key functions, the rank, the boxes, and
+    // the intersection test; LayoutSpec pins that hilbert touches no
+    // more files than morton in total.
+    "layout_audit" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        least(floor(col("l_extendedprice") / lit(1000.0)).cast("long"),
+          lit(255L)).as("qa"),
+        least(floor(col("l_quantity")).cast("long"), lit(255L)).as("qb"))
+      def boxesFor(layout: String,
+          key: org.apache.spark.sql.Column): DataFrame = {
+        val keyed = base.withColumn("key", key).withColumn("__one", lit(1L))
+        graft.operators.PrefixSum
+          .withRunningTotal(keyed, "__one", "rk",
+            "key", "l_orderkey", "l_linenumber")
+          .withColumn("file_id", expr("(rk - 1) div 4096"))
+          .groupBy(col("file_id"))
+          .agg(min(col("qa")).as("qalo"), max(col("qa")).as("qahi"),
+            min(col("qb")).as("qblo"), max(col("qb")).as("qbhi"))
+          .withColumn("layout", lit(layout))
+      }
+      val boxes = boxesFor("morton",
+          graft.operators.Layout.zOrderKey(col("qa"), col("qb"), bits = 8))
+        .unionByName(boxesFor("hilbert",
+          graft.operators.Layout.hilbertKey(col("qa"), col("qb"), bits = 8)))
+      import s.implicits._
+      val ranges = Seq((1L, 0L, 7L, 0L, 255L), (2L, 0L, 255L, 0L, 3L),
+        (3L, 40L, 55L, 20L, 30L), (4L, 0L, 31L, 0L, 15L),
+        (5L, 64L, 95L, 0L, 255L), (6L, 0L, 3L, 0L, 3L))
+        .toDF("q_id", "a1", "a2", "b1", "b2")
+      boxes.join(broadcast(ranges),
+          col("qalo") <= col("a2") && col("qahi") >= col("a1") &&
+            col("qblo") <= col("b2") && col("qbhi") >= col("b1"))
+        .groupBy(col("layout"), col("q_id"))
+        .agg(count(lit(1)).as("n_files_touched"))
+    }),
+
     // Hilbert layout key over the same quantized pair as zorder_key —
     // the stronger-locality clustering (consecutive keys are ALWAYS
     // grid-adjacent; HilbertKeySpec pins the curve property and the
@@ -403,23 +467,7 @@ object RelationalQueries {
             FROM lineitem)
           SELECT l_orderkey, l_linenumber, $interleave AS z_key FROM q"""
     },
-    "hilbert_key" -> {
-      // the canonical xy2d walk, one CTE stage per round (top bit down):
-      // rx/ry from bit `sh`, d += s²·((3rx) XOR ry), then the frame
-      // rotation (reflect iff rx=1, swap) applied iff ry=0
-      val stages = (7 to 0 by -1).zipWithIndex.map { case (sh, i) =>
-        val prev = if (i == 0) "q" else s"st${sh + 1}"
-        val s2 = (1L << sh) * (1L << sh)
-        s"""st$sh AS (SELECT l_orderkey, l_linenumber,
-              CASE WHEN ((y >> $sh) & 1) = 0
-                   THEN (CASE WHEN ((x >> $sh) & 1) = 1 THEN 255 - y ELSE y END)
-                   ELSE x END AS x,
-              CASE WHEN ((y >> $sh) & 1) = 0
-                   THEN (CASE WHEN ((x >> $sh) & 1) = 1 THEN 255 - x ELSE x END)
-                   ELSE y END AS y,
-              d + $s2 * xor(3 * ((x >> $sh) & 1), (y >> $sh) & 1) AS d
-            FROM $prev)"""
-      }.mkString(",\n         ")
+    "hilbert_key" ->
       s"""WITH q AS (SELECT l_orderkey, l_linenumber,
             greatest(CAST(0 AS BIGINT),
               least(CAST(floor(l_extendedprice / 1000.0) AS BIGINT), 255)) AS x,
@@ -427,9 +475,43 @@ object RelationalQueries {
               least(CAST(floor(l_quantity) AS BIGINT), 255)) AS y,
             CAST(0 AS BIGINT) AS d
           FROM lineitem),
-         $stages
+         ${hilbertStages("l_orderkey, l_linenumber")}
          SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h_key
-         FROM st0"""
+         FROM st0""",
+    "layout_audit" -> {
+      val interleave = (0 until 8).map(i =>
+        s"(((qa >> $i) & 1) << ${2 * i}) | (((qb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH q0 AS (SELECT l_orderkey, l_linenumber,
+            least(CAST(floor(l_extendedprice / 1000.0) AS BIGINT), 255) AS qa,
+            least(CAST(floor(l_quantity) AS BIGINT), 255) AS qb
+          FROM lineitem),
+         q AS (SELECT l_orderkey, l_linenumber, qa, qb,
+                 qa AS x, qb AS y, CAST(0 AS BIGINT) AS d FROM q0),
+         ${hilbertStages("l_orderkey, l_linenumber, qa, qb")},
+         mz AS (SELECT l_orderkey, l_linenumber, qa, qb,
+                  $interleave AS key FROM q0),
+         r AS (SELECT 'morton' AS layout, qa, qb,
+                 row_number() OVER (ORDER BY key, l_orderkey, l_linenumber)
+                   AS rk
+               FROM mz
+               UNION ALL
+               SELECT 'hilbert', qa, qb,
+                 row_number() OVER (ORDER BY d, l_orderkey, l_linenumber)
+               FROM st0),
+         f AS (SELECT layout, (rk - 1) // 4096 AS file_id,
+                 min(qa) AS qalo, max(qa) AS qahi,
+                 min(qb) AS qblo, max(qb) AS qbhi
+               FROM r GROUP BY 1, 2),
+         qs(q_id, a1, a2, b1, b2) AS (VALUES
+           (1, 0, 7, 0, 255), (2, 0, 255, 0, 3),
+           (3, 40, 55, 20, 30), (4, 0, 31, 0, 15),
+           (5, 64, 95, 0, 255), (6, 0, 3, 0, 3))
+         SELECT layout, CAST(q_id AS BIGINT) AS q_id,
+           CAST(count(*) AS BIGINT) AS n_files_touched
+         FROM f JOIN qs ON qalo <= a2 AND qahi >= a1
+                       AND qblo <= b2 AND qbhi >= b1
+         GROUP BY 1, 2"""
     },
     "strat_sample" ->
       """WITH w AS (SELECT * FROM (VALUES ('A', 0.2), ('N', 0.5), ('R', 0.8))

@@ -99,4 +99,17 @@ class LayoutSpec extends SparkSpec {
     val b = spark.read.parquet(dest).collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("layout_audit: hilbert clustering never touches more files than morton") {
+    // the claim the audit query exists to measure, pinned as an
+    // inequality over the real gate data: summed across the six 2-d
+    // range queries, hilbert's file count ≤ morton's (and each query's
+    // own count is ≤ the layout's total file count)
+    val out = graft.queries.RelationalQueries
+      .queries("layout_audit")(spark, sf("sf0.001")).collect()
+    val byLayout = out.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    assert(byLayout("hilbert") <= byLayout("morton"), byLayout)
+    assert(byLayout.values.forall(_ > 0), byLayout)
+  }
 }
