@@ -55,6 +55,55 @@ object Privacy {
         expr("(1000000 * cum_rows) div __tot").as("cum_row_ppm"))
   }
 
+  /** t-closeness histogram (Li et al., ICDE'07 — the third rung after
+    * k-anonymity and ℓ-diversity): per equivalence class, the total
+    * variation distance between the class's sensitive-value
+    * distribution and the GLOBAL one, in exact ppm —
+    * tvd = ½ Σ_v |p_class(v) − p_global(v)|, computed as the all-integer
+    * (10⁶ · Σ_v |n_cv·N − n_v·n_c|) div (2·n_c·N) with DECIMAL(38,0)
+    * products (n·N overflows int64 past ~3·10⁹ rows). A class can be
+    * large (k fine) and varied (ℓ fine) yet still leak — e.g. 95%
+    * one disease where the population has 10% — and tvd is what
+    * catches it. Values absent from a class contribute |0 − n_v·n_c|,
+    * so the value set must be broadcast-small (a sensitive attribute
+    * with corpus-scale cardinality is a direct identifier, not a
+    * distribution). Null sensitive values form their own category.
+    *
+    * Histogrammed by `bandPpm`-wide tvd bands (driver-readable at any
+    * scale, like the siblings): the table's t level is the LAST row's
+    * band upper edge.
+    *
+    * @return (tvd_band, n_classes, n_rows) ordered by tvd_band, where
+    *         tvd_band = tvd_ppm div bandPpm
+    */
+  def tClosenessHistogram(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, bandPpm: Long = 50000L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(bandPpm >= 1, s"bandPpm must be >= 1; got $bandPpm")
+    val qi = qiCols.map(col)
+    val cv = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n_cv"))
+    val cls = cv.groupBy(qi: _*).agg(sum(col("n_cv")).as("n_c"))
+    val vals = cv.groupBy(col(sensitiveCol)).agg(sum(col("n_cv")).as("n_v"))
+    val tot = vals.agg(sum(col("n_v")).as("N"))
+    val perClass = cls
+      .crossJoin(broadcast(vals))
+      .join(cv, qiCols :+ sensitiveCol, "left")
+      .withColumn("n_cv", coalesce(col("n_cv"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__num", abs(expr(
+        "CAST(n_cv AS DECIMAL(38,0)) * N - CAST(n_v AS DECIMAL(38,0)) * n_c")))
+      .groupBy(qi: _*)
+      .agg(max(col("n_c")).as("n_c"), max(col("N")).as("N"),
+        sum(col("__num")).as("__tvd_num"))
+      .withColumn("tvd_ppm", expr(
+        """CAST((1000000 * __tvd_num)
+           div (2 * CAST(n_c AS DECIMAL(38,0)) * N) AS BIGINT)"""))
+    perClass
+      .groupBy(expr(s"tvd_ppm div ${bandPpm}L").as("tvd_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n_c")).as("n_rows"))
+  }
+
   /** ℓ-diversity histogram: per equivalence class (the QI grouping of
     * [[kAnonymityHistogram]]) count the DISTINCT sensitive values ℓ,
     * then histogram classes and rows by ℓ. A table is ℓ-diverse at the

@@ -779,6 +779,20 @@ object MlPrepQueries {
         Seq("c_nationkey", "bal_band"), "c_mktsegment")
     }),
 
+    // t-closeness audit (Privacy.tClosenessHistogram): per (nation,
+    // balance band) class, the exact-ppm total variation distance
+    // between the class's segment distribution and the global one,
+    // histogrammed in 5% bands — the leak k and l both miss (a large,
+    // varied class that is still heavily skewed vs the population).
+    "privacy_t_closeness" -> ((s, dir) => {
+      graft.operators.Privacy.tClosenessHistogram(
+        Tables.customer(s, dir).select(col("c_nationkey"),
+          expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  + 100000) div 100000""").as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment")
+    }),
+
     // Average precision / PR AUC (Scores.averagePrecision): the
     // imbalanced-data companion to model_auc on the same ranking —
     // per-term integral divisions at ppb scale over distinct score
@@ -1758,6 +1772,37 @@ object MlPrepQueries {
          SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
            CAST(sum(sz) AS BIGINT) AS n_rows
          FROM cls GROUP BY 1""",
+    "privacy_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey,
+             (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 100000) // 100000 AS bal_band,
+             c_mktsegment
+           FROM customer),
+         cv AS (SELECT c_nationkey, bal_band, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_cv FROM c GROUP BY 1, 2, 3),
+         cls AS (SELECT c_nationkey, bal_band, sum(n_cv) AS n_c
+                 FROM cv GROUP BY 1, 2),
+         vals AS (SELECT c_mktsegment, sum(n_cv) AS n_v
+                  FROM cv GROUP BY 1),
+         tot AS (SELECT sum(n_v) AS N FROM vals),
+         pairs AS (SELECT cls.c_nationkey, cls.bal_band, cls.n_c, tot.N,
+             abs(CAST(coalesce(cv.n_cv, 0) AS HUGEINT) * tot.N
+               - CAST(vals.n_v AS HUGEINT) * cls.n_c) AS num
+           FROM cls CROSS JOIN vals
+           LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+             AND cv.bal_band = cls.bal_band
+             AND cv.c_mktsegment = vals.c_mktsegment
+           CROSS JOIN tot),
+         pc AS (SELECT c_nationkey, bal_band,
+             CAST((1000000 * sum(num))
+               // (2 * CAST(max(n_c) AS HUGEINT) * max(N)) AS BIGINT)
+               AS tvd_ppm,
+             max(n_c) AS n_c
+           FROM pairs GROUP BY 1, 2)
+         SELECT tvd_ppm // 50000 AS tvd_band,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n_c) AS BIGINT) AS n_rows
+         FROM pc GROUP BY 1""",
     "model_pr_auc" ->
       """WITH t AS (SELECT o_orderstatus AS grp,
              CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,

@@ -41,4 +41,22 @@ class PrivacySpec extends SparkSpec {
       "sensitive").collect()
     assert(h0.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((0L, 2L)))
   }
+
+  test("tClosenessHistogram: hand-computed TVD bands, zero for a global-matching class") {
+    import spark.implicits._
+    // global: a×3, b×1 (N=4). class q1 = {a,a}: tvd = ½(|1−¾| + |0−¼|)
+    // = 0.25 → 250000 ppm; class q2 = {a,b}: ½(|½−¾| + |½−¼|) = 0.25
+    // too — both land in band 5 at the default 50000-ppm width
+    val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("q", "sensitive")
+    val h = Privacy.tClosenessHistogram(rows, Seq("q"), "sensitive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(h == Seq((5L, 2L, 4L)), h)
+    // one class holding ALL the data matches the global distribution
+    // exactly: tvd 0, band 0
+    val solo = Seq((1L, "a"), (1L, "a"), (1L, "b")).toDF("q", "sensitive")
+    val h1 = Privacy.tClosenessHistogram(solo, Seq("q"), "sensitive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(h1 == Seq((0L, 1L, 3L)), h1)
+  }
 }
