@@ -319,6 +319,54 @@ object CorpusPrep {
       .select(col("epoch"), col(idCol), col("shard"), col("ord"))
   }
 
+  /** Contrastive triplet mining — the (anchor, positive, negative)
+    * training set an embedding model learns from, assembled from two
+    * artifacts the pipeline already has: near-duplicate CLUSTERS
+    * supply positives (a cluster-mate is a semantic paraphrase by
+    * construction), and a k-NN hit list supplies HARD negatives (the
+    * nearest neighbor that is NOT a cluster-mate — close enough to be
+    * informative, provably not a duplicate). Anchors are the members
+    * of multi-member clusters; positive = the smallest other member id,
+    * negative = the lowest-rank cross-cluster hit (both deterministic).
+    * Anchors whose entire hit list is same-cluster drop out (no valid
+    * negative at this k — raise k rather than accept a random one).
+    *
+    * `clustered` is (id, cluster) from [[Dedup.duplicateClustersStar]];
+    * `knn` is (query_id, neighbor_id, rank, cosine) from
+    * [[SimilaritySearch.knnJoinBruteForce]] / the IVF variants, queried
+    * on the anchors. All joins are keyed by id/cluster; the only window
+    * is per-anchor over ≤ k rows.
+    *
+    * @return (anchor, positive, negative, neg_rank, neg_cosine)
+    */
+  def contrastiveTriplets(clustered: DataFrame, knn: DataFrame): DataFrame = {
+    val sizes = clustered.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+    val multi = clustered
+      .join(sizes.where(col("__n") >= 2), Seq("cluster"))
+      .select(col("id"), col("cluster"))
+    val pos = multi.alias("a")
+      .join(multi.alias("b"), col("a.cluster") === col("b.cluster")
+        && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("anchor"))
+      .agg(min(col("b.id")).as("positive"))
+    val cross = knn
+      .join(multi.select(col("id").as("query_id"),
+        col("cluster").as("__ac")), Seq("query_id"))
+      .join(clustered.select(col("id").as("neighbor_id"),
+        col("cluster").as("__nc")), Seq("neighbor_id"))
+      .where(col("__nc") =!= col("__ac"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val neg = cross
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("negative"),
+        col("rank").as("neg_rank"), col("cosine").as("neg_cosine"))
+    pos.join(neg, col("anchor") === col("query_id"))
+      .select(col("anchor"), col("positive"), col("negative"),
+        col("neg_rank"), col("neg_cosine"))
+  }
+
   /** Efraimidis-Spirakis selection key ln(u)/w from the seedless md5
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.

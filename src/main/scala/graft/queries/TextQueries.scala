@@ -1073,6 +1073,27 @@ object TextQueries {
         quality, "doc_id", "n_tokens")
     }),
 
+    // Contrastive triplet mining: near-dup clusters supply positives,
+    // the brute-force cosine k-NN on the anchors supplies hard
+    // negatives (the nearest CROSS-cluster hit) — the embedding-model
+    // training set assembled from artifacts the pipeline already
+    // computes. vec_id aligns with doc_id in the star schema.
+    "contrastive_triplets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+      val clusters = Dedup.duplicateClustersStar(docs, "doc_id", pairs)
+        .localCheckpoint(true)
+      val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      val anchors = clusters.join(sizes.where(col("__n") >= 2), Seq("cluster"))
+        .select(col("id"))
+      val e = Tables.embeddings(s, dir)
+      val knn = graft.operators.SimilaritySearch.knnJoinBruteForce(
+        e, e.join(anchors, e("vec_id") === anchors("id")).select(e("*")),
+        "embedding", "vec_id", k = 5)
+      graft.operators.CorpusPrep.contrastiveTriplets(clusters, knn)
+    }),
+
     // Temperature-scaled mixture (α = 0.5, the multilingual-pretraining
     // reweighting): per-source keep rate ∝ (n_s)^(α-1), normalized so
     // the SMALLEST source keeps everything — rate_s = sqrt(min_n/n_s)
@@ -1980,6 +2001,49 @@ object TextQueries {
          SELECT cluster, id AS rep_id, n_tokens AS rep_quality,
            CAST(n_members AS BIGINT) AS n_members
          FROM j WHERE rn = 1""",
+    "contrastive_triplets" ->
+      s"""WITH cl AS ($StarClustersOracle),
+         sizes AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1),
+         multi AS (SELECT id, cl.cluster FROM cl
+                   JOIN sizes USING (cluster) WHERE n >= 2),
+         pos AS (SELECT a.id AS anchor, min(b.id) AS positive
+                 FROM multi a JOIN multi b
+                   ON a.cluster = b.cluster AND a.id <> b.id
+                 GROUP BY 1),
+         q AS (SELECT e.vec_id AS query_id, e.embedding AS qv
+               FROM embeddings e JOIN pos ON e.vec_id = pos.anchor),
+         ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  unnest(generate_series(1, len(e.embedding))) AS i,
+                  e.embedding, q.qv
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id),
+         dots AS (SELECT query_id, neighbor_id,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS dp,
+                  sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+                  sum(CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS nb
+                FROM ex GROUP BY query_id, neighbor_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                  dp / (sqrt(na) * sqrt(nb)) AS cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC,
+                      neighbor_id ASC) AS rank
+                FROM dots),
+         hits AS (SELECT * FROM ranked WHERE rank <= 5),
+         neg0 AS (SELECT h.query_id, h.neighbor_id, h.rank, h.cos
+                  FROM hits h
+                  JOIN cl ca ON h.query_id = ca.id
+                  JOIN cl cn ON h.neighbor_id = cn.id
+                  WHERE ca.cluster <> cn.cluster),
+         neg AS (SELECT query_id, neighbor_id, rank, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rank) AS rn
+                 FROM neg0)
+         SELECT anchor, positive, neighbor_id AS negative,
+           CAST(rank AS BIGINT) AS neg_rank, round(cos, 4) AS neg_cosine
+         FROM pos JOIN neg ON anchor = query_id WHERE rn = 1""",
     "dedup_clusters_star" -> StarClustersOracle,
     "split_leakage_safe" ->
       s"""SELECT id, cluster,

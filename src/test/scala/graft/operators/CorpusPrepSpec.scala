@@ -229,6 +229,23 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("contrastiveTriplets: cluster-mate positive, first CROSS-cluster hit as negative") {
+    import spark.implicits._
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L),
+      (5L, 5L), (6L, 5L)).toDF("id", "cluster")
+    val knn = Seq(
+      (1L, 2L, 1L, 0.99), (1L, 3L, 2L, 0.80), // same-cluster hit skipped
+      (2L, 3L, 1L, 0.70),
+      (5L, 6L, 1L, 0.95))                     // ONLY same-cluster → drops
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
+    val t = CorpusPrep.contrastiveTriplets(clustered, knn).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(t == Map(
+      1L -> ((2L, 3L, 2L)),  // positive = mate 2; negative = rank-2 hit 3
+      2L -> ((1L, 3L, 1L))), t)
+  }
+
   test("oversampleToMax: balanced input passes through with copy = 1") {
     import spark.implicits._
     val rows = (0L until 10L).map(i => (i, (i % 2).toString)).toDF("id", "cls")
