@@ -54,6 +54,8 @@ object Bench {
         graft.queries.GraphQueries.ensureFixtures(spark, sfDir)
       if (selected.keys.exists(graft.queries.WarehouseQueries.basketFixtureConsumers))
         graft.queries.WarehouseQueries.ensureFixtures(spark, sfDir)
+      if (selected.keys.exists(graft.queries.TextQueries.clusterFixtureConsumers))
+        graft.queries.TextQueries.ensureFixtures(spark, sfDir)
       System.gc()
     }
     // deterministic (sorted) execution order for comparable timings
