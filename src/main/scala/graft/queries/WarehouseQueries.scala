@@ -861,6 +861,45 @@ object WarehouseQueries {
     // dedup + re-rank + cut (the spec-pinned mergeability law), so the
     // maintained estimates are bit-identical to the one-shot sketch
     // over everything so far; the oracle proves it.
+    // Incremental JOIN-view maintenance with BOTH sides growing
+    // (JoinStream): orders and customers arrive as three key-range
+    // batches each — an order can precede its customer — and the
+    // denormalized view folds via the delta decomposition (three
+    // delta-sized joins per batch, never a re-join of the accumulated
+    // sides). The rollup of the maintained view hash-matches the
+    // direct-join oracle: maintained ≡ one-shot, proven in the gate.
+    "join_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("join-gate")
+      val dirs = (s"$base/view", s"$base/a", s"$base/b")
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val Row(okMin: Long, okMax: Long) =
+        o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      val Row(ckMin: Long, ckMax: Long) =
+        c.agg(min(col("custkey")), max(col("custkey"))).head
+      val o1 = okMin + (okMax - okMin) / 3
+      val o2 = okMin + 2 * (okMax - okMin) / 3
+      val c1 = ckMin + (ckMax - ckMin) / 3
+      val c2 = ckMin + 2 * (ckMax - ckMin) / 3
+      graft.streaming.JoinStream.applyBatch(
+        o.where(col("o_orderkey") < o1), c.where(col("custkey") < c1),
+        Seq("custkey"), dirs, 0)
+      graft.streaming.JoinStream.applyBatch(
+        o.where(col("o_orderkey") >= o1 && col("o_orderkey") < o2),
+        c.where(col("custkey") >= c1 && col("custkey") < c2),
+        Seq("custkey"), dirs, 1)
+      graft.streaming.JoinStream.applyBatch(
+        o.where(col("o_orderkey") >= o2), c.where(col("custkey") >= c2),
+        Seq("custkey"), dirs, 2)
+      graft.streaming.JoinStream.view(s, dirs._1)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .cast("double"), 4).as("total_price"))
+    }),
+
     "kmv_maintained" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("kmv-gate")
       val skDir = s"$base/sketch"
@@ -1167,6 +1206,13 @@ object WarehouseQueries {
          SELECT a.p_name AS name_a, b2.p_name AS name_b,
            round(jaro_winkler_similarity(a.p_name, b2.p_name), 4) AS jw
          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name""",
+    // maintained ≡ one-shot: the oracle IS the direct join
+    "join_maintained" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     // maintained ≡ one-shot: the oracle IS the single-pass sketch
     "kmv_maintained" ->
       """WITH items AS (SELECT DISTINCT c_mktsegment AS seg, l_partkey
