@@ -32,13 +32,41 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id",
       queryTextCol: String = "qtext"): DataFrame = {
-    require(k >= 1, s"k must be >= 1; got $k")
     val toks = corpus
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("t"))
       .where(col("t") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val postings = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val result = scorePostings(postings, queries, k,
+      queryIdCol, queryTextCol).localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
+  /** The full tokenizer pass as a persistable index: (doc_id, t, tf)
+    * rows — `scorePostings(postings(text), q, k) ≡ bm25TopK(text, q, k)`
+    * by construction, which is what lets a streaming pipeline MAINTAIN
+    * the index (append per-document batches) instead of rebuilding it.
+    */
+  def postingsOf(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-`k` per query over a stored postings index (doc_id, t,
+    * tf). Document length, df, and avgdl all derive FROM the index
+    * (dl = Σ tf per doc), so a maintained index needs no side stats.
+    */
+  def scorePostings(postings: DataFrame, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val stats = dl.agg(avg(col("len")).as("avgdl"),
       count(lit(1)).as("n_docs"))
     val qt = queries
@@ -48,8 +76,7 @@ object Retrieval {
     // postings restricted to the query vocabulary FIRST — df per term is
     // unchanged by the restriction (it counts docs per term), and the
     // scored join never touches a term no query asked about
-    val tf = toks.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val tf = postings.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
     val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val scored = qt
       .join(tf, Seq("t"))
@@ -68,14 +95,11 @@ object Retrieval {
       .agg(sum(col("term")).as("__sd"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sd").desc, col("doc_id").asc)
-    val result = scored
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"),
         round(col("__sd").cast("double"), 4).as("bm25"))
-      .localCheckpoint(true)
-    toks.unpersist(false)
-    result
   }
 
   /** Reciprocal-rank fusion of a lexical hit list (query_id, doc_id,

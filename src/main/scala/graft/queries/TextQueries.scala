@@ -215,6 +215,33 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
     }),
 
+    // The stream-maintained BM25 index AS a gate row: documents replay
+    // as three id-range batches through Bm25Stream.applyBatch and the
+    // SAME prefix-query top-5 reads from the maintained postings —
+    // hash-matching the one-shot oracle is the incremental ≡ batch
+    // proof for the retrieval index (df/dl/avgdl all derive from the
+    // postings, so nothing can drift out of sync).
+    "bm25_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("bm25-gate")
+      val ixDir = s"$base/postings"
+      val docs = Tables.documents(s, dir)
+      val org.apache.spark.sql.Row(iMin: Long, iMax: Long) =
+        docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val i1 = iMin + (iMax - iMin) / 3
+      val i2 = iMin + 2 * (iMax - iMin) / 3
+      graft.streaming.Bm25Stream.applyBatch(
+        docs.where(col("doc_id") < i1), "text", "doc_id", ixDir, 0)
+      graft.streaming.Bm25Stream.applyBatch(
+        docs.where(col("doc_id") >= i1 && col("doc_id") < i2),
+        "text", "doc_id", ixDir, 1)
+      graft.streaming.Bm25Stream.applyBatch(
+        docs.where(col("doc_id") >= i2), "text", "doc_id", ixDir, 2)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      graft.streaming.Bm25Stream.topK(s, ixDir, queries, k = 5)
+    }),
+
     // Batch hybrid retrieval: the SAME query set fused across both
     // modalities — lexical top-5 (bm25_batch_topk's prefix queries) and
     // dense top-5 (each query doc's embedding; vec_id aligns with
@@ -1713,6 +1740,8 @@ object TextQueries {
                 round(CAST(sum(term) AS DOUBLE), 4) AS bm25
          FROM scored GROUP BY doc_id""",
     "bm25_batch_topk" -> Bm25BatchOracle,
+    // maintained ≡ one-shot: the oracle scores from the raw text
+    "bm25_maintained" -> Bm25BatchOracle,
     "hybrid_batch_rrf" ->
       s"""WITH lex AS ($Bm25BatchOracle),
          den AS (${VectorQueries.oracleSql("knn_join_bruteforce")}),
