@@ -242,6 +242,26 @@ object TextQueries {
       graft.streaming.Bm25Stream.topK(s, ixDir, queries, k = 5)
     }),
 
+    // Retrieval evaluation over the batch hits: each prefix query's
+    // RELEVANT document is its own source, so recall@5 and MRR@5 come
+    // straight off the hit list — the self-retrieval sanity harness an
+    // index change is judged by, in exact ppm integers.
+    "retrieval_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      val hits = graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
+      val nq = queries.select(count(lit(1)).as("n_queries"))
+      hits.where(col("doc_id") === col("query_id"))
+        .agg(count(lit(1)).as("__n_hit"),
+          sum(expr("1000000L div rank")).as("__rr_sum"))
+        .crossJoin(broadcast(nq))
+        .select(col("n_queries"), col("__n_hit").as("n_self_found"),
+          expr("(1000000L * __n_hit) div n_queries").as("recall_at5_ppm"),
+          expr("__rr_sum div n_queries").as("mrr_at5_ppm"))
+    }),
+
     // Batch hybrid retrieval: the SAME query set fused across both
     // modalities — lexical top-5 (bm25_batch_topk's prefix queries) and
     // dense top-5 (each query doc's embedding; vec_id aligns with
@@ -1742,6 +1762,18 @@ object TextQueries {
     "bm25_batch_topk" -> Bm25BatchOracle,
     // maintained ≡ one-shot: the oracle scores from the raw text
     "bm25_maintained" -> Bm25BatchOracle,
+    "retrieval_eval" ->
+      s"""WITH hits AS ($Bm25BatchOracle),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                FROM documents WHERE doc_id % 50 = 0),
+         sf AS (SELECT CAST(count(*) AS BIGINT) AS n_self_found,
+                  CAST(sum(1000000 // rank) AS BIGINT) AS rr_sum
+                FROM hits WHERE doc_id = query_id)
+         SELECT n_queries, n_self_found,
+           CAST((1000000 * n_self_found) // n_queries AS BIGINT)
+             AS recall_at5_ppm,
+           CAST(rr_sum // n_queries AS BIGINT) AS mrr_at5_ppm
+         FROM sf CROSS JOIN nq""",
     "hybrid_batch_rrf" ->
       s"""WITH lex AS ($Bm25BatchOracle),
          den AS (${VectorQueries.oracleSql("knn_join_bruteforce")}),
