@@ -65,14 +65,22 @@ object Retrieval {
   def scorePostings(postings: DataFrame, queries: DataFrame, k: Int,
       queryIdCol: String = "query_id",
       queryTextCol: String = "qtext"): DataFrame = {
-    require(k >= 1, s"k must be >= 1; got $k")
-    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    val stats = dl.agg(avg(col("len")).as("avgdl"),
-      count(lit(1)).as("n_docs"))
     val qt = queries
       .select(col(queryIdCol).as("query_id"),
         explode(TextOps.tokens(col(queryTextCol))).as("t"))
       .where(col("t") =!= "").distinct()
+    scoreTermRows(postings, qt, k)
+  }
+
+  /** The scoring core against an explicit (query_id, t) term-row frame —
+    * the entry point query EXPANSION uses (an expanded query is extra
+    * term rows, not new text).
+    */
+  def scoreTermRows(postings: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val stats = dl.agg(avg(col("len")).as("avgdl"),
+      count(lit(1)).as("n_docs"))
     // postings restricted to the query vocabulary FIRST — df per term is
     // unchanged by the restriction (it counts docs per term), and the
     // scored join never touches a term no query asked about
@@ -100,6 +108,43 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"),
         round(col("__sd").cast("double"), 4).as("bm25"))
+  }
+
+  /** Two-pass retrieval with pseudo-relevance feedback (RM3-lite): pass
+    * one retrieves `fbDocs` feedback documents per query; their heaviest
+    * non-query terms (Σ tf across the feedback set, `expTerms` per
+    * query, t-asc tiebreak) join the term set; pass two scores the
+    * expanded query. Fully deterministic and index-local — expansion
+    * reads the feedback docs' POSTINGS, never the corpus — so both
+    * passes replay exactly in SQL.
+    */
+  def bm25PrfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      fbDocs: Int = 3, expTerms: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    require(fbDocs >= 1 && expTerms >= 0,
+      s"need fbDocs >= 1, expTerms >= 0; got $fbDocs/$expTerms")
+    val postings = postingsOf(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qt1 = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(TextOps.tokens(col(queryTextCol))).as("t"))
+      .where(col("t") =!= "").distinct()
+    val fb = scoreTermRows(postings, qt1, fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    val cand = fb.join(postings, Seq("doc_id"))
+      .groupBy(col("query_id"), col("t")).agg(sum(col("tf")).as("__w"))
+      .join(qt1, Seq("query_id", "t"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__w").desc, col("t").asc)
+    val exp = cand.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= expTerms)
+      .select(col("query_id"), col("t"))
+    val qt2 = qt1.unionByName(exp).distinct()
+    val result = scoreTermRows(postings, qt2, k).localCheckpoint(true)
+    postings.unpersist(false)
+    result
   }
 
   /** Reciprocal-rank fusion of a lexical hit list (query_id, doc_id,

@@ -262,6 +262,19 @@ object TextQueries {
           expr("__rr_sum div n_queries").as("mrr_at5_ppm"))
     }),
 
+    // Two-pass retrieval with pseudo-relevance feedback (RM3-lite):
+    // pass one's top-3 feedback docs donate their 2 heaviest non-query
+    // terms, pass two scores the expanded term set — both passes and
+    // the expansion selection replay exactly in SQL (term weights are
+    // integer tf sums; ranks come from DECIMAL-snapped scores).
+    "bm25_prf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      graft.operators.Retrieval.bm25PrfTopK(docs, queries, k = 5)
+    }),
+
     // Batch hybrid retrieval: the SAME query set fused across both
     // modalities — lexical top-5 (bm25_batch_topk's prefix queries) and
     // dense top-5 (each query doc's embedding; vec_id aligns with
@@ -1762,6 +1775,7 @@ object TextQueries {
     "bm25_batch_topk" -> Bm25BatchOracle,
     // maintained ≡ one-shot: the oracle scores from the raw text
     "bm25_maintained" -> Bm25BatchOracle,
+    "bm25_prf_topk" -> Bm25PrfOracle,
     "retrieval_eval" ->
       s"""WITH hits AS ($Bm25BatchOracle),
          nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
@@ -2220,6 +2234,67 @@ object TextQueries {
              FROM sc)
        SELECT query_id, doc_id, rank, round(CAST(sd AS DOUBLE), 4) AS bm25
        FROM r WHERE rank <= 5"""
+
+  /** Scoring-pass CTE block for the PRF oracle: parametrized on a
+    * (query_id, t) term CTE and a name suffix, referencing the shared
+    * toks/dl/stats CTEs — the same DECIMAL-snapped BM25 terms as
+    * [[Bm25BatchOracle]].
+    */
+  private def bm25ScoreCtes(sfx: String, qt: String): String =
+    s"""qv$sfx AS (SELECT DISTINCT t FROM $qt),
+       tf$sfx AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                  JOIN qv$sfx USING (t) GROUP BY 1, 2),
+       dft$sfx AS (SELECT t, count(*) AS df FROM tf$sfx GROUP BY t),
+       sc$sfx AS (SELECT q.query_id, f.doc_id,
+           sum(CAST(ln(CAST(1.0 AS DOUBLE)
+                 + (stats.n_docs - dft$sfx.df + CAST(0.5 AS DOUBLE))
+                 / (dft$sfx.df + CAST(0.5 AS DOUBLE)))
+             * ((f.tf * CAST(2.2 AS DOUBLE))
+                / (f.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                   - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * dl.len / stats.avgdl)))
+             AS DECIMAL(20,8))) AS sd
+         FROM $qt q JOIN tf$sfx f USING (t) JOIN dft$sfx USING (t)
+           JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN stats
+         GROUP BY 1, 2),
+       hits$sfx AS (SELECT query_id, doc_id, sd,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY sd DESC, doc_id ASC) AS BIGINT) AS rank
+         FROM sc$sfx)"""
+
+  /** The two-pass PRF replay: pass 1, feedback-doc term weights, the
+    * anti-join against original terms, the top-2 expansion, pass 2.
+    */
+  private val Bm25PrfOracle: String =
+    s"""WITH toks AS (SELECT doc_id, t FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+       dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+       stats AS (SELECT avg(len) AS avgdl, count(*) AS n_docs FROM dl),
+       q0 AS (SELECT doc_id AS query_id,
+               array_to_string((string_split(text, ' '))[1:8], ' ') AS qtext
+             FROM documents WHERE doc_id % 50 = 0),
+       qt AS (SELECT DISTINCT query_id, t FROM
+                (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q0)
+              WHERE t <> ''),
+       pall AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+       ${bm25ScoreCtes("1", "qt")},
+       fb AS (SELECT query_id, doc_id FROM hits1 WHERE rank <= 3),
+       cand AS (SELECT f.query_id, p.t, CAST(sum(p.tf) AS BIGINT) AS w
+                FROM fb f JOIN pall p ON f.doc_id = p.doc_id
+                GROUP BY 1, 2),
+       cand2 AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+                 (SELECT 1 FROM qt
+                  WHERE qt.query_id = c.query_id AND qt.t = c.t)),
+       exp AS (SELECT query_id, t FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY w DESC, t ASC) AS rn FROM cand2)
+               WHERE rn <= 2),
+       qt2 AS (SELECT query_id, t FROM qt
+               UNION SELECT query_id, t FROM exp),
+       ${bm25ScoreCtes("2", "qt2")}
+       SELECT query_id, doc_id, rank, round(CAST(sd AS DOUBLE), 4) AS bm25
+       FROM hits2 WHERE rank <= 5"""
 
   /** Shared by winnow_index and winnow_maintained: the per-doc digest
     * (count / min / bit_xor) of the fingerprint set — the maintained

@@ -36,6 +36,23 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.toSeq == Seq((11L, 1L), (10L, 2L), (12L, 3L)), fused.toSeq)
   }
 
+  test("bm25PrfTopK: expansion reaches docs the literal query cannot; query terms never expand") {
+    val corpus = Seq(
+      (1L, "apple cherry cherry cherry"),          // the feedback doc
+      (2L, "cherry cherry cherry durian"),         // reachable ONLY via expansion
+      (3L, "unrelated tokens entirely here"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val plain = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L), plain) // only doc 1 contains 'apple'
+    val prf = Retrieval.bm25PrfTopK(corpus, queries, k = 5,
+      fbDocs = 1, expTerms = 1)
+      .collect().map(_.getLong(1)).toSet
+    // doc 1's heaviest non-query term is 'cherry' (tf 3) → doc 2 joins
+    assert(prf == Set(1L, 2L), prf)
+  }
+
   test("bm25TopK: k bounds every query's result; deterministic across partitionings") {
     val docs = (1L to 60L)
       .map(i => (i, s"term${i % 7} term${i % 5} term${i % 3} filler$i"))
