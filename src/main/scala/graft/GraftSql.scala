@@ -300,6 +300,19 @@ object GraftSql {
         s.table(queriesView), k, idCol, textCol, queryIdCol, queryTextCol)
       .createOrReplaceTempView(outView)
 
+  /** Two-pass PRF retrieval through the facade →
+    * `outView(query_id, doc_id, rank, bm25)`
+    * ([[graft.operators.Retrieval.bm25PrfTopK]] — pass one's feedback
+    * documents donate expansion terms, pass two scores the expanded
+    * query).
+    */
+  def registerBm25Prf(s: SparkSession, corpusView: String,
+      queriesView: String, k: Int, outView: String,
+      fbDocs: Int = 3, expTerms: Int = 2): Unit =
+    graft.operators.Retrieval.bm25PrfTopK(s.table(corpusView),
+        s.table(queriesView), k, fbDocs, expTerms)
+      .createOrReplaceTempView(outView)
+
   /** Per-epoch deterministic training order over a rows view →
     * `outView(epoch, idCol, shard, ord)`
     * ([[graft.operators.CorpusPrep.epochOrder]] — every epoch a fresh

@@ -329,6 +329,23 @@ object SqlFacadeQueries {
                WHERE rank = 1""")
     }),
 
+    // PRF retrieval through the facade: the expanded-query hits,
+    // compared per query against what the literal query found — the
+    // expansion-gain report an IR engineer reads.
+    "sql_prf" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""CREATE OR REPLACE TEMP VIEW prefix_queries AS
+               SELECT doc_id AS query_id,
+                      array_join(slice(split(text, ' ', -1), 1, 8), ' ')
+                        AS qtext
+               FROM documents WHERE doc_id % 50 = 0""")
+      GraftSql.registerBm25Prf(s, "documents", "prefix_queries", k = 5,
+        outView = "graft_prf")
+      s.sql("""SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 min(rank) AS best_rank, round(max(bm25), 4) AS top_score
+               FROM graft_prf GROUP BY query_id""")
+    }),
+
     // Epoch ordering through the facade: the per-(epoch, shard) census
     // a reader fleet provisions from, read back in SQL.
     "sql_epoch_order" -> ((s, dir) => {
@@ -447,6 +464,11 @@ object SqlFacadeQueries {
             max(ord) AS max_ord
           FROM (${TextQueries.oracleSql("training_order")})
           GROUP BY epoch, shard""",
+    "sql_prf" ->
+      s"""SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+            min(rank) AS best_rank, round(max(bm25), 4) AS top_score
+          FROM (${TextQueries.oracleSql("bm25_prf_topk")})
+          GROUP BY query_id""",
     "sql_shards" -> TextQueries.oracleSql("shard_snake_balance"),
     "sql_leakage_split" ->
       s"""WITH RECURSIVE

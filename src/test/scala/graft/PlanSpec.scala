@@ -215,6 +215,18 @@ class PlanSpec extends SparkSpec {
     assert(stages.nonEmpty, qe.executedPlan.toString)
   }
 
+  test("bm25_prf_topk: no cartesian product anywhere in the two-pass plan") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // both scoring passes, the feedback join, and the expansion
+    // selection must all ride keyed joins — the only unkeyed joins
+    // allowed are the broadcast-scalar stats frames (1-row BNLJ)
+    val df = SparkEntry.queries("bm25_prf_topk")(spark, dir)
+    val bad = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"cartesian product in bm25_prf_topk:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("PageRank iterations plan at most one shuffle exchange each") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import spark.implicits._
