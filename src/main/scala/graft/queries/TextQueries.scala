@@ -1059,6 +1059,38 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // The leakage experiment, measured: under a naive ROW-level md5
+    // split, near-duplicate pairs straddle the train/test boundary
+    // (test answers in the training set); under the cluster-aware gate
+    // the straddle count is zero BY CONSTRUCTION — both counted over
+    // the same exact-Jaccard pair set, in one report.
+    "split_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 5, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val rowGate = conv(substring(md5(col("id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val rowSplit = docs.select(col("doc_id").as("id"))
+        .withColumn("split",
+          when(rowGate < lit(0.2) * lit(65536), lit("test"))
+            .otherwise(lit("train")))
+        .withColumn("mode", lit("row_gate"))
+      val clusterSplit = graft.operators.CorpusPrep
+        .leakageSafeSplit(storedStarClusters(s, dir), "id", "cluster", 0.2)
+        .select(col("id"), col("split"))
+        .withColumn("mode", lit("cluster_gate"))
+      val splits = rowSplit.unionByName(clusterSplit)
+      pairs
+        .join(splits.select(col("mode"), col("id").as("doc_a"),
+          col("split").as("__sa")), Seq("doc_a"))
+        .join(splits.select(col("mode"), col("id").as("doc_b"),
+          col("split").as("__sb")), Seq("mode", "doc_b"))
+        .groupBy(col("mode"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("__sa") =!= col("__sb")).cast("long")).as("n_cross_split"))
+    }),
+
     // Leakage-safe holdout: near-dup CLUSTERS (the star contraction over
     // shingle-Jaccard pairs — same resolution dedup_clusters_star gates)
     // draw ONE md5 uniform each, so a test document's near-duplicate can
@@ -2137,6 +2169,41 @@ object TextQueries {
            CAST(rank AS BIGINT) AS neg_rank, round(cos, 4) AS neg_cosine
          FROM pos JOIN neg ON anchor = query_id WHERE rn = 1""",
     "dedup_clusters_star" -> StarClustersOracle,
+    "split_leakage_audit" ->
+      s"""WITH cl AS ($StarClustersOracle),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+                 FROM tok),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
+                FROM idx),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM p0
+                   JOIN card ca ON doc_a = ca.doc_id
+                   JOIN card cb ON doc_b = cb.doc_id
+                   WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         rowsplit AS (SELECT 'row_gate' AS mode, doc_id AS id,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 4)) AS BIGINT) < 0.2 * 65536
+                      THEN 'test' ELSE 'train' END AS split
+               FROM documents),
+         clsplit AS (SELECT 'cluster_gate' AS mode, id,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+                        1, 4)) AS BIGINT) < 0.2 * 65536
+                      THEN 'test' ELSE 'train' END AS split
+               FROM cl),
+         splits AS (SELECT * FROM rowsplit UNION ALL SELECT * FROM clsplit)
+         SELECT sa.mode, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_split
+         FROM pairs
+         JOIN splits sa ON sa.id = pairs.doc_a
+         JOIN splits sb ON sb.id = pairs.doc_b AND sb.mode = sa.mode
+         GROUP BY sa.mode""",
     "split_leakage_safe" ->
       s"""SELECT id, cluster,
             CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))
