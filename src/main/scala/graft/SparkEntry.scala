@@ -42,12 +42,14 @@ object SparkEntry {
       FunctionQueries.queries ++ GraphQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ StreamQueries.queries ++
       WarehouseQueries.queries ++ BpeQueries.queries ++
-      MlPrepQueries.queries ++ SqlFacadeQueries.queries
+      MlPrepQueries.queries ++ SqlFacadeQueries.queries ++
+      PretrainQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AggregateQueries.oracleSql ++
       FunctionQueries.oracleSql ++ GraphQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++ StreamQueries.oracleSql ++
       WarehouseQueries.oracleSql ++ MlPrepQueries.oracleSql ++
-      SqlFacadeQueries.oracleSql ++ BpeQueries.oracleSql
+      SqlFacadeQueries.oracleSql ++ BpeQueries.oracleSql ++
+      PretrainQueries.oracleSql
 }

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{BloomPrune, CdcChunking, SpanCorrupt}
+
+/** Pretraining-data-prep queries: content-defined chunking dedup, T5
+  * span-corruption pair generation, and the Bloom-prune ingest gate.
+  * Every query replays bit-exactly in DuckDB (md5-family draws only).
+  */
+object PretrainQueries {
+
+  // hash48 in DuckDB — the same 12-hex-digit md5 prefix Spark's
+  // KmvSketch.hash48 takes (conv base16 → long)
+  private def h48(arg: String): String =
+    s"CAST(('0x' || substr(md5($arg), 1, 12)) AS BIGINT)"
+
+  // shared CDC-chunk CTE chain (w=4, divisor=8): ends with `cc` holding
+  // one row per chunk (doc_id, source, st, fin, toks)
+  private val chunkCte: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       idx AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i FROM tok),
+       cand AS (SELECT doc_id, i + 3 AS j FROM idx
+                WHERE i + 3 <= len(toks)
+                  AND ${h48("array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')")} % 8 = 0),
+       bl AS (SELECT doc_id, list(DISTINCT j) AS js FROM cand GROUP BY doc_id),
+       bnd AS (SELECT t.doc_id, t.source, t.toks,
+                 list_sort(list_distinct(list_append(coalesce(js, []), len(t.toks)))) AS bnds
+               FROM tok t LEFT JOIN bl USING (doc_id)),
+       ch AS (SELECT doc_id, source, toks, bnds,
+                unnest(generate_series(1, len(bnds))) AS kk FROM bnd),
+       cc AS (SELECT doc_id, source, kk,
+                CASE WHEN kk = 1 THEN 1 ELSE bnds[CAST(kk AS INT) - 1] + 1 END AS st,
+                bnds[CAST(kk AS INT)] AS fin, toks FROM ch)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Content-defined chunking: boundary where the 4-gram hash ≡ 0 mod 8
+    // (expected ~8-token chunks). Per-document array math — no shuffle.
+    "chunk_cdc" -> ((s, dir) => {
+      CdcChunking.chunks(Tables.documents(s, dir), "text", "doc_id",
+          w = 4, divisor = 8)
+        .select(col("doc").as("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("chunk_md5"))
+    }),
+
+    // Corpus chunk-store report: dedup the CDC chunks by fingerprint —
+    // the token fraction a content-addressed store would save. Only
+    // (md5, n_tokens) shuffles.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      CdcChunking.dedupReport(
+        CdcChunking.chunks(Tables.documents(s, dir), "text", "doc_id",
+          w = 4, divisor = 8))
+    }),
+
+    // T5 span corruption at 15% token noise: (input with sentinels,
+    // target with dropped spans), mask a pure function of (doc_id, pos).
+    "span_corruption" -> ((s, dir) =>
+      SpanCorrupt.pairs(Tables.documents(s, dir), "text", "doc_id",
+        noisePct = 15)),
+
+    // Per-source boilerplate chunks: a CDC chunk seen in ≥ 3 distinct
+    // documents of one source is template text, not content — the
+    // C4/CCNet boilerplate rule lifted from lines to chunks.
+    "boilerplate_chunks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CdcChunking.boilerplate(
+        CdcChunking.chunks(docs, "text", "doc_id", w = 4, divisor = 8),
+        docs.select(col("doc_id").as("doc"), col("source")), minDocs = 3L)
+    }),
+
+    // Per-document boilerplate-strip report: tokens kept after removing
+    // every instance of a boilerplate chunk.
+    "strip_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CdcChunking.stripReport(
+          CdcChunking.chunks(docs, "text", "doc_id", w = 4, divisor = 8),
+          docs.select(col("doc_id").as("doc"), col("source")), minDocs = 3L)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
+    // Bloom-prune ingest gate: corpus = doc_id ≡ 0 (mod 3) fingerprints
+    // → m=1024-bit k=2 Bloom bits, broadcast against the rest as the
+    // arriving batch; verdict per batch doc. 'definite_new' rows never
+    // reach the exact check; false positives are counted, not assumed.
+    "bloom_prune_join" -> ((s, dir) => {
+      val m = 1024
+      val keys = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("k"))
+      val corpus = keys.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("k")).distinct()
+      val batch = keys.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val bits = BloomPrune.buildBits(corpus, "k", m)
+      BloomPrune.probe(batch, "k", bits, m)
+        .join(corpus.withColumn("seen", lit(true)), Seq("k"), "left")
+        .select(col("doc_id"),
+          when(!col("bloom_hit"), lit("definite_new"))
+            .when(col("seen").isNotNull, lit("seen"))
+            .otherwise(lit("false_positive")).as("verdict"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "chunk_cdc" ->
+      s"""$chunkCte
+         SELECT doc_id, CAST(kk AS INT) AS chunk_idx,
+                CAST(fin - st + 1 AS BIGINT) AS n_tokens,
+                md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS chunk_md5
+         FROM cc""",
+
+    "dedup_cdc_chunks" ->
+      s"""$chunkCte,
+         per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS h,
+                   count(*) AS cnt, max(fin - st + 1) AS n_tok
+                 FROM cc GROUP BY h)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                CAST(count(*) AS BIGINT) AS n_unique_chunks,
+                CAST(sum(cnt * n_tok) AS BIGINT) AS total_tokens,
+                CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+                round(1.0 - sum(n_tok) * 1.0 / sum(cnt * n_tok), 4) AS dup_token_ratio
+         FROM per""",
+
+    "boilerplate_chunks" ->
+      s"""$chunkCte,
+         chk AS (SELECT doc_id, source,
+                   CAST(fin - st + 1 AS BIGINT) AS n_tok,
+                   md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS h
+                 FROM cc),
+         df AS (SELECT source, h, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_df,
+                  max(n_tok) AS n_tokens
+                FROM chk GROUP BY source, h),
+         nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source)
+         SELECT source, h AS chunk_md5, n_tokens, doc_df, n_docs,
+                round(doc_df * 1.0 / n_docs, 4) AS doc_frac
+         FROM df JOIN nd USING (source) WHERE doc_df >= 3""",
+
+    "strip_boilerplate" ->
+      s"""$chunkCte,
+         chk AS (SELECT doc_id, source,
+                   CAST(fin - st + 1 AS BIGINT) AS n_tok,
+                   md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS h
+                 FROM cc),
+         bp AS (SELECT source, h FROM chk
+                GROUP BY source, h HAVING count(DISTINCT doc_id) >= 3),
+         rem AS (SELECT doc_id, sum(n_tok) AS n_removed
+                 FROM chk JOIN bp USING (source, h) GROUP BY doc_id),
+         tot AS (SELECT doc_id, sum(n_tok) AS n_tokens FROM chk GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+                round((n_tokens - coalesce(n_removed, 0)) * 1.0 / n_tokens, 4) AS keep_ratio
+         FROM tot LEFT JOIN rem USING (doc_id)""",
+
+    "span_corruption" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         t AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS pos FROM tok),
+         t2 AS (SELECT doc_id, pos, toks[CAST(pos AS INT)] AS tokn,
+                  (${h48("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 100) < 15 AS noise
+                FROM t),
+         s AS (SELECT doc_id, pos, tokn, noise,
+                 noise AND NOT coalesce(
+                   lag(noise) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS is_start
+               FROM t2),
+         kk AS (SELECT doc_id, pos, tokn, noise, is_start,
+                  SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS k
+                FROM s),
+         p AS (SELECT doc_id, pos, noise, is_start,
+                 CASE WHEN NOT noise THEN tokn
+                      WHEN is_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS in_piece,
+                 CASE WHEN is_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tokn
+                      WHEN noise THEN tokn END AS tgt_piece
+               FROM kk)
+         SELECT doc_id,
+                coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+                coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+                CAST(SUM(CASE WHEN noise THEN 1 ELSE 0 END) AS BIGINT) AS n_noise,
+                CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+         FROM p GROUP BY doc_id""",
+
+    "bloom_prune_join" ->
+      s"""WITH keys AS (SELECT doc_id, md5(text) AS k FROM documents),
+         corpus AS (SELECT DISTINCT k FROM keys WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id, k FROM keys WHERE doc_id % 3 <> 0),
+         bits AS (SELECT ${h48("'b1:' || k")} % 1024 AS bit FROM corpus
+                  UNION
+                  SELECT ${h48("'b2:' || k")} % 1024 FROM corpus),
+         probed AS (SELECT doc_id, k,
+                      (${h48("'b1:' || k")} % 1024) IN (SELECT bit FROM bits)
+                      AND (${h48("'b2:' || k")} % 1024) IN (SELECT bit FROM bits) AS bloom_hit
+                    FROM batch)
+         SELECT doc_id,
+                CASE WHEN NOT bloom_hit THEN 'definite_new'
+                     WHEN k IN (SELECT k FROM corpus) THEN 'seen'
+                     ELSE 'false_positive' END AS verdict
+         FROM probed""")
+}
