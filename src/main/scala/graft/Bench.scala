@@ -111,16 +111,19 @@ object Bench {
           } else Map.empty
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
-    // a uniformly slow host flags half the suite — cap the re-run pass
-    // at the 24 worst ratios so the bench's own wall clock stays
-    // bounded (the cap keeps every genuinely suspicious row: a real
-    // plan regression lands far above the noise band)
+    // UNCAPPED since round 16: every flagged row gets its adjudication
+    // column. The old 24-row cap defeated the protocol exactly when it
+    // mattered — a contended host flags half the suite and the cap left
+    // most flagged rows unadjudicated (round 15's committed bench). The
+    // worst case (uniform 3× contention flagging ~everything) costs one
+    // extra suite pass — bounded and, on a contended run, precisely the
+    // evidence needed.
     val soloWarm: Seq[(String, Double)] =
       results.collect {
         case (name, dt, None)
             if dt >= 0.5 && refTimes.get(name).exists(r => dt > 1.3 * r) =>
           (name, dt / refTimes(name))
-      }.sortBy(-_._2).take(24).map(_._1).sorted.map { name =>
+      }.sortBy(-_._2).map(_._1).sorted.map { name =>
         val fn = selected(name)
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -31,6 +31,19 @@ object GraftSql {
     graft.operators.PageRank.ranks(s.table(edgesView), srcCol, dstCol, iters)
       .createOrReplaceTempView(outView)
 
+  /** PageRank over a PRE-ANNOTATED degree-edge view (src, dst, od) and
+    * node view (node) → `outView(node, pr_fx)` — the stored-artifact
+    * path: a warehouse keeps the degree-annotated canonical edge table
+    * as a shared asset, and every ranking query starts from it instead
+    * of re-deriving the annotation. Bit-identical to [[registerPageRank]]
+    * on the raw edges.
+    */
+  def registerPageRankPrepared(s: SparkSession, degreeEdgesView: String,
+      nodesView: String, iters: Int, outView: String): Unit =
+    graft.operators.PageRank.ranksFromPrepared(
+        s.table(degreeEdgesView), s.table(nodesView), iters)
+      .createOrReplaceTempView(outView)
+
   /** Exact dedup over a document view → `outView(idCol, dup_count)`:
     * one surviving id (the minimum) per distinct content value, with
     * the group size. Groups on the 16-byte md5 of the content, never
@@ -311,6 +324,28 @@ object GraftSql {
       fbDocs: Int = 3, expTerms: Int = 2): Unit =
     graft.operators.Retrieval.bm25PrfTopK(s.table(corpusView),
         s.table(queriesView), k, fbDocs, expTerms)
+      .createOrReplaceTempView(outView)
+
+  /** Content-defined chunks over a document view →
+    * `outView(doc, chunk_idx, n_tokens, chunk_text, chunk_md5)`
+    * ([[graft.operators.CdcChunking.chunks]] — boundaries are a pure
+    * function of local content, so shifted duplicates share chunks).
+    */
+  def registerCdcChunks(s: SparkSession, docsView: String, idCol: String,
+      textCol: String, w: Int, divisor: Int, outView: String): Unit =
+    graft.operators.CdcChunking.chunks(s.table(docsView), textCol, idCol,
+        w, divisor)
+      .createOrReplaceTempView(outView)
+
+  /** T5 span-corruption pairs over a document view →
+    * `outView(doc_id, input_text, target_text, n_noise, n_spans)`
+    * ([[graft.operators.SpanCorrupt.pairs]] — deterministic Bernoulli
+    * mask, order-free span assembly).
+    */
+  def registerSpanCorruption(s: SparkSession, docsView: String,
+      idCol: String, textCol: String, noisePct: Int, outView: String): Unit =
+    graft.operators.SpanCorrupt.pairs(s.table(docsView), textCol, idCol,
+        noisePct)
       .createOrReplaceTempView(outView)
 
   /** Per-epoch deterministic training order over a rows view →

@@ -22,21 +22,47 @@ import org.apache.spark.sql.functions._
   * Scale shape: the bits frame is bounded by m regardless of corpus
   * size (build = one map-side-partial distinct over fingerprints); the
   * probe is two broadcast hash joins — the big batch side never
-  * shuffles. Reference scope: extends the reference's exact
-  * drop_duplicates (`preprocess.py:61-72`) to the streaming-ingest
-  * shape.
+  * shuffles. Reference scope: none — the reference has no membership
+  * pruning; this is part of the training-data-pipeline extension
+  * surface (dedup family at ingest) this engine adds.
   */
 object BloomPrune {
 
+  /** Filter size for a ~1% false-positive rate at the k = 2 draws this
+    * operator uses: inverting fp = (1 − e^(−kn/m))^k at fp = 0.01 gives
+    * m = 2n / −ln(1 − 0.1) ≈ 18.98·n, so the rule is THE SMALLEST POWER
+    * OF TWO ≥ 19·n. Power-of-two m keeps the modulo arithmetic stable,
+    * and because 19·n is never itself a power of two (19 is odd), an
+    * engine replaying the rule as ⌈log2(19n)⌉ in floating point lands
+    * on the same m — the sizing is cross-engine deterministic, so a SQL
+    * oracle can derive m from its own corpus count.
+    */
+  def sizeFor(n: Long): Long = {
+    require(n >= 1, s"corpus count must be >= 1; got $n")
+    require(n <= (1L << 56), s"corpus count $n too large for 19n sizing")
+    val target = 19L * n
+    var m = 1L
+    while (m < target) m <<= 1
+    m
+  }
+
+  /** The k = 2 independent probabilities of fp at n keys in m bits —
+    * (1 − e^(−2n/m))², the classical Bloom false-positive estimate the
+    * spec pins measured rates against. */
+  def expectedFp(n: Long, m: Long): Double = {
+    val p = 1.0 - math.exp(-2.0 * n / m)
+    p * p
+  }
+
   /** The two k=2 bit draws for a key: independent md5-48 hashes of the
     * salted key, reduced mod m. */
-  def bitDraws(key: Column, m: Int): (Column, Column) =
+  def bitDraws(key: Column, m: Long): (Column, Column) =
     (KmvSketch.hash48(concat(lit("b1:"), key)) % m,
      KmvSketch.hash48(concat(lit("b2:"), key)) % m)
 
   /** Distinct set bit positions (single `bit` column, ≤ m rows) for the
     * build side's key column. */
-  def buildBits(build: DataFrame, keyCol: String, m: Int): DataFrame = {
+  def buildBits(build: DataFrame, keyCol: String, m: Long): DataFrame = {
     require(m >= 2, s"m must be >= 2; got $m")
     val (g1, g2) = bitDraws(col(keyCol), m)
     build.select(explode(array(g1, g2)).as("bit")).distinct()
@@ -47,7 +73,7 @@ object BloomPrune {
     * keeps its partitioning.
     */
   def probe(probeDf: DataFrame, keyCol: String, bits: DataFrame,
-      m: Int): DataFrame = {
+      m: Long): DataFrame = {
     val (g1, g2) = bitDraws(col(keyCol), m)
     val b1 = broadcast(bits.select(col("bit").as("__b1")))
     val b2 = broadcast(bits.select(col("bit").as("__b2")))

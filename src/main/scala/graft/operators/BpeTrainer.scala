@@ -149,6 +149,50 @@ object BpeTrainer {
       }.toDF(idCol, "tokens")
   }
 
+  /** The merge loop's FULL state trajectory as a frame: (round, word,
+    * cnt, s) for rounds 0..numMerges, where `s` is the word's symbol
+    * sequence after `round` merges in the chr(30)-sentinel encoding the
+    * SQL replay uses (chr(30) ‖ sym ‖ chr(30)chr(30) ‖ sym … ‖ chr(30)).
+    *
+    * This is what makes the SEQUENTIAL merge loop exactly auditable by
+    * a parallel engine: round k's merge is the argmax of pair counts
+    * over state k−1, and state k is one replace() away from state k−1 —
+    * so with the trajectory materialized, every round is re-derivable
+    * from the PREVIOUS round's dumped rows, all rounds in parallel (the
+    * same dumped-artifact technique the quantizer/codebook kernels
+    * use). The table is vocabulary-bounded (≤ (numMerges+1)·maxWords
+    * rows), never corpus-sized.
+    */
+  def dictStatesDF(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1 << 16): DataFrame = {
+    require(numMerges >= 0, s"need numMerges >= 0; got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = wordCounts(df, textCol, maxWords).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    def enc(syms: Array[String]): String =
+      syms.mkString("\u001e", "\u001e\u001e", "\u001e")
+    var words: Array[(String, Array[String], Long)] =
+      counts.map { case (w, c) => (w, w.map(_.toString).toArray, c) }.toArray
+    val states = mutable.ArrayBuffer.empty[(Int, String, Long, String)]
+    words.foreach { case (w, syms, c) => states += ((0, w, c, enc(syms))) }
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      for ((_, syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        words = words.map { case (w, syms, c) => (w, mergeAll(syms, best), c) }
+        round += 1
+        words.foreach { case (w, syms, c) => states += ((round, w, c, enc(syms))) }
+      }
+    }
+    states.toSeq.toDF("round", "word", "cnt", "s")
+  }
+
   /** The learned merge table as a frame: (rank, left, right). */
   def mergesDF(df: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int = 1 << 16): DataFrame = {

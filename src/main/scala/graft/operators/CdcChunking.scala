@@ -12,9 +12,9 @@ import graft.functions.TextOps
   * a document. Fixed-size chunking misses every shifted duplicate; CDC
   * re-synchronizes one boundary after any insertion.
   *
-  * Reference scope: the reference dedups rows exactly
-  * (`preprocess.py:61-72` drop_duplicates); CDC is the sub-document
-  * extension of the same capability for the LLM-pipeline surface.
+  * Reference scope: none — the reference has no sub-document dedup.
+  * CDC chunking is part of the training-data-pipeline extension
+  * surface (dedup family) this engine adds beyond the reference.
   *
   * Scale shape: chunking is per-document column math — array expressions
   * inside whole-stage codegen, ZERO shuffles until the cross-corpus

@@ -100,6 +100,116 @@ object PageRank {
     (r, Seq(eod, nodes))
   }
 
+  /** [[ranks]] over a PRE-ANNOTATED degree edge table — the
+    * stored-artifact path: at scale the degree-annotated canonical edge
+    * list is built once per graph snapshot and shared by every ranking
+    * consumer, so each query pays only the loop, never the annotation.
+    * `eod` must be the distinct (src, dst) pairs with `od` = out-degree
+    * of src; `nodesIn` the distinct node set. Output is bit-identical
+    * to `ranks` on the raw edges (integer dataflow; the annotation is
+    * the same numbers wherever it is computed).
+    */
+  def ranksFromPrepared(eod: DataFrame, nodesIn: DataFrame,
+      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val (e, nodes, base, baseTerm) = partitionAnnotated(eod, nodesIn, scale)
+    val r = iterate(e, nodes, nodes.withColumn("r", lit(base)), baseTerm, iters)
+      .select(col("node"), col("r").as("pr_fx"))
+    val out = r.localCheckpoint(true)
+    Seq(e, nodes).foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[personalizedRanks]] over the same pre-annotated inputs as
+    * [[ranksFromPrepared]]. */
+  def personalizedRanksFromPrepared(eod: DataFrame, nodesIn: DataFrame,
+      seeds: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val (e, nodes, _, _) = partitionAnnotated(eod, nodesIn, scale)
+    val seedN = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nS = seedN.count()
+    require(nS > 0, "personalizedRanks: no seed appears in the graph")
+    require(nS <= scale,
+      s"seed count $nS exceeds scale=$scale — per-seed base mass would be 0")
+    val base = scale / nS
+    val baseTerm = (15L * base) / 100L
+    val nodesBt = nodes
+      .join(broadcast(seedN.withColumn("__s", lit(1))), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(baseTerm)).otherwise(lit(0L)).as("bt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rInit = nodesBt.select(col("node"),
+      when(col("bt") > 0, lit(base)).otherwise(lit(0L)).as("r"))
+    val r = iterateTeleport(e, nodesBt, rInit, iters)
+      .select(col("node"), col("r").as("ppr_fx"))
+    val out = r.localCheckpoint(true)
+    Seq(e, nodes, nodesBt).foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[weightedRanks]] over a pre-annotated weighted edge table:
+    * distinct (src, dst) with merged weight `w` and `wout` = Σw over
+    * src. Same bit-identical-output contract as [[ranksFromPrepared]].
+    */
+  def weightedRanksFromPrepared(ewod: DataFrame, nodesIn: DataFrame,
+      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val parts = ewod.sparkSession.sessionState.conf.numShufflePartitions
+    val eod = ewod.select(col("src"), col("dst"), col("w"), col("wout"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesIn.select(col("node"))
+      .repartition(parts, col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "weighted pagerank needs a non-empty edge list")
+    require(n <= scale,
+      s"node count $n exceeds scale=$scale — base mass scale/n would be 0")
+    val base = scale / n
+    val baseTerm = (15L * base) / 100L
+    var r = nodes.withColumn("r", lit(base))
+    for (_ <- 1 to iters) {
+      val summed = eod
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(CAST(r AS DECIMAL(38,0)) * w) div wout").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      r = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"), (lit(baseTerm) +
+          expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+    }
+    val out = r.select(col("node"), col("r").as("pr_fx"))
+      .localCheckpoint(true)
+    Seq(eod, nodes).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Partition + persist pre-annotated loop inputs and derive the base
+    * masses — the stored-artifact counterpart of [[prepare]]: one
+    * exchange each for the edge and node frames, no annotation work.
+    */
+  private def partitionAnnotated(eodIn: DataFrame, nodesIn: DataFrame,
+      scale: Long): (DataFrame, DataFrame, Long, Long) = {
+    val parts = eodIn.sparkSession.sessionState.conf.numShufflePartitions
+    val eod = eodIn.select(col("src"), col("dst"), col("od"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesIn.select(col("node"))
+      .repartition(parts, col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty edge list")
+    require(scale >= 1L && scale <= 10000000000000000L,
+      s"scale=$scale outside (0, 1e16] — 85*scale must fit in int64")
+    require(n <= scale,
+      s"node count $n exceeds scale=$scale — base mass scale/n would be 0; raise scale")
+    val base = scale / n
+    val baseTerm = (15L * base) / 100L
+    (eod, nodes, base, baseTerm)
+  }
+
   /** The persisted, pre-partitioned loop inputs plus the integer base
     * masses — shared by the localCheckpoint and durable paths.
     */

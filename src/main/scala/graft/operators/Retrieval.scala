@@ -76,9 +76,17 @@ object Retrieval {
     * the entry point query EXPANSION uses (an expanded query is extra
     * term rows, not new text).
     */
-  def scoreTermRows(postings: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+  def scoreTermRows(postings: DataFrame, qt: DataFrame, k: Int): DataFrame =
+    scoreTermRows(postings, qt, k,
+      postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
+
+  /** Same, with the (doc_id, len) document-length frame precomputed —
+    * a multi-pass caller (PRF) derives `dl` from the index ONCE and
+    * reuses it, instead of re-aggregating the postings per pass.
+    */
+  def scoreTermRows(postings: DataFrame, qt: DataFrame, k: Int,
+      dl: DataFrame): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
-    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val stats = dl.agg(avg(col("len")).as("avgdl"),
       count(lit(1)).as("n_docs"))
     // postings restricted to the query vocabulary FIRST — df per term is
@@ -117,33 +125,60 @@ object Retrieval {
     * expanded query. Fully deterministic and index-local — expansion
     * reads the feedback docs' POSTINGS, never the corpus — so both
     * passes replay exactly in SQL.
+    *
+    * `maxDfPermille` caps expansion-term document frequency at
+    * df/n_docs ≤ maxDfPermille/1000: PRF selects the HEAVIEST feedback
+    * terms by construction, so without a df cap pass two joins the
+    * corpus's largest posting lists (stopword-grade terms that carry
+    * near-zero idf anyway). The cap is integer arithmetic
+    * (df·1000 ≤ n_docs·permille) so the boundary replays bit-exactly
+    * in any engine. Original query terms are never capped — only
+    * expansion candidates.
     */
   def bm25PrfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      fbDocs: Int = 3, expTerms: Int = 2,
+      fbDocs: Int = 3, expTerms: Int = 2, maxDfPermille: Int = 200,
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id",
       queryTextCol: String = "qtext"): DataFrame = {
     require(fbDocs >= 1 && expTerms >= 0,
       s"need fbDocs >= 1, expTerms >= 0; got $fbDocs/$expTerms")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000]; got $maxDfPermille")
     val postings = postingsOf(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document lengths derived from the index ONCE, shared by both
+    // scoring passes (each pass previously re-aggregated the postings)
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qt1 = queries
       .select(col(queryIdCol).as("query_id"),
         explode(TextOps.tokens(col(queryTextCol))).as("t"))
       .where(col("t") =!= "").distinct()
-    val fb = scoreTermRows(postings, qt1, fbDocs)
+    val fb = scoreTermRows(postings, qt1, fbDocs, dl)
       .select(col("query_id"), col("doc_id"))
     val cand = fb.join(postings, Seq("doc_id"))
       .groupBy(col("query_id"), col("t")).agg(sum(col("tf")).as("__w"))
       .join(qt1, Seq("query_id", "t"), "left_anti")
+    // df cap: candidate-term df is counted over postings restricted to
+    // the candidate vocabulary (a broadcast of the feedback docs' terms),
+    // so the cap never scans posting lists it is about to discard
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
+    val candTerms = cand.select(col("t")).distinct()
+    val dfc = postings.join(broadcast(candTerms), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("__cdf"))
+    val capped = cand.join(broadcast(dfc), Seq("t"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__cdf") * lit(1000L)
+        <= col("n_docs") * lit(maxDfPermille.toLong))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__w").desc, col("t").asc)
-    val exp = cand.withColumn("__rn", row_number().over(w))
+    val exp = capped.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= expTerms)
       .select(col("query_id"), col("t"))
     val qt2 = qt1.unionByName(exp).distinct()
-    val result = scoreTermRows(postings, qt2, k).localCheckpoint(true)
+    val result = scoreTermRows(postings, qt2, k, dl).localCheckpoint(true)
     postings.unpersist(false)
+    dl.unpersist(false)
     result
   }
 

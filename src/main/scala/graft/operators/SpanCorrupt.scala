@@ -21,9 +21,9 @@ import graft.functions.TextOps
   * ordered re-assembly); everything else is column math. The aggregation
   * buffer per doc is bounded by the document's own token count.
   *
-  * Reference scope: the reference builds supervised frames by column
-  * selection (`preprocess.py:88-107`); span corruption is the
-  * generative-objective extension on the LLM-pipeline surface.
+  * Reference scope: none — the reference has no generative text
+  * objective. Span corruption is part of the training-data-pipeline
+  * extension surface (text-objective family) this engine adds.
   */
 object SpanCorrupt {
 

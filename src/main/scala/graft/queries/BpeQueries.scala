@@ -7,11 +7,13 @@ import graft.sources.Tables
 
 /** BPE tokenizer training + application over the documents corpus.
   * The merge LOOP is iterative (each round's statistics depend on the
-  * previous merge), so `bpe_train` stays rows-only — but its selection
-  * rule is hash-gated via `bpe_pair_stats`, and `bpe_encode` is fully
-  * hash-gated: encoding under a FIXED merge table is pure relational
-  * logic, so its oracle replays the greedy encode in a recursive CTE
-  * against the merge table the engine itself dumped (`__VERIFY_OUT__`).
+  * previous merge) — but every query here is hash-gated anyway: the
+  * trainer dumps its full state TRAJECTORY (`bpe_dict_states`), which
+  * turns the sequential loop into independently-checkable transitions
+  * (round k's merge = argmax over dumped state k; state k+1 = one
+  * replace() away from state k), so `bpe_train` replays exactly; and
+  * `bpe_encode` replays the greedy encode in a recursive CTE against
+  * the merge table the engine itself dumped (`__VERIFY_OUT__`).
   * Fully deterministic (lexicographic tie-breaks end to end); BpeSpec
   * additionally pins the trainer against an independent flat-multiset
   * reference implementation. The replay's chr(30)/chr(31) sentinels
@@ -24,9 +26,23 @@ object BpeQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The learned merge table: one distributed word-count pass + the
-    // vocabulary-sized driver merge loop.
+    // vocabulary-sized driver merge loop. HASH-GATED since round 16:
+    // the oracle re-derives every merge as the argmax of pair counts
+    // over the PREVIOUS round's dumped dictionary state (see
+    // bpe_dict_states) — the sequential loop, audited round by round,
+    // all rounds in parallel.
     "bpe_train" -> ((s, dir) => {
       BpeTrainer.mergesDF(Tables.documents(s, dir), "text", NumMerges)
+    }),
+
+    // The merge loop's state trajectory: (round, word, cnt, s) for
+    // rounds 0..NumMerges — the kernel artifact that converts the
+    // sequential trainer into 200 independently-checkable transitions.
+    // Round 0 replays from the corpus; round k from round k−1 (argmax
+    // + replace) — every dumped row is re-derived by the oracle from
+    // OTHER rows, so the check is non-tautological per row.
+    "bpe_dict_states" -> ((s, dir) => {
+      BpeTrainer.dictStatesDF(Tables.documents(s, dir), "text", NumMerges)
     }),
 
     // Tokenize the corpus with the learned merges; per-document token
@@ -51,7 +67,68 @@ object BpeQueries {
     })
   )
 
+  /** Shared replay chain over the dumped state trajectory: symbol
+    * lists per (round, word), pair counts per round, and the per-round
+    * argmax under the trainer's exact tie-break (count desc, left asc,
+    * right asc). Ends with `best` (round, l, r, rn); rn = 1 is the
+    * merge the trainer must have chosen at that round.
+    */
+  private val StateArgmaxCtes: String =
+    """dump AS (SELECT round, word, cnt, s
+              FROM read_parquet('__VERIFY_OUT__/bpe_dict_states/*.parquet')),
+       st AS (SELECT round, cnt,
+                list_transform(string_split(s, chr(30) || chr(30)),
+                  x -> trim(x, chr(30))) AS syms
+              FROM dump),
+       pr AS (SELECT round, syms[CAST(i AS INT)] AS l,
+                syms[CAST(i AS INT) + 1] AS r, cnt
+              FROM (SELECT round, syms, cnt,
+                      unnest(range(1, len(syms))) AS i FROM st)),
+       agg AS (SELECT round, l, r, sum(cnt) AS pc FROM pr GROUP BY 1, 2, 3),
+       best AS (SELECT round, l, r,
+                  row_number() OVER (PARTITION BY round
+                    ORDER BY pc DESC, l ASC, r ASC) AS rn
+                FROM agg)"""
+
   def oracleSql: Map[String, String] = Map(
+    // The full sequential merge loop, audited round-by-round: merge k
+    // IS the argmax of pair counts over dumped state k — every rank
+    // re-derived from the trajectory, all ranks in parallel. A state
+    // whose words are fully merged contributes no pairs, so early
+    // exhaustion falls out naturally (rounds with no pairs produce no
+    // merge row).
+    "bpe_train" -> s"""WITH $StateArgmaxCtes
+         SELECT CAST(round AS INT) AS rank, l AS "left", r AS "right"
+         FROM best WHERE rn = 1""",
+
+    // The trajectory itself: round 0 re-derived from the corpus (init
+    // encoding of the top-65536 word dictionary), round k (k >= 1)
+    // re-derived from dumped round k-1 by applying ITS argmax merge
+    // via the same non-overlapping replace() the encode replay uses.
+    "bpe_dict_states" -> s"""WITH $StateArgmaxCtes,
+         stepped AS (SELECT d.round + 1 AS round, d.word, d.cnt,
+                       replace(d.s,
+                         chr(30) || b.l || chr(30) || chr(30) || b.r || chr(30),
+                         chr(30) || b.l || b.r || chr(30)) AS s
+                     FROM dump d
+                     JOIN (SELECT round, l, r FROM best WHERE rn = 1) b
+                       USING (round)),
+         w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                 SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE word <> '' GROUP BY word
+               ORDER BY cnt DESC, word ASC LIMIT 65536),
+         init AS (SELECT 0 AS round, word, cnt,
+                    chr(30) || array_to_string(
+                      list_transform(range(1, length(word) + 1),
+                        i -> substring(word, CAST(i AS INT), 1)),
+                      chr(30) || chr(30)) || chr(30) AS s
+                  FROM w)
+         SELECT CAST(round AS INT) AS round, word,
+                CAST(cnt AS BIGINT) AS cnt, s FROM init
+         UNION ALL
+         SELECT CAST(round AS INT), word, CAST(cnt AS BIGINT), s
+         FROM stepped""",
+
     // Full greedy-encode replay, hash-gated: given the learned merge
     // table (read from the engine's own `bpe_train` dump — the merge
     // LOOP stays sequential by design, but encoding under a FIXED

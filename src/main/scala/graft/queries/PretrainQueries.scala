@@ -17,8 +17,9 @@ object PretrainQueries {
     s"CAST(('0x' || substr(md5($arg), 1, 12)) AS BIGINT)"
 
   // shared CDC-chunk CTE chain (w=4, divisor=8): ends with `cc` holding
-  // one row per chunk (doc_id, source, st, fin, toks)
-  private val chunkCte: String =
+  // one row per chunk (doc_id, source, st, fin, toks); the sql_* facade
+  // wrappers replay the same chain
+  private[queries] val chunkCte: String =
     s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
        idx AS (SELECT doc_id, toks,
                  unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i FROM tok),
@@ -82,21 +83,25 @@ object PretrainQueries {
     }),
 
     // Bloom-prune ingest gate: corpus = doc_id ≡ 0 (mod 3) fingerprints
-    // → m=1024-bit k=2 Bloom bits, broadcast against the rest as the
-    // arriving batch; verdict per batch doc. 'definite_new' rows never
-    // reach the exact check; false positives are counted, not assumed.
+    // → k=2 Bloom bits with m SIZED FROM THE CORPUS COUNT (smallest
+    // power of two ≥ 19n — the 1% fp inversion, BloomPrune.sizeFor),
+    // broadcast against the rest as the arriving batch; verdict per
+    // batch doc. 'definite_new' rows never reach the exact check; false
+    // positives are counted, not assumed.
     "bloom_prune_join" -> ((s, dir) => {
-      val m = 1024
       val keys = Tables.documents(s, dir)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("k"))
       val corpus = keys.where(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("k")).distinct()
+      val m = BloomPrune.sizeFor(corpus.count())
       val batch = keys.where(pmod(col("doc_id"), lit(3)) =!= 0)
       val bits = BloomPrune.buildBits(corpus, "k", m)
       BloomPrune.probe(batch, "k", bits, m)
         .join(corpus.withColumn("seen", lit(true)), Seq("k"), "left")
         .select(col("doc_id"),
-          when(!col("bloom_hit"), lit("definite_new"))
+          // coalesce: on a NULL key both engines must agree the filter
+          // cannot vouch for it (treat as miss), not diverge on 3VL
+          when(!coalesce(col("bloom_hit"), lit(false)), lit("definite_new"))
             .when(col("seen").isNotNull, lit("seen"))
             .otherwise(lit("false_positive")).as("verdict"))
     }))
@@ -185,15 +190,17 @@ object PretrainQueries {
       s"""WITH keys AS (SELECT doc_id, md5(text) AS k FROM documents),
          corpus AS (SELECT DISTINCT k FROM keys WHERE doc_id % 3 = 0),
          batch AS (SELECT doc_id, k FROM keys WHERE doc_id % 3 <> 0),
-         bits AS (SELECT ${h48("'b1:' || k")} % 1024 AS bit FROM corpus
+         mm AS (SELECT CAST(power(2, ceil(log2(19 * count(*)))) AS BIGINT) AS m
+                FROM corpus),
+         bits AS (SELECT ${h48("'b1:' || k")} % (SELECT m FROM mm) AS bit FROM corpus
                   UNION
-                  SELECT ${h48("'b2:' || k")} % 1024 FROM corpus),
+                  SELECT ${h48("'b2:' || k")} % (SELECT m FROM mm) FROM corpus),
          probed AS (SELECT doc_id, k,
-                      (${h48("'b1:' || k")} % 1024) IN (SELECT bit FROM bits)
-                      AND (${h48("'b2:' || k")} % 1024) IN (SELECT bit FROM bits) AS bloom_hit
+                      (${h48("'b1:' || k")} % (SELECT m FROM mm)) IN (SELECT bit FROM bits)
+                      AND (${h48("'b2:' || k")} % (SELECT m FROM mm)) IN (SELECT bit FROM bits) AS bloom_hit
                     FROM batch)
          SELECT doc_id,
-                CASE WHEN NOT bloom_hit THEN 'definite_new'
+                CASE WHEN NOT coalesce(bloom_hit, FALSE) THEN 'definite_new'
                      WHEN k IN (SELECT k FROM corpus) THEN 'seen'
                      ELSE 'false_positive' END AS verdict
          FROM probed""")

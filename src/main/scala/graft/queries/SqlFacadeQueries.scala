@@ -21,12 +21,15 @@ object SqlFacadeQueries {
     // is the exact fixed-point integer, so the SQL ORDER BY/LIMIT cut
     // is engine-independent.
     "sql_pagerank" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-      s.sql("""CREATE OR REPLACE TEMP VIEW supply_edges AS
-               SELECT concat('s', l_suppkey) AS src,
-                      concat('p', l_partkey) AS dst FROM lineitem""")
-      GraftSql.registerPageRank(s, "supply_edges", "src", "dst",
-        iters = 5, outView = "graft_ranks")
+      // the degree-annotated canonical edge table and node set are the
+      // warehouse's shared graph artifacts — every ranking query in the
+      // suite starts from them instead of re-deriving the annotation
+      GraphQueries.storedDegreeEdges(s, dir)
+        .createOrReplaceTempView("supply_degree_edges")
+      GraphQueries.storedGraphNodes(s, dir)
+        .createOrReplaceTempView("supply_nodes")
+      GraftSql.registerPageRankPrepared(s, "supply_degree_edges",
+        "supply_nodes", iters = 5, outView = "graft_ranks")
       s.sql("""SELECT node, pr_fx FROM graft_ranks
                ORDER BY pr_fx DESC, node ASC LIMIT 20""")
     }),
@@ -357,6 +360,33 @@ object SqlFacadeQueries {
                FROM graft_order GROUP BY epoch, shard""")
     }),
 
+    // CDC chunk dedup through the facade: the repeated-chunk report a
+    // storage engineer reads off the chunk view — which fingerprints
+    // recur, how many copies, how big. Chunk text never leaves the
+    // view; the rollup runs on the 16-byte fingerprints.
+    "sql_cdc_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerCdcChunks(s, "documents", "doc_id", "text",
+        w = 4, divisor = 8, outView = "graft_chunks")
+      s.sql("""SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+                 CAST(max(n_tokens) AS BIGINT) AS n_tokens
+               FROM graft_chunks GROUP BY chunk_md5
+               HAVING count(*) >= 3
+               ORDER BY n_copies DESC, chunk_md5 LIMIT 25""")
+    }),
+
+    // Span-corruption pairs through the facade: the objective-shape
+    // census (how many spans per doc, how much noise) a pretrain-data
+    // owner reads before committing a corpus build.
+    "sql_span_pairs" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerSpanCorruption(s, "documents", "doc_id", "text",
+        noisePct = 15, outView = "graft_spans")
+      s.sql("""SELECT n_spans, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_noise) AS BIGINT) AS tot_noise
+               FROM graft_spans GROUP BY n_spans""")
+    }),
+
     // Deterministic quantile sketch through the facade: p90 per event
     // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
     // on the integer q_ppm.
@@ -433,6 +463,20 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    "sql_cdc_dedup" ->
+      s"""${PretrainQueries.chunkCte},
+         per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS chunk_md5,
+                   count(*) AS n_copies, max(fin - st + 1) AS n_tokens
+                 FROM cc GROUP BY 1)
+         SELECT chunk_md5, CAST(n_copies AS BIGINT) AS n_copies,
+                CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM per WHERE n_copies >= 3
+         ORDER BY n_copies DESC, chunk_md5 LIMIT 25""",
+    "sql_span_pairs" ->
+      s"""SELECT n_spans, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_noise) AS BIGINT) AS tot_noise
+          FROM (${PretrainQueries.oracleSql("span_corruption")})
+          GROUP BY n_spans""",
     "sql_markov" ->
       s"""SELECT state, p_ppm
           FROM (${StreamQueries.oracleSql("markov_conversion")})

@@ -264,9 +264,11 @@ object TextQueries {
 
     // Two-pass retrieval with pseudo-relevance feedback (RM3-lite):
     // pass one's top-3 feedback docs donate their 2 heaviest non-query
-    // terms, pass two scores the expanded term set — both passes and
-    // the expansion selection replay exactly in SQL (term weights are
-    // integer tf sums; ranks come from DECIMAL-snapped scores).
+    // terms with df ≤ 20% of the corpus (the cap keeps pass two off
+    // the corpus's largest posting lists — PRF picks heavy terms by
+    // construction), pass two scores the expanded term set — both
+    // passes, the df cap (integer permille arithmetic), and the
+    // expansion selection replay exactly in SQL.
     "bm25_prf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
@@ -2350,9 +2352,13 @@ object TextQueries {
        cand AS (SELECT f.query_id, p.t, CAST(sum(p.tf) AS BIGINT) AS w
                 FROM fb f JOIN pall p ON f.doc_id = p.doc_id
                 GROUP BY 1, 2),
-       cand2 AS (SELECT c.* FROM cand c WHERE NOT EXISTS
-                 (SELECT 1 FROM qt
-                  WHERE qt.query_id = c.query_id AND qt.t = c.t)),
+       dfall AS (SELECT t, count(*) AS cdf FROM pall GROUP BY t),
+       cand2 AS (SELECT c.* FROM cand c
+                 JOIN dfall USING (t) CROSS JOIN stats
+                 WHERE NOT EXISTS
+                   (SELECT 1 FROM qt
+                    WHERE qt.query_id = c.query_id AND qt.t = c.t)
+                   AND dfall.cdf * 1000 <= stats.n_docs * 200),
        exp AS (SELECT query_id, t FROM
                  (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY w DESC, t ASC) AS rn FROM cand2)

@@ -115,6 +115,41 @@ class BpeSpec extends SparkSpec {
     assert(top === Seq(("a", 3L), ("b", 3L)))
   }
 
+  test("dictStatesDF trajectory is consistent with the trainer's merges") {
+    val df = Seq("abab abc", "abab xy", "low lower lowest").toDF("text")
+    val n = 6
+    val states = BpeTrainer.dictStatesDF(df, "text", n).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val counts = BpeTrainer.wordCounts(df, "text", 1 << 16)
+      .as[(String, Long)].collect().toSeq
+    val merges = BpeTrainer.trainFromCounts(counts, n)
+    val nRounds = states.map(_._1).max
+    assert(nRounds == merges.size, s"rounds $nRounds vs merges ${merges.size}")
+    // round 0 is the init char encoding; round k applies merge k to
+    // round k-1 — exactly what encodeWord under the rank prefix gives
+    val sep = "\u001e"
+    for ((word, _) <- counts; k <- 0 to nRounds) {
+      val expect = {
+        var syms = word.map(_.toString).toArray
+        for (m <- merges.take(k)) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == m._1 && syms(i + 1) == m._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+        syms.mkString(sep, sep + sep, sep)
+      }
+      val got = states.find(s => s._1 == k && s._2 == word).get._4
+      assert(got == expect, s"word=$word round=$k")
+    }
+    // every round's state count equals the dictionary size
+    assert(states.groupBy(_._1).values.forall(_.length == counts.size))
+  }
+
   test("pairStats top row IS the trainer's first merge (the gated rule)") {
     val df = Seq("abab abc", "abab xy", "abab").toDF("text")
     val stats = BpeTrainer.pairStats(df, "text")

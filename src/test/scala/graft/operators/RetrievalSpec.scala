@@ -46,11 +46,35 @@ class RetrievalSpec extends SparkSpec {
     val plain = Retrieval.bm25TopK(corpus, queries, k = 5)
       .collect().map(_.getLong(1)).toSet
     assert(plain == Set(1L), plain) // only doc 1 contains 'apple'
+    // cap disabled (permille 1000): 'cherry' has df 2/3 > the default
+    // 20% cap, and this test is about expansion reach, not the cap
     val prf = Retrieval.bm25PrfTopK(corpus, queries, k = 5,
-      fbDocs = 1, expTerms = 1)
+      fbDocs = 1, expTerms = 1, maxDfPermille = 1000)
       .collect().map(_.getLong(1)).toSet
     // doc 1's heaviest non-query term is 'cherry' (tf 3) → doc 2 joins
     assert(prf == Set(1L, 2L), prf)
+  }
+
+  test("bm25PrfTopK: the df cap skips stopword-grade expansion terms, never original query terms") {
+    // 10 docs; 'the' appears in all 10 (df 1000‰), 'rare' in 2 (200‰).
+    // Feedback doc 1 has 'the' heavier than 'rare' — without the cap
+    // 'the' would win the single expansion slot.
+    val corpus = (
+      Seq((1L, "apple the the the rare"), (2L, "rare the reachable")) ++
+      (3L to 10L).map(i => (i, s"the filler$i"))).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val capped = Retrieval.bm25PrfTopK(corpus, queries, k = 10,
+      fbDocs = 1, expTerms = 1, maxDfPermille = 200)
+      .collect().map(_.getLong(1)).toSet
+    // expansion picked 'rare' (df 2/10 = exactly the 200‰ boundary,
+    // inclusive) over 'the' (df 10/10, capped) → doc 2 reachable, the
+    // 'the'-only fillers are not
+    assert(capped == Set(1L, 2L), capped)
+    val uncapped = Retrieval.bm25PrfTopK(corpus, queries, k = 10,
+      fbDocs = 1, expTerms = 1, maxDfPermille = 1000)
+      .collect().map(_.getLong(1)).toSet
+    // without the cap 'the' wins the slot and every doc scores
+    assert(uncapped == (1L to 10L).toSet, uncapped)
   }
 
   test("bm25TopK: k bounds every query's result; deterministic across partitionings") {

@@ -35,7 +35,17 @@ Known hazards it rejects, with the reason:
     reader-specific; flatten or JSON-encode in the projection.
 
 Exit 0 iff every output column is whitelisted.
+
+When the dump is a FULL run (one dir per registered query, detected by
+dir count >= oracle_sql.json entry count), also audits the documented
+counts: README.md's "N queries / M with DuckDB oracle SQL / R rows-only"
+must equal the dump's actual counts, and every registered query name
+must appear backticked in COVERAGE.md (the census convention). This
+kills the drift class where code grows and the docs stay behind
+(round 15: README said 344 while 346 were registered).
 """
+import json
+import re
 import sys
 import os
 import glob
@@ -94,6 +104,49 @@ def main(out_dir):
         return 1
     print(f"OK: {len(dirs)} queries, {n_cols} columns, "
           f"all types checker-safe")
+    return audit_counts(out_dir, dirs)
+
+
+def audit_counts(out_dir, dirs):
+    """Full-run doc-count audit (no-op on subset dumps)."""
+    oracle_path = os.path.join(out_dir, "oracle_sql.json")
+    if not os.path.exists(oracle_path):
+        return 0
+    oracle = json.load(open(oracle_path))
+    names = [os.path.basename(d) for d in dirs]
+    if len(names) < len(oracle):
+        return 0  # subset iteration run; counts are meaningless
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_reg, n_oracle = len(names), len(oracle)
+    n_rows_only = n_reg - n_oracle
+    problems = []
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"(\d+) queries keyed by SURVEY", readme)
+    mo = re.search(r"\((\d+) with DuckDB oracle SQL — (\d+) rows-only",
+                   readme)
+    if not m or int(m.group(1)) != n_reg:
+        problems.append(f"README query count: doc says "
+                        f"{m.group(1) if m else '?'}, dump has {n_reg}")
+    if not mo or int(mo.group(1)) != n_oracle \
+            or int(mo.group(2)) != n_rows_only:
+        problems.append(
+            f"README oracle/rows-only counts: doc says "
+            f"{mo.groups() if mo else '?'}, dump has "
+            f"({n_oracle}, {n_rows_only})")
+    coverage = open(os.path.join(repo, "COVERAGE.md")).read()
+    censused = set(re.findall(r"`([A-Za-z0-9_]+)`", coverage))
+    missing = sorted(n for n in names if n not in censused)
+    if missing:
+        problems.append(f"COVERAGE.md census missing {len(missing)} "
+                        f"registered queries: {', '.join(missing[:10])}")
+    if problems:
+        print(f"FAIL: doc-count drift ({n_reg} registered, "
+              f"{n_oracle} oracle):")
+        for p in problems:
+            print(f"  {p}")
+        return 1
+    print(f"OK: doc counts consistent ({n_reg} registered, {n_oracle} "
+          f"oracle, {n_rows_only} rows-only, all censused)")
     return 0
 
 
