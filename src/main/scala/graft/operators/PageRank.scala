@@ -186,6 +186,28 @@ object PageRank {
     out
   }
 
+  /** Continue the fixed-point iteration from a PREVIOUSLY COMPUTED rank
+    * table — the incremental-maintenance path: a warehouse refreshes
+    * its stored rank artifact with a few more rounds instead of
+    * recomputing from scratch. With unchanged edges, `moreIters` rounds
+    * from the stored k-round state IS the (k+moreIters)-round result,
+    * bit-exactly (integer dataflow has no drift to accumulate), so the
+    * warm start is a pure cost optimization — at 100 TB it replaces a
+    * full recompute with exactly the rounds still owed.
+    */
+  def continueRanks(eod: DataFrame, nodesIn: DataFrame,
+      prevRanks: DataFrame, moreIters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(moreIters >= 1, "moreIters must be positive")
+    val (e, nodes, _, baseTerm) = partitionAnnotated(eod, nodesIn, scale)
+    val rInit = prevRanks.select(col("node"), col("pr_fx").as("r"))
+    val r = iterate(e, nodes, rInit, baseTerm, moreIters)
+      .select(col("node"), col("r").as("pr_fx"))
+    val out = r.localCheckpoint(true)
+    Seq(e, nodes).foreach(_.unpersist(false))
+    out
+  }
+
   /** Partition + persist pre-annotated loop inputs and derive the base
     * masses — the stored-artifact counterpart of [[prepare]]: one
     * exchange each for the edge and node frames, no annotation work.

@@ -87,6 +87,19 @@ object Retrieval {
   def scoreTermRows(postings: DataFrame, qt: DataFrame, k: Int,
       dl: DataFrame): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
+    rankScores(termScores(postings, qt, dl), k)
+  }
+
+  /** The per-(query, doc) partial BM25 sums for a (query_id, t) term
+    * set — scoring WITHOUT the final rank cut. Partial sums over
+    * disjoint term sets ADD: each term's DECIMAL-snapped contribution
+    * depends only on global index statistics (df counts docs per term,
+    * dl/avgdl/n_docs come from the index), never on which other terms
+    * the query carries — so an expanded query's scores are the base
+    * partials plus the expansion terms' partials, no re-scoring.
+    */
+  private def termScores(postings: DataFrame, qt: DataFrame,
+      dl: DataFrame): DataFrame = {
     val stats = dl.agg(avg(col("len")).as("avgdl"),
       count(lit(1)).as("n_docs"))
     // postings restricted to the query vocabulary FIRST — df per term is
@@ -94,7 +107,7 @@ object Retrieval {
     // scored join never touches a term no query asked about
     val tf = postings.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
     val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val scored = qt
+    qt
       .join(tf, Seq("t"))
       .join(broadcast(dft), Seq("t"))
       .join(dl, Seq("doc_id"))
@@ -109,6 +122,10 @@ object Retrieval {
           .cast("decimal(20,8)"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term")).as("__sd"))
+  }
+
+  /** The per-query rank cut over (query_id, doc_id, __sd) partials. */
+  private def rankScores(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sd").desc, col("doc_id").asc)
     scored
@@ -154,11 +171,22 @@ object Retrieval {
       .select(col(queryIdCol).as("query_id"),
         explode(TextOps.tokens(col(queryTextCol))).as("t"))
       .where(col("t") =!= "").distinct()
-    val fb = scoreTermRows(postings, qt1, fbDocs, dl)
+    // pass 1 partial sums are persisted because pass 2 REUSES them:
+    // per-term contributions depend only on global index stats, so the
+    // expanded query's scores = these partials + the expansion terms'
+    // partials — the corpus is scored against the base query ONCE
+    val scored1 = termScores(postings, qt1, dl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cand is QUERY-SET-sized (each query's feedback docs' vocabulary)
+    // and its lineage contains the whole pass-1 rank job — it feeds
+    // BOTH the df-count branch and the capped selection below, so cut
+    // the lineage here or that job runs once per consumer
+    val cand = rankScores(scored1, fbDocs)
       .select(col("query_id"), col("doc_id"))
-    val cand = fb.join(postings, Seq("doc_id"))
+      .join(postings, Seq("doc_id"))
       .groupBy(col("query_id"), col("t")).agg(sum(col("tf")).as("__w"))
       .join(qt1, Seq("query_id", "t"), "left_anti")
+      .localCheckpoint(true)
     // df cap: candidate-term df is counted over postings restricted to
     // the candidate vocabulary (a broadcast of the feedback docs' terms),
     // so the cap never scans posting lists it is about to discard
@@ -175,10 +203,15 @@ object Retrieval {
     val exp = capped.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= expTerms)
       .select(col("query_id"), col("t"))
-    val qt2 = qt1.unionByName(exp).distinct()
-    val result = scoreTermRows(postings, qt2, k, dl).localCheckpoint(true)
+    // exp is anti-joined against qt1 above, so the term sets are
+    // disjoint and the partials add without double counting
+    val scored2 = scored1.unionByName(termScores(postings, exp, dl))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__sd")).as("__sd"))
+    val result = rankScores(scored2, k).localCheckpoint(true)
     postings.unpersist(false)
     dl.unpersist(false)
+    scored1.unpersist(false)
     result
   }
 

@@ -123,19 +123,38 @@ object GraphQueries {
     s.read.parquet(path.toString)
   }
 
+  /** The 5-round PageRank ranks as a stored artifact — what a
+    * warehouse keeps between refreshes; `pagerank_warmstart` continues
+    * the iteration from it. Bit-identical to `graph_pagerank`'s output
+    * (integer dataflow), so the dumped `graph_pagerank` parquet doubles
+    * as the oracle's copy of this fixture.
+    */
+  private[graft] def storedPageRankRanks(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"supply_pagerank5_v1_${Tables.contentStamp(dir, "lineitem")}"
+    val path = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.operators.PageRank.ranksFromPrepared(
+          storedDegreeEdges(s, dir), storedGraphNodes(s, dir), iters = 5)
+        .write.mode("overwrite").parquet(path.toString)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Queries that read the supply-edge fixture — Bench pre-builds it
     * untimed when any of them is selected.
     */
   private[graft] val supplyFixtureConsumers: Set[String] = Set(
     "graph_pagerank", "graph_pagerank_weighted", "graph_hits",
     "graph_random_walks", "graph_node2vec_walks", "graph_betweenness",
-    "graph_ppr", "sql_pagerank")
+    "graph_ppr", "sql_pagerank", "pagerank_warmstart")
 
   /** Pre-build stored fixtures OUTSIDE any timed body (Bench warm-up). */
   def ensureFixtures(s: SparkSession, dir: String): Unit = {
     storedSupplyEdges(s, dir)
     storedDegreeEdges(s, dir)
     storedGraphNodes(s, dir)
+    storedPageRankRanks(s, dir)
     storedWalks(s, dir)
     ()
   }
@@ -221,6 +240,18 @@ object GraphQueries {
     "graph_pagerank_weighted" -> ((s, dir) => {
       graft.operators.PageRank.weightedRanksFromPrepared(
         storedDegreeEdges(s, dir), storedGraphNodes(s, dir), iters = 5)
+    }),
+
+    // Warm-start rank refresh: two MORE fixed-point rounds continued
+    // from the stored 5-round rank artifact — the incremental
+    // maintenance read (refresh the stored ranks with the rounds still
+    // owed, never recompute from scratch). Bit-exact: the oracle
+    // replays the two rounds against the engine's own dumped
+    // graph_pagerank table and must land on the 7-round integers.
+    "pagerank_warmstart" -> ((s, dir) => {
+      graft.operators.PageRank.continueRanks(
+        storedDegreeEdges(s, dir), storedGraphNodes(s, dir),
+        storedPageRankRanks(s, dir), moreIters = 2)
     }),
 
     // HITS hubs & authorities on the directed supplier→part graph
@@ -698,6 +729,34 @@ object GraphQueries {
                 CAST(0 AS BIGINT) AS label
          FROM drawn d JOIN vocab v ON v.entity_id = d.corrupt_id""",
     "graph_pagerank" -> PageRankOracle,
+    // two unrolled rounds continued from the engine's own dumped
+    // 5-round ranks (bit-identical to the stored fixture): warm-start
+    // ≡ (k + moreIters) rounds, checked in exact integers
+    "pagerank_warmstart" ->
+      """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         c AS (SELECT count(*) AS n FROM nodes),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         it0 AS (SELECT node, pr_fx AS r
+                 FROM read_parquet('__VERIFY_OUT__/graph_pagerank/*.parquet')),
+         it1 AS (SELECT nodes.node,
+               (15 * (1000000000000 // c.n)) // 100
+               + (85 * COALESCE(s1.m, 0)) // 100 AS r
+             FROM nodes
+             LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.od) AS m
+                        FROM e JOIN it0 p ON e.src = p.node
+                        JOIN outdeg o ON e.src = o.src
+                        GROUP BY e.dst) s1 ON nodes.node = s1.node, c),
+         it2 AS (SELECT nodes.node,
+               (15 * (1000000000000 // c.n)) // 100
+               + (85 * COALESCE(s2.m, 0)) // 100 AS r
+             FROM nodes
+             LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.od) AS m
+                        FROM e JOIN it1 p ON e.src = p.node
+                        JOIN outdeg o ON e.src = o.src
+                        GROUP BY e.dst) s2 ON nodes.node = s2.node, c)
+         SELECT node, CAST(r AS BIGINT) AS pr_fx FROM it2""",
     "graph_pagerank_weighted" -> WeightedPageRankOracle,
     "graph_random_walks" -> RandomWalksOracle,
     "graph_node2vec_walks" -> Node2vecOracle,

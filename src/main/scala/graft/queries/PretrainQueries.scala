@@ -82,6 +82,51 @@ object PretrainQueries {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    // GPT-style sequence packing: documents laid end-to-end in doc_id
+    // order, cut into 512-token sequences, spillover allowed — the
+    // corpus-layout table a shard writer materializes. Global offsets
+    // via PrefixSum; everything after is codegen'd integer math.
+    "pack_contiguous" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      graft.operators.SequencePack
+        .packContiguous(d, "n_tokens", seqLen = 512L, "doc_id")
+    }),
+
+    // The packed layout's per-sequence census (doc starts + boundary
+    // spans per sequence) — what a reader fleet provisions from.
+    "pack_contig_census" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      graft.operators.SequencePack.seqCensus(
+        graft.operators.SequencePack
+          .packContiguous(d, "n_tokens", seqLen = 512L, "doc_id"))
+    }),
+
+    // Maintained CDC chunk store: three document batches fold into the
+    // durable fingerprint store; the dedup report off the maintained
+    // state must equal the one-shot dedup_cdc_chunks EXACTLY (the
+    // oracle chunks the raw text directly — maintained ≡ one-shot).
+    "cdc_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("cdc-gate")
+      val storeDir = s"$base/chunks"
+      val docs = Tables.documents(s, dir)
+      val org.apache.spark.sql.Row(iMin: Long, iMax: Long) =
+        docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val i1 = iMin + (iMax - iMin) / 3
+      val i2 = iMin + 2 * (iMax - iMin) / 3
+      graft.streaming.ChunkStoreStream.applyBatch(
+        docs.where(col("doc_id") < i1), "text", "doc_id", storeDir, 0)
+      graft.streaming.ChunkStoreStream.applyBatch(
+        docs.where(col("doc_id") >= i1 && col("doc_id") < i2),
+        "text", "doc_id", storeDir, 1)
+      graft.streaming.ChunkStoreStream.applyBatch(
+        docs.where(col("doc_id") >= i2), "text", "doc_id", storeDir, 2)
+      graft.streaming.ChunkStoreStream.report(s, storeDir)
+    }),
+
     // Bloom-prune ingest gate: corpus = doc_id ≡ 0 (mod 3) fingerprints
     // → k=2 Bloom bits with m SIZED FROM THE CORPUS COUNT (smallest
     // power of two ≥ 19n — the 1% fp inversion, BloomPrune.sizeFor),
@@ -106,6 +151,36 @@ object PretrainQueries {
             .otherwise(lit("false_positive")).as("verdict"))
     }))
 
+  /** Shared by dedup_cdc_chunks and cdc_maintained (maintained ≡
+    * one-shot is exactly the claim: ONE oracle text gates both). */
+  private val DedupCdcOracle: String =
+    s"""$chunkCte,
+       per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS h,
+                 count(*) AS cnt, max(fin - st + 1) AS n_tok
+               FROM cc GROUP BY h)
+       SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+              CAST(count(*) AS BIGINT) AS n_unique_chunks,
+              CAST(sum(cnt * n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+              round(1.0 - sum(n_tok) * 1.0 / sum(cnt * n_tok), 4) AS dup_token_ratio
+       FROM per"""
+
+  /** The packed layout replayed as one running-total window — shared
+    * by pack_sequences and its census. */
+  private val PackOracle: String =
+    """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id) AS e
+             FROM d WHERE n_tokens > 0)
+       SELECT doc_id, n_tokens,
+              e - n_tokens AS start_tok,
+              (e - n_tokens) // 512 AS seq_id,
+              (e - n_tokens) % 512 AS seq_offset,
+              ((e - 1) // 512) - ((e - n_tokens) // 512) + 1 AS n_seqs
+       FROM c"""
+
   def oracleSql: Map[String, String] = Map(
 
     "chunk_cdc" ->
@@ -115,17 +190,19 @@ object PretrainQueries {
                 md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS chunk_md5
          FROM cc""",
 
-    "dedup_cdc_chunks" ->
-      s"""$chunkCte,
-         per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS h,
-                   count(*) AS cnt, max(fin - st + 1) AS n_tok
-                 FROM cc GROUP BY h)
-         SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
-                CAST(count(*) AS BIGINT) AS n_unique_chunks,
-                CAST(sum(cnt * n_tok) AS BIGINT) AS total_tokens,
-                CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
-                round(1.0 - sum(n_tok) * 1.0 / sum(cnt * n_tok), 4) AS dup_token_ratio
-         FROM per""",
+    "dedup_cdc_chunks" -> DedupCdcOracle,
+
+    // maintained ≡ one-shot: the oracle chunks the raw corpus directly
+    "cdc_maintained" -> DedupCdcOracle,
+
+    "pack_contiguous" -> PackOracle,
+
+    "pack_contig_census" ->
+      s"""WITH packed AS ($PackOracle)
+         SELECT seq_id, CAST(count(*) AS BIGINT) AS n_doc_starts,
+                CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_spanning
+         FROM packed GROUP BY seq_id""",
 
     "boilerplate_chunks" ->
       s"""$chunkCte,

@@ -277,6 +277,26 @@ object TextQueries {
       graft.operators.Retrieval.bm25PrfTopK(docs, queries, k = 5)
     }),
 
+    // Hard-negative mining for contrastive retrieval training: each
+    // query's top BM25 hits EXCLUDING its own relevant document (the
+    // self-hit) — the standard "BM25 negatives" recipe for training
+    // dense retrievers (lexically close, not relevant). One rank
+    // deeper than the output depth so dropping the self-hit still
+    // leaves five negatives; neg_rank renumbers after the drop.
+    "hard_negatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      val hits = graft.operators.Retrieval.bm25TopK(docs, queries, k = 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank").asc)
+      hits.where(col("doc_id") =!= col("query_id"))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .where(col("neg_rank") <= 5)
+        .select(col("query_id"), col("doc_id"), col("neg_rank"), col("bm25"))
+    }),
+
     // Batch hybrid retrieval: the SAME query set fused across both
     // modalities — lexical top-5 (bm25_batch_topk's prefix queries) and
     // dense top-5 (each query doc's embedding; vec_id aligns with
@@ -1810,6 +1830,15 @@ object TextQueries {
     // maintained ≡ one-shot: the oracle scores from the raw text
     "bm25_maintained" -> Bm25BatchOracle,
     "bm25_prf_topk" -> Bm25PrfOracle,
+    // one rank deeper, self-hit dropped, negatives renumbered
+    "hard_negatives" ->
+      s"""WITH hits AS (${bm25BatchOracle(6)}),
+         nn AS (SELECT query_id, doc_id, bm25,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rank ASC) AS BIGINT) AS neg_rank
+                FROM hits WHERE doc_id <> query_id)
+         SELECT query_id, doc_id, neg_rank, bm25
+         FROM nn WHERE neg_rank <= 5""",
     "retrieval_eval" ->
       s"""WITH hits AS ($Bm25BatchOracle),
          nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
@@ -2271,8 +2300,14 @@ object TextQueries {
     * construction, query-vocabulary-pruned postings, DECIMAL-snapped
     * BM25 terms, and the per-query top-5 rank cut.
     */
-  private val Bm25BatchOracle: String =
-    """WITH toks AS (SELECT doc_id, t FROM
+  private val Bm25BatchOracle: String = bm25BatchOracle(5)
+
+  /** The batch BM25 replay with a parametric depth `k` — hard_negatives
+    * needs one rank deeper than the top-5 so the self-hit can be
+    * dropped and five negatives remain.
+    */
+  private def bm25BatchOracle(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, t FROM
            (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
            WHERE t <> ''),
        dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
@@ -2302,7 +2337,7 @@ object TextQueries {
                  ORDER BY sd DESC, doc_id ASC) AS BIGINT) AS rank
              FROM sc)
        SELECT query_id, doc_id, rank, round(CAST(sd AS DOUBLE), 4) AS bm25
-       FROM r WHERE rank <= 5"""
+       FROM r WHERE rank <= $k"""
 
   /** Scoring-pass CTE block for the PRF oracle: parametrized on a
     * (query_id, t) term CTE and a name suffix, referencing the shared

@@ -81,4 +81,30 @@ class CdcChunkingSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(one == many)
   }
+
+  test("maintained chunk store over batches ≡ one-shot dedupReport") {
+    val docs = (1L to 60L).map(i => (i, s"$passage tail${i % 9}"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("cdc-spec")
+    val dirStore = s"$base/chunks"
+    graft.streaming.ChunkStoreStream.applyBatch(
+      docs.where(col("doc_id") <= 20), "text", "doc_id", dirStore, 0)
+    graft.streaming.ChunkStoreStream.applyBatch(
+      docs.where(col("doc_id") > 20 && col("doc_id") <= 40), "text",
+      "doc_id", dirStore, 1)
+    graft.streaming.ChunkStoreStream.applyBatch(
+      docs.where(col("doc_id") > 40), "text", "doc_id", dirStore, 2)
+    val maintained = graft.streaming.ChunkStoreStream.report(spark, dirStore)
+      .collect().head
+    val oneShot = CdcChunking.dedupReport(
+      CdcChunking.chunks(docs, "text", "doc_id")).collect().head
+    assert(maintained.toSeq == oneShot.toSeq)
+    // a crash-replayed batch recomputes from the prior snapshot: re-fold
+    // batch 2 and the report must not double-count
+    graft.streaming.ChunkStoreStream.applyBatch(
+      docs.where(col("doc_id") > 40), "text", "doc_id", dirStore, 2)
+    val replayed = graft.streaming.ChunkStoreStream.report(spark, dirStore)
+      .collect().head
+    assert(replayed.toSeq == oneShot.toSeq)
+  }
 }

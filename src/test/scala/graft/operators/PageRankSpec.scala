@@ -127,4 +127,52 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(p == sk)
   }
+
+  test("prepared-input paths are bit-identical to the raw-edge paths") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "a")).toDF("src", "dst")
+    // the stored-artifact shape: distinct edges + out-degree + weights
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val ann = edges.distinct()
+      .withColumn("od", count(lit(1)).over(w))
+      .withColumn("w", lit(3L))
+      .withColumn("wout", sum(col("w")).over(w))
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst"))).distinct()
+    val raw = PageRank.ranks(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prep = PageRank.ranksFromPrepared(ann, nodes, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prep == raw)
+    val wRaw = PageRank.weightedRanks(ann.select(col("src"), col("dst"),
+        col("w")), "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wPrep = PageRank.weightedRanksFromPrepared(ann, nodes, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wPrep == wRaw)
+    val seeds = Seq("a").toDF("node")
+    val pRaw = PageRank.personalizedRanks(edges, "src", "dst", seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pPrep = PageRank.personalizedRanksFromPrepared(ann, nodes, seeds,
+        iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pPrep == pRaw)
+  }
+
+  test("continueRanks: k more rounds from a stored state ≡ (n+k) rounds") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val ann = edges.distinct().withColumn("od", count(lit(1)).over(w))
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst"))).distinct()
+    val r5 = PageRank.ranksFromPrepared(ann, nodes, iters = 5)
+    val warm = PageRank.continueRanks(ann, nodes, r5, moreIters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cold = PageRank.ranks(edges, "src", "dst", iters = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warm == cold)
+  }
 }
