@@ -326,6 +326,30 @@ object GraftSql {
         s.table(queriesView), k, fbDocs, expTerms)
       .createOrReplaceTempView(outView)
 
+  /** Warm-start rank refresh: continue the fixed-point iteration from a
+    * stored rank view for `moreIters` more rounds →
+    * `outView(node, pr_fx)` ([[graft.operators.PageRank.continueRanks]]
+    * — bit-identical to recomputing (n + moreIters) rounds cold).
+    */
+  def registerPageRankContinue(s: SparkSession, degreeEdgesView: String,
+      nodesView: String, ranksView: String, moreIters: Int,
+      outView: String): Unit =
+    graft.operators.PageRank.continueRanks(s.table(degreeEdgesView),
+        s.table(nodesView), s.table(ranksView), moreIters)
+      .createOrReplaceTempView(outView)
+
+  /** Contiguous sequence packing over a rows view (idCol, nTokensCol) →
+    * `outView(idCol, nTokensCol, start_tok, seq_id, seq_offset,
+    * n_seqs)` ([[graft.operators.SequencePack.packContiguous]] — the
+    * GPT-style fixed-length layout with boundary spillover).
+    */
+  def registerPackContiguous(s: SparkSession, rowsView: String,
+      nTokensCol: String, seqLen: Long, outView: String,
+      orderCol: String): Unit =
+    graft.operators.SequencePack.packContiguous(s.table(rowsView),
+        nTokensCol, seqLen, orderCol)
+      .createOrReplaceTempView(outView)
+
   /** Content-defined chunks over a document view →
     * `outView(doc, chunk_idx, n_tokens, chunk_text, chunk_md5)`
     * ([[graft.operators.CdcChunking.chunks]] — boundaries are a pure

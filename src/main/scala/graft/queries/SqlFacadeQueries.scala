@@ -360,6 +360,43 @@ object SqlFacadeQueries {
                FROM graft_order GROUP BY epoch, shard""")
     }),
 
+    // Sequence packing through the facade: the shard-capacity report a
+    // training-infra owner reads off the packed layout — total
+    // sequences and the boundary-spanning fraction in exact ppm.
+    "sql_pack" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""CREATE OR REPLACE TEMP VIEW doc_tokens AS
+               SELECT doc_id,
+                      CAST(size(split(text, ' ', -1)) AS BIGINT) AS n_tokens
+               FROM documents""")
+      GraftSql.registerPackContiguous(s, "doc_tokens", "n_tokens",
+        seqLen = 512L, outView = "graft_packed", orderCol = "doc_id")
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 max(seq_id) + 1 AS total_seqs,
+                 CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_spanning,
+                 (1000000 * sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END))
+                   div count(*) AS spanning_ppm
+               FROM graft_packed""")
+    }),
+
+    // Warm-start rank refresh through the facade: two more rounds
+    // CONTINUED from the stored rank artifact (the warehouse's "refresh
+    // the ranks, don't recompute" path), top-20 read in SQL.
+    "sql_warm_pagerank" -> ((s, dir) => {
+      GraphQueries.storedDegreeEdges(s, dir)
+        .createOrReplaceTempView("supply_degree_edges")
+      GraphQueries.storedGraphNodes(s, dir)
+        .createOrReplaceTempView("supply_nodes")
+      GraphQueries.storedPageRankRanks(s, dir)
+        .createOrReplaceTempView("supply_ranks5")
+      GraftSql.registerPageRankContinue(s, "supply_degree_edges",
+        "supply_nodes", "supply_ranks5", moreIters = 2,
+        outView = "graft_ranks7")
+      s.sql("""SELECT node, pr_fx FROM graft_ranks7
+               ORDER BY pr_fx DESC, node ASC LIMIT 20""")
+    }),
+
     // CDC chunk dedup through the facade: the repeated-chunk report a
     // storage engineer reads off the chunk view — which fingerprints
     // recur, how many copies, how big. Chunk text never leaves the
@@ -463,6 +500,19 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    "sql_pack" ->
+      s"""WITH packed AS (${PretrainQueries.oracleSql("pack_contiguous")})
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(max(seq_id) + 1 AS BIGINT) AS total_seqs,
+                CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spanning,
+                CAST((1000000 * sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS spanning_ppm
+         FROM packed""",
+    "sql_warm_pagerank" ->
+      s"""SELECT node, pr_fx
+          FROM (${GraphQueries.oracleSql("pagerank_warmstart")})
+          ORDER BY pr_fx DESC, node ASC LIMIT 20""",
     "sql_cdc_dedup" ->
       s"""${PretrainQueries.chunkCte},
          per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS chunk_md5,
