@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-LM scoring + perplexity bucketing — the CCNet curation recipe
+  * (Wenzek et al., LREC 2020): score every document under a language
+  * model fit on the corpus itself, order by score, cut the corpus into
+  * equal perplexity buckets (head / middle / tail) and keep the cleaner
+  * buckets.
+  *
+  * [[bigramNll]] is the scoring pass (factored out of the
+  * `text_lm_score` query so bucketing composes on the same math).
+  * [[pplBuckets]] is the bucketing pass: a GLOBAL ntile computed
+  * without a partitionless window — [[DenseId.withOrderedId]] gives the
+  * global rank (range-partitioned sort + per-partition offsets), and
+  * the ANSI ntile bucket is then closed-form in (rank, n, k), so the
+  * cut costs one distributed sort however large the corpus is. Ranks
+  * order by the ALREADY-ROUNDED score (ties broken by id), which is
+  * the repo's cross-engine boundary — last-ulp ln() differences
+  * between engines cannot flip a bucket edge.
+  */
+object CorpusLm {
+
+  /** Per-doc (idCol, n_bigrams, lm_score): mean negative log-likelihood
+    * under the corpus's own bigram MLE. Bigrams come from a
+    * doc-partitioned lag window (never a global sort); only the
+    * bigram-VOCAB-sized count table persists (the bigram stream itself
+    * is corpus-sized — caching it at 100 TB would cost more than the
+    * second scan it saves) and the unigram denominators fold out of it
+    * instead of re-reading the corpus. Per-bigram NLL is fixed to
+    * DECIMAL(20,8) before summing so the per-doc mean is independent
+    * of partial-aggregation order (and of 1-ulp ln() differences
+    * between engines). Docs with fewer than 2 tokens have no bigrams
+    * and emit no row.
+    */
+  def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos"), col("col").as("w"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w1", lag(col("w"), 1).over(byDoc))
+      .where(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("w").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .select(col(idCol),
+        (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("lm_score"))
+  }
+
+  /** `scored` (from [[bigramNll]]) + `ppl_bucket` (1..k, ANSI-ntile
+    * sizes: the first n mod k buckets get one extra row) + `keep`
+    * (every bucket but the worst — the CCNet head+middle cut).
+    */
+  def pplBuckets(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    val n = scored.count()
+    val ranked = DenseId.withOrderedId(scored, "__rk", "lm_score", idCol)
+    // ANSI ntile in closed form over the 0-based global rank r:
+    // q = n div k, m = n mod k; the first m buckets hold q+1 rows.
+    val q = n / k
+    val m = n % k
+    val bucket = when(col("__rk") < m * (q + 1),
+      expr(s"__rk div ${q + 1} + 1L"))
+      .otherwise(expr(
+        s"$m + (__rk - ${m * (q + 1)}) div ${math.max(q, 1L)} + 1L"))
+      .cast("long")
+    ranked.select(col(idCol), col("n_bigrams"), col("lm_score"),
+      bucket.as("ppl_bucket"), (bucket < k).as("keep"))
+  }
+}

@@ -40,6 +40,21 @@ object MlPrepQueries {
         smoothing = 10.0)
     }),
 
+    // Pairwise preference construction (Preference.pairs — the
+    // reward-model / DPO prep step): per user, the top-3 vs bottom-3
+    // scored events become strict (chosen, rejected) pairs with a
+    // margin floor. Caps bound the pair fan-out at topM·bottomM per
+    // group however heavy the group; both rank windows ride ONE
+    // per-group exchange.
+    "preference_pairs" -> ((s, dir) => {
+      graft.operators.Preference.pairs(
+        Tables.events(s, dir), "user_id", "event_id", "value",
+        topM = 3, bottomM = 3, minMargin = 5.0)
+        .select(col("user_id"), col("chosen_id"), col("rejected_id"),
+          col("chosen_rank"), col("rejected_rank"),
+          round(col("margin"), 4).as("margin"))
+    }),
+
     // Equal-frequency discretization (Discretize): 10 quantile bins of
     // l_extendedprice — one percentile-array aggregate to fit (exact,
     // to match the oracle; approx_percentile is the documented 100 TB
@@ -1066,6 +1081,25 @@ object MlPrepQueries {
   }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "preference_pairs" ->
+      """WITH ranked AS (SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id ASC) AS top_rk,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value ASC, event_id ASC) AS bot_rk
+         FROM events),
+         chosen AS (SELECT user_id, event_id AS chosen_id,
+                      value AS c_score, top_rk AS chosen_rank
+                    FROM ranked WHERE top_rk <= 3),
+         rejected AS (SELECT user_id, event_id AS rejected_id,
+                        value AS r_score, bot_rk AS rejected_rank
+                      FROM ranked WHERE bot_rk <= 3)
+         SELECT c.user_id, chosen_id, rejected_id,
+                CAST(chosen_rank AS BIGINT) AS chosen_rank,
+                CAST(rejected_rank AS BIGINT) AS rejected_rank,
+                round(c_score - r_score, 4) AS margin
+         FROM chosen c JOIN rejected r ON c.user_id = r.user_id
+         WHERE c_score > r_score AND c_score - r_score >= 5.0""",
     "target_encode" ->
       """WITH f AS (SELECT o_orderpriority,
                CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))

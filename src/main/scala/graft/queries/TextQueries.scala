@@ -14,6 +14,24 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** The taxonomy_tag dictionary: category → phrase (1- and 2-token
+    * phrases), shared verbatim between the Spark query and the DuckDB
+    * oracle's VALUES list so both engines screen the same list.
+    */
+  private[graft] val TagDict: Seq[(String, String)] = Seq(
+    "perf" -> "slow",
+    "perf" -> "slow scan",
+    "perf" -> "fast scan",
+    "joins" -> "hash join",
+    "joins" -> "merge join",
+    "joins" -> "join",
+    "streaming" -> "stream",
+    "streaming" -> "window",
+    "streaming" -> "batch window")
+
+  private[graft] def tagDictValues: String =
+    TagDict.map { case (c, p) => s"('$c', '$p')" }.mkString(", ")
+
   /** Near-dup clusters as a stored content-keyed fixture — the artifact
     * a production pipeline persists once and every downstream consumer
     * (splits, survivor selection, triplet mining) reads. The star
@@ -961,29 +979,31 @@ object TextQueries {
     // the per-doc mean is independent of partial-aggregation order (and
     // of the 1-ulp ln() differences between engines).
     "text_lm_score" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-        .select(col("doc_id"), col("pos"), col("col").as("w"))
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val bi = toks
-        .withColumn("w1", lag(col("w"), 1).over(byDoc))
-        .where(col("w1").isNotNull)
-        .select(col("doc_id"), col("w1"), col("w").as("w2"))
-      // persist only the BIGRAM-VOCAB-sized count table (the bigram
-      // stream itself is corpus-sized — caching it at 100 TB would cost
-      // more than the second scan it saves) and fold the unigram
-      // denominators out of it instead of re-reading the corpus
-      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      bi.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .select(col("doc_id"),
-          (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("nll"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("lm_score"))
+      graft.operators.CorpusLm.bigramNll(
+        Tables.documents(s, dir), "text", "doc_id")
+    }),
+
+    // CCNet perplexity cut: the LM scores above, ntiled into
+    // head/middle/tail WITHOUT a partitionless window (DenseId global
+    // rank + the closed-form ANSI ntile in (rank, n, k)); keep =
+    // everything but the tail bucket. Ranks order by the
+    // already-rounded score (doc_id tiebreak) so the bucket edges are
+    // engine-stable.
+    "ppl_buckets" -> ((s, dir) => {
+      graft.operators.CorpusLm.pplBuckets(
+        graft.operators.CorpusLm.bigramNll(
+          Tables.documents(s, dir), "text", "doc_id"),
+        "doc_id", k = 3)
+    }),
+
+    // Taxonomy / blocklist screen: one corpus scan matches the token
+    // stream ∪ adjacent-bigram stream against a broadcast
+    // category→phrase dictionary; the only shuffle is the (doc,
+    // category) rollup. Regex alternation would re-scan per pattern
+    // and can't attribute hits to categories.
+    "taxonomy_tag" -> ((s, dir) => {
+      graft.operators.DictTag.tag(
+        Tables.documents(s, dir), "text", "doc_id", TagDict)
     }),
 
     // Curriculum ordering: difficulty stages (token-length buckets) + a
@@ -1947,6 +1967,49 @@ object TextQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS lm_score
          FROM nll GROUP BY doc_id""",
+    // same scoring CTEs as text_lm_score, then the closed-form ANSI
+    // ntile over the 0-based global rank (identical formula to
+    // CorpusLm.pplBuckets; ordering on the rounded score + doc_id)
+    "ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tok WHERE len(toks) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         nll AS (SELECT bi.doc_id,
+                   CAST(-ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(20,8)) AS nll
+                 FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                         JOIN c1 ON bi.w1 = c1.w1),
+         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS lm_score
+                    FROM nll GROUP BY doc_id),
+         ranked AS (SELECT *, row_number() OVER (ORDER BY lm_score, doc_id) - 1 AS r,
+                      count(*) OVER () AS n FROM scored),
+         b AS (SELECT doc_id, n_bigrams, lm_score,
+                 CASE WHEN r < (n % 3) * (n // 3 + 1)
+                      THEN r // (n // 3 + 1) + 1
+                      ELSE (n % 3) + (r - (n % 3) * (n // 3 + 1))
+                             // greatest(n // 3, 1) + 1 END AS bkt
+               FROM ranked)
+         SELECT doc_id, n_bigrams, lm_score, CAST(bkt AS BIGINT) AS ppl_bucket,
+                bkt < 3 AS keep
+         FROM b""",
+    "taxonomy_tag" ->
+      s"""WITH dict(category, phrase) AS (VALUES $tagDictValues),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         uni AS (SELECT doc_id, unnest(t) AS gram FROM tok),
+         big AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS gram
+                 FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM tok WHERE len(t) >= 2)),
+         grams AS (SELECT doc_id, gram FROM uni
+                   UNION ALL SELECT doc_id, gram FROM big)
+         SELECT g.doc_id, d.category, CAST(count(*) AS BIGINT) AS n_hits
+         FROM grams g JOIN dict d ON g.gram = d.phrase
+         GROUP BY g.doc_id, d.category""",
     "curriculum_order" ->
       """WITH t AS (SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramNll: hand-checked corpus bigram MLE") {
+    // corpus bigrams: (a b)×2, (a c)×1 → P(b|a)=2/3, P(c|a)=1/3
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = CorpusLm.bigramNll(docs, "text", "doc_id")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, s) => d -> ((n, s)) }.toMap
+    assert(out(1L) == ((1L, math.rint(-math.log(2.0 / 3) * 1e4) / 1e4)))
+    assert(out(3L) == ((1L, math.rint(-math.log(1.0 / 3) * 1e4) / 1e4)))
+  }
+
+  test("docs with fewer than two tokens emit no row") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusLm.bigramNll(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("pplBuckets: ANSI ntile sizes and the head/middle keep gate") {
+    // 10 docs, k=3 → buckets of 4/3/3; keep = bucket < 3
+    val scored = (1 to 10).map(i =>
+      (i.toLong, 5L, i.toDouble)).toDF("doc_id", "n_bigrams", "lm_score")
+    val out = CorpusLm.pplBuckets(scored, "doc_id", k = 3)
+    val sizes = out.groupBy("ppl_bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 4L, 2L -> 3L, 3L -> 3L))
+    assert(out.where(col("keep") =!= (col("ppl_bucket") < 3)).count() == 0)
+    // lowest scores land in bucket 1, highest in bucket 3
+    val b = out.select("doc_id", "ppl_bucket").as[(Long, Long)]
+      .collect().toMap
+    assert(b(1L) == 1L && b(10L) == 3L)
+  }
+
+  test("pplBuckets ordering is monotone: no doc in a later bucket has a lower score") {
+    val scored = (1 to 23).map(i =>
+      (i.toLong, 5L, ((i * 7) % 10).toDouble)).toDF("doc_id", "n_bigrams", "lm_score")
+    val rows = CorpusLm.pplBuckets(scored, "doc_id", k = 3)
+      .select("lm_score", "ppl_bucket").as[(Double, Long)].collect()
+    val maxByBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1).max)
+    val minByBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    assert(maxByBucket(1L) <= minByBucket(2L))
+    assert(maxByBucket(2L) <= minByBucket(3L))
+  }
+
+  test("pplBuckets with n < k still assigns 1-based buckets") {
+    val scored = Seq((1L, 2L, 0.5), (2L, 2L, 0.9))
+      .toDF("doc_id", "n_bigrams", "lm_score")
+    val out = CorpusLm.pplBuckets(scored, "doc_id", k = 3)
+      .select("doc_id", "ppl_bucket").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(rows: Seq[(String, Long, Double)],
+      topM: Int = 3, bottomM: Int = 3, minMargin: Double = 0.0) =
+    Preference.pairs(rows.toDF("grp", "id", "score"),
+      "grp", "id", "score", topM, bottomM, minMargin)
+
+  test("strict preference: equal scores never pair, no self pairs") {
+    val out = pairsOf(Seq(("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 2.0)))
+    assert(out.count() == 0)
+  }
+
+  test("top×bottom caps bound the fan-out") {
+    val rows = (1 to 50).map(i => ("g", i.toLong, i.toDouble))
+    val out = pairsOf(rows, topM = 3, bottomM = 3).collect()
+    assert(out.length == 9)
+    val chosen = out.map(_.getAs[Long]("chosen_id")).toSet
+    val rejected = out.map(_.getAs[Long]("rejected_id")).toSet
+    assert(chosen == Set(50L, 49L, 48L))
+    assert(rejected == Set(1L, 2L, 3L))
+  }
+
+  test("margin floor drops near-tie pairs") {
+    val rows = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 10.0))
+    val out = pairsOf(rows, minMargin = 5.0)
+    val pairs = out.select("chosen_id", "rejected_id")
+      .as[(Long, Long)].collect().toSet
+    // only 10-vs-1 (9.0) and 10-vs-2 (8.0) clear the 5.0 floor
+    assert(pairs == Set((3L, 1L), (3L, 2L)))
+  }
+
+  test("margins are chosen - rejected and always >= the floor") {
+    val rows = (1 to 20).flatMap(g =>
+      (1 to 10).map(i => (s"g$g", (g * 100 + i).toLong, (i * 3).toDouble)))
+    val out = pairsOf(rows, minMargin = 6.0)
+    assert(out.where(col("margin") < 6.0 ||
+      col("chosen_score") <= col("rejected_score")).count() == 0)
+    val bad = out.where(
+      col("margin") =!= col("chosen_score") - col("rejected_score")).count()
+    assert(bad == 0)
+  }
+
+  test("a small group can emit fewer pairs but never mirrors") {
+    val rows = Seq(("g", 1L, 1.0), ("g", 2L, 5.0))
+    val out = pairsOf(rows).select("chosen_id", "rejected_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L)))
+  }
+
+  test("partitioning does not change the pair set") {
+    val rows = (1 to 30).flatMap(g =>
+      (1 to 15).map(i => (s"g$g", (g * 1000 + i).toLong,
+        ((i * 37) % 11).toDouble)))
+    val base = pairsOf(rows).orderBy("grp", "chosen_id", "rejected_id")
+      .collect().toSeq
+    val shuffled = Preference.pairs(
+      rows.toDF("grp", "id", "score").repartition(13),
+      "grp", "id", "score", 3, 3, 0.0)
+      .orderBy("grp", "chosen_id", "rejected_id").collect().toSeq
+    assert(base == shuffled)
+  }
+}
