@@ -99,6 +99,35 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** The (term, d, bucket) hash-cell mapping for every distinct term —
+    * the dumped-artifact bridge that converts the CMS consumers to
+    * exact oracles (the ann_quantizer_* technique): the mapping is
+    * vocab-bounded (depth·|vocab| rows), and WITH it both engines agree
+    * on every counter cell, estimate, and top-k; only the hash VALUES
+    * themselves stay engine-specific, so this dump's own gate is
+    * rows-only while everything downstream of it hash-matches. Hash
+    * parameters must match the [[cmsFit]] call being audited.
+    */
+  def cmsBuckets(df: DataFrame, termCol: String, width: Int, depth: Int,
+      seed: Long = 42L): DataFrame = {
+    require(width > 0 && depth > 0, s"need positive width/depth, got $width x $depth")
+    df.select(col(termCol)).distinct()
+      .select(col(termCol), inline(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          pmod(xxhash64(col(termCol), lit(seed + d)), lit(width.toLong))
+            .as("bucket"))): _*)))
+  }
+
+  /** Additive CMS merge: counter tables with the SAME (width, depth,
+    * seed) sum cell-wise — the mergeability law that lets shard/batch
+    * sketches fold into a corpus sketch without re-scanning anything.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("d"), col("bucket"), col("cnt"))
+      .unionByName(b.select(col("d"), col("bucket"), col("cnt")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates for `terms` (one row per distinct term in its
     * `termCol`) against a fitted counter table: min over the depth rows
     * of the term's bucket counts. The counter table is ≤ depth·width

@@ -345,8 +345,10 @@ object StreamQueries {
     // self-join on l_partkey (Σ deg² — the skew question): two
     // one-scan sketches, one counter-table dot product, no join run.
     // join_skew_report computes the exact answer this estimates;
-    // SketchSpec pins est ≥ exact and the width error bound.
-    // Seeded xxhash64 buckets → rows-only.
+    // SketchSpec pins est ≥ exact and the width error bound. Oracle
+    // since r16: the key is a LONG, so the seeded buckets replay
+    // exactly via the XxSql chained-hashLong unroll — the whole
+    // estimator (cells, dots, min) is checked, no dump needed.
     "join_size_cms" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       // width 64k: expected collision mass per depth row is
@@ -768,6 +770,7 @@ object StreamQueries {
        FROM u"""
 
   def oracleSql: Map[String, String] = Map(
+    "join_size_cms" -> XxSql.cmsJoinSizeOracleSql(width = 65536, depth = 4),
     "markov_conversion" -> MarkovConversionOracle,
     "markov_attribution" -> MarkovAttributionOracle,
     // the maintained table must equal the ONE-SHOT lead computation —

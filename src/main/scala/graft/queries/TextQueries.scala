@@ -1042,15 +1042,51 @@ object TextQueries {
 
     // Count-min-sketch heavy hitters: token counts estimated from a
     // 4×2048 counter table built in one aggregate pass — bounded memory
-    // for an unbounded key universe, additive across shards. Seeded
-    // xxhash64 rows → deterministic but engine-specific → rows-only
-    // (SketchesSpec proves est ≥ exact always and measures the +εN side).
+    // for an unbounded key universe, additive across shards. Oracle
+    // since r16 via the dumped `cms_buckets` cell mapping (the
+    // ann_quantizer technique): with the mapping, every counter cell,
+    // min-estimate, and the top-20 cut replay exactly in SQL;
+    // SketchesSpec additionally proves est ≥ exact and the +εN bound.
     "heavy_hitters_cms" -> ((s, dir) => {
       graft.operators.Sketches.cmsHeavyHitters(
         Tables.documents(s, dir)
           .select(explode(TextOps.tokens(col("text"))).as("token"))
           .where(col("token") =!= ""),
         "token", k = 20, width = 2048, depth = 4)
+    }),
+
+    // The dumped (token, d, bucket) hash-cell mapping the CMS oracles
+    // replay against — vocab-bounded (4·|vocab| rows); its own gate is
+    // rows-only because the xxhash64 cell VALUES are engine-specific
+    // (exactly like the ann_quantizer_* kernel dumps).
+    "cms_buckets" -> ((s, dir) => {
+      graft.operators.Sketches.cmsBuckets(
+        Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .where(col("token") =!= ""),
+        "token", width = 2048, depth = 4)
+    }),
+
+    // Streaming-maintained CMS (CmsStream): the corpus arrives in 3
+    // doc-keyed batches, each folded into the durable counter table by
+    // the additive merge; heavy hitters off the MAINTAINED state
+    // hash-match the one-shot oracle (maintained ≡ one-shot BY the
+    // oracle — counters are additive, so batch packing cannot matter).
+    "cms_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("cms-gate")
+      val skDir = s"$base/counters"
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .localCheckpoint(true)
+      for (b <- 0 until 3)
+        graft.streaming.CmsStream.applyBatch(
+          toks.where(pmod(col("doc_id"), lit(3)) === b),
+          "token", width = 2048, depth = 4, skDir, b)
+      graft.operators.Sketches.cmsEstimate(toks,
+          graft.streaming.CmsStream.counters(s, skDir),
+          "token", width = 2048, depth = 4)
+        .orderBy(col("est").desc, col("token").asc).limit(20)
     }),
 
     // Mixture sampling: deterministic per-source downsampling to target
@@ -1374,6 +1410,8 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "heavy_hitters_cms" -> CmsHeavyHittersOracle,
+    "cms_maintained" -> CmsHeavyHittersOracle,
     "dedup_minhash" -> minhashOracleSql(bands = 8, rowsPerBand = 2),
     // SimHash replay: one vote row per (token occurrence × bit), the
     // signature as a HUGEINT power sum (bit 63 would overflow BIGINT),
@@ -2310,6 +2348,28 @@ object TextQueries {
     * doc id over the shingle-Jaccard edge set (recursive closure — the
     * truth the O(log² n) star contraction must converge to).
     */
+  /** Shared by `heavy_hitters_cms` and `cms_maintained` (maintained ≡
+    * one-shot: CMS counters are additive, so the 3-batch fold equals
+    * the single fit). Replays the ENTIRE sketch — counter cells,
+    * min-estimates, top-20 cut — against the dumped `cms_buckets` cell
+    * mapping; only the hash values themselves come from the dump.
+    */
+  private val CmsHeavyHittersOracle: String =
+    """WITH bk AS (SELECT token, d, bucket
+            FROM read_parquet('__VERIFY_OUT__/cms_buckets/*.parquet')),
+       occ AS (SELECT token, count(*) AS cnt
+               FROM (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+               WHERE token <> '' GROUP BY token),
+       counters AS (SELECT bk.d, bk.bucket, sum(occ.cnt) AS c
+                    FROM occ JOIN bk USING (token) GROUP BY 1, 2),
+       est AS (SELECT occ.token, min(c.c) AS est
+               FROM occ JOIN bk USING (token)
+               JOIN counters c ON c.d = bk.d AND c.bucket = bk.bucket
+               GROUP BY occ.token)
+       SELECT token, CAST(est AS BIGINT) AS est
+       FROM est ORDER BY est DESC, token ASC LIMIT 20"""
+
   private val StarClustersOracle: String =
     """WITH RECURSIVE
        tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

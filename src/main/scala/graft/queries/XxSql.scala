@@ -110,6 +110,36 @@ private[queries] object XxSql {
     (sb.toString, prev)
   }
 
+  /** The `join_size_cms` replay: the FULL count-min inner-product
+    * estimator in SQL. Spark's cell key is
+    * `pmod(xxhash64(l_partkey, 42 + d), width)` — two chained
+    * hashLong rounds (Spark folds each column: partkey under the
+    * default seed 42, then the per-depth seed literal under the first
+    * round's output). `width` must be a power of two so the u64
+    * modulo equals Spark's pmod of the signed value (identical low
+    * bits). Per-depth dots are self-products (A = B: the query
+    * estimates a self-join), min over depth, ascending per-depth list.
+    */
+  def cmsJoinSizeOracleSql(width: Int, depth: Int): String = {
+    require((width & (width - 1)) == 0, s"width $width must be a power of two")
+    val (hashSql, last) = chain("base",
+      xx64Steps(u64("k"), "42", "hin", "ca") ++
+        xx64Steps("sd", "hin", "hout", "cb"), "cms")
+    s"""WITH keys AS (SELECT l_partkey AS k, count(*) AS cnt
+         FROM lineitem GROUP BY 1),
+       dd AS (SELECT unnest(generate_series(0, ${depth - 1})) AS d),
+       base AS (SELECT k, cnt, d, CAST(42 + d AS HUGEINT) AS sd
+                FROM keys CROSS JOIN dd)
+       $hashSql,
+       counters AS (SELECT d, hout % $width AS bucket, sum(cnt) AS c
+                    FROM $last GROUP BY 1, 2),
+       dots AS (SELECT d, sum(c * c) AS dot FROM counters GROUP BY d)
+       SELECT CAST(min(dot) AS BIGINT) AS join_size_est,
+              string_agg(CAST(dot AS VARCHAR), ',' ORDER BY dot)
+                AS depth_estimates
+       FROM dots"""
+  }
+
   // ---------------------------------------------------------------
   // Shared relational fragments for the vector-graph oracles
   // ---------------------------------------------------------------
