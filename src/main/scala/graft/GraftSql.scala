@@ -343,6 +343,31 @@ object GraftSql {
     * n_seqs)` ([[graft.operators.SequencePack.packContiguous]] — the
     * GPT-style fixed-length layout with boundary spillover).
     */
+  /** Pairwise preference pairs over a scored-candidate view →
+    * `outView(groupCol, chosen_id, chosen_score, chosen_rank,
+    * rejected_id, rejected_score, rejected_rank, margin)` — see
+    * [[graft.operators.Preference.pairs]]: strict top-`topM` ×
+    * bottom-`bottomM` pairs per group with a margin floor.
+    */
+  def registerPreferencePairs(s: SparkSession, rowsView: String,
+      groupCol: String, idCol: String, scoreCol: String, topM: Int,
+      bottomM: Int, minMargin: Double, outView: String): Unit =
+    graft.operators.Preference.pairs(s.table(rowsView), groupCol, idCol,
+        scoreCol, topM, bottomM, minMargin)
+      .createOrReplaceTempView(outView)
+
+  /** Dictionary blocklist screen over a document view →
+    * `outView(idCol, blocked_hits, keep)` — see
+    * [[graft.operators.DictTag.screen]]: per-doc hit totals in the
+    * blocked categories, keep = hits ≤ maxHits (no-hit docs kept).
+    */
+  def registerDictScreen(s: SparkSession, docsView: String, idCol: String,
+      textCol: String, dict: Seq[(String, String)],
+      blockCategories: Set[String], maxHits: Long, outView: String): Unit =
+    graft.operators.DictTag.screen(s.table(docsView), textCol, idCol,
+        dict, blockCategories, maxHits)
+      .createOrReplaceTempView(outView)
+
   def registerPackContiguous(s: SparkSession, rowsView: String,
       nTokensCol: String, seqLen: Long, outView: String,
       orderCol: String): Unit =

@@ -54,6 +54,36 @@ object BpeQueries {
         .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
     }),
 
+    // Per-language tokenizer fertility (tokens/word, chars/token in
+    // exact integer ppm) under the learned merges — the audit that
+    // says which languages the vocabulary serves poorly. Same
+    // distributed memoized encode as bpe_encode; the oracle reruns the
+    // full greedy replay against the dumped merge table.
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = BpeTrainer.train(docs, "text", NumMerges)
+      val enc = BpeTrainer.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+      val words = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+      words.join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("total_words"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(col("lang"), col("total_words"), col("total_chars"),
+          col("total_tokens"),
+          expr("(total_tokens * 1000000L) div total_words")
+            .as("tokens_per_word_ppm"),
+          expr("(total_chars * 1000000L) div total_tokens")
+            .as("chars_per_token_ppm"))
+    }),
+
     // The trainer's ROUND-1 statistics, hash-gated: the top-20
     // count-weighted adjacent character pairs over the word dictionary
     // — exactly what the loop's first argmin selects from (BpeSpec pins
@@ -89,6 +119,61 @@ object BpeQueries {
                   row_number() OVER (PARTITION BY round
                     ORDER BY pc DESC, l ASC, r ASC) AS rn
                 FROM agg)"""
+
+  /** The full greedy-encode replay as shared CTEs (consumed by
+    * `bpe_encode` and `bpe_fertility` under WITH RECURSIVE): given the
+    * learned merge table read from the engine's own `bpe_train` dump,
+    * re-derive every distinct word's tokenization — wrap symbols in
+    * chr(30) sentinels, find the lowest-rank adjacent pair present
+    * (list_position over the rank-ordered merge list; 0 = absent),
+    * merge ALL its occurrences left-to-right via replace() (whose
+    * non-overlapping scan is exactly BpeTrainer.mergeAll's), repeat
+    * until no pair applies. Depth is bounded by max word length. Ends
+    * with `wt` (word → token count) and `docw` (doc → word stream).
+    */
+  private val EncodeReplayCtes: String =
+    """m AS (SELECT list(l || chr(31) || r ORDER BY rank) AS ml FROM (
+                 SELECT rank, "left" AS l, "right" AS r
+                 FROM read_parquet('__VERIFY_OUT__/bpe_train/*.parquet'))),
+         w0 AS (SELECT DISTINCT word FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                WHERE word <> ''),
+         init AS (SELECT word,
+                    chr(30) || array_to_string(
+                      list_transform(range(1, length(word) + 1),
+                        i -> substring(word, CAST(i AS INT), 1)),
+                      chr(30) || chr(30)) || chr(30) AS s,
+                    0 AS it
+                  FROM w0),
+         enc AS (
+           SELECT word, s, it FROM init
+           UNION ALL
+           SELECT word, next_s, it + 1 FROM (
+             SELECT word, it, s,
+               CASE WHEN best IS NULL THEN s
+                    ELSE replace(s,
+                      chr(30) || split_part(ml[best], chr(31), 1) || chr(30) || chr(30)
+                              || split_part(ml[best], chr(31), 2) || chr(30),
+                      chr(30) || replace(ml[best], chr(31), '') || chr(30))
+               END AS next_s
+             FROM (
+               SELECT word, s, it, ml,
+                 list_min(list_filter(
+                   list_transform(range(1, len(syms)),
+                     i -> list_position(ml, syms[CAST(i AS INT)] || chr(31)
+                                            || syms[CAST(i AS INT) + 1])),
+                   p -> p > 0)) AS best
+               FROM (
+                 SELECT word, s, it, ml,
+                   list_transform(string_split(s, chr(30) || chr(30)),
+                     x -> trim(x, chr(30))) AS syms
+                 FROM enc CROSS JOIN m))
+           ) WHERE next_s <> s),
+         fin AS (SELECT word, arg_max(s, it) AS s FROM enc GROUP BY word),
+         wt AS (SELECT word, len(string_split(s, chr(30) || chr(30))) AS n_tok
+                FROM fin),
+         docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)"""
 
   def oracleSql: Map[String, String] = Map(
     // The full sequential merge loop, audited round-by-round: merge k
@@ -141,55 +226,36 @@ object BpeQueries {
     // Depth is bounded by max word length. Per-doc n_tokens then sums
     // the per-distinct-word token counts — bit-identical to the
     // engine's distributed memoized encode.
-    "bpe_encode" -> ("""WITH RECURSIVE
-         m AS (SELECT list(l || chr(31) || r ORDER BY rank) AS ml FROM (
-                 SELECT rank, "left" AS l, "right" AS r
-                 FROM read_parquet('__VERIFY_OUT__/bpe_train/*.parquet'))),
-         w0 AS (SELECT DISTINCT word FROM (
-                  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-                WHERE word <> ''),
-         init AS (SELECT word,
-                    chr(30) || array_to_string(
-                      list_transform(range(1, length(word) + 1),
-                        i -> substring(word, CAST(i AS INT), 1)),
-                      chr(30) || chr(30)) || chr(30) AS s,
-                    0 AS it
-                  FROM w0),
-         enc AS (
-           SELECT word, s, it FROM init
-           UNION ALL
-           SELECT word, next_s, it + 1 FROM (
-             SELECT word, it, s,
-               CASE WHEN best IS NULL THEN s
-                    ELSE replace(s,
-                      chr(30) || split_part(ml[best], chr(31), 1) || chr(30) || chr(30)
-                              || split_part(ml[best], chr(31), 2) || chr(30),
-                      chr(30) || replace(ml[best], chr(31), '') || chr(30))
-               END AS next_s
-             FROM (
-               SELECT word, s, it, ml,
-                 list_min(list_filter(
-                   list_transform(range(1, len(syms)),
-                     i -> list_position(ml, syms[CAST(i AS INT)] || chr(31)
-                                            || syms[CAST(i AS INT) + 1])),
-                   p -> p > 0)) AS best
-               FROM (
-                 SELECT word, s, it, ml,
-                   list_transform(string_split(s, chr(30) || chr(30)),
-                     x -> trim(x, chr(30))) AS syms
-                 FROM enc CROSS JOIN m))
-           ) WHERE next_s <> s),
-         fin AS (SELECT word, arg_max(s, it) AS s FROM enc GROUP BY word),
-         wt AS (SELECT word, len(string_split(s, chr(30) || chr(30))) AS n_tok
-                FROM fin),
-         docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                  FROM documents)
+    "bpe_encode" -> (s"""WITH RECURSIVE
+         $EncodeReplayCtes
          SELECT d.doc_id, CAST(coalesce(sum(wt.n_tok), 0) AS BIGINT) AS n_tokens
          FROM documents d
          LEFT JOIN (SELECT doc_id, word FROM docw WHERE word <> '') dw
            ON d.doc_id = dw.doc_id
          LEFT JOIN wt ON dw.word = wt.word
          GROUP BY d.doc_id"""),
+
+    // Fertility audit over the SAME encode replay: per-language token
+    // inflation (tokens per word, chars per token) in exact integer
+    // ppm — the read that says which languages the learned vocabulary
+    // serves poorly (high fertility = more compute per character).
+    "bpe_fertility" -> (s"""WITH RECURSIVE
+         $EncodeReplayCtes,
+         per AS (SELECT dw.doc_id, count(*) AS n_words,
+                   sum(length(dw.word)) AS n_chars, sum(wt.n_tok) AS n_tokens
+                 FROM (SELECT doc_id, word FROM docw WHERE word <> '') dw
+                 JOIN wt ON dw.word = wt.word
+                 GROUP BY dw.doc_id)
+         SELECT d.lang,
+                CAST(sum(per.n_words) AS BIGINT) AS total_words,
+                CAST(sum(per.n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(per.n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(per.n_tokens) * 1000000 // sum(per.n_words) AS BIGINT)
+                  AS tokens_per_word_ppm,
+                CAST(sum(per.n_chars) * 1000000 // sum(per.n_tokens) AS BIGINT)
+                  AS chars_per_token_ppm
+         FROM per JOIN documents d ON per.doc_id = d.doc_id
+         GROUP BY d.lang"""),
     "bpe_pair_stats" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
              SELECT unnest(string_split(text, ' ')) AS word FROM documents)

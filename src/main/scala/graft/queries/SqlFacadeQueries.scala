@@ -380,6 +380,35 @@ object SqlFacadeQueries {
                FROM graft_packed""")
     }),
 
+    // Preference-pair construction through the facade: the pair-yield
+    // report a reward-model data owner reads — pairs and mean margin
+    // per (chosen_rank, rejected_rank) cell. Margins round to 4dp
+    // BEFORE the DECIMAL accumulation so the mean is order-free.
+    "sql_preference" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      GraftSql.registerPreferencePairs(s, "events", "user_id", "event_id",
+        "value", topM = 3, bottomM = 3, minMargin = 5.0,
+        outView = "graft_pref")
+      s.sql("""SELECT chosen_rank, rejected_rank,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(CAST(sum(CAST(round(margin, 4) AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*), 4) AS avg_margin
+               FROM graft_pref GROUP BY chosen_rank, rejected_rank""")
+    }),
+
+    // Blocklist screen through the facade: the keep/drop tally against
+    // the shared taxonomy dictionary ('perf' category blocked above 2
+    // hits) — the corpus-gate read a curation owner runs first.
+    "sql_taxonomy" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerDictScreen(s, "documents", "doc_id", "text",
+        TextQueries.TagDict, blockCategories = Set("perf"), maxHits = 2L,
+        outView = "graft_screen")
+      s.sql("""SELECT keep, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(blocked_hits) AS BIGINT) AS total_hits
+               FROM graft_screen GROUP BY keep""")
+    }),
+
     // Warm-start rank refresh through the facade: two more rounds
     // CONTINUED from the stored rank artifact (the warehouse's "refresh
     // the ranks, don't recompute" path), top-20 read in SQL.
@@ -500,6 +529,24 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    "sql_preference" ->
+      s"""WITH pref AS (${MlPrepQueries.oracleSql("preference_pairs")})
+         SELECT chosen_rank, rejected_rank,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                round(CAST(sum(CAST(margin AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*), 4) AS avg_margin
+         FROM pref GROUP BY chosen_rank, rejected_rank""",
+    "sql_taxonomy" ->
+      s"""WITH tags AS (${TextQueries.oracleSql("taxonomy_tag")}),
+         blocked AS (SELECT doc_id, sum(n_hits) AS blocked_hits
+                     FROM tags WHERE category = 'perf' GROUP BY doc_id),
+         scr AS (SELECT d.doc_id,
+                   coalesce(b.blocked_hits, 0) AS blocked_hits,
+                   coalesce(b.blocked_hits, 0) <= 2 AS keep
+                 FROM documents d LEFT JOIN blocked b USING (doc_id))
+         SELECT keep, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(blocked_hits) AS BIGINT) AS total_hits
+         FROM scr GROUP BY keep""",
     "sql_pack" ->
       s"""WITH packed AS (${PretrainQueries.oracleSql("pack_contiguous")})
          SELECT CAST(count(*) AS BIGINT) AS n_docs,
