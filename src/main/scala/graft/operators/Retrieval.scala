@@ -32,16 +32,18 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id",
       queryTextCol: String = "qtext"): DataFrame = {
-    val toks = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("t"))
-      .where(col("t") =!= "")
+    // persist the POSTINGS index, not the raw token stream: the index
+    // is what both consumers (the query-vocabulary tf prune and the
+    // doc-length aggregate) actually read, it is never larger than the
+    // exploded tokens, and caching it runs the tokenize+count shuffle
+    // ONCE — caching `toks` instead (the pre-r16 shape) still paid that
+    // shuffle once per consumer. This is the same index PRF persists;
+    // its sf1 win over the inline shape motivated the change.
+    val postings = postingsOf(corpus, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = toks.groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
     val result = scorePostings(postings, queries, k,
       queryIdCol, queryTextCol).localCheckpoint(true)
-    toks.unpersist(false)
+    postings.unpersist(false)
     result
   }
 
