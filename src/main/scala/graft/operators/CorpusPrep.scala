@@ -371,6 +371,44 @@ object CorpusPrep {
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.
     */
+  /** Data-repetition budget — the data-constrained-scaling planner
+    * (Muennighoff et al., NeurIPS 2023: repeating data beyond ~4 epochs
+    * stops buying loss): given per-source token totals, integer-permille
+    * mixture weights, and a target training-token count, compute each
+    * source's demanded share, the EFFECTIVE EPOCHS that share implies
+    * (ppm), whether it crosses the repetition ceiling, and the
+    * cap-adjusted tokens actually obtainable. Pure integer arithmetic
+    * over one grouped aggregate — the plan costs one scan whatever the
+    * corpus size, because the question is about TOTALS, not rows.
+    * Weights are renormalized over the sources PRESENT (a missing
+    * source should inflate everyone else's share, not silently lose
+    * its tokens).
+    */
+  def repetitionBudget(tokensPerSource: DataFrame, sourceCol: String,
+      nTokensCol: String, weightPermille: Map[String, Long],
+      targetTokens: Long, maxEpochsPpm: Long = 4000000L): DataFrame = {
+    require(targetTokens > 0, s"need a positive target, got $targetTokens")
+    val spark = tokensPerSource.sparkSession
+    import spark.implicits._
+    val w = weightPermille.toSeq.toDF(sourceCol, "weight_permille")
+    val joined = tokensPerSource.join(broadcast(w), Seq(sourceCol))
+    val totalPerm = joined.agg(sum(col("weight_permille")).as("__tp"))
+    joined.crossJoin(broadcast(totalPerm))
+      .select(col(sourceCol), col(nTokensCol).as("n_tokens"),
+        col("weight_permille"),
+        expr(s"($targetTokens * weight_permille) div __tp")
+          .as("share_tokens"),
+        col("__tp"))
+      .select(col(sourceCol), col("n_tokens"), col("weight_permille"),
+        col("share_tokens"),
+        expr("(share_tokens * 1000000L) div n_tokens").as("epochs_ppm"),
+        (expr("(share_tokens * 1000000L) div n_tokens") > maxEpochsPpm)
+          .as("over_budget"),
+        least(col("share_tokens"),
+          expr(s"($maxEpochsPpm * n_tokens) div 1000000L"))
+          .as("capped_tokens"))
+  }
+
   private def gumbelKey(id: Column, weight: Column): Column = {
     val g = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
       .cast("double")

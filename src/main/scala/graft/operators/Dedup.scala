@@ -798,6 +798,31 @@ object Dedup {
     embeddingCosinePairs(blocked, vecCol, idCol, "cell", minCosine)
   }
 
+  /** Cross-SET cosine pairs — semantic decontamination (the embedding
+    * sibling of the n-gram `decontaminate`): every (eval item, corpus
+    * item) pair above `minCosine`, blocked by a shared coarse-quantizer
+    * cell so the pair space is Σ per-cell |eval|·|corpus|, never
+    * |eval|·|corpus| globally. Both frames must carry the SAME
+    * `blockCol` assignment (one quantizer, two `assignToCentroids`
+    * calls — or one call on the union, filtered after). Unlike
+    * [[embeddingCosinePairs]] there is no id ordering: the two sets are
+    * disjoint roles, and every qualifying cross pair is evidence.
+    */
+  def crossSetCosinePairs(evalSet: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, blockCol: String,
+      minCosine: Double): DataFrame = {
+    def prep(df: DataFrame, idAs: String) =
+      df.select(col(blockCol).as("block"), col(idCol).as(idAs),
+        col(vecCol).as("v"), VectorOps.l2Norm(col(vecCol)).as("nrm"))
+    prep(evalSet, "eval_id").alias("x")
+      .join(prep(corpus, "doc_id").alias("y"), Seq("block"))
+      .select(col("eval_id"), col("doc_id"),
+        VectorOps.cosineWithNorms(col("x.v"), col("y.v"),
+          col("x.nrm"), col("y.nrm")).as("cos"))
+      .where(col("cos") >= minCosine)
+      .select(col("eval_id"), col("doc_id"), round(col("cos"), 4).as("cosine"))
+  }
+
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     val e = df.select(col(blockCol).as("block"), col(idCol).as("id"),

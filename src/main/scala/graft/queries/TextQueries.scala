@@ -1303,6 +1303,24 @@ object TextQueries {
           (round(col("rate"), 6) + lit(0.0)).as("rate_r"))
     }),
 
+    // Data-repetition budget (the data-constrained-scaling planner):
+    // per-source token totals vs the mixture's demanded share at a 10M
+    // target — effective epochs in ppm, the >4-epoch repetition flag,
+    // and the cap-adjusted obtainable tokens. One grouped aggregate +
+    // integer arithmetic; the plan's cost is corpus-size-free beyond
+    // the token count scan.
+    "repetition_budget" -> ((s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      val weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 1000L else if (i < 10) 500L else 200L)).toMap
+      graft.operators.CorpusPrep.repetitionBudget(
+        perSource, "source", "n_tokens", weights,
+        targetTokens = 10000000L)
+    }),
+
     // Per-source weighted sample: 5 docs per source, probability
     // proportional to token count — the same Gumbel keys ranked in a
     // source-partitioned window, so the plan keeps samplePerGroup's
@@ -2035,6 +2053,29 @@ object TextQueries {
          SELECT doc_id, n_bigrams, lm_score, CAST(bkt AS BIGINT) AS ppl_bucket,
                 bkt < 3 AS keep
          FROM b""",
+    "repetition_budget" ->
+      """WITH t AS (SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+         w AS (SELECT source, n_tokens,
+                 CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1000
+                      WHEN CAST(substr(source, 4) AS INT) < 10 THEN 500
+                      ELSE 200 END AS weight_permille
+               FROM t),
+         tot AS (SELECT sum(weight_permille) AS tp FROM w),
+         sh AS (SELECT source, n_tokens, weight_permille,
+                  (CAST(10000000 AS BIGINT) * weight_permille) // tp
+                    AS share_tokens
+                FROM w CROSS JOIN tot)
+         SELECT source, n_tokens,
+                CAST(weight_permille AS BIGINT) AS weight_permille,
+                CAST(share_tokens AS BIGINT) AS share_tokens,
+                CAST(share_tokens * 1000000 // n_tokens AS BIGINT)
+                  AS epochs_ppm,
+                share_tokens * 1000000 // n_tokens > 4000000 AS over_budget,
+                CAST(least(share_tokens, 4000000 * n_tokens // 1000000)
+                  AS BIGINT) AS capped_tokens
+         FROM sh""",
     "taxonomy_tag" ->
       s"""WITH dict(category, phrase) AS (VALUES $tagDictValues),
          tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

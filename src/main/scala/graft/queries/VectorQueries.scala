@@ -225,7 +225,7 @@ object VectorQueries {
     "ann_codebook_pq16_norm", "ann_codebook_pq64_norm",
     "ann_audit_pairs", "ann_recall_audit", "ann_drift", "ann_index_rows",
     "sim_ivf_topk", "sim_pq_topk", "knn_join_ivf", "knn_join_pq",
-    "dedup_semantic")
+    "dedup_semantic", "decontaminate_semantic")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multimodal decode plumbing as a gate query: binary payloads
@@ -649,6 +649,22 @@ object VectorQueries {
         minCosine = 0.4)
     }),
 
+    // Semantic decontamination — the embedding sibling of the n-gram
+    // `decontaminate`: every (eval item, corpus item) cosine pair ≥ 0.4,
+    // blocked by the SAME dumped coarse quantizer as dedup_semantic so
+    // the cross-pair space is Σ per-cell |eval|·|corpus|. An eval set
+    // paraphrased into the corpus slips an n-gram screen; it does not
+    // slip this one.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val blocked = SimilaritySearch.assignToCentroids(
+        Tables.embeddings(s, dir), "embedding",
+        centroidsFromDF(storedIvf8Raw(s, dir)))
+      Dedup.crossSetCosinePairs(
+        blocked.where(pmod(col("vec_id"), lit(25)) === 0),
+        blocked.where(pmod(col("vec_id"), lit(25)) =!= 0),
+        "embedding", "vec_id", "cell", minCosine = 0.4)
+    }),
+
     // Per-label centroid vectors (class prototypes — the center step of
     // clustering / prototype retrieval): flat posexplode → (label, pos)
     // average, the same array-buffer-free shape as G5 propagation.
@@ -835,6 +851,25 @@ object VectorQueries {
            ON x.cell = y.cell AND x.i = y.i AND x.vec_id < y.vec_id
          GROUP BY x.vec_id, y.vec_id)
        SELECT id_a, id_b, round(cos, 4) AS cosine
+       FROM pairs WHERE cos >= 0.4"""
+
+  /** `decontaminate_semantic`: dedupSemanticOracleSql's replay with the
+    * pair roles split cross-set (eval = vec_id % 25 = 0 vs the rest)
+    * instead of the intra-set id ordering.
+    */
+  private def decontaminateSemanticOracleSql: String =
+    s"""WITH $RawEv,
+       ${assignCtes("ann_quantizer_ivf8", "ev")},
+       nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
+       pe AS (SELECT a.cell, e.vec_id, e.i, e.v, n.nrm
+         FROM ev e JOIN asg a USING (vec_id) JOIN nrm n USING (vec_id)),
+       pairs AS (SELECT x.vec_id AS eval_id, y.vec_id AS doc_id,
+           sum(x.v * y.v) / (any_value(x.nrm) * any_value(y.nrm)) AS cos
+         FROM pe x JOIN pe y
+           ON x.cell = y.cell AND x.i = y.i
+          AND x.vec_id % 25 = 0 AND y.vec_id % 25 <> 0
+         GROUP BY x.vec_id, y.vec_id)
+       SELECT eval_id, doc_id, round(cos, 4) AS cosine
        FROM pairs WHERE cos >= 0.4"""
 
   private def annDriftOracleSql: String = {
@@ -1184,6 +1219,7 @@ object VectorQueries {
     // quantizer dump: assignment, within-cell id<id pairs, the 0.4
     // threshold on the unrounded cosine, 4dp output.
     "dedup_semantic" -> dedupSemanticOracleSql,
+    "decontaminate_semantic" -> decontaminateSemanticOracleSql,
     // Full IVFPQ replay (assignment → residual codes → per-(query,
     // cell) LUTs carrying ||q−c||² → ADC top-50 → exact rerank) given
     // the ivf8_norm + pq64_norm dumps; ann_audit_pairs is the same

@@ -119,6 +119,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("cross-set pairs: every eval×corpus hit above threshold, block-bounded") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (100L, 0, Seq(1.0f, 0.0f)),
+      (101L, 1, Seq(0.0f, 1.0f))).toDF("vec_id", "block", "embedding")
+    val corpus = Seq(
+      (1L, 0, Seq(1.0f, 0.02f)),  // near 100, same block → pair
+      (2L, 0, Seq(0.0f, 1.0f)),   // orthogonal to 100 → no pair
+      (3L, 1, Seq(1.0f, 0.0f)),   // near 100 but WRONG block → never seen
+      (4L, 1, Seq(0.01f, 1.0f))   // near 101, same block → pair
+    ).toDF("vec_id", "block", "embedding")
+    val got = Dedup.crossSetCosinePairs(evalSet, corpus,
+      "embedding", "vec_id", "block", minCosine = 0.9)
+      .select("eval_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (101L, 4L)))
+  }
+
   // Hot-shingle corpus: every doc shares one boilerplate stop-phrase;
   // only docs 1/2 are genuine near-dups through their OWN rare shingles.
   private def hotCorpus = {
