@@ -99,6 +99,69 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Own-implementation HyperLogLog over LONG keys — the sketch
+    * ALGORITHM itself oracle-checkable, unlike the DataSketches/HLL++
+    * rows whose blob internals no other engine reproduces: the hash is
+    * Spark's `xxhash64` (replayed in DuckDB by the XxSql hashLong
+    * unroll), the bucket is the low `p` bits, rho is exact integer
+    * bit-length arithmetic on the remaining 64−p bits, and the
+    * estimator's harmonic denominator is accumulated as an EXACT
+    * 2^62-scaled integer (powers of two summed in DECIMAL — a double
+    * sum of 2^-rho terms would be partial-order-dependent once the
+    * exponent span exceeds the mantissa). Registers are (group, bucket,
+    * rho_max) rows: mergeable by max, 2^p per group forever.
+    */
+  def hllLongFit(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
+    val m = 1L << p
+    val w = 64 - p
+    df
+      .withColumn("__h", xxhash64(col(keyCol)))
+      .withColumn("__bucket", pmod(col("__h"), lit(m)))
+      // >>> p: the high 64-p bits as a non-negative long
+      .withColumn("__suffix", expr(s"shiftrightunsigned(__h, $p)"))
+      // rho = leading zeros within the w-bit suffix + 1
+      //     = w - bitLength(suffix) + 1; all-zero suffix → w + 1
+      .withColumn("__rho",
+        when(col("__suffix") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) -
+            length(conv(col("__suffix").cast("string"), 10, 2))))
+      .groupBy(col(groupCol), col("__bucket").as("bucket"))
+      .agg(max(col("__rho")).cast("int").as("rho_max"))
+  }
+
+  /** Distinct-count estimates from [[hllLongFit]] registers: the raw
+    * HLL harmonic estimate with the standard small-range
+    * linear-counting switch (E ≤ 2.5m with empty registers → m·ln(m/V)).
+    * Empty registers contribute 2^0 to the harmonic sum, folded in as
+    * (m − n_obs)·2^62 on the scaled-integer side.
+    */
+  def hllLongEstimate(registers: DataFrame, groupCol: String,
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(expr("shiftleft(1L, 62 - rho_max)").cast("decimal(38,0)"))
+          .as("__ds"))
+      .withColumn("__denom",
+        col("__ds") + (lit(m) - col("n_obs")).cast("decimal(38,0)")
+          * lit(1L << 62).cast("decimal(38,0)"))
+      .withColumn("__eraw",
+        lit(alpha * m * m) * lit(math.pow(2, 62))
+          / col("__denom").cast("double"))
+      .select(col(groupCol), col("n_obs"),
+        round(when(col("__eraw") <= lit(2.5 * m) && col("n_obs") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_obs"))))
+          .otherwise(col("__eraw")), 4).as("est"))
+  }
+
   /** The (term, d, bucket) hash-cell mapping for every distinct term —
     * the dumped-artifact bridge that converts the CMS consumers to
     * exact oracles (the ann_quantizer_* technique): the mapping is

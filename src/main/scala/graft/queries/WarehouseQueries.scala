@@ -786,6 +786,23 @@ object WarehouseQueries {
             col("name_b")), 4).as("jw"))
     }),
 
+    // Own-implementation HLL over LONG keys, hash-gated end to end
+    // (Sketches.hllLongFit/hllLongEstimate): per-event-type distinct
+    // users from 2^4 registers — the sketch ALGORITHM oracle-checked
+    // (xxhash64 replayed via the XxSql unroll, rho by exact bit-length,
+    // the harmonic denominator as a 2^62-scaled exact integer), unlike
+    // the DataSketches/HLL++ rows whose blob internals stay rows-only.
+    // Exact distinct rides along as the in-row accuracy reference.
+    "distinct_hll_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      graft.operators.Sketches.hllLongEstimate(
+          graft.operators.Sketches.hllLongFit(ev, "user_id", "event_type", p = 4),
+          "event_type", p = 4)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")),
+          Seq("event_type"))
+    }),
+
     // KMV (theta) sketch set operations (KmvSketch.pairOps): per-
     // segment distinct-part sketches (bottom-256 of a 48-bit md5) and
     // every pairwise union/INTERSECTION/Jaccard estimate from the
@@ -998,7 +1015,47 @@ object WarehouseQueries {
               ELSE 'continue' END AS decision
        FROM l"""
 
+  /** `distinct_hll_replay`: the ENTIRE own-HLL replay — xxhash64 via the
+    * XxSql hashLong unroll, low-4-bit buckets, rho by exact bin()
+    * bit-length on the 60-bit suffix, the harmonic denominator as the
+    * same 2^62-scaled exact integer, and the raw-vs-linear-counting
+    * switch. Duplicates dedup first (max over duplicates of the same
+    * key is the key's own rho).
+    */
+  private def distinctHllReplayOracleSql: String = {
+    val (hashFrag, hashLast) = XxSql.chain("hb",
+      XxSql.xx64Steps(XxSql.u64("user_id"), "42", "h", "hl"), "dhx")
+    s"""WITH b0 AS (SELECT DISTINCT event_type, user_id FROM events),
+       hb AS (SELECT event_type, user_id FROM b0)
+       $hashFrag,
+       r AS (SELECT event_type, h % 16 AS bucket,
+               max(CASE WHEN h // 16 = 0 THEN 61
+                   ELSE 61 - length(bin(CAST(h // 16 AS HUGEINT))) END) AS rho
+             FROM $hashLast GROUP BY 1, 2),
+       agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+                 sum(CAST(CAST(1 AS BIGINT) << CAST(62 - rho AS INT)
+                   AS HUGEINT)) AS ds
+               FROM r GROUP BY 1),
+       d AS (SELECT event_type, n_obs,
+               ds + (16 - n_obs) * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)
+                 AS denom
+             FROM agg),
+       e AS (SELECT event_type, n_obs,
+               0.673 * 256 * CAST(CAST(1 AS BIGINT) << 62 AS DOUBLE)
+                 / CAST(denom AS DOUBLE) AS eraw
+             FROM d),
+       x AS (SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+             FROM events GROUP BY 1)
+       SELECT e.event_type, n_obs,
+              round(CASE WHEN eraw <= 40.0 AND n_obs < 16
+                    THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4) AS est,
+              exact_distinct
+       FROM e JOIN x ON e.event_type = x.event_type"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "distinct_hll_replay" -> distinctHllReplayOracleSql,
     "scd2_history" -> HistorySql,
     // incremental merge ≡ batch rebuild: the oracle IS the full rebuild
     "scd2_apply" -> HistorySql,

@@ -181,4 +181,37 @@ class SketchSpec extends SparkSpec {
     assert(m.keySet.forall(k => math.abs(m2(k) - m(k)._1) <= 150),
       s"partitioning drift beyond the error band: $m2 vs $m")
   }
+
+  test("own-HLL: estimate tracks exact within the p=6 error band") {
+    import spark.implicits._
+    // m=64 → RSE ≈ 1.04/√64 = 13%; allow 4σ
+    val df = (1L to 2000L).map(i => ("g", i * 7919L)).toDF("g", "k")
+    val est = Sketches.hllLongEstimate(
+      Sketches.hllLongFit(df, "k", "g", p = 6), "g", p = 6)
+      .head().getAs[Double]("est")
+    assert(math.abs(est - 2000.0) < 2000.0 * 0.52, s"est $est vs 2000")
+  }
+
+  test("own-HLL: registers merge by max (shard law) and dedup duplicates") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => ("g", i)).toDF("g", "k")
+    val whole = Sketches.hllLongFit(df, "k", "g", p = 4)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val merged = Sketches.hllLongFit(df.where(col("k") <= 250), "k", "g", 4)
+      .unionByName(Sketches.hllLongFit(df.where(col("k") > 200), "k", "g", 4))
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho_max")).as("rho_max"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("own-HLL: small groups take the linear-counting branch exactly") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("g", "k")
+    val row = Sketches.hllLongEstimate(
+      Sketches.hllLongFit(df, "k", "g", p = 4), "g", p = 4).head()
+    val nObs = row.getAs[Long]("n_obs")
+    assert(nObs <= 3)
+    val expected = math.rint(16.0 * math.log(16.0 / (16 - nObs)) * 1e4) / 1e4
+    assert(row.getAs[Double]("est") == expected)
+  }
 }
