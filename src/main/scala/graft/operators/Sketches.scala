@@ -111,7 +111,7 @@ object Sketches {
     * exponent span exceeds the mantissa). Registers are (group, bucket,
     * rho_max) rows: mergeable by max, 2^p per group forever.
     */
-  def hllLongFit(df: DataFrame, keyCol: String, groupCol: String,
+  def hllLongFit(df: DataFrame, keyCol: String, groupCols: Seq[String],
       p: Int): DataFrame = {
     require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
     val m = 1L << p
@@ -127,8 +127,44 @@ object Sketches {
         when(col("__suffix") === 0, lit(w + 1))
           .otherwise(lit(w + 1) -
             length(conv(col("__suffix").cast("string"), 10, 2))))
-      .groupBy(col(groupCol), col("__bucket").as("bucket"))
+      .groupBy(groupCols.map(col) :+ col("__bucket").as("bucket"): _*)
       .agg(max(col("__rho")).cast("int").as("rho_max"))
+  }
+
+  def hllLongFit(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int): DataFrame = hllLongFit(df, keyCol, Seq(groupCol), p)
+
+  /** Max-merge of own-HLL register frames with the same (groupCols, p):
+    * the HLL mergeability law — a register only ever grows, so shard/
+    * batch sketches fold losslessly (merge ≡ one-shot, exactly).
+    */
+  def hllLongMerge(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.select((groupCols :+ "bucket" :+ "rho_max").map(col): _*)
+      .unionByName(b.select((groupCols :+ "bucket" :+ "rho_max").map(col): _*))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho_max")).cast("int").as("rho_max"))
+
+  /** Trailing-window distinct via the own HLL — the hash-gated sibling
+    * of [[hllTrailingDistinct]], with CALENDAR-slot semantics: output
+    * slot s merges the registers of slots s-window+1..s (an offset
+    * broadcast join — the slide never re-touches the data), restricted
+    * to (group, slot) pairs that actually occur. State per output slot
+    * is 2^p registers whatever the key cardinality.
+    */
+  def hllLongTrailingDistinct(df: DataFrame, keyCol: String,
+      groupCol: String, slotCol: String, window: Int, p: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1; got $window")
+    val regs = hllLongFit(df, keyCol, Seq(groupCol, slotCol), p)
+    val offs = df.sparkSession.range(window).select(col("id").as("__off"))
+    val present = df.select(col(groupCol), col(slotCol)).distinct()
+    val slid = regs.crossJoin(broadcast(offs))
+      .select(col(groupCol), (col(slotCol) + col("__off")).as(slotCol),
+        col("bucket"), col("rho_max"))
+      .join(present, Seq(groupCol, slotCol))
+      .groupBy(col(groupCol), col(slotCol), col("bucket"))
+      .agg(max(col("rho_max")).cast("int").as("rho_max"))
+    hllLongEstimate(slid, Seq(groupCol, slotCol), p)
   }
 
   /** Distinct-count estimates from [[hllLongFit]] registers: the raw
@@ -138,6 +174,9 @@ object Sketches {
     * (m − n_obs)·2^62 on the scaled-integer side.
     */
   def hllLongEstimate(registers: DataFrame, groupCol: String,
+      p: Int): DataFrame = hllLongEstimate(registers, Seq(groupCol), p)
+
+  def hllLongEstimate(registers: DataFrame, groupCols: Seq[String],
       p: Int): DataFrame = {
     val m = 1L << p
     val alpha = p match {
@@ -146,7 +185,7 @@ object Sketches {
       case 6 => 0.709
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
-    registers.groupBy(col(groupCol))
+    registers.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_obs"),
         sum(expr("shiftleft(1L, 62 - rho_max)").cast("decimal(38,0)"))
           .as("__ds"))
@@ -156,10 +195,10 @@ object Sketches {
       .withColumn("__eraw",
         lit(alpha * m * m) * lit(math.pow(2, 62))
           / col("__denom").cast("double"))
-      .select(col(groupCol), col("n_obs"),
+      .select(groupCols.map(col) :+ col("n_obs") :+
         round(when(col("__eraw") <= lit(2.5 * m) && col("n_obs") < m,
           lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_obs"))))
-          .otherwise(col("__eraw")), 4).as("est"))
+          .otherwise(col("__eraw")), 4).as("est"): _*)
   }
 
   /** The (term, d, bucket) hash-cell mapping for every distinct term —

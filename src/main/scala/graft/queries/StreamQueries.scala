@@ -34,6 +34,19 @@ object StreamQueries {
         "user_id", "event_type", "hour_idx", window = 6)
     }),
 
+    // The own-HLL sibling of trailing_distinct, hash-gated end to end
+    // (Sketches.hllLongTrailingDistinct): CALENDAR-slot trailing window
+    // — output slot s max-merges the registers of slots s-5..s via an
+    // offset broadcast join; the slide never re-touches the data and
+    // the whole pipeline (xxhash64, rho, harmonic estimate) replays in
+    // SQL. 2^4 registers per (type, hour) whatever the cardinality.
+    "trailing_distinct_hll" -> ((s, dir) => {
+      graft.operators.Sketches.hllLongTrailingDistinct(
+        Tables.events(s, dir)
+          .withColumn("hour_idx", expr(s"ts_ns div $NanosPerHour")),
+        "user_id", "event_type", "hour_idx", window = 6, p = 4)
+    }),
+
     // Pairwise audience overlap across event types (Sketches
     // .hllOverlapMatrix): one data scan builds a user-set sketch per
     // type; every pairwise |A∩B|/J(A,B) answer is inclusion-exclusion
@@ -769,8 +782,54 @@ object StreamQueries {
                    AND c > v AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
        FROM u"""
 
+  /** `trailing_distinct_hll`: the full own-HLL replay (the
+    * distinct_hll_replay construction) plus the calendar-slot trailing
+    * merge — registers pushed forward 0..5 slots, max per (type, slot,
+    * bucket), restricted to slots that occur.
+    */
+  private def trailingDistinctHllOracleSql: String = {
+    val (hashFrag, hashLast) = XxSql.chain("hb",
+      XxSql.xx64Steps(XxSql.u64("user_id"), "42", "h", "hl"), "tdx")
+    s"""WITH b0 AS (SELECT DISTINCT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx, user_id
+         FROM events),
+       hb AS (SELECT event_type, hour_idx, user_id FROM b0)
+       $hashFrag,
+       r AS (SELECT event_type, hour_idx, h % 16 AS bucket,
+               max(CASE WHEN h // 16 = 0 THEN 61
+                   ELSE 61 - length(bin(CAST(h // 16 AS HUGEINT))) END) AS rho
+             FROM $hashLast GROUP BY 1, 2, 3),
+       present AS (SELECT DISTINCT event_type, hour_idx FROM b0),
+       offs AS (SELECT unnest(generate_series(0, 5)) AS off),
+       slid AS (SELECT r.event_type, r.hour_idx + o.off AS hour_idx,
+                  r.bucket, max(r.rho) AS rho
+                FROM r CROSS JOIN offs o
+                JOIN present p ON p.event_type = r.event_type
+                  AND p.hour_idx = r.hour_idx + o.off
+                GROUP BY 1, 2, 3),
+       agg AS (SELECT event_type, hour_idx,
+                 CAST(count(*) AS BIGINT) AS n_obs,
+                 sum(CAST(CAST(1 AS BIGINT) << CAST(62 - rho AS INT)
+                   AS HUGEINT)) AS ds
+               FROM slid GROUP BY 1, 2),
+       d AS (SELECT event_type, hour_idx, n_obs,
+               ds + (16 - n_obs) * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)
+                 AS denom
+             FROM agg),
+       e AS (SELECT event_type, hour_idx, n_obs,
+               0.673 * 256 * CAST(CAST(1 AS BIGINT) << 62 AS DOUBLE)
+                 / CAST(denom AS DOUBLE) AS eraw
+             FROM d)
+       SELECT event_type, hour_idx, n_obs,
+              round(CASE WHEN eraw <= 40.0 AND n_obs < 16
+                    THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4)
+                AS est
+       FROM e"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "join_size_cms" -> XxSql.cmsJoinSizeOracleSql(width = 65536, depth = 4),
+    "trailing_distinct_hll" -> trailingDistinctHllOracleSql,
     "markov_conversion" -> MarkovConversionOracle,
     "markov_attribution" -> MarkovAttributionOracle,
     // the maintained table must equal the ONE-SHOT lead computation —

@@ -803,6 +803,27 @@ object WarehouseQueries {
           Seq("event_type"))
     }),
 
+    // Streaming-maintained own-HLL (HllStream): the registers folded
+    // from 3 event-id-keyed batches by the lossless max-merge; the
+    // estimate off the MAINTAINED state hash-matches the one-shot
+    // replay oracle (a register only ever grows, so batch packing
+    // cannot matter). State ≤ groups·2^p rows forever.
+    "hll_maintained" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("hll-gate")
+      val skDir = s"$base/registers"
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+        .localCheckpoint(true)
+      for (b <- 0 until 3)
+        graft.streaming.HllStream.applyBatch(
+          ev.where(pmod(col("event_id"), lit(3)) === b),
+          "user_id", "event_type", p = 4, skDir, b)
+      graft.streaming.HllStream.estimates(s, skDir, "event_type", p = 4)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")),
+          Seq("event_type"))
+    }),
+
     // KMV (theta) sketch set operations (KmvSketch.pairOps): per-
     // segment distinct-part sketches (bottom-256 of a 48-bit md5) and
     // every pairwise union/INTERSECTION/Jaccard estimate from the
@@ -1056,6 +1077,9 @@ object WarehouseQueries {
 
   def oracleSql: Map[String, String] = Map(
     "distinct_hll_replay" -> distinctHllReplayOracleSql,
+    // maintained ≡ one-shot: max-merge of register frames is lossless,
+    // so the oracle IS the one-shot replay
+    "hll_maintained" -> distinctHllReplayOracleSql,
     "scd2_history" -> HistorySql,
     // incremental merge ≡ batch rebuild: the oracle IS the full rebuild
     "scd2_apply" -> HistorySql,
