@@ -27,6 +27,50 @@ import graft.functions.TextOps
   */
 object SpanCorrupt {
 
+  /** Fill-in-the-middle transform (Bavarian et al., 2022: "Efficient
+    * Training of Language Models to Fill in the Middle"): split each
+    * selected document at two deterministic points and emit the
+    * PSM-reordered text `<fim_prefix> P <fim_suffix> S <fim_middle> M`,
+    * so an autoregressive model learns infilling for free. The FIM gate
+    * and both cut points are md5-derived uniforms on the doc id — pure
+    * row functions, reproducible across runs, partitions, and engines.
+    * Zero shuffle: token arrays never explode; cuts are array slices.
+    *
+    * @return (doc_id, fim, n_tokens, cut_a, cut_b, out_text) — `fim`
+    *         false rows pass the original text through (the 1−rate
+    *         complement every FIM recipe keeps for plain AR loss).
+    */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+      ratePermille: Int = 500): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      s"ratePermille must be in [0,1000]; got $ratePermille")
+    def draw(salt: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        1, 8), 16, 10).cast("long")
+    df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("fim", draw(":fim") % 1000 < ratePermille)
+      .withColumn("cut_a", least(draw(":a") % (col("n_tokens") + 1),
+        draw(":b") % (col("n_tokens") + 1)))
+      .withColumn("cut_b", greatest(draw(":a") % (col("n_tokens") + 1),
+        draw(":b") % (col("n_tokens") + 1)))
+      .select(col("doc_id"), col("fim"), col("n_tokens"),
+        when(col("fim"), col("cut_a")).otherwise(lit(null)).as("cut_a"),
+        when(col("fim"), col("cut_b")).otherwise(lit(null)).as("cut_b"),
+        when(col("fim"), concat(
+          lit("<fim_prefix> "),
+          concat_ws(" ", expr("slice(__t, 1, CAST(cut_a AS INT))")),
+          lit(" <fim_suffix> "),
+          concat_ws(" ",
+            expr("slice(__t, CAST(cut_b + 1 AS INT), CAST(n_tokens - cut_b AS INT))")),
+          lit(" <fim_middle> "),
+          concat_ws(" ",
+            expr("slice(__t, CAST(cut_a + 1 AS INT), CAST(cut_b - cut_a AS INT))"))))
+          .otherwise(col("__text")).as("out_text"))
+  }
+
   /** (doc_id, input_text, target_text, n_noise, n_spans): one row per
     * document. Token at 1-based position p is noise iff
     * hash48(doc_id:p) mod 100 < noisePct. Span k is replaced by

@@ -62,6 +62,13 @@ object PretrainQueries {
       SpanCorrupt.pairs(Tables.documents(s, dir), "text", "doc_id",
         noisePct = 15)),
 
+    // Fill-in-the-middle (PSM reorder at a 50% gate): both cut points
+    // and the gate are md5 row functions, so the transform is
+    // engine-replayable; non-FIM rows pass the original text through.
+    "fim_transform" -> ((s, dir) =>
+      SpanCorrupt.fimTransform(Tables.documents(s, dir), "text", "doc_id",
+        ratePermille = 500)),
+
     // Per-source boilerplate chunks: a CDC chunk seen in ≥ 3 distinct
     // documents of one source is template text, not content — the
     // C4/CCNet boilerplate rule lifted from lines to chunks.
@@ -182,6 +189,36 @@ object PretrainQueries {
        FROM c"""
 
   def oracleSql: Map[String, String] = Map(
+    "fim_transform" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+         d AS (SELECT *,
+                 CAST(('0x' || substr(md5(doc_id || ':fim'), 1, 8))
+                   AS BIGINT) % 1000 < 500 AS fim,
+                 least(
+                   CAST(('0x' || substr(md5(doc_id || ':a'), 1, 8))
+                     AS BIGINT) % (n + 1),
+                   CAST(('0x' || substr(md5(doc_id || ':b'), 1, 8))
+                     AS BIGINT) % (n + 1)) AS ca,
+                 greatest(
+                   CAST(('0x' || substr(md5(doc_id || ':a'), 1, 8))
+                     AS BIGINT) % (n + 1),
+                   CAST(('0x' || substr(md5(doc_id || ':b'), 1, 8))
+                     AS BIGINT) % (n + 1)) AS cb
+               FROM t)
+         SELECT doc_id, fim, n AS n_tokens,
+                CASE WHEN fim THEN ca END AS cut_a,
+                CASE WHEN fim THEN cb END AS cut_b,
+                CASE WHEN fim THEN
+                  '<fim_prefix> ' ||
+                  coalesce(array_to_string(tk[1:CAST(ca AS INT)], ' '), '') ||
+                  ' <fim_suffix> ' ||
+                  coalesce(array_to_string(tk[CAST(cb + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+                  ' <fim_middle> ' ||
+                  coalesce(array_to_string(tk[CAST(ca + 1 AS INT):CAST(cb AS INT)], ' '), '')
+                ELSE text END AS out_text
+         FROM d""",
 
     "chunk_cdc" ->
       s"""$chunkCte

@@ -62,6 +62,43 @@ class SpanCorruptSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("FIM: PSM reorder is a permutation of the doc; non-FIM rows pass through") {
+    val out = SpanCorrupt.fimTransform(docs, "text", "doc_id",
+      ratePermille = 500)
+      .select("doc_id", "fim", "out_text")
+      .as[(Long, Boolean, String)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(out.exists(_._2) && out.exists(!_._2), "fixture: want both arms")
+    out.foreach { case (id, fim, text) =>
+      if (!fim) assert(text == orig(id))
+      else {
+        val sent = Seq("<fim_prefix>", "<fim_suffix>", "<fim_middle>")
+        assert(sent.forall(text.contains), s"missing sentinel in: $text")
+        val rebuilt = text.split(" ").filterNot(t => sent.contains(t) || t.isEmpty)
+        val pre = text.indexOf("<fim_prefix>"); val suf = text.indexOf("<fim_suffix>")
+        val mid = text.indexOf("<fim_middle>")
+        assert(pre < suf && suf < mid, "PSM order violated")
+        // P ++ S ++ M is a permutation of the tokens; P ++ M ++ S restores
+        val p = text.substring(pre + 13, suf).trim
+        val sfx = text.substring(suf + 13, mid).trim
+        val m = text.substring(mid + 13).trim
+        val restored = Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ")
+        assert(restored == orig(id), s"doc $id: $restored != ${orig(id)}")
+        assert(rebuilt.length == orig(id).split(" ").count(_.nonEmpty))
+      }
+    }
+  }
+
+  test("FIM at rate 0 is the identity; at rate 1000 every row transforms") {
+    val all = SpanCorrupt.fimTransform(docs, "text", "doc_id", 1000)
+    assert(all.where(!col("fim")).count() == 0)
+    val none = SpanCorrupt.fimTransform(docs, "text", "doc_id", 0)
+    assert(none.where(col("fim")).count() == 0)
+    val orig = docs.as[(Long, String)].collect().toMap
+    none.select("doc_id", "out_text").as[(Long, String)].collect()
+      .foreach { case (id, t) => assert(t == orig(id)) }
+  }
+
   test("a doc with no masked token passes through with empty target") {
     // find one noise-free doc at 1% noise (60 tokens ⇒ ~55% chance/doc)
     val ps = SpanCorrupt.pairs(docs, "text", "doc_id", noisePct = 1)
