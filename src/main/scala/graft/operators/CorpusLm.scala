@@ -57,6 +57,54 @@ object CorpusLm {
         round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("lm_score"))
   }
 
+  /** Per-doc mean NLL under an interpolated Kneser-Ney bigram model
+    * (Kneser & Ney, ICASSP 1995; absolute discount D):
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+    *
+    * — the smoothing every real perplexity filter uses, where the MLE
+    * ([[bigramNll]]) assigns unseen-continuation mass nothing. Every
+    * statistic (bigram counts, left/right continuation type counts, the
+    * type total) derives from the ONE bigram-vocab-sized count table;
+    * the probability is an identical double expression on both engines
+    * over those exact integers, and the per-bigram NLL snaps to
+    * DECIMAL(20,8) before summing (the bigramNll discipline), so the
+    * per-doc mean replays in SQL. No backoff-to-unseen term is needed:
+    * scoring the training corpus itself, every scored bigram was seen.
+    */
+  def bigramKnNll(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos"), col("col").as("w"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w1", lag(col("w"), 1).over(byDoc))
+      .where(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("w").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // all four smoothing statistics fold out of the count table
+    val left = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = c2.agg(count(lit(1)).as("nt"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol),
+        (-log(greatest(col("c2") - lit(discount), lit(0.0)) / col("c1")
+          + (lit(discount) * col("n1f") / col("c1"))
+            * (col("n1b") / col("nt"))))
+          .cast("decimal(20,8)").as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 4)
+          .as("kn_score"))
+  }
+
   /** `scored` (from [[bigramNll]]) + `ppl_bucket` (1..k, ANSI-ntile
     * sizes: the first n mod k buckets get one extra row) + `keep`
     * (every bucket but the worst — the CCNet head+middle cut).

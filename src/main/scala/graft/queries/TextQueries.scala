@@ -983,6 +983,15 @@ object TextQueries {
         Tables.documents(s, dir), "text", "doc_id")
     }),
 
+    // Kneser-Ney-smoothed LM scoring (CorpusLm.bigramKnNll, D=0.5): the
+    // real perplexity-filter model — continuation-probability mass for
+    // rare follows instead of raw MLE. All four statistics fold out of
+    // the one bigram-vocab-sized count table.
+    "text_lm_kn" -> ((s, dir) => {
+      graft.operators.CorpusLm.bigramKnNll(
+        Tables.documents(s, dir), "text", "doc_id")
+    }),
+
     // CCNet perplexity cut: the LM scores above, ntiled into
     // head/middle/tail WITHOUT a partitionless window (DenseId global
     // rank + the closed-form ANSI ntile in (rank, n, k)); keep =
@@ -2022,6 +2031,28 @@ object TextQueries {
                          JOIN c1 ON bi.w1 = c1.w1)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS lm_score
+         FROM nll GROUP BY doc_id""",
+    "text_lm_kn" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tok WHERE len(toks) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         lft AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+         rgt AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+         ty AS (SELECT count(*) AS nt FROM c2),
+         nll AS (SELECT bi.doc_id,
+                   CAST(-ln(greatest(c2.c2 - 0.5, 0.0) / lft.c1
+                     + (0.5 * lft.n1f / lft.c1) * (rgt.n1b * 1.0 / ty.nt))
+                     AS DECIMAL(20,8)) AS nll
+                 FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                         JOIN lft ON bi.w1 = lft.w1
+                         JOIN rgt ON bi.w2 = rgt.w2
+                         CROSS JOIN ty)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS kn_score
          FROM nll GROUP BY doc_id""",
     // same scoring CTEs as text_lm_score, then the closed-form ANSI
     // ntile over the 0-based global rank (identical formula to

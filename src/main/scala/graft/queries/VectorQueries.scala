@@ -712,6 +712,31 @@ object VectorQueries {
           (round(col("col"), 4) + lit(0.0)).as("value"))
     }),
 
+    // Per-DIMENSION standardization (feature-wise whitening — the
+    // embedding-preprocessing step before PCA/linear probes; distinct
+    // from vec_normalize's per-VECTOR L2). Moments accumulate in
+    // DECIMAL (per-element values snap to DECIMAL(20,10) first) so the
+    // d-sized stats frame is aggregation-order-free; the z itself is an
+    // identical double expression over those exact sums on both
+    // engines. One posexplode + one pos-keyed aggregate broadcast back.
+    "vec_standardize" -> ((s, dir) => {
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("v"))
+      val stats = flat.groupBy(col("pos"))
+        .agg(sum(col("v").cast("decimal(20,10)")).as("sv"),
+          sum((col("v") * col("v")).cast("decimal(20,10)")).as("svv"),
+          count(lit(1)).as("n"))
+      flat.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          (round((col("v") - col("sv").cast("double") / col("n"))
+            / sqrt(col("svv").cast("double") / col("n")
+              - (col("sv").cast("double") / col("n"))
+                * (col("sv").cast("double") / col("n"))), 4) + lit(0.0))
+            .as("z"))
+    }),
+
     // Symmetric int8 quantization: q = round(x / (max|x|/127)) — the
     // storage format that cuts an ANN index to a quarter of fp32 with
     // ~0.4% worst-case element error. The per-vector dynamic range is
@@ -1220,6 +1245,22 @@ object VectorQueries {
     // threshold on the unrounded cosine, 4dp output.
     "dedup_semantic" -> dedupSemanticOracleSql,
     "decontaminate_semantic" -> decontaminateSemanticOracleSql,
+    "vec_standardize" ->
+      """WITH f AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+              FROM (SELECT vec_id, embedding,
+                      unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings)),
+         st AS (SELECT pos, sum(CAST(v AS DECIMAL(20,10))) AS sv,
+                  sum(CAST(v * v AS DECIMAL(20,10))) AS svv,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM f GROUP BY pos)
+         SELECT f.vec_id, f.pos,
+                round((f.v - CAST(sv AS DOUBLE) / n)
+                  / sqrt(CAST(svv AS DOUBLE) / n
+                    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)), 4)
+                  + 0.0 AS z
+         FROM f JOIN st ON f.pos = st.pos""",
     // Full IVFPQ replay (assignment → residual codes → per-(query,
     // cell) LUTs carrying ||q−c||² → ADC top-50 → exact rerank) given
     // the ivf8_norm + pq64_norm dumps; ann_audit_pairs is the same

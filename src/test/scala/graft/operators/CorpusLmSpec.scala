@@ -50,6 +50,35 @@ class CorpusLmSpec extends SparkSpec {
     assert(maxByBucket(2L) <= minByBucket(3L))
   }
 
+  test("bigramKnNll: hand-checked interpolated Kneser-Ney (D = 0.5)") {
+    // bigrams: (a b)×2, (a c)×1, (b a)×1 → c1(a)=3, N1+(a·)=2; c1(b)=1,
+    // N1+(b·)=1; N1+(·a)=1, N1+(·b)=1, N1+(·c)=1; types nt=3
+    val docs = Seq((1L, "a b"), (2L, "a b a c")).toDF("doc_id", "text")
+    val out = CorpusLm.bigramKnNll(docs, "text", "doc_id")
+      .select("doc_id", "n_bigrams", "kn_score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, s) => d -> ((n, s)) }.toMap
+    def p(c12: Double, c1: Double, n1f: Double, n1b: Double) =
+      math.max(c12 - 0.5, 0.0) / c1 + (0.5 * n1f / c1) * (n1b / 3.0)
+    def snap(x: Double) = BigDecimal(-math.log(x))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = math.rint(snap(p(2, 3, 2, 1)) * 1e4) / 1e4
+    assert(out(1L) == ((1L, d1)))
+    val doc2 = Seq(p(2, 3, 2, 1), p(1, 1, 1, 1), p(1, 3, 2, 1)).map(snap).sum / 3
+    assert(out(2L) == ((3L, math.rint(doc2 * 1e4) / 1e4)))
+  }
+
+  test("KN assigns rare continuations more mass than the MLE's zero-backoff shape") {
+    // 'c' follows only 'a'; KN shifts discount mass onto continuation
+    // probability, so P_KN(c|a) < P_MLE(c|a) but stays positive
+    val docs = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val mle = CorpusLm.bigramNll(docs, "text", "doc_id")
+      .head().getAs[Double]("lm_score")
+    val kn = CorpusLm.bigramKnNll(docs, "text", "doc_id")
+      .head().getAs[Double]("kn_score")
+    assert(kn > 0 && mle > 0 && kn != mle)
+  }
+
   test("pplBuckets with n < k still assigns 1-based buckets") {
     val scored = Seq((1L, 2L, 0.5), (2L, 2L, 0.9))
       .toDF("doc_id", "n_bigrams", "lm_score")
