@@ -368,6 +368,27 @@ object GraftSql {
         dict, blockCategories, maxHits)
       .createOrReplaceTempView(outView)
 
+  /** Fill-in-the-middle transform over a document view →
+    * `outView(doc_id, fim, n_tokens, cut_a, cut_b, out_text)` — see
+    * [[graft.operators.SpanCorrupt.fimTransform]].
+    */
+  def registerFim(s: SparkSession, docsView: String, textCol: String,
+      idCol: String, ratePermille: Int, outView: String): Unit =
+    graft.operators.SpanCorrupt.fimTransform(s.table(docsView), textCol,
+        idCol, ratePermille)
+      .createOrReplaceTempView(outView)
+
+  /** Own-HLL distinct estimates over a keyed view →
+    * `outView(groupCol, n_obs, est)` — fit + estimate in one call; see
+    * [[graft.operators.Sketches.hllLongFit]]/[[graft.operators.Sketches.hllLongEstimate]].
+    */
+  def registerHllDistinct(s: SparkSession, rowsView: String, keyCol: String,
+      groupCol: String, p: Int, outView: String): Unit =
+    graft.operators.Sketches.hllLongEstimate(
+        graft.operators.Sketches.hllLongFit(s.table(rowsView), keyCol,
+          groupCol, p), groupCol, p)
+      .createOrReplaceTempView(outView)
+
   def registerPackContiguous(s: SparkSession, rowsView: String,
       nTokensCol: String, seqLen: Long, outView: String,
       orderCol: String): Unit =

@@ -371,6 +371,33 @@ object CorpusPrep {
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.
     */
+  /** False-negative-free contrastive batch layout: assign clustered
+    * items to training batches such that NO batch holds two members of
+    * the same near-dup cluster — in-batch-negative training (InfoNCE,
+    * CLIP-style) treats every other batch member as a negative, so a
+    * near-duplicate in the same batch is a FALSE negative that directly
+    * fights the objective. Construction is collision-free by
+    * arithmetic, not by search: within-cluster rank r (one per-cluster
+    * window — the only exchange) stratifies members, and batch_id =
+    * r·G + md5(cluster) mod G scatters clusters across G batch groups
+    * per stratum; two members of one cluster share the md5 term but
+    * never the stratum, so they can never share a batch. Pure row
+    * functions after the rank — no global sort, engine-replayable.
+    */
+  def contrastiveBatches(clustered: DataFrame, idCol: String,
+      clusterCol: String, groupsPerStratum: Int = 16): DataFrame = {
+    require(groupsPerStratum >= 1, s"need G >= 1, got $groupsPerStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(col(idCol))
+    clustered.select(col(idCol), col(clusterCol))
+      .withColumn("__r", row_number().over(w) - 1)
+      .select(col(idCol), col(clusterCol),
+        (col("__r") * groupsPerStratum
+          + conv(substring(md5(col(clusterCol).cast("string")), 1, 4),
+            16, 10).cast("long") % groupsPerStratum)
+          .cast("long").as("batch_id"))
+  }
+
   /** Data-repetition budget — the data-constrained-scaling planner
     * (Muennighoff et al., NeurIPS 2023: repeating data beyond ~4 epochs
     * stops buying loss): given per-source token totals, integer-permille

@@ -26,6 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Group-relative advantage — the GRPO normalization (Shao et al.,
+    * 2024, DeepSeekMath): per group, advantage_i = (s_i − mean) / std
+    * over the group's candidate scores, the score signal a
+    * policy-gradient trainer consumes instead of a learned value
+    * baseline. Scores snap to DECIMAL(18,6) before the moment sums so
+    * the group moments are aggregation-order-free; the z itself is an
+    * identical double expression over those exact sums on both engines.
+    * Degenerate groups (all scores equal — min = max, an EXACT decimal
+    * test) get advantage 0 rather than 0/0. One per-group exchange.
+    */
+  def groupAdvantage(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    // centi-unit integer scores: z = (n·s_i − S1) / √(n·S2 − S1²) is
+    // ALGEBRAICALLY (s_i − mean)/σ_pop, but every intermediate is an
+    // exact ≤2^53 integer at realistic group sizes, so the only float
+    // ops are one division and one sqrt of exactly-converted values —
+    // no decimal→double of huge scaled sums, whose last-ulp rounding
+    // differs across engines and flips 4dp boundaries (caught by the
+    // sf0.1 sweep). Degenerate groups (den = 0, an exact integer test)
+    // get advantage 0 rather than 0/0; `+ 0.0` kills negative zero.
+    val snapped = df.select(col(groupCol), col(idCol),
+      (col(scoreCol).cast("decimal(18,2)") * 100).cast("long").as("__sc"))
+    val stats = snapped.groupBy(col(groupCol))
+      .agg(sum(col("__sc")).as("__s1"),
+        sum(col("__sc") * col("__sc")).as("__s2"),
+        count(lit(1)).as("__n"))
+    snapped.join(stats, Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        (round(when(col("__n") * col("__s2") - col("__s1") * col("__s1") === 0,
+          lit(0.0))
+          .otherwise(
+            (col("__n") * col("__sc") - col("__s1")).cast("double")
+              / sqrt((col("__n") * col("__s2")
+                - col("__s1") * col("__s1")).cast("double"))), 4) + lit(0.0))
+          .as("advantage"))
+  }
+
   /** (groupCol, chosen_id, chosen_score, chosen_rank, rejected_id,
     * rejected_score, rejected_rank, margin) — strict-preference pairs,
     * top-`topM` × bottom-`bottomM` per group, margin ≥ `minMargin`.

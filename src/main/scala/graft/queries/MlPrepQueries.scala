@@ -55,6 +55,16 @@ object MlPrepQueries {
           round(col("margin"), 4).as("margin"))
     }),
 
+    // Group-relative advantage (Preference.groupAdvantage — the GRPO
+    // normalization): per-user candidate scores centered and scaled by
+    // the GROUP's own moments, the value-baseline-free signal a policy
+    // trainer consumes. Moments from DECIMAL-snapped scores; one
+    // per-group exchange.
+    "group_advantage" -> ((s, dir) => {
+      graft.operators.Preference.groupAdvantage(
+        Tables.events(s, dir), "user_id", "event_id", "value")
+    }),
+
     // Equal-frequency discretization (Discretize): 10 quantile bins of
     // l_extendedprice — one percentile-array aggregate to fit (exact,
     // to match the oracle; approx_percentile is the documented 100 TB
@@ -1081,6 +1091,19 @@ object MlPrepQueries {
   }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "group_advantage" ->
+      """WITH s AS (SELECT user_id, event_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc
+              FROM events),
+         st AS (SELECT user_id, sum(sc) AS s1, sum(sc * sc) AS s2,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY 1)
+         SELECT s.user_id, event_id,
+                round(CASE WHEN n * s2 - s1 * s1 = 0 THEN 0.0
+                      ELSE CAST(n * sc - s1 AS DOUBLE)
+                        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END, 4)
+                  + 0.0 AS advantage
+         FROM s JOIN st ON s.user_id = st.user_id""",
     "preference_pairs" ->
       """WITH ranked AS (SELECT user_id, event_id, value,
            row_number() OVER (PARTITION BY user_id

@@ -409,6 +409,34 @@ object SqlFacadeQueries {
                FROM graft_screen GROUP BY keep""")
     }),
 
+    // FIM prep through the facade: the objective-mix report a pretrain
+    // owner reads off the transformed corpus — docs, tokens, and output
+    // characters per arm (character totals are exact integers, so the
+    // aggregate hash-gates the full transform text through the view).
+    "sql_fim" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      GraftSql.registerFim(s, "documents", "text", "doc_id",
+        ratePermille = 500, outView = "graft_fim")
+      s.sql("""SELECT fim, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(length(out_text)) AS BIGINT) AS total_chars
+               FROM graft_fim GROUP BY fim""")
+    }),
+
+    // Own-HLL distinct counts through the facade: per-type estimates
+    // from the registered view, totalled in DECIMAL over the already-
+    // 4dp-rounded per-group estimates (order-free).
+    "sql_hll_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      GraftSql.registerHllDistinct(s, "events", "user_id", "event_type",
+        p = 4, outView = "graft_hll")
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(n_obs) AS BIGINT) AS total_registers,
+                 round(CAST(sum(CAST(est AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS total_est
+               FROM graft_hll""")
+    }),
+
     // Warm-start rank refresh through the facade: two more rounds
     // CONTINUED from the stored rank artifact (the warehouse's "refresh
     // the ranks, don't recompute" path), top-20 read in SQL.
@@ -529,6 +557,19 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    "sql_fim" ->
+      s"""WITH f AS (${PretrainQueries.oracleSql("fim_transform")})
+         SELECT fim, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(length(out_text)) AS BIGINT) AS total_chars
+         FROM f GROUP BY fim""",
+    "sql_hll_distinct" ->
+      s"""WITH h AS (${WarehouseQueries.oracleSql("distinct_hll_replay")})
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n_obs) AS BIGINT) AS total_registers,
+                round(CAST(sum(CAST(est AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS total_est
+         FROM h""",
     "sql_preference" ->
       s"""WITH pref AS (${MlPrepQueries.oracleSql("preference_pairs")})
          SELECT chosen_rank, rejected_rank,

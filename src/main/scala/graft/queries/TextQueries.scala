@@ -59,7 +59,8 @@ object TextQueries {
     * (gate/split/mining), not a rebuild of the contraction.
     */
   val clusterFixtureConsumers: Set[String] = Set(
-    "split_leakage_safe", "dedup_best_rep", "contrastive_triplets")
+    "split_leakage_safe", "dedup_best_rep", "contrastive_triplets",
+    "contrastive_batches")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // THE composed flagship: the document-prep pipeline a training-data
@@ -1312,6 +1313,16 @@ object TextQueries {
           (round(col("rate"), 6) + lit(0.0)).as("rate_r"))
     }),
 
+    // False-negative-free contrastive batches: near-dup clusters (the
+    // stored star fixture) scattered so no batch ever holds two members
+    // of one cluster — the in-batch-negative layout that keeps InfoNCE
+    // negatives honest. Collision-free by arithmetic (stratum × md5
+    // scatter), one per-cluster rank window, engine-replayable.
+    "contrastive_batches" -> ((s, dir) => {
+      graft.operators.CorpusPrep.contrastiveBatches(
+        storedStarClusters(s, dir), "id", "cluster", groupsPerStratum = 16)
+    }),
+
     // Data-repetition budget (the data-constrained-scaling planner):
     // per-source token totals vs the mixture's demanded share at a 10M
     // target — effective epochs in ppm, the >4-epoch repetition flag,
@@ -2408,6 +2419,15 @@ object TextQueries {
          JOIN splits sa ON sa.id = pairs.doc_a
          JOIN splits sb ON sb.id = pairs.doc_b AND sb.mode = sa.mode
          GROUP BY sa.mode""",
+    "contrastive_batches" ->
+      s"""WITH cl AS ($StarClustersOracle),
+         r AS (SELECT id, cluster,
+                 row_number() OVER (PARTITION BY cluster ORDER BY id) - 1 AS rk
+               FROM cl)
+         SELECT id, cluster,
+                CAST(rk * 16 + CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+                  1, 4)) AS BIGINT) % 16 AS BIGINT) AS batch_id
+         FROM r""",
     "split_leakage_safe" ->
       s"""SELECT id, cluster,
             CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))

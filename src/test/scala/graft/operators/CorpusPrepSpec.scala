@@ -253,4 +253,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.agg(max(col("copy"))).head.getLong(0) == 1L)
     assert(out.count() == 10)
   }
+
+  test("contrastiveBatches: no batch ever holds two members of one cluster") {
+    import spark.implicits._
+    // skewed clusters: one of 40, several small, many singletons
+    val rows = ((1L to 40L).map(i => (i, 1000L)) ++
+      (41L to 60L).map(i => (i, 1000L + i % 5)) ++
+      (61L to 200L).map(i => (i, i))).toDF("id", "cluster")
+    val out = CorpusPrep.contrastiveBatches(rows, "id", "cluster", 16)
+    assert(out.count() == 200)
+    val collisions = out.groupBy(col("batch_id"), col("cluster"))
+      .count().where(col("count") > 1).count()
+    assert(collisions == 0, "same-cluster pair shared a batch")
+    // stratum arithmetic: rank-r members live in batch range [r*16, r*16+16)
+    val bad = out
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+          .orderBy(col("id"))) - 1)
+      .where(col("batch_id") < col("rk") * 16 ||
+        col("batch_id") >= (col("rk") + 1) * 16)
+      .count()
+    assert(bad == 0)
+  }
 }

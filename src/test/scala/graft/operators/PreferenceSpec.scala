@@ -53,6 +53,30 @@ class PreferenceSpec extends SparkSpec {
     assert(out == Set((2L, 1L)))
   }
 
+  test("groupAdvantage: hand-checked moments and the degenerate-group guard") {
+    val rows = Seq(
+      ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
+      ("flat", 4L, 5.0), ("flat", 5L, 5.0)).toDF("grp", "id", "score")
+    val out = Preference.groupAdvantage(rows, "grp", "id", "score")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // g: mean 2, population std = sqrt(2/3)
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(out(1L) == math.rint(-1.0 / sd * 1e4) / 1e4)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == math.rint(1.0 / sd * 1e4) / 1e4)
+    // all-equal group: advantage 0, not 0/0
+    assert(out(4L) == 0.0 && out(5L) == 0.0)
+  }
+
+  test("groupAdvantage sums to ~0 within every group") {
+    val rows = (1 to 40).map(i => (s"g${i % 4}", i.toLong, (i * i % 17).toDouble))
+    val sums = Preference.groupAdvantage(rows.toDF("grp", "id", "score"),
+      "grp", "id", "score")
+      .groupBy("grp").agg(sum(col("advantage")).as("s"))
+      .as[(String, Double)].collect()
+    sums.foreach { case (g, s) => assert(math.abs(s) < 1e-2, s"$g sums to $s") }
+  }
+
   test("partitioning does not change the pair set") {
     val rows = (1 to 30).flatMap(g =>
       (1 to 15).map(i => (s"g$g", (g * 1000 + i).toLong,
