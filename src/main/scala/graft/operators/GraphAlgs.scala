@@ -727,6 +727,48 @@ object GraphAlgs {
     } finally e.unpersist()
   }
 
+  /** HyperBall over the OWN HyperLogLog
+    * ([[Sketches.hllLongFit]]/[[Sketches.hllLongMerge]]) — the
+    * hash-gated sibling of [[neighborhoodFunctionHll]]: registers are
+    * (node, bucket, rho) INTEGER rows instead of library blobs, the
+    * per-hop union is the lossless max-merge through one edge join, and
+    * the whole iteration (xxhash64 buckets, bit-length rho, the scaled-
+    * integer harmonic estimate) replays in SQL — see the
+    * `graph_neighborhood_hll_own` oracle. Per-hop state is
+    * nodes·2^p rows whatever the ball sizes.
+    */
+  def neighborhoodFunctionHllOwn(edges: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      p: Int = 4): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0; got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      var state = Sketches.hllLongFit(nodes, "node", Seq("node"), p)
+        .localCheckpoint(true)
+      def estimates(s: DataFrame, hop: Int): DataFrame =
+        Sketches.hllLongEstimate(s, Seq("node"), p)
+          .select(col("node"), lit(hop.toLong).as("hop"),
+            col("n_obs"), col("est"))
+          .localCheckpoint(true)
+      val out = scala.collection.mutable.ArrayBuffer(estimates(state, 0))
+      for (hop <- 1 to maxHops) {
+        val contrib = e.join(state, e("dst") === state("node"))
+          .select(e("src").as("node"), col("bucket"), col("rho_max"))
+        val next = Sketches.hllLongMerge(state, contrib, Seq("node"))
+          .localCheckpoint(true)
+        CheckpointShim.freeLocalCheckpointIfAny(state)
+        state = next
+        out += estimates(state, hop)
+      }
+      out.reduce(_ unionAll _)
+    } finally e.unpersist()
+  }
+
   /** Stationary distribution of a weighted Markov chain by power
     * iteration in INTEGER fixed-point (the [[PageRank]] discipline:
     * every contribution floors to an int64, so the result is

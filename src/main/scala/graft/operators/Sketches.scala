@@ -201,6 +201,50 @@ object Sketches {
           .otherwise(col("__eraw")), 4).as("est"): _*)
   }
 
+  /** Pairwise overlap matrix from OWN-HLL registers — the hash-gated
+    * sibling of [[hllOverlapMatrix]]: per-group registers built once,
+    * every pair's union a lossless max-merge of the two register sets,
+    * intersection by inclusion-exclusion over the (already-4dp-rounded)
+    * estimates, clamped at 0. The pair expansion touches only the
+    * G·2^p register frame — broadcast-sized by construction — never
+    * the data; the whole matrix replays in SQL.
+    */
+  def hllLongOverlapMatrix(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int): DataFrame = {
+    // eager checkpoint: the G·2^p register frame is read three times
+    // (singles, group list, pair expansion) — recomputing it would
+    // re-scan the corpus per read
+    val regs = hllLongFit(df, keyCol, Seq(groupCol), p)
+      .localCheckpoint(true)
+    val singles = hllLongEstimate(regs, Seq(groupCol), p)
+    val grps = regs.select(col(groupCol)).distinct()
+    val pairs = grps.select(col(groupCol).as("grp_a"))
+      .crossJoin(grps.select(col(groupCol).as("grp_b")))
+      .where(col("grp_a") < col("grp_b"))
+    val pairRegs = pairs
+      .join(regs.withColumnRenamed(groupCol, "__g"),
+        col("__g") === col("grp_a") || col("__g") === col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"), col("bucket"))
+      .agg(max(col("rho_max")).cast("int").as("rho_max"))
+    val unions = hllLongEstimate(pairRegs, Seq("grp_a", "grp_b"), p)
+      .select(col("grp_a"), col("grp_b"), col("est").as("union_est"))
+    val out = pairs
+      .join(singles.select(col(groupCol).as("grp_a"), col("est").as("est_a")),
+        Seq("grp_a"))
+      .join(singles.select(col(groupCol).as("grp_b"), col("est").as("est_b")),
+        Seq("grp_b"))
+      .join(unions, Seq("grp_a", "grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
+        col("union_est"),
+        (round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("union_est")), 4) + lit(0.0))
+          .as("intersect_est"),
+        (round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("union_est"))
+          / col("union_est"), 4) + lit(0.0)).as("jaccard"))
+    out
+  }
+
   /** The (term, d, bucket) hash-cell mapping for every distinct term —
     * the dumped-artifact bridge that converts the CMS consumers to
     * exact oracles (the ann_quantizer_* technique): the mapping is

@@ -47,6 +47,16 @@ object StreamQueries {
         "user_id", "event_type", "hour_idx", window = 6, p = 4)
     }),
 
+    // Own-HLL audience overlap — the hash-gated sibling of
+    // audience_overlap: integer registers per type, pair unions by
+    // lossless max-merge over the G·2^4 register frame (never the
+    // data), inclusion-exclusion over already-rounded estimates. The
+    // whole matrix replays in SQL.
+    "audience_overlap_own" -> ((s, dir) => {
+      graft.operators.Sketches.hllLongOverlapMatrix(
+        Tables.events(s, dir), "user_id", "event_type", p = 4)
+    }),
+
     // Pairwise audience overlap across event types (Sketches
     // .hllOverlapMatrix): one data scan builds a user-set sketch per
     // type; every pairwise |A∩B|/J(A,B) answer is inclusion-exclusion
@@ -827,9 +837,59 @@ object StreamQueries {
        FROM e"""
   }
 
+  /** `audience_overlap_own`: registers per type from the xxhash64
+    * unroll, pair unions by register max over the OR-join expansion,
+    * the p=4 estimator on both the singles and the pair unions,
+    * inclusion-exclusion over the rounded estimates.
+    */
+  private def audienceOverlapOwnOracleSql: String = {
+    val (hashFrag, hashLast) = XxSql.chain("hb",
+      XxSql.xx64Steps(XxSql.u64("user_id"), "42", "h", "hl"), "aox")
+    def est(reg: String, keys: String, out: String): String =
+      s"""$out AS (
+         SELECT $keys, round(CASE WHEN eraw <= 40.0 AND n_obs < 16
+               THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4) AS est
+         FROM (SELECT $keys, n_obs,
+                 0.673 * 256 * CAST(CAST(1 AS BIGINT) << 62 AS DOUBLE)
+                   / CAST(ds + (16 - n_obs)
+                     * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT) AS DOUBLE)
+                   AS eraw
+               FROM (SELECT $keys, CAST(count(*) AS BIGINT) AS n_obs,
+                       sum(CAST(CAST(1 AS BIGINT) << CAST(62 - rho AS INT)
+                         AS HUGEINT)) AS ds
+                     FROM $reg GROUP BY $keys)))"""
+    s"""WITH b0 AS (SELECT DISTINCT event_type, user_id FROM events),
+       hb AS (SELECT event_type, user_id FROM b0)
+       $hashFrag,
+       r AS (SELECT event_type, h % 16 AS bucket,
+               max(CASE WHEN h // 16 = 0 THEN 61
+                   ELSE 61 - length(bin(CAST(h // 16 AS HUGEINT))) END) AS rho
+             FROM $hashLast GROUP BY 1, 2),
+       ${est("r", "event_type", "singles")},
+       grps AS (SELECT DISTINCT event_type FROM r),
+       pr AS (SELECT a.event_type AS grp_a, b.event_type AS grp_b
+              FROM grps a, grps b WHERE a.event_type < b.event_type),
+       preg AS (SELECT pr.grp_a, pr.grp_b, r.bucket, max(r.rho) AS rho
+                FROM pr JOIN r ON r.event_type = pr.grp_a
+                              OR r.event_type = pr.grp_b
+                GROUP BY 1, 2, 3),
+       ${est("preg", "grp_a, grp_b", "uni")}
+       SELECT pr.grp_a, pr.grp_b,
+              sa.est AS est_a, sb.est AS est_b, uni.est AS union_est,
+              round(greatest(0.0, sa.est + sb.est - uni.est), 4) + 0.0
+                AS intersect_est,
+              round(greatest(0.0, sa.est + sb.est - uni.est) / uni.est, 4)
+                + 0.0 AS jaccard
+       FROM pr
+       JOIN singles sa ON sa.event_type = pr.grp_a
+       JOIN singles sb ON sb.event_type = pr.grp_b
+       JOIN uni ON uni.grp_a = pr.grp_a AND uni.grp_b = pr.grp_b"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "join_size_cms" -> XxSql.cmsJoinSizeOracleSql(width = 65536, depth = 4),
     "trailing_distinct_hll" -> trailingDistinctHllOracleSql,
+    "audience_overlap_own" -> audienceOverlapOwnOracleSql,
     "markov_conversion" -> MarkovConversionOracle,
     "markov_attribution" -> MarkovAttributionOracle,
     // the maintained table must equal the ONE-SHOT lead computation —

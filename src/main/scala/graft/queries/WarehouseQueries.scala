@@ -567,6 +567,16 @@ object WarehouseQueries {
       GraphAlgs.neighborhoodFunctionHll(supplierEdgesSampled(s, dir), maxHops = 2)
     }),
 
+    // HyperBall over the OWN HLL — the hash-gated sibling of
+    // graph_neighborhood_hll: integer (node, bucket, rho) registers,
+    // per-hop lossless max-merge through one edge join, and the whole
+    // iteration replays in SQL (the r0→r1→r2 unroll in the oracle).
+    // Per-hop state nodes·2^4 rows whatever the ball sizes.
+    "graph_neighborhood_hll_own" -> ((s, dir) => {
+      GraphAlgs.neighborhoodFunctionHllOwn(
+        supplierEdgesSampled(s, dir), maxHops = 2)
+    }),
+
     // Fellegi-Sunter record linkage: customer self-linkage blocked on
     // key-range blocks of 10 (SIZE-stable at every sf — the blocking
     // discipline: candidates are Σ_b |block|², so the caller bounds
@@ -1075,8 +1085,68 @@ object WarehouseQueries {
        FROM e JOIN x ON e.event_type = x.event_type"""
   }
 
+  /** One own-HLL estimator read over a register CTE with columns
+    * (node, bucket, rho) — the distinct_hll_replay tail parameterized
+    * by hop; p=4 constants (m=16, α=0.673).
+    */
+  private def hllOwnNodeEstSql(regCte: String, hop: Int): String =
+    s"""SELECT node, CAST($hop AS BIGINT) AS hop, n_obs,
+          round(CASE WHEN eraw <= 40.0 AND n_obs < 16
+                THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4) AS est
+        FROM (SELECT node, n_obs,
+                0.673 * 256 * CAST(CAST(1 AS BIGINT) << 62 AS DOUBLE)
+                  / CAST(ds + (16 - n_obs)
+                    * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT) AS DOUBLE)
+                  AS eraw
+              FROM (SELECT node, CAST(count(*) AS BIGINT) AS n_obs,
+                      sum(CAST(CAST(1 AS BIGINT) << CAST(62 - rho AS INT)
+                        AS HUGEINT)) AS ds
+                    FROM $regCte GROUP BY node))"""
+
+  /** `graph_neighborhood_hll_own`: the full own-HLL HyperBall replay —
+    * the graph_neighborhood edge/symmetrization head, per-node seed
+    * registers from the xxhash64 unroll, two unrolled max-merge hops,
+    * the estimator at every hop.
+    */
+  private def graphNeighborhoodHllOwnOracleSql: String = {
+    val (hashFrag, hashLast) = XxSql.chain("hb",
+      XxSql.xx64Steps(XxSql.u64("node"), "42", "h", "hl"), "nhx")
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (SELECT node, bucket, max(rho) AS rho FROM (
+              SELECT node, bucket, rho FROM $prev
+              UNION ALL
+              SELECT sym.src AS node, $prev.bucket, $prev.rho
+              FROM sym JOIN $prev ON $prev.node = sym.dst)
+            GROUP BY 1, 2)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       eg AS (SELECT l_orderkey, l_suppkey AS b,
+                lag(l_suppkey) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_suppkey) AS a
+              FROM li),
+       e0 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              FROM eg WHERE a IS NOT NULL AND a <> b),
+       e AS (SELECT a, b FROM e0
+             WHERE CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':'
+               || CAST(b AS VARCHAR)), 1, 4)) AS INTEGER) < 6554),
+       sym AS (SELECT a AS src, b AS dst FROM e
+               UNION ALL SELECT b AS src, a AS dst FROM e),
+       nodes AS (SELECT DISTINCT src AS node FROM sym),
+       hb AS (SELECT node FROM nodes)
+       $hashFrag,
+       r0 AS (SELECT node, h % 16 AS bucket,
+                max(CASE WHEN h // 16 = 0 THEN 61
+                    ELSE 61 - length(bin(CAST(h // 16 AS HUGEINT))) END) AS rho
+              FROM $hashLast GROUP BY 1, 2),
+       ${step("r0", "r1")},
+       ${step("r1", "r2")}
+       ${hllOwnNodeEstSql("r0", 0)}
+       UNION ALL ${hllOwnNodeEstSql("r1", 1)}
+       UNION ALL ${hllOwnNodeEstSql("r2", 2)}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "distinct_hll_replay" -> distinctHllReplayOracleSql,
+    "graph_neighborhood_hll_own" -> graphNeighborhoodHllOwnOracleSql,
     // maintained ≡ one-shot: max-merge of register frames is lossless,
     // so the oracle IS the one-shot replay
     "hll_maintained" -> distinctHllReplayOracleSql,

@@ -246,6 +246,35 @@ class GraphAlgsSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("neighborhoodFunctionHllOwn: balls grow monotonically and track exact at p=8") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(700)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst").persist()
+    val exact = GraphAlgs.neighborhoodFunction(edges, maxHops = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val est = GraphAlgs.neighborhoodFunctionHllOwn(edges, maxHops = 2, p = 8)
+      .select("node", "hop", "est")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.keySet == exact.keySet)
+    // p=8 ⇒ m=256, RSE ≈ 6.5% — but the RAW estimator (no HLL++ bias
+    // table) runs biased in the 2.5m..5m transition zone, so pin the
+    // tail loosely and the MEAN tightly (correctness is the oracle
+    // hash; this pin is estimator quality)
+    val ratios = exact.toSeq.map { case (k, v) =>
+      est(k) / math.max(v, 1L).toDouble }
+    assert(ratios.forall(r => r > 0.6 && r < 1.4),
+      s"worst: ${ratios.sortBy(r => math.abs(r - 1)).takeRight(3)}")
+    val meanErr = ratios.map(r => math.abs(r - 1)).sum / ratios.size
+    assert(meanErr < 0.08, s"mean relative error $meanErr")
+    // a register only grows hop to hop, so the estimate never shrinks
+    val byNode = est.groupBy(_._1._1)
+    byNode.foreach { case (n, hops) =>
+      val ordered = hops.toSeq.sortBy(_._1._2).map(_._2)
+      assert(ordered == ordered.sorted, s"node $n ball shrank: $ordered")
+    }
+    edges.unpersist()
+  }
+
   test("markovStationary: two-state chain hits the hand-computed fixed point") {
     import spark.implicits._
     // A: half self-loop, half to B; B: always back to A. True stationary

@@ -182,6 +182,29 @@ class SketchSpec extends SparkSpec {
       s"partitioning drift beyond the error band: $m2 vs $m")
   }
 
+  test("own-HLL overlap matrix tracks exact overlaps at p=8") {
+    import spark.implicits._
+    val rows =
+      (1L to 2000L).map(("a", _)) ++ (1001L to 3000L).map(("b", _)) ++
+        (10001L to 12000L).map(("c", _))
+    val m = Sketches.hllLongOverlapMatrix(rows.toDF("g", "u"), "u", "g", p = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("intersect_est"), r.getAs[Double]("union_est")))).toMap
+    assert(m.size == 3)
+    val (iAB, uAB) = m(("a", "b"))
+    // p=8 ⇒ ~6.5% RSE; inclusion-exclusion compounds three estimates
+    assert(math.abs(iAB - 1000.0) <= 500, s"a∩b est $iAB vs exact 1000")
+    assert(math.abs(uAB - 3000.0) <= 600, s"a∪b est $uAB vs exact 3000")
+    assert(m(("a", "c"))._1 >= 0 && m(("b", "c"))._1 >= 0)
+    // unlike the HIP blobs, the OWN registers are pure max-lattice
+    // state: the matrix is bit-identical across partitionings
+    val rerun = Sketches.hllLongOverlapMatrix(
+      rows.toDF("g", "u").repartition(13), "u", "g", p = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("intersect_est"), r.getAs[Double]("union_est")))).toMap
+    assert(rerun == m)
+  }
+
   test("own-HLL: estimate tracks exact within the p=6 error band") {
     import spark.implicits._
     // m=64 → RSE ≈ 1.04/√64 = 13%; allow 4σ
