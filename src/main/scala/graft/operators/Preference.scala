@@ -26,6 +26,69 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Bradley-Terry ratings from pairwise outcomes (Hunter's MM
+    * algorithm, Annals of Statistics 2004) — the arena-style rating a
+    * model-eval pipeline computes from head-to-head preference wins.
+    * Each iteration is γ_i ← W_i / Σ_j (n_ij + n_ji)/(γ_i + γ_j),
+    * renormalized to mean 1.
+    *
+    * Cross-engine determinism: the Σ_j terms and the normalization sum
+    * snap to DECIMAL(20,8) BEFORE summing (double sums are partial-
+    * order-dependent), each γ update reads the SNAPPED value, and every
+    * other op is an identical IEEE expression — so a fixed number of
+    * rounds replays exactly in SQL. Scale shape: the matches scan is
+    * the only corpus-sized pass; everything after lives on the
+    * players²-bounded win matrix. A player with zero wins rates 0 (the
+    * MM fixed point when W_i = 0) rather than erroring.
+    */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val n = matches.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+      .agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint(true)
+    val tot = n.select(col("i"), col("j"), col("n_ij"))
+      .unionByName(n.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n_ij")).as("n_tot"))
+    val wins = n.groupBy(col("i")).agg(sum(col("n_ij")).as("w"))
+    val players = tot.select(col("i")).distinct()
+    var g = players.withColumn("gamma", lit(1.0))
+    for (_ <- 1 to iters) {
+      val d = tot
+        .join(g.select(col("i"), col("gamma").as("__gi")), Seq("i"))
+        .join(g.select(col("i").as("j"), col("gamma").as("__gj")), Seq("j"))
+        .select(col("i"),
+          (col("n_tot") / (col("__gi") + col("__gj")))
+            .cast("decimal(20,8)").as("__term"))
+        .groupBy(col("i")).agg(sum(col("__term")).as("__d"))
+      val raw = players
+        .join(d, Seq("i"))
+        .join(wins, Seq("i"), "left")
+        .select(col("i"),
+          (coalesce(col("w"), lit(0L)).cast("double")
+            / col("__d").cast("double")).cast("decimal(20,8)").as("__graw"))
+      val norm = raw.agg(sum(col("__graw")).as("__s"),
+        count(lit(1)).as("__ng"))
+      g = raw.crossJoin(broadcast(norm))
+        .select(col("i"),
+          (col("__graw").cast("double") * col("__ng")
+            / col("__s").cast("double")).as("gamma"))
+        .localCheckpoint(true)
+    }
+    val joined = g.select(col("i").as("player"),
+        (round(col("gamma"), 4) + lit(0.0)).as("rating"))
+      .join(wins.select(col("i").as("player"), col("w").as("n_wins")),
+        Seq("player"), "left")
+      .select(col("player"), coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        col("rating"))
+      .withColumn("__negr", -col("rating"))
+    // DenseId, not a partitionless rank window (the PlanSpec sweep) —
+    // players-bounded here, but the discipline is unconditional
+    DenseId.withOrderedId(joined, "__rk", "__negr", "player")
+      .select(col("player"), col("n_wins"), col("rating"),
+        (col("__rk") + 1).as("rank"))
+  }
+
   /** Group-relative advantage — the GRPO normalization (Shao et al.,
     * 2024, DeepSeekMath): per group, advantage_i = (s_i − mean) / std
     * over the group's candidate scores, the score signal a

@@ -55,6 +55,34 @@ object MlPrepQueries {
           round(col("margin"), 4).as("margin"))
     }),
 
+    // Bradley-Terry arena ratings (Preference.bradleyTerry, 3 MM
+    // rounds): per-user best-vs-worst events become head-to-head
+    // matches between event TYPES; the MM iteration lives entirely on
+    // the players²-bounded win matrix. Σ terms snap to DECIMAL so the
+    // unrolled SQL replay is exact.
+    "bt_ratings" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val byWorst = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val ranked = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .withColumn("__top", row_number().over(byBest))
+        .withColumn("__bot", row_number().over(byWorst))
+      val w = ranked.where(col("__top") === 1)
+        .select(col("user_id"), col("event_type").as("winner"),
+          col("value").as("__wv"))
+      val l = ranked.where(col("__bot") === 1)
+        .select(col("user_id"), col("event_type").as("loser"),
+          col("value").as("__lv"))
+      val matches = w.join(l, Seq("user_id"))
+        .where(col("winner") =!= col("loser") && col("__wv") > col("__lv"))
+      graft.operators.Preference.bradleyTerry(matches, "winner", "loser",
+        iters = 3)
+    }),
+
     // Group-relative advantage (Preference.groupAdvantage — the GRPO
     // normalization): per-user candidate scores centered and scaled by
     // the GROUP's own moments, the value-baseline-free signal a policy
@@ -1090,7 +1118,66 @@ object MlPrepQueries {
     else s"CASE WHEN lag(sum_micro, $k) OVER w IS NULL THEN 0 ELSE $w END"
   }.mkString(" + ")
 
+  /** `bt_ratings`: the full Bradley-Terry MM replay — matches from the
+    * per-user best/worst windows, the symmetric pair-total matrix, and
+    * three unrolled γ updates with the same DECIMAL(20,8) snap points
+    * as Preference.bradleyTerry (terms before the Σ_j sum, γ_raw before
+    * the normalization sum).
+    */
+  private def btRatingsOracleSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s""",
+       d$k AS (SELECT t.i,
+                 sum(CAST(t.n_tot / (ga.gamma + gb.gamma) AS DECIMAL(20,8)))
+                   AS d
+               FROM tot t JOIN g${k - 1} ga ON ga.i = t.i
+                          JOIN g${k - 1} gb ON gb.i = t.j
+               GROUP BY t.i),
+       r$k AS (SELECT p.i, CAST(CAST(coalesce(w.w, 0) AS DOUBLE)
+                  / CAST(d.d AS DOUBLE) AS DECIMAL(20,8)) AS graw
+               FROM pl p JOIN d$k d ON d.i = p.i
+               LEFT JOIN wins w ON w.i = p.i),
+       s$k AS (SELECT sum(graw) AS s, CAST(count(*) AS BIGINT) AS ng
+               FROM r$k),
+       g$k AS (SELECT i, CAST(graw AS DOUBLE) * ng / CAST(s AS DOUBLE)
+                 AS gamma
+               FROM r$k CROSS JOIN s$k)"""
+    }.mkString
+    s"""WITH ranked AS (SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY value DESC, event_id ASC) AS top_rk,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY value ASC, event_id ASC) AS bot_rk
+       FROM events),
+       wm AS (SELECT user_id, event_type AS winner, value AS wv
+              FROM ranked WHERE top_rk = 1),
+       lm AS (SELECT user_id, event_type AS loser, value AS lv
+              FROM ranked WHERE bot_rk = 1),
+       m AS (SELECT winner, loser FROM wm JOIN lm USING (user_id)
+             WHERE winner <> loser AND wv > lv),
+       n AS (SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS n_ij
+             FROM m GROUP BY 1, 2),
+       tot AS (SELECT i, j, sum(n_ij) AS n_tot FROM (
+                 SELECT i, j, n_ij FROM n
+                 UNION ALL SELECT j AS i, i AS j, n_ij FROM n)
+               GROUP BY 1, 2),
+       wins AS (SELECT i, sum(n_ij) AS w FROM n GROUP BY 1),
+       pl AS (SELECT DISTINCT i FROM tot),
+       g0 AS (SELECT i, 1.0 AS gamma FROM pl)
+       $rounds,
+       fin AS (SELECT p.i AS player,
+                 CAST(coalesce(w.w, 0) AS BIGINT) AS n_wins,
+                 round(g.gamma, 4) + 0.0 AS rating
+               FROM pl p JOIN g3 g ON g.i = p.i
+               LEFT JOIN wins w ON w.i = p.i)
+       SELECT player, n_wins, rating,
+              CAST(row_number() OVER (ORDER BY rating DESC, player ASC)
+                AS BIGINT) AS rank
+       FROM fin"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bt_ratings" -> btRatingsOracleSql,
     "group_advantage" ->
       """WITH s AS (SELECT user_id, event_id,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc

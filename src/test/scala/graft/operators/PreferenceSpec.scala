@@ -53,6 +53,33 @@ class PreferenceSpec extends SparkSpec {
     assert(out == Set((2L, 1L)))
   }
 
+  test("bradleyTerry: dominance orders ratings; normalization holds") {
+    // a beats b 9/10, b beats c 9/10, a beats c 9/10 → rating a > b > c
+    val matches = (
+      Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) ++
+      Seq.fill(9)(("a", "c")) ++ Seq.fill(1)(("c", "a"))
+    ).toDF("w", "l")
+    val out = Preference.bradleyTerry(matches, "w", "l", iters = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2, out)
+    assert(out("a")._3 == 1L && out("b")._3 == 2L && out("c")._3 == 3L)
+    assert(out("a")._1 == 18L && out("b")._1 == 10L && out("c")._1 == 2L)
+    // mean-1 normalization (within the 4dp rounding of each rating)
+    val mean = out.values.map(_._2).sum / 3
+    assert(math.abs(mean - 1.0) < 1e-3, s"ratings mean $mean")
+  }
+
+  test("bradleyTerry: perfectly symmetric record rates everyone equal") {
+    val matches = (Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x")))
+      .toDF("w", "l")
+    val out = Preference.bradleyTerry(matches, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("x") == out("y"))
+    assert(out("x") == 1.0)
+  }
+
   test("groupAdvantage: hand-checked moments and the degenerate-group guard") {
     val rows = Seq(
       ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
