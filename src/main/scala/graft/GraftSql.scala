@@ -389,6 +389,17 @@ object GraftSql {
           groupCol, p), groupCol, p)
       .createOrReplaceTempView(outView)
 
+  /** Bradley-Terry ratings over a (winner, loser) match view →
+    * `outView(player, n_wins, rating, rank)` — see
+    * [[graft.operators.Preference.bradleyTerry]].
+    */
+  def registerBradleyTerry(s: SparkSession, matchesView: String,
+      winnerCol: String, loserCol: String, iters: Int,
+      outView: String): Unit =
+    graft.operators.Preference.bradleyTerry(s.table(matchesView),
+        winnerCol, loserCol, iters)
+      .createOrReplaceTempView(outView)
+
   def registerPackContiguous(s: SparkSession, rowsView: String,
       nTokensCol: String, seqLen: Long, outView: String,
       orderCol: String): Unit =

@@ -83,6 +83,53 @@ object MlPrepQueries {
         iters = 3)
     }),
 
+    // Pairwise win rates with Wilson 95% intervals — the uncertainty
+    // column every arena leaderboard carries next to the rating: per
+    // ordered player pair, wins/games and the Wilson score bounds
+    // (exact integer counts; the interval is an identical double
+    // expression on both engines, z = 1.96).
+    "winrate_wilson" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val byWorst = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val ranked = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .withColumn("__top", row_number().over(byBest))
+        .withColumn("__bot", row_number().over(byWorst))
+      val w = ranked.where(col("__top") === 1)
+        .select(col("user_id"), col("event_type").as("winner"),
+          col("value").as("__wv"))
+      val l = ranked.where(col("__bot") === 1)
+        .select(col("user_id"), col("event_type").as("loser"),
+          col("value").as("__lv"))
+      val m = w.join(l, Seq("user_id"))
+        .where(col("winner") =!= col("loser") && col("__wv") > col("__lv"))
+        .select(least(col("winner"), col("loser")).as("player_a"),
+          greatest(col("winner"), col("loser")).as("player_b"),
+          (col("winner") < col("loser")).cast("long").as("__a_won"))
+      m.groupBy(col("player_a"), col("player_b"))
+        .agg(count(lit(1)).as("n_games"), sum(col("__a_won")).as("n_a_wins"))
+        .select(col("player_a"), col("player_b"), col("n_games"),
+          col("n_a_wins"),
+          round(col("n_a_wins").cast("double") / col("n_games"), 4)
+            .as("winrate_a"),
+          // Wilson score interval, z=1.96: (p̂ + z²/2n ± z·√(p̂(1−p̂)/n
+          // + z²/4n²)) / (1 + z²/n) — all from the two exact counts
+          round((col("n_a_wins") / col("n_games") + lit(1.9208) / col("n_games")
+            - lit(1.96) * sqrt((col("n_a_wins") / col("n_games"))
+              * (lit(1.0) - col("n_a_wins") / col("n_games")) / col("n_games")
+              + lit(0.9604) / (col("n_games") * col("n_games"))))
+            / (lit(1.0) + lit(3.8416) / col("n_games")), 4).as("wilson_lo"),
+          round((col("n_a_wins") / col("n_games") + lit(1.9208) / col("n_games")
+            + lit(1.96) * sqrt((col("n_a_wins") / col("n_games"))
+              * (lit(1.0) - col("n_a_wins") / col("n_games")) / col("n_games")
+              + lit(0.9604) / (col("n_games") * col("n_games"))))
+            / (lit(1.0) + lit(3.8416) / col("n_games")), 4).as("wilson_hi"))
+    }),
+
     // Group-relative advantage (Preference.groupAdvantage — the GRPO
     // normalization): per-user candidate scores centered and scaled by
     // the GROUP's own moments, the value-baseline-free signal a policy
@@ -1178,6 +1225,39 @@ object MlPrepQueries {
 
   def oracleSql: Map[String, String] = Map(
     "bt_ratings" -> btRatingsOracleSql,
+    "winrate_wilson" ->
+      """WITH ranked AS (SELECT user_id, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id ASC) AS top_rk,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value ASC, event_id ASC) AS bot_rk
+         FROM events),
+         wm AS (SELECT user_id, event_type AS winner, value AS wv
+                FROM ranked WHERE top_rk = 1),
+         lm AS (SELECT user_id, event_type AS loser, value AS lv
+                FROM ranked WHERE bot_rk = 1),
+         m AS (SELECT least(winner, loser) AS player_a,
+                 greatest(winner, loser) AS player_b,
+                 CASE WHEN winner < loser THEN 1 ELSE 0 END AS a_won
+               FROM wm JOIN lm USING (user_id)
+               WHERE winner <> loser AND wv > lv),
+         agg AS (SELECT player_a, player_b,
+                   CAST(count(*) AS BIGINT) AS n_games,
+                   CAST(sum(a_won) AS BIGINT) AS n_a_wins
+                 FROM m GROUP BY 1, 2)
+         SELECT player_a, player_b, n_games, n_a_wins,
+                round(CAST(n_a_wins AS DOUBLE) / n_games, 4) AS winrate_a,
+                round((n_a_wins / n_games + 1.9208 / n_games
+                  - 1.96 * sqrt((n_a_wins / n_games)
+                    * (1.0 - n_a_wins / n_games) / n_games
+                    + 0.9604 / (n_games * n_games)))
+                  / (1.0 + 3.8416 / n_games), 4) AS wilson_lo,
+                round((n_a_wins / n_games + 1.9208 / n_games
+                  + 1.96 * sqrt((n_a_wins / n_games)
+                    * (1.0 - n_a_wins / n_games) / n_games
+                    + 0.9604 / (n_games * n_games)))
+                  / (1.0 + 3.8416 / n_games), 4) AS wilson_hi
+         FROM agg""",
     "group_advantage" ->
       """WITH s AS (SELECT user_id, event_id,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc

@@ -409,6 +409,30 @@ object SqlFacadeQueries {
                FROM graft_screen GROUP BY keep""")
     }),
 
+    // Arena leaderboard through the facade: the match table built in
+    // SQL (per-user best-vs-worst windows), Bradley-Terry registered
+    // over it, the leaderboard read back in SQL.
+    "sql_bt" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""CREATE OR REPLACE TEMP VIEW bt_matches AS
+               WITH ranked AS (SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY value DESC, event_id ASC) AS top_rk,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY value ASC, event_id ASC) AS bot_rk
+                 FROM events),
+               wm AS (SELECT user_id, event_type AS winner, value AS wv
+                      FROM ranked WHERE top_rk = 1),
+               lm AS (SELECT user_id, event_type AS loser, value AS lv
+                      FROM ranked WHERE bot_rk = 1)
+               SELECT winner, loser FROM wm JOIN lm USING (user_id)
+               WHERE winner <> loser AND wv > lv""")
+      GraftSql.registerBradleyTerry(s, "bt_matches", "winner", "loser",
+        iters = 3, outView = "graft_bt")
+      s.sql("""SELECT player, n_wins, rating, rank FROM graft_bt
+               WHERE rank <= 3""")
+    }),
+
     // FIM prep through the facade: the objective-mix report a pretrain
     // owner reads off the transformed corpus — docs, tokens, and output
     // characters per arm (character totals are exact integers, so the
@@ -557,6 +581,10 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    "sql_bt" ->
+      s"""SELECT player, n_wins, rating, rank
+         FROM (${MlPrepQueries.oracleSql("bt_ratings")})
+         WHERE rank <= 3""",
     "sql_fim" ->
       s"""WITH f AS (${PretrainQueries.oracleSql("fim_transform")})
          SELECT fim, CAST(count(*) AS BIGINT) AS n_docs,
