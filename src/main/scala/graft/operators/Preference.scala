@@ -42,10 +42,21 @@ object Preference {
     * MM fixed point when W_i = 0) rather than erroring.
     */
   def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    bradleyTerryFromCounts(
+      matches.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+        .agg(count(lit(1)).as("n_ij")), iters)
+
+  /** Same MM iteration over a PRE-AGGREGATED (i, j, n_ij) win-count
+    * matrix — the incremental-arena entry point: match counts are
+    * additive, so a stream folds batches into the (players²-bounded)
+    * count state and re-derives ratings from it at any time; ratings
+    * from folded counts ≡ one-shot over all matches, BY the oracle
+    * (`bt_maintained`).
+    */
+  def bradleyTerryFromCounts(counts: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val n = matches.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
-      .agg(count(lit(1)).as("n_ij"))
+    val n = counts.select(col("i"), col("j"), col("n_ij"))
       .localCheckpoint(true)
     val tot = n.select(col("i"), col("j"), col("n_ij"))
       .unionByName(n.select(col("j").as("i"), col("i").as("j"), col("n_ij")))

@@ -83,6 +83,40 @@ object MlPrepQueries {
         iters = 3)
     }),
 
+    // Streaming-maintained arena (BtStream): matches arrive in 3
+    // user-keyed batches, each folded into the durable win-count
+    // matrix (additive); ratings off the MAINTAINED state hash-match
+    // the one-shot bt_ratings oracle — maintained ≡ one-shot BY the
+    // gate. State is players²-bounded forever.
+    "bt_maintained" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = java.nio.file.Files.createTempDirectory("bt-gate")
+      val skDir = s"$base/counts"
+      val byBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val byWorst = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val ranked = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .withColumn("__top", row_number().over(byBest))
+        .withColumn("__bot", row_number().over(byWorst))
+      val w = ranked.where(col("__top") === 1)
+        .select(col("user_id"), col("event_type").as("winner"),
+          col("value").as("__wv"))
+      val l = ranked.where(col("__bot") === 1)
+        .select(col("user_id"), col("event_type").as("loser"),
+          col("value").as("__lv"))
+      val matches = w.join(l, Seq("user_id"))
+        .where(col("winner") =!= col("loser") && col("__wv") > col("__lv"))
+        .localCheckpoint(true)
+      for (b <- 0 until 3)
+        graft.streaming.BtStream.applyBatch(
+          matches.where(pmod(col("user_id"), lit(3)) === b),
+          "winner", "loser", skDir, b)
+      graft.streaming.BtStream.ratings(s, skDir, iters = 3)
+    }),
+
     // Pairwise win rates with Wilson 95% intervals — the uncertainty
     // column every arena leaderboard carries next to the rating: per
     // ordered player pair, wins/games and the Wilson score bounds
@@ -1225,6 +1259,9 @@ object MlPrepQueries {
 
   def oracleSql: Map[String, String] = Map(
     "bt_ratings" -> btRatingsOracleSql,
+    // maintained ≡ one-shot: win counts are additive, so the oracle IS
+    // the one-shot replay
+    "bt_maintained" -> btRatingsOracleSql,
     "winrate_wilson" ->
       """WITH ranked AS (SELECT user_id, event_id, event_type, value,
            row_number() OVER (PARTITION BY user_id

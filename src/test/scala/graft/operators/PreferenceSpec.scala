@@ -80,6 +80,27 @@ class PreferenceSpec extends SparkSpec {
     assert(out("x") == 1.0)
   }
 
+  test("BtStream: folded count batches give the one-shot leaderboard; replay idempotent") {
+    val matches = (
+      Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b"))
+    ).zipWithIndex.map { case ((w, l), i) => (i.toLong, w, l) }
+      .toDF("mid", "w", "l")
+    val oneShot = Preference.bradleyTerry(matches, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val d = java.nio.file.Files.createTempDirectory("bt1").toString + "/s"
+    for (b <- 0 until 4)
+      graft.streaming.BtStream.applyBatch(
+        matches.where(pmod(col("mid"), lit(4)) === b), "w", "l", d, b)
+    def live = graft.streaming.BtStream.ratings(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(live == oneShot)
+    // crash-retried batch is absorbed
+    graft.streaming.BtStream.applyBatch(
+      matches.where(pmod(col("mid"), lit(4)) === 3), "w", "l", d, 3)
+    assert(live == oneShot)
+  }
+
   test("groupAdvantage: hand-checked moments and the degenerate-group guard") {
     val rows = Seq(
       ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
