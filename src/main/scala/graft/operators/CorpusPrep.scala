@@ -371,6 +371,30 @@ object CorpusPrep {
     * uniform `u = (g + 0.5)/2¹⁶` — ranking by it descending IS weighted
     * sampling without replacement. Pure column math, identical in SQL.
     */
+  /** Exact-proportion stratified split: within every stratum, rank rows
+    * by a deterministic md5 shuffle key and cut at EXACT integer
+    * boundaries (rank·10 ≤ n·8 → train, ≤ n·9 → val, else test) — the
+    * guarantee an md5-GATE split (r1/r9's shape) cannot give: every
+    * stratum lands within one row of 80/10/10 regardless of its size,
+    * which is what a small eval stratum needs (a 5% gate miss on a
+    * 200-row stratum is 10 eval rows gained or lost). One per-stratum
+    * window (partitioned, never global); integer comparisons only.
+    */
+  def stratifiedExactSplit(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.select(col(idCol), col(stratumCol))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))))
+      .select(col(idCol), col(stratumCol),
+        when(col("__r") * 10 <= col("__n") * 8, lit("train"))
+          .when(col("__r") * 10 <= col("__n") * 9, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** False-negative-free contrastive batch layout: assign clustered
     * items to training batches such that NO batch holds two members of
     * the same near-dup cluster — in-batch-negative training (InfoNCE,

@@ -42,6 +42,49 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Rocchio vector pseudo-relevance feedback (Rocchio, SMART 1971 —
+    * the embedding sibling of the BM25 PRF pass): retrieve the query's
+    * top-`fb` neighbors exactly, move the query to
+    * q′ = α·q + β·centroid(feedback), re-search with q′. The feedback
+    * centroid accumulates per-dimension in DECIMAL(20,10) (a double sum
+    * over the feedback rows would be partition-order-dependent), only
+    * fb ids and the d-sized centroid reach the driver (the Lloyd-state
+    * collect pattern), and feedback docs are excluded from the final
+    * ranking alongside the query itself — they are already known
+    * relevant. Both passes are the [[bruteForceTopK]] scan shape; at
+    * corpus scale pass 2 swaps to the IVF stack exactly as the
+    * brute-force siblings document.
+    */
+  def rocchioTopK(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, fb: Int = 5, alpha: Double = 0.5,
+      beta: Double = 0.5): DataFrame = {
+    require(k >= 1 && fb >= 1, s"need k, fb >= 1; got k=$k fb=$fb")
+    val fbIds = bruteForceTopK(df, vecCol, idCol, queryId, fb)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val cent = df.where(col(idCol).isin(fbIds: _*))
+      .select(posexplode(col(vecCol)))
+      .groupBy(col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(20,10)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val q0 = df.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val qPrime = q0.indices.map(i => alpha * q0(i) + beta * cent(i))
+    val qLit = array(qPrime.map(v => lit(v)): _*)
+    // q′ norm: square terms snap to DECIMAL(20,10) before the sum so
+    // the value matches the oracle's decimal-summed norm exactly (a
+    // plain double fold could differ from SQL's sum order by an ulp)
+    val qn = math.sqrt(qPrime.map(v =>
+      BigDecimal.valueOf(v * v).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble)
+    df.where(col(idCol) =!= queryId && !col(idCol).isin(fbIds: _*))
+      .select(col(idCol),
+        round(VectorOps.cosineWithNorms(col(vecCol), qLit,
+          VectorOps.l2Norm(col(vecCol)), lit(qn)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Filtered exact search: same scan as [[bruteForceTopK]] but the
     * CANDIDATE set is restricted by a metadata predicate (the query
     * vector is looked up unfiltered) — the "filtered vector search"

@@ -1313,6 +1313,18 @@ object TextQueries {
           (round(col("rate"), 6) + lit(0.0)).as("rate_r"))
     }),
 
+    // Exact-proportion stratified split: every source lands within one
+    // row of 80/10/10 (rank·10 vs n·integer cuts over a deterministic
+    // md5 shuffle) — the guarantee the md5-GATE splits can't give small
+    // strata. Emitted as the per-(source, split) census.
+    "split_stratified_exact" -> ((s, dir) => {
+      graft.operators.CorpusPrep.stratifiedExactSplit(
+          Tables.documents(s, dir), "doc_id", "source")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
     // False-negative-free contrastive batches: near-dup clusters (the
     // stored star fixture) scattered so no batch ever holds two members
     // of one cluster — the in-batch-negative layout that keeps InfoNCE
@@ -2419,6 +2431,20 @@ object TextQueries {
          JOIN splits sa ON sa.id = pairs.doc_a
          JOIN splits sb ON sb.id = pairs.doc_b AND sb.mode = sa.mode
          GROUP BY sa.mode""",
+    "split_stratified_exact" ->
+      """WITH r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+         FROM documents),
+         sp AS (SELECT doc_id, source,
+                  CASE WHEN rk * 10 <= n * 8 THEN 'train'
+                       WHEN rk * 10 <= n * 9 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM r)
+         SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM sp GROUP BY source, split""",
     "contrastive_batches" ->
       s"""WITH cl AS ($StarClustersOracle),
          r AS (SELECT id, cluster,

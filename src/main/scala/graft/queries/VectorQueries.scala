@@ -737,6 +737,17 @@ object VectorQueries {
             .as("z"))
     }),
 
+    // Rocchio vector pseudo-relevance feedback (the embedding sibling
+    // of bm25_prf_topk): exact top-5 feedback, q′ = ½q + ½centroid
+    // (centroid and q′-norm DECIMAL-snapped — engine-exact), re-search
+    // excluding the feedback set. Both passes are the brute-force scan
+    // shape; the IVF stack is the documented 100 TB swap.
+    "rocchio_topk" -> ((s, dir) => {
+      SimilaritySearch.rocchioTopK(
+        Tables.embeddings(s, dir), "embedding", "vec_id",
+        queryId = 0L, k = 10, fb = 5)
+    }),
+
     // Symmetric int8 quantization: q = round(x / (max|x|/127)) — the
     // storage format that cuts an ANN index to a quarter of fp32 with
     // ~0.4% worst-case element error. The per-vector dynamic range is
@@ -1245,6 +1256,36 @@ object VectorQueries {
     // threshold on the unrounded cosine, 4dp output.
     "dedup_semantic" -> dedupSemanticOracleSql,
     "decontaminate_semantic" -> decontaminateSemanticOracleSql,
+    "rocchio_topk" ->
+      s"""WITH $RawEv,
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
+         q AS (SELECT i, v FROM ev WHERE vec_id = 0),
+         p1 AS (SELECT e.vec_id, sum(e.v * q.v) AS dp
+                FROM ev e JOIN q ON e.i = q.i
+                WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         c1 AS (SELECT p1.vec_id,
+                  round(p1.dp / (n.nrm
+                    * (SELECT nrm FROM nrm WHERE vec_id = 0)), 4) AS cosine
+                FROM p1 JOIN nrm n ON n.vec_id = p1.vec_id),
+         fb AS (SELECT vec_id FROM c1
+                ORDER BY cosine DESC, vec_id ASC LIMIT 5),
+         cent AS (SELECT e.i,
+                    CAST(sum(CAST(e.v AS DECIMAL(20,10))) AS DOUBLE)
+                      / count(*) AS m
+                  FROM ev e JOIN fb ON fb.vec_id = e.vec_id GROUP BY e.i),
+         qp AS (SELECT q.i, 0.5 * q.v + 0.5 * c.m AS v
+                FROM q JOIN cent c ON c.i = q.i),
+         qpn AS (SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(20,10)))
+                   AS DOUBLE)) AS qn FROM qp),
+         p2 AS (SELECT e.vec_id, sum(e.v * qp.v) AS dp
+                FROM ev e JOIN qp ON e.i = qp.i
+                WHERE e.vec_id <> 0
+                  AND e.vec_id NOT IN (SELECT vec_id FROM fb)
+                GROUP BY e.vec_id)
+         SELECT p2.vec_id,
+                round(p2.dp / (n.nrm * (SELECT qn FROM qpn)), 4) AS cosine
+         FROM p2 JOIN nrm n ON n.vec_id = p2.vec_id
+         ORDER BY cosine DESC, p2.vec_id ASC LIMIT 10""",
     "vec_standardize" ->
       """WITH f AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v

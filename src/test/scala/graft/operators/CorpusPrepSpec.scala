@@ -254,6 +254,30 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("stratifiedExactSplit: every stratum lands within one row of 80/10/10") {
+    import spark.implicits._
+    // deliberately awkward stratum sizes
+    val rows = (1L to 203L).map((_, "a")) ++ (1000L to 1011L).map((_, "b")) ++
+      (2000L to 2004L).map((_, "c"))
+    val out = CorpusPrep.stratifiedExactSplit(rows.toDF("id", "s"), "id", "s")
+    val sizes = out.groupBy("s", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def check(s: String, n: Long): Unit = {
+      val tr = sizes.getOrElse((s, "train"), 0L)
+      val va = sizes.getOrElse((s, "val"), 0L)
+      val te = sizes.getOrElse((s, "test"), 0L)
+      assert(tr + va + te == n)
+      assert(tr == n * 8 / 10, s"$s train $tr of $n")
+      assert(tr + va == n * 9 / 10, s"$s train+val ${tr + va} of $n")
+    }
+    check("a", 203); check("b", 12); check("c", 5)
+    // deterministic across partitionings
+    val again = CorpusPrep.stratifiedExactSplit(
+      rows.toDF("id", "s").repartition(7), "id", "s")
+      .orderBy("id").collect().toSeq
+    assert(again == out.orderBy("id").collect().toSeq)
+  }
+
   test("contrastiveBatches: no batch ever holds two members of one cluster") {
     import spark.implicits._
     // skewed clusters: one of 40, several small, many singletons

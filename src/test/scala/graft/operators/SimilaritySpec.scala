@@ -450,4 +450,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getLong(2) != 0L))       // no same-label row leaked
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
+
+  test("rocchioTopK: feedback and query excluded; the moved query finds the cluster") {
+    import spark.implicits._
+    // query 0 sits between cluster A (ids 1..6, near (1, 0.1)) and a
+    // decoy (id 50, exactly the query's direction but far from A's
+    // center); after feedback on A the moved query prefers A's tail
+    val rows = Seq((0L, Seq(1.0f, 0.0f))) ++
+      (1L to 6L).map(i => (i, Seq(1.0f, 0.1f + i * 0.001f))) ++
+      Seq((50L, Seq(1.0f, 0.0f))) ++
+      (60L to 80L).map(i => (i, Seq(0.0f, 1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilaritySearch.rocchioTopK(df, "embedding", "vec_id",
+      queryId = 0L, k = 5, fb = 3)
+      .collect().map(r => r.getLong(0))
+    assert(out.length == 5)
+    assert(!out.contains(0L), "query leaked into results")
+    // top-3 feedback is 50 (identical direction) + the two nearest of A —
+    // none of them may reappear
+    val fb = SimilaritySearch.bruteForceTopK(df, "embedding", "vec_id", 0L, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.toSet.intersect(fb).isEmpty, s"feedback $fb leaked: ${out.toSeq}")
+    // the re-ranked head is A's remaining members (2 of the 6 were
+    // consumed as feedback, so exactly 4 remain and they lead the list)
+    assert(out.take(4).toSet.subsetOf((1L to 6L).toSet),
+      s"moved query wandered: ${out.toSeq}")
+  }
 }
