@@ -334,6 +334,26 @@ object RelationalQueries {
     // (order-independent), and the top-10 is TakeOrdered — never a
     // global sort materialization. No forced broadcast: at real scale
     // every side here is large; AQE picks the right strategy per SF.
+    // TPC-H Q18 shape (large-volume customers): the HAVING-gated
+    // semi-join pattern — aggregate the fact table once, gate orders on
+    // the aggregate, then enrich. Quantities are integer-valued, so the
+    // per-order sums are exact whatever the partial order; the top-100
+    // is TakeOrdered, never a global sort.
+    "tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 250)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          round(col("total_qty"), 4).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     "tpch_q3" -> ((s, dir) => {
       val cut = lit("1998-06-15 00:00:00").cast("timestamp")
       val cust = Tables.customer(s, dir)
@@ -417,6 +437,15 @@ object RelationalQueries {
        GROUP BY n.n_name"""
 
   def oracleSql: Map[String, String] = Map(
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+         SELECT c_custkey, o_orderkey,
+                round(o_totalprice, 4) AS o_totalprice,
+                round(total_qty, 4) AS total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""",
     "sql_frontend" -> FrontendSql, // the SAME text Spark executes
     "tpch_q3" ->
       """SELECT l.l_orderkey,

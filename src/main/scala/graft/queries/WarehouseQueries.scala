@@ -567,6 +567,27 @@ object WarehouseQueries {
       GraphAlgs.neighborhoodFunctionHll(supplierEdgesSampled(s, dir), maxHops = 2)
     }),
 
+    // Harmonic centrality from the exact neighborhood function —
+    // what HyperBall exists to estimate: Σ_h (new nodes at hop h)/h,
+    // truncated at 2 hops. Exact integer ppm (denominators 1 and 2);
+    // one pivot over the per-hop balls.
+    "graph_harmonic" -> ((s, dir) => {
+      GraphAlgs.neighborhoodFunction(supplierEdgesSampled(s, dir), maxHops = 2)
+        .groupBy(col("node"))
+        .agg(max(when(col("hop") === 0, col("ball_size"))).as("b0"),
+          max(when(col("hop") === 1, col("ball_size"))).as("b1"),
+          max(when(col("hop") === 2, col("ball_size"))).as("b2"))
+        // a saturated ball emits no row at later hops — carry the
+        // cumulative size forward instead of nulling the centrality
+        .select(col("node"),
+          coalesce(col("b1"), col("b0")).as("c1"), col("b0"),
+          coalesce(col("b2"), coalesce(col("b1"), col("b0"))).as("c2"))
+        .select(col("node"),
+          ((col("c1") - col("b0")) * 1000000L
+            + (col("c2") - col("c1")) * 500000L).as("harmonic_ppm"),
+          (col("c2") - 1).as("n_reachable"))
+    }),
+
     // HyperBall over the OWN HLL — the hash-gated sibling of
     // graph_neighborhood_hll: integer (node, bucket, rho) registers,
     // per-hop lossless max-merge through one edge join, and the whole
@@ -1083,6 +1104,39 @@ object WarehouseQueries {
                     THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4) AS est,
               exact_distinct
        FROM e JOIN x ON e.event_type = x.event_type"""
+  }
+
+  /** `graph_neighborhood`'s replay (shared with `graph_harmonic`): the
+    * thinned symmetric supplier graph, the (node, reached) closure
+    * unrolled per hop, cumulative ball sizes per hop.
+    */
+  private val GraphNeighborhoodOracle: String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         eg AS (SELECT l_orderkey, l_suppkey AS b,
+                  lag(l_suppkey) OVER (PARTITION BY l_orderkey
+                    ORDER BY l_suppkey) AS a
+                FROM li),
+         e0 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM eg WHERE a IS NOT NULL AND a <> b),
+         e AS (SELECT a, b FROM e0
+               WHERE CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':'
+                 || CAST(b AS VARCHAR)), 1, 4)) AS INTEGER) < 6554),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b AS src, a AS dst FROM e),
+         nodes AS (SELECT DISTINCT src AS node FROM sym),
+         p0 AS (SELECT node, node AS reached FROM nodes)"""
+    val steps = (1 to 2).map { i =>
+      s""",
+         p$i AS (SELECT DISTINCT node, reached FROM (
+             SELECT node, reached FROM p${i - 1}
+             UNION ALL SELECT p${i - 1}.node, sym.dst AS reached
+             FROM p${i - 1} JOIN sym ON sym.src = p${i - 1}.reached))"""
+    }.mkString
+    val balls = (0 to 2).map { i =>
+      s"SELECT node, CAST($i AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS ball_size FROM p$i GROUP BY node"
+    }.mkString("\n         UNION ALL ")
+    head + steps + "\n         " + balls
   }
 
   /** One own-HLL estimator read over a register CTE with columns
@@ -1745,34 +1799,25 @@ object WarehouseQueries {
                 CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))
                      AS INTEGER) % 5 AS fold
          FROM lineitem""",
-    "graph_neighborhood" -> {
-      val head =
-        """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-           eg AS (SELECT l_orderkey, l_suppkey AS b,
-                    lag(l_suppkey) OVER (PARTITION BY l_orderkey
-                      ORDER BY l_suppkey) AS a
-                  FROM li),
-           e0 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
-                  FROM eg WHERE a IS NOT NULL AND a <> b),
-           e AS (SELECT a, b FROM e0
-                 WHERE CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':'
-                   || CAST(b AS VARCHAR)), 1, 4)) AS INTEGER) < 6554),
-           sym AS (SELECT a AS src, b AS dst FROM e
-                   UNION ALL SELECT b AS src, a AS dst FROM e),
-           nodes AS (SELECT DISTINCT src AS node FROM sym),
-           p0 AS (SELECT node, node AS reached FROM nodes)"""
-      val steps = (1 to 2).map { i =>
-        s""",
-           p$i AS (SELECT DISTINCT node, reached FROM (
-               SELECT node, reached FROM p${i - 1}
-               UNION ALL SELECT p${i - 1}.node, sym.dst AS reached
-               FROM p${i - 1} JOIN sym ON sym.src = p${i - 1}.reached))"""
-      }.mkString
-      val balls = (0 to 2).map { i =>
-        s"SELECT node, CAST($i AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS ball_size FROM p$i GROUP BY node"
-      }.mkString("\n           UNION ALL ")
-      head + steps + "\n           " + balls
-    },
+    "graph_neighborhood" -> GraphNeighborhoodOracle,
+    // harmonic centrality from the same exact per-hop balls: Σ_h
+    // (new nodes at hop h)/h — truncated at maxHops, exact in ppm
+    // because the only denominators are 1 and 2
+    "graph_harmonic" ->
+      s"""WITH nf AS ($GraphNeighborhoodOracle),
+         p AS (SELECT node,
+                 max(CASE WHEN hop = 0 THEN ball_size END) AS b0,
+                 max(CASE WHEN hop = 1 THEN ball_size END) AS b1,
+                 max(CASE WHEN hop = 2 THEN ball_size END) AS b2
+               FROM nf GROUP BY node),
+         c AS (SELECT node, b0, coalesce(b1, b0) AS c1,
+                 coalesce(b2, coalesce(b1, b0)) AS c2
+               FROM p)
+         SELECT node,
+                CAST((c1 - b0) * 1000000 + (c2 - c1) * 500000 AS BIGINT)
+                  AS harmonic_ppm,
+                CAST(c2 - 1 AS BIGINT) AS n_reachable
+         FROM c""",
     "link_records" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
              c_custkey // 10 AS blk
