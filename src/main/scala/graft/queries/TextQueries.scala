@@ -1006,6 +1006,22 @@ object TextQueries {
         "doc_id", k = 3)
     }),
 
+    // Perplexity curriculum: the CCNet buckets as curriculum stages
+    // (clean/head text first, noisy tail last) with the deterministic
+    // md5 shuffle inside each stage — LM-score difficulty instead of
+    // the length proxy curriculum_order uses. Composes two r16 pieces;
+    // sort by (stage, shuffle_key) IS the training order.
+    "curriculum_ppl" -> ((s, dir) => {
+      graft.operators.CorpusPrep.curriculumOrder(
+        graft.operators.CorpusLm.pplBuckets(
+          graft.operators.CorpusLm.bigramNll(
+            Tables.documents(s, dir), "text", "doc_id"),
+          "doc_id", k = 3)
+          .select(col("doc_id"), col("ppl_bucket")),
+        "doc_id", "ppl_bucket", stageWidth = 1L, maxStage = 3L)
+        .select(col("doc_id"), col("stage"), col("shuffle_key"))
+    }),
+
     // Taxonomy / blocklist screen: one corpus scan matches the token
     // stream ∪ adjacent-bigram stream against a broadcast
     // category→phrase dictionary; the only shuffle is the (doc,
@@ -2080,33 +2096,7 @@ object TextQueries {
     // same scoring CTEs as text_lm_score, then the closed-form ANSI
     // ntile over the 0-based global rank (identical formula to
     // CorpusLm.pplBuckets; ordering on the rounded score + doc_id)
-    "ppl_buckets" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
-                       toks[CAST(i AS INT) + 1] AS w2
-                FROM (SELECT doc_id, toks,
-                        unnest(generate_series(1, len(toks) - 1)) AS i
-                      FROM tok WHERE len(toks) >= 2)),
-         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-         nll AS (SELECT bi.doc_id,
-                   CAST(-ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(20,8)) AS nll
-                 FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
-                         JOIN c1 ON bi.w1 = c1.w1),
-         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                      round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS lm_score
-                    FROM nll GROUP BY doc_id),
-         ranked AS (SELECT *, row_number() OVER (ORDER BY lm_score, doc_id) - 1 AS r,
-                      count(*) OVER () AS n FROM scored),
-         b AS (SELECT doc_id, n_bigrams, lm_score,
-                 CASE WHEN r < (n % 3) * (n // 3 + 1)
-                      THEN r // (n // 3 + 1) + 1
-                      ELSE (n % 3) + (r - (n % 3) * (n // 3 + 1))
-                             // greatest(n // 3, 1) + 1 END AS bkt
-               FROM ranked)
-         SELECT doc_id, n_bigrams, lm_score, CAST(bkt AS BIGINT) AS ppl_bucket,
-                bkt < 3 AS keep
-         FROM b""",
+    "ppl_buckets" -> PplBucketsOracle,
     "repetition_budget" ->
       """WITH t AS (SELECT source,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -2130,6 +2120,12 @@ object TextQueries {
                 CAST(least(share_tokens, 4000000 * n_tokens // 1000000)
                   AS BIGINT) AS capped_tokens
          FROM sh""",
+    // stage = the ppl bucket itself (width 1, max 3 never binds)
+    "curriculum_ppl" ->
+      s"""WITH b AS (${PplBucketsOracle})
+         SELECT doc_id, CAST(ppl_bucket AS BIGINT) AS stage,
+                md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM b""",
     "taxonomy_tag" ->
       s"""WITH dict(category, phrase) AS (VALUES $tagDictValues),
          tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2487,6 +2483,38 @@ object TextQueries {
                GROUP BY occ.token)
        SELECT token, CAST(est AS BIGINT) AS est
        FROM est ORDER BY est DESC, token ASC LIMIT 20"""
+
+  /** Shared by `ppl_buckets` and `curriculum_ppl`: the text_lm_score
+    * scoring CTEs + the closed-form ANSI ntile over the 0-based global
+    * rank (ordering on the rounded score + doc_id).
+    */
+  private val PplBucketsOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                     toks[CAST(i AS INT) + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM tok WHERE len(toks) >= 2)),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       nll AS (SELECT bi.doc_id,
+                 CAST(-ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(20,8)) AS nll
+               FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                       JOIN c1 ON bi.w1 = c1.w1),
+       scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS lm_score
+                  FROM nll GROUP BY doc_id),
+       ranked AS (SELECT *, row_number() OVER (ORDER BY lm_score, doc_id) - 1 AS r,
+                    count(*) OVER () AS n FROM scored),
+       b AS (SELECT doc_id, n_bigrams, lm_score,
+               CASE WHEN r < (n % 3) * (n // 3 + 1)
+                    THEN r // (n // 3 + 1) + 1
+                    ELSE (n % 3) + (r - (n % 3) * (n // 3 + 1))
+                           // greatest(n // 3, 1) + 1 END AS bkt
+             FROM ranked)
+       SELECT doc_id, n_bigrams, lm_score, CAST(bkt AS BIGINT) AS ppl_bucket,
+              bkt < 3 AS keep
+       FROM b"""
 
   private val StarClustersOracle: String =
     """WITH RECURSIVE

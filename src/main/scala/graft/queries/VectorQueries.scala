@@ -737,6 +737,30 @@ object VectorQueries {
             .as("z"))
     }),
 
+    // Per-label embedding drift: L2 distance of each label's centroid
+    // from the corpus centroid — the embedding-space monitoring read
+    // (which classes sit far from the bulk; a retrained encoder moves
+    // these first). Per-dim means AND the squared-diff terms snap to
+    // DECIMAL so every sum is aggregation-order-free; two grouped
+    // aggregates over one flattened scan, d-sized frames broadcast.
+    "vec_drift_by_label" -> ((s, dir) => {
+      val flat = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      val lm = flat.groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double")
+          / count(lit(1))).as("ml"), count(lit(1)).as("n"))
+      val cm = flat.groupBy(col("pos"))
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double")
+          / count(lit(1))).as("mc"))
+      lm.join(broadcast(cm), Seq("pos"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          round(sqrt(sum(((col("ml") - col("mc")) * (col("ml") - col("mc")))
+            .cast("decimal(20,10)")).cast("double")), 4).as("drift_dist"))
+    }),
+
     // Rocchio vector pseudo-relevance feedback (the embedding sibling
     // of bm25_prf_topk): exact top-5 feedback, q′ = ½q + ½centroid
     // (centroid and q′-norm DECIMAL-snapped — engine-exact), re-search
@@ -1256,6 +1280,26 @@ object VectorQueries {
     // threshold on the unrounded cosine, 4dp output.
     "dedup_semantic" -> dedupSemanticOracleSql,
     "decontaminate_semantic" -> decontaminateSemanticOracleSql,
+    "vec_drift_by_label" ->
+      """WITH f AS (SELECT CAST(label AS BIGINT) AS label,
+                CAST(i - 1 AS BIGINT) AS pos,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+              FROM (SELECT label, embedding,
+                      unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings)),
+         lm AS (SELECT label, pos,
+                  CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*)
+                    AS ml,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM f GROUP BY 1, 2),
+         cm AS (SELECT pos,
+                  CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*)
+                    AS mc
+                FROM f GROUP BY 1)
+         SELECT label, max(n) AS n_vecs,
+                round(sqrt(CAST(sum(CAST((ml - mc) * (ml - mc)
+                  AS DECIMAL(20,10))) AS DOUBLE)), 4) AS drift_dist
+         FROM lm JOIN cm USING (pos) GROUP BY label""",
     "rocchio_topk" ->
       s"""WITH $RawEv,
          nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
