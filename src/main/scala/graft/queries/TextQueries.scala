@@ -439,6 +439,70 @@ object TextQueries {
           expr("(__cum * 1000000L) div __tot").as("coverage_ppm"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1, the named ruleset
+    // every pretrain pipeline reimplements): word-count window, mean
+    // word length window, alphabetic-word fraction — per-rule verdicts
+    // and the overall gate, all in exact integer ppm (no float ratio
+    // anywhere). One explode + one per-doc aggregate.
+    "quality_gopher" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("__chars"),
+          sum(col("w").rlike("[a-zA-Z]").cast("long")).as("__alpha"))
+        .select(col("doc_id"), col("n_words"),
+          expr("(__chars * 1000000L) div n_words").as("mwl_ppm"),
+          expr("(__alpha * 1000000L) div n_words").as("alpha_ppm"))
+        .select(col("doc_id"), col("n_words"), col("mwl_ppm"),
+          col("alpha_ppm"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("pass_len"),
+          (col("mwl_ppm") >= 3000000L && col("mwl_ppm") <= 10000000L)
+            .as("pass_mwl"),
+          (col("alpha_ppm") >= 800000L).as("pass_alpha"))
+        .withColumn("keep",
+          col("pass_len") && col("pass_mwl") && col("pass_alpha"))
+    }),
+
+    // Zipf fit: OLS of ln(freq) on ln(rank) over the top-100 types —
+    // the one-number corpus-health read (natural text slopes ≈ −1;
+    // template/synthetic corpora flatten). Ranks via DenseId (no
+    // partitionless window); the OLS sums snap per-term to DECIMAL so
+    // the closed form is aggregation-order-free; slope/intercept/R² in
+    // identical double expressions.
+    "zipf_fit" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      // products in DOUBLE, snapped per term to DECIMAL for the sums
+      // (exact), then the closed form entirely in double over the
+      // exactly-converted small sums — decimal×decimal would hit both
+      // engines' different precision-reduction rules
+      val ranked = graft.operators.DenseId.withOrderedId(
+        freq.select((-col("n")).as("__neg"), col("token"), col("n")),
+        "__rk", "__neg", "token")
+        .where(col("__rk") < 100)
+        .select(log(col("__rk") + 1).as("x"), log(col("n")).as("y"))
+      val m = ranked.agg(count(lit(1)).cast("double").as("k"),
+        sum(col("x").cast("decimal(28,10)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,10)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(28,10)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(28,10)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(28,10)")).cast("double").as("syy"))
+      m.select(col("k").cast("long").as("n_types"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")))
+          * col("sx")) / col("k"), 4).as("intercept"),
+        round(((col("k") * col("sxy") - col("sx") * col("sy"))
+          * (col("k") * col("sxy") - col("sx") * col("sy")))
+          / ((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+    }),
+
     // Pair-counting clustering agreement (Stats.clusteringAgreement):
     // Rand index + pair precision/recall of the length-bucket
     // partition against exact-duplicate groups — the label-free way to
@@ -2120,6 +2184,51 @@ object TextQueries {
                 CAST(least(share_tokens, 4000000 * n_tokens // 1000000)
                   AS BIGINT) AS capped_tokens
          FROM sh""",
+    "quality_gopher" ->
+      """WITH w AS (SELECT doc_id, token AS w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token <> ''),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 sum(length(w)) AS chars,
+                 sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                     THEN 1 ELSE 0 END) AS alpha
+               FROM w GROUP BY doc_id),
+         p AS (SELECT doc_id, n_words,
+                 CAST((chars * 1000000) // n_words AS BIGINT) AS mwl_ppm,
+                 CAST((alpha * 1000000) // n_words AS BIGINT) AS alpha_ppm
+               FROM a)
+         SELECT doc_id, n_words, mwl_ppm, alpha_ppm,
+                n_words >= 50 AND n_words <= 100000 AS pass_len,
+                mwl_ppm >= 3000000 AND mwl_ppm <= 10000000 AS pass_mwl,
+                alpha_ppm >= 800000 AS pass_alpha,
+                (n_words >= 50 AND n_words <= 100000)
+                  AND (mwl_ppm >= 3000000 AND mwl_ppm <= 10000000)
+                  AND alpha_ppm >= 800000 AS keep
+         FROM p""",
+    "zipf_fit" ->
+      """WITH freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents)
+             WHERE token <> '' GROUP BY token),
+         r AS (SELECT n, token,
+                 row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS rk
+               FROM freq),
+         t AS (SELECT ln(rk + 1) AS x, ln(n) AS y FROM r WHERE rk < 100),
+         m AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                 CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+               FROM t)
+         SELECT CAST(k AS BIGINT) AS n_types,
+                round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+                round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                  / k, 4) AS intercept,
+                round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                  / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+         FROM m""",
     // stage = the ppl bucket itself (width 1, max 3 never binds)
     "curriculum_ppl" ->
       s"""WITH b AS (${PplBucketsOracle})
