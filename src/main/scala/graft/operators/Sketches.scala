@@ -113,7 +113,10 @@ object Sketches {
     */
   def hllLongFit(df: DataFrame, keyCol: String, groupCols: Seq[String],
       p: Int): DataFrame = {
-    require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
+    // p >= 3: the estimator scales by 2^62, which requires rho ≤ 62
+    // (i.e. suffix width 64-p ≤ 61) — at p=2 a rho of 63 would turn
+    // shiftleft(1, 62-rho) into a negative-amount shift
+    require(p >= 3 && p <= 16, s"p must be in [3,16], got $p")
     val m = 1L << p
     val w = 64 - p
     df
