@@ -56,6 +56,8 @@ object Bench {
         graft.queries.WarehouseQueries.ensureFixtures(spark, sfDir)
       if (selected.keys.exists(graft.queries.TextQueries.clusterFixtureConsumers))
         graft.queries.TextQueries.ensureFixtures(spark, sfDir)
+      if (selected.keys.exists(graft.queries.PretrainQueries.chunkFixtureConsumers))
+        graft.queries.PretrainQueries.ensureFixtures(spark, sfDir)
       System.gc()
     }
     // deterministic (sorted) execution order for comparable timings
