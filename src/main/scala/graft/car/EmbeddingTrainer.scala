@@ -129,7 +129,7 @@ object EmbeddingTrainer {
     var emb = resumed.map(_._2).getOrElse(
       tagged(initFlat(spark, numEntities, cfg.dim, cfg.seed), "e")
         .unionAll(tagged(initFlat(spark, numRelations, cfg.dim, cfg.seed + 1), "r")))
-    val firstEpoch = resumed.map(_._1 + 1).getOrElse(1)
+    val firstEpoch = resumed.map(_._1 + 1).getOrElse(1L)
     def entFlat = emb.filter(col("tbl") === "e").drop("tbl")
     def relFlat = emb.filter(col("tbl") === "r").drop("tbl")
     val losses = Seq.newBuilder[Double]
@@ -244,13 +244,13 @@ object EmbeddingTrainer {
           validEval, allTrue.get, eSums, rSums)
         val mrr = mrrDf.head().getAs[Double]("mrr")
         CheckpointShim.freeLocalCheckpoint(mrrDf)
-        mrrs += (epoch -> mrr)
+        mrrs += (epoch.toInt -> mrr)
         if (best.forall(_._1 < mrr)) {
           best.foreach { case (_, e, r, _) =>
             CheckpointShim.freeLocalCheckpoint(e)
             CheckpointShim.freeLocalCheckpoint(r)
           }
-          best = Some((mrr, eEmb, rEmb, epoch))
+          best = Some((mrr, eEmb, rEmb, epoch.toInt))
         } else {
           CheckpointShim.freeLocalCheckpoint(eEmb)
           CheckpointShim.freeLocalCheckpoint(rEmb)

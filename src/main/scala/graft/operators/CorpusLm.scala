@@ -48,13 +48,19 @@ object CorpusLm {
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    bi.join(c2, Seq("w1", "w2"))
+    // per-doc result is |docs|-sized: checkpoint it eagerly so the
+    // count table can be unpersisted (the Retrieval discipline) and so
+    // downstream count+rank passes don't re-run the scoring pipeline
+    val result = bi.join(c2, Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .select(col(idCol),
         (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("lm_score"))
+      .localCheckpoint(true)
+    c2.unpersist(false)
+    result
   }
 
   /** Per-doc mean NLL under an interpolated Kneser-Ney bigram model
@@ -90,7 +96,7 @@ object CorpusLm {
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
     val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
     val types = c2.agg(count(lit(1)).as("nt"))
-    bi.join(c2, Seq("w1", "w2"))
+    val result = bi.join(c2, Seq("w1", "w2"))
       .join(broadcast(left), Seq("w1"))
       .join(broadcast(right), Seq("w2"))
       .crossJoin(broadcast(types))
@@ -103,6 +109,9 @@ object CorpusLm {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 4)
           .as("kn_score"))
+      .localCheckpoint(true)
+    c2.unpersist(false)
+    result
   }
 
   /** `scored` (from [[bigramNll]]) + `ppl_bucket` (1..k, ANSI-ntile
@@ -111,8 +120,13 @@ object CorpusLm {
     */
   def pplBuckets(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"need at least 2 buckets, got $k")
-    val n = scored.count()
-    val ranked = DenseId.withOrderedId(scored, "__rk", "lm_score", idCol)
+    // the count pass and the rank pass both consume `scored`; snapshot
+    // the |docs|-sized frame once so an unpersisted caller's scoring
+    // pipeline doesn't execute twice (no-op-cheap when the caller is
+    // bigramNll/bigramKnNll, which already hand over a checkpoint)
+    val snap = scored.localCheckpoint(true)
+    val n = snap.count()
+    val ranked = DenseId.withOrderedId(snap, "__rk", "lm_score", idCol)
     // ANSI ntile in closed form over the 0-based global rank r:
     // q = n div k, m = n mod k; the first m buckets hold q+1 rows.
     val q = n / k

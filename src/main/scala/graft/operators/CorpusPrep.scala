@@ -433,7 +433,9 @@ object CorpusPrep {
     * corpus size, because the question is about TOTALS, not rows.
     * Weights are renormalized over the sources PRESENT (a missing
     * source should inflate everyone else's share, not silently lose
-    * its tokens).
+    * its tokens). The converse also holds: a source present in the
+    * data but absent from `weightPermille` is kept with weight 0 —
+    * a visible zero-budget row, never a silent drop.
     */
   def repetitionBudget(tokensPerSource: DataFrame, sourceCol: String,
       nTokensCol: String, weightPermille: Map[String, Long],
@@ -442,12 +444,16 @@ object CorpusPrep {
     val spark = tokensPerSource.sparkSession
     import spark.implicits._
     val w = weightPermille.toSeq.toDF(sourceCol, "weight_permille")
-    val joined = tokensPerSource.join(broadcast(w), Seq(sourceCol))
+    // left join: unweighted-but-present sources surface as weight-0
+    // rows (share/epochs/cap all 0) instead of vanishing from the plan
+    val joined = tokensPerSource.join(broadcast(w), Seq(sourceCol), "left")
+      .withColumn("weight_permille",
+        coalesce(col("weight_permille"), lit(0L)))
     val totalPerm = joined.agg(sum(col("weight_permille")).as("__tp"))
     joined.crossJoin(broadcast(totalPerm))
       .select(col(sourceCol), col(nTokensCol).as("n_tokens"),
         col("weight_permille"),
-        expr(s"($targetTokens * weight_permille) div __tp")
+        expr(s"($targetTokens * weight_permille) div greatest(__tp, 1L)")
           .as("share_tokens"),
         col("__tp"))
       .select(col(sourceCol), col("n_tokens"), col("weight_permille"),

@@ -654,7 +654,7 @@ object Dedup {
       .getOrElse(df.select(col(idCol).cast("long").as("id"))
         .withColumn("cluster", col("id")).localCheckpoint(true))
     var converged = false
-    var i = resumed.map(_._1).getOrElse(0)
+    var i = resumed.map(_._1).getOrElse(0L)
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncl")), Seq("dst"))
@@ -717,7 +717,7 @@ object Dedup {
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true))
     var converged = edges.limit(1).isEmpty
-    var i = resumed.map(_._1).getOrElse(0)
+    var i = resumed.map(_._1).getOrElse(0L)
     while (!converged && i < maxIters) {
       // large-star over the symmetric view; the output (v, m) is
       // naturally big→small oriented because v > u ≥ m

@@ -28,7 +28,7 @@ object DurableIters {
   /** Write `df` as the committed snapshot of round `iter` and return a
     * frame rooted at the durable files.
     */
-  def save(df: DataFrame, dir: String, iter: Int): DataFrame = {
+  def save(df: DataFrame, dir: String, iter: Long): DataFrame = {
     val p = s"$dir/iter=$iter"
     df.write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
@@ -38,14 +38,14 @@ object DurableIters {
     * directory has none (first run, or nothing committed yet).
     */
   def latest(spark: SparkSession, dir: String,
-      upTo: Int = Int.MaxValue): Option[(Int, DataFrame)] = {
+      upTo: Long = Long.MaxValue): Option[(Long, DataFrame)] = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return None
     val iters = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("iter="))
       .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix("iter=").toInt).toOption)
+        s.getPath.getName.stripPrefix("iter=").toLong).toOption)
       .filter(i => i <= upTo &&
         fs.exists(new Path(new Path(base, s"iter=$i"), "_SUCCESS")))
     if (iters.isEmpty) None

@@ -75,10 +75,10 @@ object PageRank {
       // actually what the resumed run reads)
       val (done, r0) = DurableIters.latest(spark, dir, upTo = iters) match {
         case Some((k, snap)) => (k, snap)
-        case None => (0, nodes.withColumn("r", lit(base)))
+        case None => (0L, nodes.withColumn("r", lit(base)))
       }
       var r = r0
-      for (i <- done + 1 to iters)
+      for (i <- done + 1 to iters.toLong)
         r = DurableIters.save(iterate(eod, nodes, r, baseTerm, 1), dir, i)
       val out = r.select(col("node"), col("r").as("pr_fx"))
       Seq(eod, nodes).foreach(_.unpersist(false))

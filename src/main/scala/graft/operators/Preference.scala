@@ -104,7 +104,8 @@ object Preference {
     * 2024, DeepSeekMath): per group, advantage_i = (s_i − mean) / std
     * over the group's candidate scores, the score signal a
     * policy-gradient trainer consumes instead of a learned value
-    * baseline. Scores snap to DECIMAL(18,6) before the moment sums so
+    * baseline. Scores snap to DECIMAL(18,2) (centi-unit longs — see the
+    * body comment) before the moment sums so
     * the group moments are aggregation-order-free; the z itself is an
     * identical double expression over those exact sums on both engines.
     * Degenerate groups (all scores equal — min = max, an EXACT decimal

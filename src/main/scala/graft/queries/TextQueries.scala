@@ -335,6 +335,32 @@ object TextQueries {
       graft.operators.Retrieval.rrfFuse(lex, dense, k = 5)
     }),
 
+    // The scale path for the same fusion: identical lexical arm, but
+    // the dense arm is the IVF-PQ k-NN join (knn_join_pq's exact
+    // computation — stored ivf8_norm/pq64_norm quantizers, nprobe=6,
+    // ADC + exact rerank) instead of brute-force cosine. The brute row
+    // above stays as the quality ground truth (ann_recall_audit pins
+    // the candidate recall); this row's plan never scores
+    // |queries|·|corpus| pairs, so it survives a 100× corpus where the
+    // brute arm cannot. Hash-gated: the oracle fuses the (already
+    // hash-passing) BM25 replay with the engine's own knn_join_pq dump.
+    "hybrid_batch_rrf_ivf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      val lex = graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
+      val dense = graft.operators.SimilaritySearch.knnJoinIvfPq(
+        e, e.where(pmod(col("vec_id"), lit(50)) === 0),
+        "embedding", "vec_id", k = 5,
+        VectorQueries.centroidsFromDF(VectorQueries.storedIvf8Norm(s, dir)),
+        VectorQueries.codebooksFromDF(VectorQueries.storedPq64Norm(s, dir)),
+        nprobe = 6, rerank = 50)
+      graft.operators.Retrieval.rrfFuse(lex, dense, k = 5)
+    }),
+
     // Hybrid retrieval (RAG curation ranker): BM25 top-50 for the fixed
     // 3-term query FUSED with embedding-cosine top-50 to vector 0 by
     // reciprocal-rank fusion (rrf = Σ 1/(60+rank)). Lexical and dense
@@ -1107,27 +1133,56 @@ object TextQueries {
     }),
 
     // A17 — sketch-based distinct counts per source next to the exact
-    // answer: approx_count_distinct is the O(1)-memory HLL++ path that
-    // replaces an exact COUNT(DISTINCT) shuffle at 100 TB (the exact
-    // column here doubles as the in-row accuracy reference). Sketch
-    // values are engine-specific → rows-only.
+    // answer: the O(1)-memory HLL path that replaces an exact
+    // COUNT(DISTINCT) shuffle at 100 TB (the exact column doubles as
+    // the in-row accuracy reference). Since r17 this runs the OWN-HLL
+    // estimator over an md5-48-bit key of the text (exact-gated: the
+    // md5 prefix, the XxSql hashLong unroll, bit-length rho, and the
+    // 2^62-scaled harmonic sum all replay in DuckDB); Spark's built-in
+    // `approx_count_distinct` is the drop-in library alternative
+    // (TextOpsPiiSpec pins its accuracy — blob internals, no oracle).
     "a17_approx_distinct" -> ((s, dir) => {
-      Tables.documents(s, dir).groupBy(col("source"))
-        .agg(approx_count_distinct(col("text")).as("approx_distinct"),
-          countDistinct(col("text")).as("exact_distinct"),
-          count(lit(1)).as("n_docs"))
+      val docs = Tables.documents(s, dir)
+      val keyed = docs.select(col("source"),
+        conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("__k"))
+      graft.operators.Sketches.hllLongEstimate(
+          graft.operators.Sketches.hllLongFit(keyed, "__k", "source", p = 4),
+          "source", p = 4)
+        .join(docs.groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("exact_distinct"),
+            count(lit(1)).as("n_docs")), Seq("source"))
     }),
 
     // Sketch-union rollup: per-source HLL distinct-text sketches whose
     // UNION (register-wise max — an exact merge, no re-scan) yields the
     // corpus-wide row — the mergeable pre-aggregation pattern that lets
     // per-shard/per-day sketches answer any-range distinct queries at
-    // constant cost at 100 TB. DataSketches binary → rows-only
-    // (SketchesSpec pins merged ≡ direct-global and the error vs exact).
+    // constant cost at 100 TB. Since r17 on the own-HLL registers, so
+    // BOTH the per-source estimates and the merged `__all` row are
+    // exact-gated (union-of-registers ≡ registers-of-union is the
+    // mergeability law the oracle replays); the DataSketches
+    // `hll_sketch_agg`/`hll_union_agg` form stays available as
+    // [[graft.operators.Sketches.hllRollup]] (SketchSpec pins merged ≡
+    // direct-global and the error vs exact).
     "sketch_union_rollup" -> ((s, dir) => {
-      graft.operators.Sketches.hllRollup(
-        Tables.documents(s, dir), "text", "source")
-        .select(col("grp"), col("n_distinct_est"))
+      val keyed = Tables.documents(s, dir).select(col("source"),
+        conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("__k"))
+      val regs = graft.operators.Sketches
+        .hllLongFit(keyed, "__k", "source", p = 4)
+        .localCheckpoint(true)
+      val groups = graft.operators.Sketches
+        .hllLongEstimate(regs, "source", p = 4)
+        .select(col("source").cast("string").as("grp"),
+          col("est").as("n_distinct_est"))
+      val merged = regs.groupBy(col("bucket"))
+        .agg(max(col("rho_max")).cast("int").as("rho_max"))
+        .withColumn("__g", lit("__all"))
+      val rollup = graft.operators.Sketches
+        .hllLongEstimate(merged, Seq("__g"), p = 4)
+        .select(col("__g").as("grp"), col("est").as("n_distinct_est"))
+      groups.unionByName(rollup)
     }),
 
     // Count-min-sketch heavy hitters: token counts estimated from a
@@ -1539,9 +1594,66 @@ object TextQueries {
        WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5"""
   }
 
+  /** The own-HLL p=4 register CTE chain over an md5-48-bit key of
+    * `text` grouped by source — shared by a17_approx_distinct /
+    * sketch_union_rollup (the distinct_hll_replay construction: XxSql
+    * hashLong unroll, low-4-bit buckets, bit-length rho on the 60-bit
+    * suffix). Ends with CTE `regs` = (source, bucket, rho).
+    */
+  private val HllTextRegisterCtes: String = {
+    val (hashFrag, hashLast) = XxSql.chain("hb",
+      XxSql.xx64Steps(XxSql.u64("k"), "42", "h", "htx"), "htxc")
+    s"""WITH hb AS (SELECT source,
+           CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS k
+         FROM documents)
+       $hashFrag,
+       regs AS (SELECT source, h % 16 AS bucket,
+           max(CASE WHEN h // 16 = 0 THEN 61
+               ELSE 61 - length(bin(CAST(h // 16 AS HUGEINT))) END) AS rho
+         FROM $hashLast GROUP BY 1, 2)"""
+  }
+
+  /** The p=4 estimator tail over a (grp, bucket, rho) CTE `$src`:
+    * scaled-integer harmonic denominator + the linear-counting switch
+    * (m=16, α=0.673) — lands in CTE `est_$src` = (grp, n_obs, est).
+    */
+  private def hllEstimateTail(src: String): String =
+    s"""agg_$src AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_obs,
+           sum(CAST(CAST(1 AS BIGINT) << CAST(62 - rho AS INT)
+             AS HUGEINT)) AS ds
+         FROM $src GROUP BY 1),
+       e_$src AS (SELECT grp, n_obs,
+           0.673 * 256 * CAST(CAST(1 AS BIGINT) << 62 AS DOUBLE)
+             / CAST(ds + (16 - n_obs)
+                 * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT) AS DOUBLE)
+             AS eraw
+         FROM agg_$src),
+       est_$src AS (SELECT grp, n_obs,
+           round(CASE WHEN eraw <= 40.0 AND n_obs < 16
+                 THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4) AS est
+         FROM e_$src)"""
+
   def oracleSql: Map[String, String] = Map(
     "heavy_hitters_cms" -> CmsHeavyHittersOracle,
     "cms_maintained" -> CmsHeavyHittersOracle,
+    "a17_approx_distinct" ->
+      s"""$HllTextRegisterCtes,
+         g AS (SELECT source AS grp, bucket, rho FROM regs),
+         ${hllEstimateTail("g")},
+         x AS (SELECT source,
+                 CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+                 CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1)
+         SELECT grp AS source, n_obs, est, exact_distinct, n_docs
+         FROM est_g JOIN x ON est_g.grp = x.source""",
+    "sketch_union_rollup" ->
+      s"""$HllTextRegisterCtes,
+         ar AS (SELECT CAST(source AS VARCHAR) AS grp, bucket, rho FROM regs
+                UNION ALL
+                SELECT '__all' AS grp, bucket, max(rho) AS rho
+                FROM regs GROUP BY 2),
+         ${hllEstimateTail("ar")}
+         SELECT grp, est AS n_distinct_est FROM est_ar""",
     "dedup_minhash" -> minhashOracleSql(bands = 8, rowsPerBand = 2),
     // SimHash replay: one vote row per (token occurrence × bit), the
     // signature as a HUGEINT power sum (bit 63 would overflow BIGINT),
@@ -2042,6 +2154,24 @@ object TextQueries {
     "hybrid_batch_rrf" ->
       s"""WITH lex AS ($Bm25BatchOracle),
          den AS (${VectorQueries.oracleSql("knn_join_bruteforce")}),
+         f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                 coalesce(l.doc_id, d.neighbor_id) AS doc_id,
+                 coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank), 0) AS rrf
+               FROM lex l FULL OUTER JOIN den d
+                 ON l.query_id = d.query_id AND l.doc_id = d.neighbor_id),
+         r AS (SELECT query_id, doc_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM f)
+         SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf
+         FROM r WHERE rank <= 5""",
+    // same fuse, dense arm = the engine's own hash-gated knn_join_pq
+    // dump (sibling-dump pattern: subset Verify runs must include it)
+    "hybrid_batch_rrf_ivf" ->
+      s"""WITH lex AS ($Bm25BatchOracle),
+         den AS (SELECT query_id, neighbor_id, rank
+                 FROM read_parquet('__VERIFY_OUT__/knn_join_pq/*.parquet')),
          f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
                  coalesce(l.doc_id, d.neighbor_id) AS doc_id,
                  coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0)

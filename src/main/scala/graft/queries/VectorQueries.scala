@@ -225,7 +225,7 @@ object VectorQueries {
     "ann_codebook_pq16_norm", "ann_codebook_pq64_norm",
     "ann_audit_pairs", "ann_recall_audit", "ann_drift", "ann_index_rows",
     "sim_ivf_topk", "sim_pq_topk", "knn_join_ivf", "knn_join_pq",
-    "dedup_semantic", "decontaminate_semantic")
+    "hybrid_batch_rrf_ivf", "dedup_semantic", "decontaminate_semantic")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multimodal decode plumbing as a gate query: binary payloads

@@ -20,7 +20,7 @@ object Bm25Stream {
 
   /** Fold one micro-batch of documents into the postings index. */
   def applyBatch(batch: DataFrame, textCol: String, idCol: String,
-      indexDir: String, batchId: Int): Unit = {
+      indexDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, indexDir,
       upTo = batchId - 1).map(_._2)
     val delta = Retrieval.postingsOf(batch, idCol, textCol)

@@ -21,7 +21,7 @@ object BtStream {
     * count matrix.
     */
   def applyBatch(batch: DataFrame, winnerCol: String, loserCol: String,
-      stateDir: String, batchId: Int): Unit = {
+      stateDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, stateDir,
       upTo = batchId - 1).map(_._2)
     val delta = batch.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
@@ -43,7 +43,7 @@ object BtStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch.toDF(), winnerCol, loserCol, stateDir,
-          batchId.toInt)
+          batchId)
       }
       .start()
 

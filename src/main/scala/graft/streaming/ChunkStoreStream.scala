@@ -22,7 +22,7 @@ object ChunkStoreStream {
 
   /** Fold one micro-batch of documents into the chunk store. */
   def applyBatch(batch: DataFrame, textCol: String, idCol: String,
-      storeDir: String, batchId: Int, w: Int = 4, divisor: Int = 8): Unit = {
+      storeDir: String, batchId: Long, w: Int = 4, divisor: Int = 8): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, storeDir,
       upTo = batchId - 1).map(_._2)
     val delta = CdcChunking.chunks(batch, textCol, idCol, w, divisor)

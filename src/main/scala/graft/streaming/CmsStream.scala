@@ -22,7 +22,7 @@ object CmsStream {
 
   /** Fold one micro-batch of term rows into the counter table. */
   def applyBatch(batch: DataFrame, termCol: String, width: Int, depth: Int,
-      stateDir: String, batchId: Int, seed: Long = 42L): Unit = {
+      stateDir: String, batchId: Long, seed: Long = 42L): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, stateDir,
       upTo = batchId - 1).map(_._2)
     val delta = Sketches.cmsFit(batch, termCol, width, depth, seed)
@@ -42,7 +42,7 @@ object CmsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch.toDF(), termCol, width, depth, stateDir,
-          batchId.toInt, seed)
+          batchId, seed)
       }
       .start()
 

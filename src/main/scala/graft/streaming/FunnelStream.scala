@@ -26,7 +26,7 @@ object FunnelStream {
   private val Stages = Seq("view" -> "v", "click" -> "c", "purchase" -> "p")
 
   /** Fold one micro-batch of (user_id, event_type, ts_us) rows. */
-  def applyBatch(batch: DataFrame, stateDir: String, batchId: Int): Unit = {
+  def applyBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, stateDir,
       upTo = batchId - 1).map(_._2)
     val delta = batch.groupBy(col("user_id"))
@@ -56,7 +56,7 @@ object FunnelStream {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), stateDir, batchId.toInt)
+        applyBatch(batch.toDF(), stateDir, batchId)
       }
       .start()
 

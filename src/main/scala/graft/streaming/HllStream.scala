@@ -24,7 +24,7 @@ object HllStream {
 
   /** Fold one micro-batch of (group, key) rows into the registers. */
   def applyBatch(batch: DataFrame, keyCol: String, groupCol: String,
-      p: Int, stateDir: String, batchId: Int): Unit = {
+      p: Int, stateDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, stateDir,
       upTo = batchId - 1).map(_._2)
     val delta = Sketches.hllLongFit(batch, keyCol, groupCol, p)
@@ -43,7 +43,7 @@ object HllStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch.toDF(), keyCol, groupCol, p, stateDir,
-          batchId.toInt)
+          batchId)
       }
       .start()
 

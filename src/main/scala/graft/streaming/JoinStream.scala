@@ -27,7 +27,7 @@ object JoinStream {
     * @param dirs (viewDir, accADir, accBDir) durable state roots
     */
   def applyBatch(deltaA: DataFrame, deltaB: DataFrame, joinCols: Seq[String],
-      dirs: (String, String, String), batchId: Int): Unit = {
+      dirs: (String, String, String), batchId: Long): Unit = {
     val s = deltaA.sparkSession
     val (viewDir, aDir, bDir) = dirs
     val prevView = DurableIters.latest(s, viewDir, upTo = batchId - 1).map(_._2)

@@ -26,7 +26,7 @@ object KmvStream {
 
   /** Fold one micro-batch of (group, value) rows into the sketch. */
   def applyBatch(batch: DataFrame, groupCol: String, valueCol: String,
-      k: Int, sketchDir: String, batchId: Int): Unit = {
+      k: Int, sketchDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, sketchDir,
       upTo = batchId - 1).map(_._2)
     val delta = KmvSketch.sketch(batch, Seq(groupCol), valueCol, k)
@@ -51,7 +51,7 @@ object KmvStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch.toDF(), groupCol, valueCol, k, sketchDir,
-          batchId.toInt)
+          batchId)
       }
       .start()
 

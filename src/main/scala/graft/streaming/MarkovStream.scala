@@ -36,7 +36,7 @@ object MarkovStream {
     * the versioned state. Exposed for tests and batch backfill.
     */
   def applyBatch(batch: DataFrame, countsDir: String, lastDir: String,
-      batchId: Int): Unit = {
+      batchId: Long): Unit = {
     val spark = batch.sparkSession
     val prevCounts = DurableIters.latest(spark, countsDir, upTo = batchId - 1)
       .map(_._2)
@@ -89,7 +89,7 @@ object MarkovStream {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), countsDir, lastDir, batchId.toInt)
+        applyBatch(batch.toDF(), countsDir, lastDir, batchId)
       }
       .start()
 

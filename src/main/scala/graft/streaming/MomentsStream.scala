@@ -30,7 +30,7 @@ object MomentsStream {
   /** Fold one micro-batch into the versioned moment state. Exposed
     * for tests and batch backfill (call with increasing ids).
     */
-  def applyBatch(batch: DataFrame, stateDir: String, batchId: Int,
+  def applyBatch(batch: DataFrame, stateDir: String, batchId: Long,
       cols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val delta = Stats.corrState(batch, cols)
@@ -49,7 +49,7 @@ object MomentsStream {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), stateDir, batchId.toInt, cols)
+        applyBatch(batch.toDF(), stateDir, batchId, cols)
       }
       .start()
 

@@ -25,7 +25,7 @@ object QuantileStream {
 
   /** Fold one micro-batch of (group, id, value) rows into the sketch. */
   def applyBatch(batch: DataFrame, groupCol: String, valueCol: String,
-      idCol: String, k: Int, sketchDir: String, batchId: Int): Unit = {
+      idCol: String, k: Int, sketchDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, sketchDir,
       upTo = batchId - 1).map(_._2)
     val delta = QuantileSketch.sketch(batch, Seq(groupCol), valueCol,
@@ -51,7 +51,7 @@ object QuantileStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch.toDF(), groupCol, valueCol, idCol, k, sketchDir,
-          batchId.toInt)
+          batchId)
       }
       .start()
 

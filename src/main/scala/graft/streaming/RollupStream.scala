@@ -30,7 +30,7 @@ object RollupStream {
   /** Fold one micro-batch of raw rows into the versioned state.
     * Exposed for tests and batch backfill (call with increasing ids).
     */
-  def applyBatch(batch: DataFrame, stateDir: String, batchId: Int,
+  def applyBatch(batch: DataFrame, stateDir: String, batchId: Long,
       keyCols: Seq[String], valueCol: String): Unit = {
     val spark = batch.sparkSession
     val merged = DurableIters.latest(spark, stateDir, upTo = batchId - 1) match {
@@ -49,7 +49,7 @@ object RollupStream {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), stateDir, batchId.toInt, keyCols, valueCol)
+        applyBatch(batch.toDF(), stateDir, batchId, keyCols, valueCol)
       }
       .start()
 }

@@ -30,7 +30,7 @@ object ScdStream {
   /** Merge one micro-batch into the versioned history. Exposed for
     * tests and for batch backfill (call with increasing ids).
     */
-  def applyBatch(batch: DataFrame, historyDir: String, batchId: Int,
+  def applyBatch(batch: DataFrame, historyDir: String, batchId: Long,
       keyCol: String, tsCol: String, tieCol: String, stateCol: String): Unit = {
     val spark = batch.sparkSession
     val merged = DurableIters.latest(spark, historyDir, upTo = batchId - 1) match {
@@ -49,7 +49,7 @@ object ScdStream {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), historyDir, batchId.toInt,
+        applyBatch(batch.toDF(), historyDir, batchId,
           keyCol, tsCol, tieCol, stateCol)
       }
       .start()

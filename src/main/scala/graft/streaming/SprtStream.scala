@@ -25,7 +25,7 @@ import graft.operators.{DurableIters, Sprt}
 object SprtStream {
 
   /** Fold one micro-batch of (arm, hour, conv) arrival rows. */
-  def applyBatch(batch: DataFrame, countsDir: String, batchId: Int): Unit = {
+  def applyBatch(batch: DataFrame, countsDir: String, batchId: Long): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, countsDir,
       upTo = batchId - 1).map(_._2)
     val delta = batch.groupBy(col("arm"), col("hour"))
@@ -46,7 +46,7 @@ object SprtStream {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), countsDir, batchId.toInt)
+        applyBatch(batch.toDF(), countsDir, batchId)
       }
       .start()
 

@@ -27,7 +27,7 @@ object WinnowStream {
 
   /** Fold one micro-batch of documents into the fingerprint index. */
   def applyBatch(batch: DataFrame, textCol: String, idCol: String,
-      indexDir: String, batchId: Int, shingleLen: Int = 5,
+      indexDir: String, batchId: Long, shingleLen: Int = 5,
       window: Int = 4): Unit = {
     val prev = DurableIters.latest(batch.sparkSession, indexDir,
       upTo = batchId - 1).map(_._2)
@@ -49,7 +49,7 @@ object WinnowStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), textCol, idCol, indexDir, batchId.toInt,
+        applyBatch(batch.toDF(), textCol, idCol, indexDir, batchId,
           shingleLen, window)
       }
       .start()

@@ -42,6 +42,39 @@ class HllStreamSpec extends SparkSpec {
       <= 3L * 16)
   }
 
+  test("maintain() under a genuine file-source readStream, across " +
+    "triggers and a restart, equals the one-shot sketch") {
+    val base = java.nio.file.Files.createTempDirectory("hll5").toString
+    val (in, state, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+    val all = (1L to 900L).map(i => (s"g${i % 2}", i))
+    val (b0, b1, b2) = (all.take(300), all.slice(300, 600), all.drop(600))
+    b0.toDF("g", "k").write.parquet(s"$in/batch0")
+    val schema = b0.toDF("g", "k").schema
+    // maxFilesPerTrigger=1 forces MULTIPLE micro-batches per
+    // processAllAvailable — the fold must be trigger-agnostic, not
+    // merely replay-from-batch-list-agnostic
+    def start() = HllStream.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/batch*"),
+      "k", "g", p = 4, state, ckpt)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // grow the directory while the query is LIVE
+      b1.toDF("g", "k").write.parquet(s"$in/batch1")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a batch landing while the query is DOWN must fold exactly once
+    // on restart (checkpoint offsets + the DurableIters discipline)
+    b2.toDF("g", "k").write.parquet(s"$in/batch2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val oneShot = Sketches.hllLongEstimate(
+        Sketches.hllLongFit(all.toDF("g", "k"), "k", "g", 4), "g", 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(est(state) == oneShot)
+  }
+
   test("trailing distinct: a window slot sees exactly its trailing keys") {
     // slot 0: keys 1..50; slot 1: 41..90; slot 2: 200..210; window 2
     val rows = (1L to 50L).map(k => ("g", 0L, k)) ++

@@ -5,7 +5,9 @@ BENCH_ref.json holds, per query, the best (lowest) known in-suite
 seconds on the reference dataset — the noise-immunity baseline Bench's
 solo-warm adjudication pass compares against. This keeps the refresh
 mechanical and auditable: ref[q] = min(old_ref[q], new_run[q]); queries
-new to the suite are seeded from the run.
+new to the suite are seeded from the run, and ref entries for queries
+no longer in the suite are pruned (reported) so the baseline tracks the
+live query set instead of accreting dead keys forever.
 
 Usage: python3 tools/refresh_bench_ref.py <bench_json_line_file>
        (the file's LAST line containing "metric" is used)
@@ -14,19 +16,30 @@ import json
 import sys
 
 src = sys.argv[1]
-line = [l for l in open(src) if '"metric"' in l][-1]
-run = json.loads(line)
+metric_lines = [l for l in open(src) if '"metric"' in l]
+if not metric_lines:
+    sys.exit(f"error: no line containing \"metric\" in {src} — "
+             "was the bench run aborted before printing its JSON line?")
+run = json.loads(metric_lines[-1])
+if "queries" not in run or not isinstance(run["queries"], dict):
+    sys.exit(f"error: bench line in {src} has no per-query map — "
+             "refusing to refresh from a partial run")
 ref_path = "BENCH_ref.json"
 ref = json.load(open(ref_path))
 assert ref.get("sf") == run.get("sf"), (
     f"sf mismatch: ref {ref.get('sf')} vs run {run.get('sf')}")
 old = ref.get("queries", {})
 new = run["queries"]
-merged = {q: min(old[q], new[q]) if q in old and q in new
-          else (old.get(q) if q in old else new[q])
-          for q in sorted(set(old) | set(new))}
-improved = sum(1 for q in merged if q in old and q in new and new[q] < old[q])
-seeded = len(set(new) - set(old))
+merged = {q: min(old[q], new[q]) if q in old else new[q]
+          for q in sorted(new)}
+improved = sum(1 for q in new if q in old and new[q] < old[q])
+seeded = sorted(set(new) - set(old))
+pruned = sorted(set(old) - set(new))
 ref["queries"] = merged
 json.dump(ref, open(ref_path, "w"), indent=0, sort_keys=True)
-print(f"merged {len(merged)} refs: {improved} improved, {seeded} seeded")
+print(f"merged {len(merged)} refs: {improved} improved, "
+      f"{len(seeded)} seeded, {len(pruned)} pruned")
+if seeded:
+    print("seeded:", ", ".join(seeded))
+if pruned:
+    print("pruned (no longer in suite):", ", ".join(pruned))
