@@ -339,6 +339,70 @@ object RelationalQueries {
     // the aggregate, then enrich. Quantities are integer-valued, so the
     // per-order sums are exact whatever the partial order; the top-100
     // is TakeOrdered, never a global sort.
+    // TPC-H Q1 shape (pricing summary): the scan+agg plan-regression
+    // canary — one lineitem pass, pushed shipdate filter, partial
+    // aggregation into 6 tiny groups. Every sum accumulates in
+    // DECIMAL(18,6) (order-independent); averages divide the exact
+    // decimal sum as a double by the count, so both engines perform
+    // the identical single float op.
+    "tpch_q1" -> ((s, dir) => {
+      val cut = lit("1998-09-01 00:00:00").cast("timestamp")
+      Tables.lineitem(s, dir).where(col("l_shipdate") <= cut)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(18,6)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,6)").as("px"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("disc_px"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).cast("decimal(18,6)").as("charge"),
+          col("l_discount").cast("decimal(18,6)").as("disc"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("qty")).cast("double"), 4).as("sum_qty"),
+          round(sum(col("px")).cast("double"), 4).as("sum_base_price"),
+          round(sum(col("disc_px")).cast("double"), 4).as("sum_disc_price"),
+          round(sum(col("charge")).cast("double"), 4).as("sum_charge"),
+          round(sum(col("qty")).cast("double") / count(lit(1)), 4)
+            .as("avg_qty"),
+          round(sum(col("px")).cast("double") / count(lit(1)), 4)
+            .as("avg_price"),
+          round(sum(col("disc")).cast("double") / count(lit(1)), 4)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit rollup): the join-ORDER
+    // canary — the part/supplier/nation dimensions prune and broadcast
+    // while lineitem⋈orders shuffles once on orderkey. The testdata
+    // has no partsupp table, so supply cost is modeled as
+    // 0.6·p_retailprice (the profit expression keeps Q9's
+    // revenue-minus-cost shape); the name filter keeps dimension
+    // pruning on the probe side like Q9's '%green%'.
+    "tpch_q9" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .where(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"), col("o_year").cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+            .cast("decimal(18,6)").as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(round(sum(col("amount")).cast("double"), 4).as("sum_profit"))
+    }),
+
     "tpch_q18" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
@@ -437,6 +501,40 @@ object RelationalQueries {
        GROUP BY n.n_name"""
 
   def oracleSql: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DOUBLE), 4) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    AS DOUBLE), 4) AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4)
+                AS sum_charge,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*), 4) AS avg_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*), 4) AS avg_price,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*), 4) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY 1, 2""",
+    "tpch_q9" ->
+      """SELECT n.n_name AS nation,
+              CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+              round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    - 0.6 * p.p_retailprice * l.l_quantity
+                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE p.p_name LIKE '%bolt%'
+         GROUP BY 1, 2""",
     "tpch_q18" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)

@@ -142,6 +142,39 @@ class PlanSpec extends SparkSpec {
       scans.map(_.metadata.get("PushedFilters")).mkString("\n"))
   }
 
+  test("tpch_q1 is one scan with the shipdate filter pushed and a single exchange") {
+    val qe = SparkEntry.queries("tpch_q1")(spark, dir).queryExecution
+    val plan = qe.sparkPlan.toString
+    val scans = qe.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, plan)
+    assert(scans.head.metadata.get("PushedFilters")
+      .exists(_.contains("LessThanOrEqual(l_shipdate")), plan)
+    assert("ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).size <= 1, plan)
+  }
+
+  test("tpch_q9 probes every dimension via broadcast hash join; the name filter reaches the part scan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val qe = SparkEntry.queries("tpch_q9")(spark, dir).queryExecution
+    val plan = qe.sparkPlan
+    // part / supplier / nation are explicit broadcasts; orders may be
+    // broadcast (tiny sf) or shuffled (real scale) — either is fine,
+    // but nothing may plan a nested-loop product
+    assert(plan.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j }.length >= 3, plan.toString)
+    assert(plan.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j }.isEmpty, plan.toString)
+    val partScan = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("PushedFilters")
+          .exists(_.contains("StringContains(p_name,bolt)")) => f
+    }
+    assert(partScan.nonEmpty, plan.toString)
+  }
+
   test("dsir_weights broadcasts the ratio table — no shuffle of the token stream for the join") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val qe = SparkEntry.queries("dsir_weights")(spark, dir).queryExecution
