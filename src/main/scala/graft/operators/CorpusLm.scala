@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Corpus-LM scoring + perplexity bucketing — the CCNet curation recipe
   * (Wenzek et al., LREC 2020): score every document under a language
@@ -45,22 +44,22 @@ object CorpusLm {
       .withColumn("w1", lag(col("w"), 1).over(byDoc))
       .where(col("w1").isNotNull)
       .select(col(idCol), col("w1"), col("w").as("w2"))
+    // the bigram-vocab-bounded count table snapshots eagerly instead of
+    // holding a .persist handle the caller can never release: the
+    // checkpoint job costs the same token pass the old persist paid on
+    // first use, leaves no dangling cache entry, and the RESULT stays
+    // lazy so a single-consumer caller keeps full plan pruning (callers
+    // that fan out snapshot themselves — see pplBuckets)
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    // per-doc result is |docs|-sized: checkpoint it eagerly so the
-    // count table can be unpersisted (the Retrieval discipline) and so
-    // downstream count+rank passes don't re-run the scoring pipeline
-    val result = bi.join(c2, Seq("w1", "w2"))
+    bi.join(c2, Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .select(col(idCol),
         (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("lm_score"))
-      .localCheckpoint(true)
-    c2.unpersist(false)
-    result
   }
 
   /** Per-doc mean NLL under an interpolated Kneser-Ney bigram model
@@ -89,14 +88,16 @@ object CorpusLm {
       .withColumn("w1", lag(col("w"), 1).over(byDoc))
       .where(col("w1").isNotNull)
       .select(col(idCol), col("w1"), col("w").as("w2"))
+    // same count-table snapshot discipline as [[bigramNll]]: eager
+    // vocab-bounded checkpoint, no dangling persist handle, lazy result
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // all four smoothing statistics fold out of the count table
     val left = c2.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
     val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
     val types = c2.agg(count(lit(1)).as("nt"))
-    val result = bi.join(c2, Seq("w1", "w2"))
+    bi.join(c2, Seq("w1", "w2"))
       .join(broadcast(left), Seq("w1"))
       .join(broadcast(right), Seq("w2"))
       .crossJoin(broadcast(types))
@@ -109,9 +110,6 @@ object CorpusLm {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 4)
           .as("kn_score"))
-      .localCheckpoint(true)
-    c2.unpersist(false)
-    result
   }
 
   /** `scored` (from [[bigramNll]]) + `ppl_bucket` (1..k, ANSI-ntile

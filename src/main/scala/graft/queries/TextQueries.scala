@@ -336,28 +336,29 @@ object TextQueries {
     }),
 
     // The scale path for the same fusion: identical lexical arm, but
-    // the dense arm is the IVF-PQ k-NN join (knn_join_pq's exact
-    // computation — stored ivf8_norm/pq64_norm quantizers, nprobe=6,
-    // ADC + exact rerank) instead of brute-force cosine. The brute row
-    // above stays as the quality ground truth (ann_recall_audit pins
-    // the candidate recall); this row's plan never scores
-    // |queries|·|corpus| pairs, so it survives a 100× corpus where the
-    // brute arm cannot. Hash-gated: the oracle fuses the (already
-    // hash-passing) BM25 replay with the engine's own knn_join_pq dump.
+    // the dense arm is the IVF-pruned k-NN join (knn_join_ivf's exact
+    // computation — stored ivf8 quantizer, nprobe=2 of 8 cells, cosine
+    // restricted to the probed cells) instead of brute-force cosine.
+    // The brute row above stays as the quality ground truth
+    // (ann_recall_audit pins candidate recall); this arm's pair space
+    // is |Q|·|C|·(nprobe/kCells) with kCells re-derived ~√n at real
+    // scale (SCALE.md: knn_join_ivf measured 3.3× at 10× data — the
+    // measured reason it is the arm, not the ADC path whose per-code
+    // constant dominates at this SF). Hash-gated: the oracle fuses the
+    // (already hash-passing) BM25 replay with the engine's own
+    // knn_join_ivf dump.
     "hybrid_batch_rrf_ivf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val queries = docs.where(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
       val lex = graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        graft.functions.VectorOps.l2Normalize(col("embedding")).as("embedding"))
-      val dense = graft.operators.SimilaritySearch.knnJoinIvfPq(
+      val e = Tables.embeddings(s, dir)
+      val dense = graft.operators.SimilaritySearch.knnJoinIvf(
         e, e.where(pmod(col("vec_id"), lit(50)) === 0),
         "embedding", "vec_id", k = 5,
-        VectorQueries.centroidsFromDF(VectorQueries.storedIvf8Norm(s, dir)),
-        VectorQueries.codebooksFromDF(VectorQueries.storedPq64Norm(s, dir)),
-        nprobe = 6, rerank = 50)
+        VectorQueries.centroidsFromDF(VectorQueries.storedIvf8Raw(s, dir)),
+        nprobe = 2)
       graft.operators.Retrieval.rrfFuse(lex, dense, k = 5)
     }),
 
@@ -2166,12 +2167,12 @@ object TextQueries {
                FROM f)
          SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf
          FROM r WHERE rank <= 5""",
-    // same fuse, dense arm = the engine's own hash-gated knn_join_pq
+    // same fuse, dense arm = the engine's own hash-gated knn_join_ivf
     // dump (sibling-dump pattern: subset Verify runs must include it)
     "hybrid_batch_rrf_ivf" ->
       s"""WITH lex AS ($Bm25BatchOracle),
          den AS (SELECT query_id, neighbor_id, rank
-                 FROM read_parquet('__VERIFY_OUT__/knn_join_pq/*.parquet')),
+                 FROM read_parquet('__VERIFY_OUT__/knn_join_ivf/*.parquet')),
          f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
                  coalesce(l.doc_id, d.neighbor_id) AS doc_id,
                  coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0)
