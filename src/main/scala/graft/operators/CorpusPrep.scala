@@ -466,6 +466,60 @@ object CorpusPrep {
           .as("capped_tokens"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023): the
+    * multiplicative-weights UPDATE RULE over per-domain excess loss —
+    * domains where the proxy loss exceeds the reference floor get
+    * exponentially upweighted, then the distribution is smoothed
+    * toward uniform (`smoothPermille`/1000 mass) so no domain starves.
+    * The rule is the operator; the loss columns are pluggable (the
+    * `mixture_doremi` query feeds the engine's own KN-smoothed LM loss
+    * against the MLE floor).
+    *
+    * Engine-replay discipline: per-doc losses snap to DECIMAL(18,6)
+    * before the per-domain sums (order-free), each mean is ONE double
+    * division of the exact sum, exp(η·excess) snaps to DECIMAL(18,8)
+    * before the normalizing sum, and the final weight is one identical
+    * double expression — so the whole update replays in SQL. One
+    * per-domain exchange + a broadcast of the domain-count-sized
+    * totals; the domain frame is checkpointed so the (expensive)
+    * per-doc scoring lineage never executes twice.
+    *
+    * @return (domainCol, n_docs, loss, ref_loss, excess, weight_ppm);
+    *         weight_ppm sums to ~1e6 over domains
+    */
+  def doremiWeights(perDoc: DataFrame, domainCol: String, lossCol: String,
+      refCol: String, eta: Double = 1.0,
+      smoothPermille: Long = 100L): DataFrame = {
+    require(smoothPermille >= 0 && smoothPermille <= 1000,
+      s"smoothPermille in [0,1000], got $smoothPermille")
+    val perDomain = perDoc.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(lossCol).cast("decimal(18,6)")).as("__sl"),
+        sum(col(refCol).cast("decimal(18,6)")).as("__sr"))
+      .select(col(domainCol), col("n_docs"),
+        (col("__sl").cast("double") / col("n_docs")).as("__loss"),
+        (col("__sr").cast("double") / col("n_docs")).as("__ref"))
+      .withColumn("__excess", greatest(col("__loss") - col("__ref"), lit(0.0)))
+      .withColumn("__w", exp(lit(eta) * col("__excess")).cast("decimal(18,8)"))
+      .localCheckpoint(true)
+    val tot = perDomain.agg(sum(col("__w")).as("__tw"),
+      count(lit(1)).as("__k"))
+    // exact double literals — (1000-sp)/1000 parses to the same double
+    // as the oracle's decimal literal, where 1.0 - sp/1000.0 would not
+    val keep = (1000L - smoothPermille).toDouble / 1000.0
+    val floorPpm = (smoothPermille * 1000L).toDouble
+    perDomain.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"),
+        round(col("__loss"), 4).as("loss"),
+        round(col("__ref"), 4).as("ref_loss"),
+        round(col("__excess"), 4).as("excess"),
+        round(lit(keep)
+            * (col("__w").cast("double") / col("__tw").cast("double"))
+            * lit(1000000.0)
+          + lit(floorPpm) / col("__k"), 0)
+          .cast("long").as("weight_ppm"))
+  }
+
   private def gumbelKey(id: Column, weight: Column): Column = {
     val g = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
       .cast("double")

@@ -1489,6 +1489,27 @@ object TextQueries {
         targetTokens = 10000000L)
     }),
 
+    // DoReMi-style mixture reweighting (the multiplicative-weights
+    // update over per-domain excess loss): per-source KN-smoothed LM
+    // loss as the proxy, the MLE floor as the reference — sources
+    // whose text stays hard even after smoothing carry headroom and
+    // get exponentially upweighted, smoothed 10% toward uniform.
+    // Completes the mixture-planning family (temperature, repetition
+    // budget, curriculum). Both scores come off the ONE bigram count
+    // table; the whole update replays in SQL (decimal-snapped sums,
+    // one double division per mean, exp snapped to DECIMAL(18,8)).
+    "mixture_doremi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mle = graft.operators.CorpusLm.bigramNll(docs, "text", "doc_id")
+        .select(col("doc_id"), col("lm_score"))
+      val kn = graft.operators.CorpusLm.bigramKnNll(docs, "text", "doc_id")
+        .select(col("doc_id"), col("kn_score"))
+      val perDoc = mle.join(kn, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.operators.CorpusPrep.doremiWeights(
+        perDoc, "source", lossCol = "kn_score", refCol = "lm_score")
+    }),
+
     // Per-source weighted sample: 5 docs per source, probability
     // proportional to token count — the same Gumbel keys ranked in a
     // source-partitioned window, so the plan keeps samplePerGroup's
@@ -2292,6 +2313,53 @@ object TextQueries {
     // ntile over the 0-based global rank (identical formula to
     // CorpusLm.pplBuckets; ordering on the rounded score + doc_id)
     "ppl_buckets" -> PplBucketsOracle,
+    // both NLL variants off one count-table chain, per-source decimal
+    // sums, then the multiplicative-weights update replayed verbatim
+    "mixture_doremi" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tok WHERE len(toks) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         lft AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+         rgt AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+         ty AS (SELECT count(*) AS nt FROM c2),
+         nll AS (SELECT bi.doc_id,
+                   CAST(-ln(c2.c2 * 1.0 / lft.c1) AS DECIMAL(20,8)) AS mle,
+                   CAST(-ln(greatest(c2.c2 - 0.5, 0.0) / lft.c1
+                     + (0.5 * lft.n1f / lft.c1) * (rgt.n1b * 1.0 / ty.nt))
+                     AS DECIMAL(20,8)) AS kn
+                 FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                         JOIN lft ON bi.w1 = lft.w1
+                         JOIN rgt ON bi.w2 = rgt.w2
+                         CROSS JOIN ty),
+         doc AS (SELECT doc_id,
+                   round(CAST(sum(mle) AS DOUBLE) / count(*), 4) AS lm_score,
+                   round(CAST(sum(kn) AS DOUBLE) / count(*), 4) AS kn_score
+                 FROM nll GROUP BY doc_id),
+         src AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(CAST(kn_score AS DECIMAL(18,6))) AS sl,
+                   sum(CAST(lm_score AS DECIMAL(18,6))) AS sr
+                 FROM doc JOIN documents d USING (doc_id) GROUP BY 1),
+         ex AS (SELECT source, n_docs,
+                  CAST(sl AS DOUBLE) / n_docs AS loss0,
+                  CAST(sr AS DOUBLE) / n_docs AS ref0
+                FROM src),
+         ew AS (SELECT source, n_docs, loss0, ref0,
+                  greatest(loss0 - ref0, 0.0) AS excess0,
+                  CAST(exp(1.0 * greatest(loss0 - ref0, 0.0))
+                    AS DECIMAL(18,8)) AS w
+                FROM ex),
+         tw AS (SELECT sum(w) AS twv, CAST(count(*) AS BIGINT) AS k FROM ew)
+         SELECT source, n_docs,
+                round(loss0, 4) AS loss,
+                round(ref0, 4) AS ref_loss,
+                round(excess0, 4) AS excess,
+                CAST(round(0.9 * (CAST(w AS DOUBLE) / CAST(twv AS DOUBLE))
+                    * 1000000.0 + 100000.0 / k, 0) AS BIGINT) AS weight_ppm
+         FROM ew CROSS JOIN tw""",
     "repetition_budget" ->
       """WITH t AS (SELECT source,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -38,6 +38,24 @@ object ChunkStoreStream {
     ()
   }
 
+  /** Start the maintenance stream over a document source — the same
+    * foreachBatch fold [[applyBatch]] runs when replayed by hand, so
+    * batch-fold ≡ trigger-fold by construction (the file-source spec
+    * proves it across triggers and a restart).
+    */
+  def maintain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, storeDir: String, checkpointDir: String,
+      w: Int = 4, divisor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          applyBatch(batch.toDF(), textCol, idCol, storeDir, batchId, w,
+            divisor)
+      }
+      .start()
+
   /** The latest maintained chunk store. */
   def store(spark: SparkSession, storeDir: String): DataFrame =
     DurableIters.latest(spark, storeDir)

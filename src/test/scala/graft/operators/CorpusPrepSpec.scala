@@ -278,6 +278,40 @@ class CorpusPrepSpec extends SparkSpec {
     assert(again == out.orderBy("id").collect().toSeq)
   }
 
+  test("doremiWeights: upweights excess-loss domains, smooths toward uniform, sums to ~1e6") {
+    import spark.implicits._
+    // three domains: "hard" carries 1.0 nat of excess, "mid" 0.25,
+    // "easy" none (proxy below reference clamps to 0)
+    val perDoc = (
+      (1L to 10L).map(i => (i, "hard", 4.0, 3.0)) ++
+      (11L to 20L).map(i => (i, "mid", 3.25, 3.0)) ++
+      (21L to 40L).map(i => (i, "easy", 2.8, 3.0))
+    ).toDF("doc_id", "domain", "loss", "ref")
+    val out = CorpusPrep.doremiWeights(perDoc, "domain", "loss", "ref")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("excess"), r.getAs[Long]("weight_ppm"))).toMap
+    assert(out("hard")._1 == 1.0 && out("mid")._1 == 0.25 && out("easy")._1 == 0.0)
+    // monotone in excess, and the exact multiplicative-weights value:
+    // w = 0.9 * exp(eta*x) / sum + 0.1/3
+    // mirror the operator's DECIMAL(18,8) snap of exp(eta*x)
+    val es = Seq(1.0, 0.25, 0.0)
+      .map(x => math.rint(math.exp(x) * 1e8) / 1e8)
+    val expect = es.map(e => math.round(0.9 * e / es.sum * 1e6 + 1e5 / 3))
+    assert(out("hard")._2 == expect(0), out)
+    assert(out("mid")._2 == expect(1))
+    assert(out("easy")._2 == expect(2))
+    assert(math.abs(out.values.map(_._2).sum - 1000000L) <= 3)
+    // smoothing floor: even a zero-weight domain keeps >= c/k of the mass
+    assert(out("easy")._2 >= 100000L / 3)
+    // degenerate: all-equal losses -> exactly uniform
+    val flat = CorpusPrep.doremiWeights(
+      (1L to 9L).map(i => (i, s"d${i % 3}", 3.0, 3.0))
+        .toDF("doc_id", "domain", "loss", "ref"),
+      "domain", "loss", "ref")
+      .collect().map(_.getAs[Long]("weight_ppm")).toSeq
+    assert(flat.forall(w => math.abs(w - 333333L) <= 1), flat)
+  }
+
   test("contrastiveBatches: no batch ever holds two members of one cluster") {
     import spark.implicits._
     // skewed clusters: one of 40, several small, many singletons

@@ -101,6 +101,61 @@ class FileStreamSpec extends SparkSpec {
     assert(got == Seq(1L -> "a", 2L -> "b", 3L -> "c"), got)
   }
 
+  test("CmsStream.maintain under a file-source readStream equals the one-shot sketch, across triggers and a restart") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val base = java.nio.file.Files.createTempDirectory("cms_fs").toString
+    val (in, state, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+    val all = (1L to 600L).map(i => s"t${i % 37}")
+    all.take(200).toDF("t").write.parquet(s"$in/batch0")
+    val schema = all.take(1).toDF("t").schema
+    def start() = CmsStream.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/batch*"),
+      "t", width = 256, depth = 4, state, ckpt)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      all.slice(200, 400).toDF("t").write.parquet(s"$in/batch1")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a file landing while the query is down folds exactly once on restart
+    all.drop(400).toDF("t").write.parquet(s"$in/batch2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val maintained = CmsStream.counters(spark, state)
+      .orderBy("d", "bucket").collect().toSeq
+    val oneShot = Sketches.cmsFit(all.toDF("t"), "t", width = 256, depth = 4)
+      .orderBy("d", "bucket").collect().toSeq
+    assert(maintained == oneShot)
+  }
+
+  test("ChunkStoreStream.maintain under a file-source readStream equals the one-shot dedup report") {
+    import spark.implicits._
+    import graft.operators.CdcChunking
+    val base = java.nio.file.Files.createTempDirectory("cdc_fs").toString
+    val (in, store, ckpt) = (s"$base/in", s"$base/store", s"$base/ckpt")
+    // overlapping text so cross-batch duplicate chunks exist
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha beta gamma delta shared tail ${i % 5} epsilon zeta eta theta"))
+    docs.take(30).toDF("doc_id", "text").write.parquet(s"$in/batch0")
+    val schema = docs.take(1).toDF("doc_id", "text").schema
+    val q = ChunkStoreStream.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/batch*"),
+      "text", "doc_id", store, ckpt)
+    try {
+      q.processAllAvailable()
+      docs.drop(30).toDF("doc_id", "text").write.parquet(s"$in/batch1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = ChunkStoreStream.report(spark, store).head()
+    val oneShot = CdcChunking.dedupReport(
+      CdcChunking.chunks(docs.toDF("doc_id", "text"), "text", "doc_id",
+        w = 4, divisor = 8)).head()
+    assert(maintained == oneShot)
+  }
+
   test("parquet file stream ≡ batch for the hourly aggregation, across triggers") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
