@@ -66,7 +66,10 @@ object KmvSketch {
   def estimate(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val grp = groupCols.map(col)
     sk.groupBy(grp: _*)
-      .agg(max(col("rk")).as("n_kept"),
+      // long, not the window's int: the oracle's max(rk) exports int64
+      // through Arrow, and the driver's typed canonicalization should
+      // never depend on integer-width forgiveness (the pack lesson)
+      .agg(max(col("rk")).cast("long").as("n_kept"),
         max(when(col("rk") === k, col("h"))).as("__hk"))
       .select(grp :+ col("n_kept") :+
         when(col("n_kept") < k, col("n_kept"))
