@@ -112,6 +112,46 @@ object CorpusLm {
           .as("kn_score"))
   }
 
+  /** Both scores in ONE pass — (idCol, n_bigrams, lm_score, kn_score):
+    * the MLE and Kneser-Ney NLLs share the bigram stream, the count
+    * table, and the per-doc aggregate, so a consumer that needs both
+    * (mixture_doremi's proxy-vs-reference excess) pays one scoring
+    * pipeline instead of two. Identical per-column math to
+    * [[bigramNll]]/[[bigramKnNll]] — the same oracle CTEs gate it.
+    */
+  def bigramBothNll(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos"), col("col").as("w"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w1", lag(col("w"), 1).over(byDoc))
+      .where(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("w").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val left = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = c2.agg(count(lit(1)).as("nt"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol),
+        (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("mle"),
+        (-log(greatest(col("c2") - lit(discount), lit(0.0)) / col("c1")
+          + (lit(discount) * col("n1f") / col("c1"))
+            * (col("n1b") / col("nt"))))
+          .cast("decimal(20,8)").as("kn"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("mle")).cast("double") / count(lit(1)), 4).as("lm_score"),
+        round(sum(col("kn")).cast("double") / count(lit(1)), 4).as("kn_score"))
+  }
+
   /** `scored` (from [[bigramNll]]) + `ppl_bucket` (1..k, ANSI-ntile
     * sizes: the first n mod k buckets get one extra row) + `keep`
     * (every bucket but the worst — the CCNet head+middle cut).

@@ -1500,11 +1500,8 @@ object TextQueries {
     // one double division per mean, exp snapped to DECIMAL(18,8)).
     "mixture_doremi" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val mle = graft.operators.CorpusLm.bigramNll(docs, "text", "doc_id")
-        .select(col("doc_id"), col("lm_score"))
-      val kn = graft.operators.CorpusLm.bigramKnNll(docs, "text", "doc_id")
-        .select(col("doc_id"), col("kn_score"))
-      val perDoc = mle.join(kn, Seq("doc_id"))
+      val perDoc = graft.operators.CorpusLm
+        .bigramBothNll(docs, "text", "doc_id")
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       graft.operators.CorpusPrep.doremiWeights(
         perDoc, "source", lossCol = "kn_score", refCol = "lm_score")
