@@ -112,6 +112,65 @@ object CorpusLm {
           .as("kn_score"))
   }
 
+  /** Held-out scoring — the deployment mode of a perplexity filter:
+    * fit the interpolated-KN statistics on `train`, score `test`
+    * documents the model has NEVER seen. Unlike [[bigramKnNll]]
+    * (which scores the fitting corpus, where every bigram is seen),
+    * this must assign positive mass to three unseen cases:
+    *
+    *  - (w1,w2) unseen, w1 seen  → the discount term is 0 and the
+    *    backoff weight carries everything;
+    *  - w2 never a continuation  → its raw continuation count is 0,
+    *    so continuation probabilities are add-D smoothed over the
+    *    right vocabulary: Pcont(w2) = (N1+(·w2) + D) / (N1+(··) + D·Vr)
+    *    — a proper distribution that never zeroes;
+    *  - w1 unseen entirely       → back off to Pcont(w2) alone.
+    *
+    * All statistics are train-bigram-vocab-bounded broadcasts; the
+    * scoring pass is the test token stream joined against them (LEFT
+    * joins — absence IS the signal). Per-bigram NLL snaps to
+    * DECIMAL(20,8), the per-doc mean is one double division: the
+    * whole scorer replays in SQL including the null branches.
+    */
+  def bigramKnHeldout(train: DataFrame, test: DataFrame, textCol: String,
+      idCol: String, discount: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    def bigrams(docs: DataFrame) = {
+      val toks = docs
+        .select(col(idCol), posexplode(split(col(textCol), " ")))
+        .select(col(idCol), col("pos"), col("col").as("w"))
+      val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      toks.withColumn("w1", lag(col("w"), 1).over(byDoc))
+        .where(col("w1").isNotNull)
+        .select(col(idCol), col("w1"), col("w").as("w2"))
+    }
+    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val left = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val scalars = c2.agg(count(lit(1)).as("nt"),
+      countDistinct(col("w2")).as("vr"))
+    val d = lit(discount)
+    val pcont = (coalesce(col("n1b"), lit(0L)) + d) /
+      (col("nt") + d * col("vr"))
+    val p = when(col("c1").isNotNull,
+      greatest(coalesce(col("c2"), lit(0L)) - d, lit(0.0)) / col("c1")
+        + (d * col("n1f") / col("c1")) * pcont)
+      .otherwise(pcont)
+    bigrams(test)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(left), Seq("w1"), "left")
+      .join(broadcast(right), Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), (-log(p)).cast("decimal(20,8)").as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 4)
+          .as("heldout_score"))
+  }
+
   /** Both scores in ONE pass — (idCol, n_bigrams, lm_score, kn_score):
     * the MLE and Kneser-Ney NLLs share the bigram stream, the count
     * table, and the per-doc aggregate, so a consumer that needs both

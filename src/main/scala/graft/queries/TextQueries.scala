@@ -1084,6 +1084,20 @@ object TextQueries {
         Tables.documents(s, dir), "text", "doc_id")
     }),
 
+    // Held-out LM scoring — the perplexity filter's DEPLOYMENT mode:
+    // KN statistics frozen on the even-doc_id half, the odd half
+    // (never seen by the model) scored under them. Unseen bigrams,
+    // unseen continuations, and unseen left-words all get positive
+    // smoothed mass (see CorpusLm.bigramKnHeldout); the LEFT-join
+    // null branches replay exactly in SQL.
+    "text_lm_heldout" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusLm.bigramKnHeldout(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id")
+    }),
+
     // CCNet perplexity cut: the LM scores above, ntiled into
     // head/middle/tail WITHOUT a partitionless window (DenseId global
     // rank + the closed-form ANSI ntile in (rank, n, k)); keep =
@@ -2310,6 +2324,46 @@ object TextQueries {
     // ntile over the 0-based global rank (identical formula to
     // CorpusLm.pplBuckets; ordering on the rounded score + doc_id)
     "ppl_buckets" -> PplBucketsOracle,
+    // train-half statistics, test-half scoring; the three unseen
+    // branches ride LEFT joins + CASE exactly as the engine's
+    // when/otherwise — absence is the signal on both sides
+    "text_lm_heldout" ->
+      """WITH tokTr AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 2 = 0),
+         biTr AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tokTr WHERE len(toks) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM biTr GROUP BY 1, 2),
+         lft AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+         rgt AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+         sc AS (SELECT count(*) AS nt, count(DISTINCT w2) AS vr FROM c2),
+         tokTe AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 2 = 1),
+         biTe AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tokTe WHERE len(toks) >= 2)),
+         nll AS (SELECT t.doc_id,
+                   CAST(-ln(CASE WHEN lft.c1 IS NOT NULL THEN
+                       greatest(coalesce(c2.c2, 0) - 0.5, 0.0) / lft.c1
+                       + (0.5 * lft.n1f / lft.c1)
+                         * ((coalesce(rgt.n1b, 0) + 0.5)
+                            / (sc.nt + 0.5 * sc.vr))
+                     ELSE (coalesce(rgt.n1b, 0) + 0.5)
+                          / (sc.nt + 0.5 * sc.vr) END)
+                     AS DECIMAL(20,8)) AS nll
+                 FROM biTe t
+                 LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+                 LEFT JOIN lft ON t.w1 = lft.w1
+                 LEFT JOIN rgt ON t.w2 = rgt.w2
+                 CROSS JOIN sc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(nll) AS DOUBLE) / count(*), 4)
+                  AS heldout_score
+         FROM nll GROUP BY doc_id""",
     // both NLL variants off one count-table chain, per-source decimal
     // sums, then the multiplicative-weights update replayed verbatim
     "mixture_doremi" ->

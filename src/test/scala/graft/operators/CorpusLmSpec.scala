@@ -86,4 +86,29 @@ class CorpusLmSpec extends SparkSpec {
       .select("doc_id", "ppl_bucket").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("bigramKnHeldout: every unseen branch gets positive finite mass; familiar text scores lower") {
+    val train = Seq(
+      (2L, "the cat sat on the mat"),
+      (4L, "the dog sat on the rug"),
+      (6L, "the cat ate the fish")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "the cat sat on the mat"),     // all bigrams seen
+      (3L, "the cat sat on zzz qqq"),     // unseen continuation + unseen w1
+      (5L, "xx yy zz ww vv uu")           // nothing seen at all
+    ).toDF("doc_id", "text")
+    val out = CorpusLm.bigramKnHeldout(train, test, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("heldout_score"))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L))
+    // finite (no -ln(0)): every unseen branch carries smoothed mass
+    assert(out.values.forall { case (_, s) => !s.isNaN && !s.isInfinite })
+    // fully-familiar beats partially-unseen beats fully-novel
+    assert(out(1L)._2 < out(3L)._2 && out(3L)._2 < out(5L)._2, out)
+    // self-scoring the train half stays positive and finite too
+    val self = CorpusLm.bigramKnHeldout(train, train, "text", "doc_id")
+      .collect()
+    assert(self.length == 3 &&
+      self.forall(r => r.getAs[Double]("heldout_score") > 0))
+  }
 }
