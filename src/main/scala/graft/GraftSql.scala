@@ -389,6 +389,18 @@ object GraftSql {
           groupCol, p), groupCol, p)
       .createOrReplaceTempView(outView)
 
+  /** DoReMi-style domain reweighting over a per-row scored view →
+    * `outView(domainCol, n_docs, loss, ref_loss, excess, weight_ppm)` —
+    * see [[graft.operators.CorpusPrep.doremiWeights]]: multiplicative
+    * weights over per-domain excess loss, smoothed toward uniform.
+    */
+  def registerDoremi(s: SparkSession, perDocView: String,
+      domainCol: String, lossCol: String, refCol: String, eta: Double,
+      smoothPermille: Long, outView: String): Unit =
+    graft.operators.CorpusPrep.doremiWeights(s.table(perDocView),
+        domainCol, lossCol, refCol, eta, smoothPermille)
+      .createOrReplaceTempView(outView)
+
   /** Bradley-Terry ratings over a (winner, loser) match view →
     * `outView(player, n_wins, rating, rank)` — see
     * [[graft.operators.Preference.bradleyTerry]].

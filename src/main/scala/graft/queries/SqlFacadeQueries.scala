@@ -380,6 +380,21 @@ object SqlFacadeQueries {
                FROM graft_packed""")
     }),
 
+    // Mixture reweighting through the facade: the per-doc scored view
+    // is itself a registered view (the engine's fused scorer), the
+    // update rule a second view — a SQL-only user composes both and
+    // reads the weights table.
+    "sql_doremi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusLm.bigramBothNll(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .createOrReplaceTempView("graft_lm_scored")
+      GraftSql.registerDoremi(s, "graft_lm_scored", "source",
+        lossCol = "kn_score", refCol = "lm_score", eta = 1.0,
+        smoothPermille = 100L, outView = "graft_doremi")
+      s.sql("SELECT * FROM graft_doremi")
+    }),
+
     // Preference-pair construction through the facade: the pair-yield
     // report a reward-model data owner reads — pairs and mean margin
     // per (chosen_rank, rejected_rank) cell. Margins round to 4dp
@@ -598,6 +613,8 @@ object SqlFacadeQueries {
                 round(CAST(sum(CAST(est AS DECIMAL(18,6))) AS DOUBLE), 4)
                   AS total_est
          FROM h""",
+    // facade ≡ direct operator: the SAME oracle text gates both rows
+    "sql_doremi" -> TextQueries.oracleSql("mixture_doremi"),
     "sql_preference" ->
       s"""WITH pref AS (${MlPrepQueries.oracleSql("preference_pairs")})
          SELECT chosen_rank, rejected_rank,
