@@ -55,9 +55,10 @@ object VectorQueries {
     * quantizer is a tiny driver object; as (cell, pos, value) DOUBLE
     * rows it round-trips through parquet EXACTLY, so a consumer that
     * collects the fixture back runs on bit-identical centroids to the
-    * ones the oracle reads from the Verify dump — which is what lets
-    * every KMeans CONSUMER be hash-gated even though the fit itself is
-    * an MLlib float trajectory no other engine reproduces.
+    * ones the oracle reads from the Verify dump. Since r18 the fits
+    * themselves are LloydKmeans' deterministic Lloyd and hash-gated by
+    * KmeansSql's unrolled replay; the dump remains the bridge that
+    * lets every consumer replay WITHOUT re-deriving the fit.
     */
   private[graft] def centroidsToDF(s: SparkSession,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
@@ -77,14 +78,17 @@ object VectorQueries {
   /** The k=8 coarse quantizer over RAW embeddings (1/16 hash sample,
     * 3 Lloyd rounds) — shared by sim_ivf_topk / knn_join_ivf /
     * graph_search_ivf_seeded and dumped as `ann_quantizer_ivf8`.
+    * Own deterministic Lloyd (LloydKmeans.fitIvfOwn): hash-ranked
+    * seeds + DECIMAL-snapped rounds, so the dump itself is hash-gated
+    * by KmeansSql's unrolled replay — not just its consumers.
     */
   private[graft] def storedIvf8Raw(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_ivf8_raw_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      centroidsToDF(s, SimilaritySearch.fitIvf(
+      s"ann_ivf8_raw_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      centroidsToDF(s, graft.operators.LloydKmeans.fitIvfOwn(
         Tables.embeddings(s, dir)
           .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", k = 8, maxIter = 3))
+        "embedding", "vec_id", k = 8, rounds = 3))
     }
 
   /** PQ codebooks ⇄ frame, same contract as [[centroidsToDF]]:
@@ -112,68 +116,90 @@ object VectorQueries {
     Tables.embeddings(s, dir).select(col("vec_id"),
       VectorOps.l2Normalize(col("embedding")).as("embedding"))
 
+  /** The snapped-normalized embedding frame the NORMALIZED fits train
+    * on: L2-normalize, then land every element on LloydKmeans' 1e-10
+    * decimal grid so normalization ulp dust can't leak into the fitted
+    * state (consumers keep assigning the plain normalized vectors —
+    * a quantizer fit on snapped inputs serves them identically).
+    */
+  private def snappedNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.operators.LloydKmeans.snapVec(
+        VectorOps.l2Normalize(col("embedding"))).as("embedding"))
+
   /** The k=4 drift-monitor quantizer over NORMALIZED embeddings —
     * ann_drift's baseline fit, dumped as `ann_quantizer_ivf4_norm`.
+    * Own deterministic Lloyd → the dump is hash-gated.
     */
   private[graft] def storedIvf4Norm(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_ivf4_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      centroidsToDF(s, SimilaritySearch.fitIvf(
-        normalizedEmbeddings(s, dir)
+      s"ann_ivf4_norm_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      centroidsToDF(s, graft.operators.LloydKmeans.fitIvfOwn(
+        snappedNormalized(s, dir)
           .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", k = 4, maxIter = 2))
+        "embedding", "vec_id", k = 4, rounds = 2))
     }
 
   /** The k=8 coarse quantizer over NORMALIZED embeddings plus its m=16
     * residual PQ codebooks — the ann_index_rows pair, dumped as
     * `ann_quantizer_ivf8_norm` / `ann_codebook_pq16_norm`.
+    * Own deterministic Lloyd → the dump is hash-gated.
     */
   private[graft] def storedIvf8Norm(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_ivf8_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      centroidsToDF(s, SimilaritySearch.fitIvf(
-        normalizedEmbeddings(s, dir)
+      s"ann_ivf8_norm_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      centroidsToDF(s, graft.operators.LloydKmeans.fitIvfOwn(
+        snappedNormalized(s, dir)
           .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", k = 8, maxIter = 3))
+        "embedding", "vec_id", k = 8, rounds = 3))
     }
 
   /** The m=8 RAW-vector PQ codebooks (8-dim subspaces, 3 Lloyd
     * rounds) — sim_pq_topk's quantizer, dumped as
-    * `ann_codebook_pq8_raw`.
+    * `ann_codebook_pq8_raw`. Own deterministic grouped Lloyd
+    * (LloydKmeans.fitPqOwn) → the dump is hash-gated.
     */
   private[graft] def storedPq8Raw(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_pq8_raw_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      codebooksToDF(s, SimilaritySearch.fitPq(
+      s"ann_pq8_raw_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      codebooksToDF(s, graft.operators.LloydKmeans.fitPqOwn(
         Tables.embeddings(s, dir)
-          .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0),
-        "embedding", dim = 64, m = 8, codesPerSub = 16, maxIter = 3))
+          .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+          .select(col("vec_id"),
+            graft.operators.LloydKmeans.snapVec(col("embedding"))
+              .as("embedding")),
+        "embedding", "vec_id", dim = 64, m = 8, codesPerSub = 16,
+        rounds = 3))
     }
 
   private[graft] def storedPq16Norm(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_pq16_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      val sample = normalizedEmbeddings(s, dir)
+      s"ann_pq16_norm_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      val sample = snappedNormalized(s, dir)
         .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      codebooksToDF(s, SimilaritySearch.fitPq(
+      codebooksToDF(s, graft.operators.LloydKmeans.fitPqOwn(
         SimilaritySearch.cellResiduals(sample, "embedding",
           centroidsFromDF(storedIvf8Norm(s, dir))),
-        "__resid", dim = 64, m = 16, codesPerSub = 16, maxIter = 2))
+        "__resid", "vec_id", dim = 64, m = 16, codesPerSub = 16,
+        rounds = 2))
     }
 
   /** The m=64 (1-dim subspace) residual codebooks over the NORMALIZED
     * sample — knn_join_pq / ann_audit_pairs' fine quantizer, dumped as
-    * `ann_codebook_pq64_norm`.
+    * `ann_codebook_pq64_norm`. Own deterministic grouped Lloyd over
+    * residuals of the snapped sample vs the own ivf8_norm centroids →
+    * the dump is hash-gated.
     */
   private[graft] def storedPq64Norm(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_pq64_norm_v1_${Tables.contentStamp(dir, "embeddings")}") {
-      val sample = normalizedEmbeddings(s, dir)
+      s"ann_pq64_norm_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      val sample = snappedNormalized(s, dir)
         .where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
-      codebooksToDF(s, SimilaritySearch.fitPq(
+      codebooksToDF(s, graft.operators.LloydKmeans.fitPqOwn(
         SimilaritySearch.cellResiduals(sample, "embedding",
           centroidsFromDF(storedIvf8Norm(s, dir))),
-        "__resid", dim = 64, m = 64, codesPerSub = 16, maxIter = 2))
+        "__resid", "vec_id", dim = 64, m = 64, codesPerSub = 16,
+        rounds = 2))
     }
 
   /** The audit's IVF-PQ candidate top-5 pair set as a STORED artifact
@@ -187,7 +213,7 @@ object VectorQueries {
     */
   private[graft] def storedAnnAuditPairs(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
-      s"ann_audit_pairs_v2_${Tables.contentStamp(dir, "embeddings")}") {
+      s"ann_audit_pairs_v3_${Tables.contentStamp(dir, "embeddings")}") {
       val e = normalizedEmbeddings(s, dir)
       SimilaritySearch.knnJoinIvfPq(
         e, e.where(pmod(col("vec_id"), lit(50)) === 0),
@@ -336,17 +362,18 @@ object VectorQueries {
         nPlanes = 6, dim = 64)
     }),
 
-    // IVF ANN: fit real KMeans centroids (seeded, MLlib), probe the
-    // query's 2 nearest cells, exact-cosine rerank — the
+    // IVF ANN: fit real Lloyd centroids (own deterministic k-means),
+    // probe the query's 2 nearest cells, exact-cosine rerank — the
     // partition-pruning scale path with the standard nprobe recall
     // knob. The quantizer fits on a deterministic 1/16 hash sample: a
     // COARSE quantizer needs cluster shape, not every vector, and a
     // full-table Lloyd pass is exactly the cost that explodes at 100 TB
     // (FAISS-style IVF trains on a bounded sample for the same reason).
-    // The k=8 coarse quantizer itself, dumped for the oracles: the fit
-    // is an MLlib float trajectory (rows-only), but once dumped, every
-    // CONSUMER below it (sim_ivf_topk, knn_join_ivf) replays hash-exact
-    // against these centroids.
+    // The k=8 coarse quantizer itself, dumped for the oracles — and
+    // since r18 HASH-GATED: LloydKmeans' hash-ranked init +
+    // DECIMAL-snapped rounds replay exactly in KmeansSql's unrolled
+    // oracle, so the FIT is gated, not just every consumer below it
+    // (sim_ivf_topk, knn_join_ivf) that replays against the dump.
     "ann_quantizer_ivf8" -> ((s, dir) => {
       storedIvf8Raw(s, dir).orderBy(col("cell"), col("pos"))
     }),
@@ -374,8 +401,9 @@ object VectorQueries {
         k = 10, codebooksFromDF(storedPq8Raw(s, dir)), rerank = 40)
     }),
 
-    // The m=8 raw codebooks themselves (rows-only — MLlib floats);
-    // sim_pq_topk replays hash-exact against this dump.
+    // The m=8 raw codebooks themselves — hash-gated since r18
+    // (fitPqOwn's grouped Lloyd replays in KmeansSql);
+    // sim_pq_topk additionally replays hash-exact against this dump.
     "ann_codebook_pq8_raw" -> ((s, dir) => {
       storedPq8Raw(s, dir).orderBy(col("sub"), col("code"), col("pos"))
     }),
@@ -442,7 +470,8 @@ object VectorQueries {
         nprobe = 6, rerank = 50)
     }),
 
-    // The m=64 residual codebooks (rows-only — MLlib floats);
+    // The m=64 residual codebooks — hash-gated since r18 (fitPqOwn
+    // over residuals of the snapped sample vs the own ivf8_norm fit);
     // knn_join_pq and ann_audit_pairs replay hash-exact against it.
     "ann_codebook_pq64_norm" -> ((s, dir) => {
       storedPq64Norm(s, dir).orderBy(col("sub"), col("code"), col("pos"))
@@ -468,7 +497,7 @@ object VectorQueries {
     // brute-force SQL, the candidate set is the engine's own
     // ann_audit_pairs dump, and every recall figure is integer ppm —
     // so the oracle re-derives the whole audit bit for bit. Only the
-    // candidate set itself stays rows-only (KMeans floats).
+    // candidate set is ALSO gated since r18 (the own-Lloyd fit replay).
     "ann_recall_audit" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.where(pmod(col("vec_id"), lit(50)) === 0)
@@ -553,12 +582,12 @@ object VectorQueries {
     // a Structured Streaming pipeline for continuous embedding ingest
     // (AnnIndexStreamSpec proves batch ≡ stream and watermarked
     // re-delivery dedup); stored partitioned by cell, probes become
-    // partition pruning (PlanSpec pins the pruned scan). KMeans floats
-    // are engine-specific → rows-only. The library row carries
-    // `pq_code array<int>`; the query projects it to a dash-joined
-    // scalar so the rows-only checker can sort/hash the cell.
-    // The dumped quantizer artifacts themselves (rows-only — MLlib
-    // float trajectories); everything downstream of them replays.
+    // partition pruning (PlanSpec pins the pruned scan). The library
+    // row carries `pq_code array<int>`; the query projects it to a
+    // dash-joined scalar so the oracle can sort/hash the cell.
+    // The dumped quantizer artifacts themselves — hash-gated since r18
+    // (own deterministic Lloyd, KmeansSql replay); everything
+    // downstream of them replays against the dumps as before.
     "ann_quantizer_ivf4_norm" -> ((s, dir) => {
       storedIvf4Norm(s, dir).orderBy(col("cell"), col("pos"))
     }),
@@ -617,7 +646,7 @@ object VectorQueries {
     // the sample represents the distribution, `refit` flags cells whose
     // arrivals drifted off the fit manifold. Both stats frames are
     // cell-count-sized; the whole query is two aggregate passes + a
-    // broadcast join. KMeans floats are engine-specific → rows-only.
+    // broadcast join.
     "ann_drift" -> ((s, dir) => {
       val e = normalizedEmbeddings(s, dir)
       val sample = e.where(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
@@ -1200,6 +1229,26 @@ object VectorQueries {
                 round(cos, 4) AS cosine
          FROM ranked WHERE rank <= 5""",
     "sim_lsh_topk" -> lshOracleSql,
+    // The quantizer/codebook FITS themselves — own deterministic Lloyd
+    // (LloydKmeans): hash-ranked seeds via the XxSql chain, grid-snapped
+    // inputs, DECIMAL-snapped round updates — unrolled exactly by
+    // KmeansSql. These were the census's "MLlib float trajectory"
+    // rows-only entries through r17.
+    "ann_quantizer_ivf8" ->
+      KmeansSql.ivfOwnOracleSql(k = 8, rounds = 3, normalized = false),
+    "ann_quantizer_ivf4_norm" ->
+      KmeansSql.ivfOwnOracleSql(k = 4, rounds = 2, normalized = true),
+    "ann_quantizer_ivf8_norm" ->
+      KmeansSql.ivfOwnOracleSql(k = 8, rounds = 3, normalized = true),
+    "ann_codebook_pq8_raw" ->
+      KmeansSql.pqOwnOracleSql(m = 8, subDim = 8, codesPerSub = 16,
+        rounds = 3, residualOf = None),
+    "ann_codebook_pq16_norm" ->
+      KmeansSql.pqOwnOracleSql(m = 16, subDim = 4, codesPerSub = 16,
+        rounds = 2, residualOf = Some("ann_quantizer_ivf8_norm")),
+    "ann_codebook_pq64_norm" ->
+      KmeansSql.pqOwnOracleSql(m = 64, subDim = 1, codesPerSub = 16,
+        rounds = 2, residualOf = Some("ann_quantizer_ivf8_norm")),
     // NN-descent and the beam search replay EXACTLY in DuckDB: their
     // only non-SQL ingredient was the seeded xxhash64 init / seed
     // election, which XxSql unrolls as 64-bit modular arithmetic.
