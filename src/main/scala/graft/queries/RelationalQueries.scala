@@ -473,6 +473,46 @@ object RelationalQueries {
         .select(col("n_name").as("nation"), col("revenue"))
     }),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT-EXISTS plan-regression canary — the remaining
+    // classic join-planning class after Q1 (scan+agg) and Q9
+    // (join order): correlated exists pairs must plan as left-SEMI and
+    // left-ANTI hash joins on the correlation key with the supplier
+    // inequality as a residual condition, never a nested-loop product.
+    // The testdata carries no receipt/commit dates, so the "late line"
+    // marker is l_returnflag = 'R' (a per-line property, preserving
+    // Q21's exact subquery structure): count, per supplier of the
+    // region-0 nations, the late F-order lines where at least one
+    // OTHER supplier shares the order (EXISTS → semi) and no other
+    // supplier's line in it is late (NOT EXISTS → anti). At scale all
+    // three lineitem legs shuffle once on l_orderkey; supplier⋈nation
+    // broadcasts; PlanSpec pins the semi/anti/no-nested-loop shape.
+    "tpch_q21" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .where(col("n_regionkey") === 0).select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      l1
+        .join(l2, col("l_orderkey") === col("o2")
+          && col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3")
+          && col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
     // SQL frontend — the ONE dialect-neutral statement runs verbatim on
     // both engines (spark.sql over temp views here; the oracle map holds
     // the identical text for DuckDB). Catalyst plans it exactly like the
@@ -544,6 +584,24 @@ object RelationalQueries {
          FROM orders JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""",
+    "tpch_q21" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM lineitem l1
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                      AND o.o_orderstatus = 'F'
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+                      AND n.n_regionkey = 0
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name ASC LIMIT 100""",
     "sql_frontend" -> FrontendSql, // the SAME text Spark executes
     "tpch_q3" ->
       """SELECT l.l_orderkey,

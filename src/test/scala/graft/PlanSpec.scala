@@ -175,6 +175,34 @@ class PlanSpec extends SparkSpec {
     assert(partScan.nonEmpty, plan.toString)
   }
 
+  test("tpch_q21 plans the EXISTS pair as left-semi + left-anti hash joins — no nested loop") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val qe = SparkEntry.queries("tpch_q21")(spark, dir).queryExecution
+    val plan = qe.sparkPlan
+    // the correlated exists / not-exists pair must be hash joins on the
+    // l_orderkey correlation key (any hash flavor — broadcast at tiny
+    // sf, shuffled/sort-merge at scale), with the supplier inequality a
+    // residual condition, NEVER a nested-loop product
+    val joinTypes = plan.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j.joinType
+      case j: ShuffledHashJoinExec => j.joinType
+      case j: SortMergeJoinExec => j.joinType
+    }
+    assert(joinTypes.contains(LeftSemi), plan.toString)
+    assert(joinTypes.contains(LeftAnti), plan.toString)
+    assert(plan.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j }.isEmpty, plan.toString)
+    // the late-line filter reaches the lineitem scans
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("PushedFilters")
+          .exists(_.contains("EqualTo(l_returnflag,R)")) => f
+    }
+    assert(scans.nonEmpty, plan.toString)
+  }
+
   test("dsir_weights broadcasts the ratio table — no shuffle of the token stream for the join") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val qe = SparkEntry.queries("dsir_weights")(spark, dir).queryExecution
