@@ -520,6 +520,153 @@ object CorpusPrep {
           .cast("long").as("weight_ppm"))
   }
 
+  /** ITERATED DoReMi (Xie et al., NeurIPS 2023, Algorithm 1 proper):
+    * the published loop is reweight → RETRAIN the proxy on the new
+    * mixture → rescore → multiplicative-weights update, which
+    * [[doremiWeights]]'s single update cannot capture. With an n-gram
+    * proxy the retrain step is computable in dataflow: round r refits
+    * the interpolated-KN bigram model on DOMAIN-WEIGHTED counts
+    * (each domain's count contribution scaled by its round-(r−1)
+    * weight), rescores every document under the refitted model, and
+    * updates `w_r = w_{r−1} · exp(η · excess_r)` — so a domain that
+    * gets upweighted sees its bigrams better supported, its KN loss
+    * falls toward its MLE floor, and its excess self-limits: the
+    * weights CONVERGE instead of compounding forever.
+    *
+    * Exact-replay discipline (every round unrolls in SQL, the
+    * bt_ratings pattern):
+    *  - weighted counts are INTEGERS: the per-domain multiplier is
+    *    `weight_ppm · k` (uniform start = exactly 1,000,000 per
+    *    domain), so `c2w = Σ ppmk·c2d` is an order-free BIGINT sum and
+    *    the absolute discount scales to `D·10⁶` — round 1 is the
+    *    unweighted fit in exact arithmetic;
+    *  - per-bigram NLL snaps to DECIMAL(20,8), per-doc means round to
+    *    4dp, per-domain sums accumulate DECIMAL(18,6) — the
+    *    [[graft.operators.CorpusLm]] scoring discipline unchanged;
+    *  - the MW state is k-domain-bounded and steps on the DRIVER with
+    *    the same HALF_UP decimal snaps the SQL replay uses (the
+    *    Lloyd-state collect pattern): `w` snaps to DECIMAL(18,8), the
+    *    ppm projection is `round(keep·w/Σw·10⁶ + floor/k)`.
+    *
+    * Scale: each round is ONE distributed rescoring pass (bigram
+    * stream ⋈ the bigram-vocab-bounded weighted count table — the
+    * stream is deliberately recomputed, not cached: at 100 TB the
+    * token re-scan is cheaper than materializing it); only k-sized
+    * domain stats ever reach the driver.
+    *
+    * @return one row per (round, domain): (round, domainCol, n_docs,
+    *         loss, ref_loss, excess, weight_ppm) — the full k-round
+    *         trajectory, dumped like bpe_dict_states.
+    */
+  def doremiIterate(docs: DataFrame, textCol: String, idCol: String,
+      domainCol: String, rounds: Int, eta: Double = 1.0,
+      smoothPermille: Long = 100L, discount: Double = 0.5): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    require(smoothPermille > 0 && smoothPermille <= 1000,
+      s"smoothPermille in (0,1000] (a zero floor could zero a domain's counts), got $smoothPermille")
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col(idCol), col(domainCol).as("__dom"),
+        posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("__dom"), col("pos"), col("col").as("w"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks.withColumn("w1", lag(col("w"), 1).over(byDoc))
+      .where(col("w1").isNotNull)
+      .select(col(idCol), col("__dom"), col("w1"), col("w").as("w2"))
+    // the one per-domain count table every round reweights — (domain ×
+    // bigram-vocab)-bounded, snapshotted once
+    val c2d = bi.groupBy(col("__dom"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2d"))
+      .localCheckpoint(true)
+    val c2 = c2d.groupBy(col("w1"), col("w2")).agg(sum(col("c2d")).as("c2"))
+      .localCheckpoint(true)
+    val left = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = c2.agg(count(lit(1)).as("nt"))
+    // static reference floor: the per-domain mean of per-doc MLE NLL
+    val refDom = bi.join(c2, Seq("w1", "w2"))
+      .join(broadcast(left.select(col("w1"), col("c1"))), Seq("w1"))
+      .select(col(idCol), col("__dom"),
+        (-log(col("c2") / col("c1"))).cast("decimal(20,8)").as("mle"))
+      .groupBy(col(idCol), col("__dom"))
+      .agg(round(sum(col("mle")).cast("double") / count(lit(1)), 4)
+        .as("__ref"))
+      .groupBy(col("__dom"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ref").cast("decimal(18,6)")).as("__sr"))
+      .select(col("__dom"), col("n_docs"),
+        (col("__sr").cast("double") / col("n_docs")).as("__ref0"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val domains = refDom.keys.toSeq.sorted
+    val kd = domains.length
+    val keep = (1000L - smoothPermille).toDouble / 1000.0
+    val floorPpm = (smoothPermille * 1000L).toDouble
+    val dScaled = lit(discount * 1000000.0)
+    def snap8(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    var ppmk: Map[String, Long] = domains.map(_ -> 1000000L).toMap
+    var w: Map[String, java.math.BigDecimal] =
+      domains.map(_ -> snap8(1.0)).toMap
+    val out = Seq.newBuilder[(Long, String, Long, Double, Double, Double, Long)]
+    for (r <- 1 to rounds) {
+      val wlit = typedLit(ppmk)
+      val c2w = c2d.select(col("w1"), col("w2"),
+          (element_at(wlit, col("__dom")) * col("c2d")).as("__sc"))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("__sc")).as("c2w"))
+      val leftW = c2w.groupBy(col("w1")).agg(sum(col("c2w")).as("c1w"))
+      val domLoss = bi.join(c2w, Seq("w1", "w2"))
+        .join(broadcast(leftW), Seq("w1"))
+        .join(broadcast(left.select(col("w1"), col("n1f"))), Seq("w1"))
+        .join(broadcast(right), Seq("w2"))
+        .crossJoin(broadcast(types))
+        .select(col(idCol), col("__dom"),
+          (-log(greatest(col("c2w") - dScaled, lit(0.0)) / col("c1w")
+            + (dScaled * col("n1f") / col("c1w"))
+              * (col("n1b") / col("nt"))))
+            .cast("decimal(20,8)").as("nll"))
+        .groupBy(col(idCol), col("__dom"))
+        .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 4)
+          .as("__kn"))
+        .groupBy(col("__dom"))
+        .agg(sum(col("__kn").cast("decimal(18,6)")).as("__sl"),
+          count(lit(1)).as("__nd"))
+        .collect()
+        .map(x => x.getString(0) ->
+          (x.getDecimal(1).doubleValue / x.getLong(2)))
+        .toMap
+      // the k-bounded MW step, with the SAME snap points the SQL
+      // replay applies (double mul/exp, DECIMAL(18,8) snap, double
+      // normalize, round-to-ppm)
+      val stepped = domains.map { d =>
+        val loss0 = domLoss(d)
+        val ref0 = refDom(d)._2
+        val excess = math.max(loss0 - ref0, 0.0)
+        val wNew = snap8(w(d).doubleValue * math.exp(eta * excess))
+        (d, loss0, ref0, excess, wNew)
+      }
+      val tw = stepped.map(_._5).reduce(_ add _)
+      val ppm = stepped.map { case (d, _, _, _, wNew) =>
+        d -> math.round(keep * (wNew.doubleValue / tw.doubleValue)
+          * 1000000.0 + floorPpm / kd)
+      }.toMap
+      stepped.foreach { case (d, loss0, ref0, excess, wNew) =>
+        out += ((r.toLong, d, refDom(d)._1, round4(loss0), round4(ref0),
+          round4(excess), ppm(d)))
+        w += d -> wNew
+      }
+      ppmk = domains.map(d => d -> ppm(d) * kd).toMap
+    }
+    import spark.implicits._
+    out.result().toDF("round", domainCol, "n_docs", "loss", "ref_loss",
+      "excess", "weight_ppm")
+  }
+
   private def gumbelKey(id: Column, weight: Column): Column = {
     val g = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
       .cast("double")

@@ -1521,6 +1521,21 @@ object TextQueries {
         perDoc, "source", lossCol = "kn_score", refCol = "lm_score")
     }),
 
+    // ITERATED DoReMi (the published reweight→retrain→rescore loop,
+    // r17 verdict item 5): three unrolled rounds where round k's
+    // domain weights REFIT the bigram-KN proxy on ppm·k-scaled integer
+    // counts and the rescored excess drives the next multiplicative-
+    // weights update — upweighted domains see their loss fall toward
+    // the MLE floor, so the weights converge. Round 1 (uniform) is
+    // exactly mixture_doremi's fit in scaled-integer arithmetic. The
+    // full 3-round trajectory dumps like bpe_dict_states; every round
+    // replays in SQL (integer weighted counts, DECIMAL-snapped NLL and
+    // MW state).
+    "mixture_doremi_k" -> ((s, dir) => {
+      graft.operators.CorpusPrep.doremiIterate(
+        Tables.documents(s, dir), "text", "doc_id", "source", rounds = 3)
+    }),
+
     // Per-source weighted sample: 5 docs per source, probability
     // proportional to token count — the same Gumbel keys ranked in a
     // source-partitioned window, so the plan keeps samplePerGroup's
@@ -1665,6 +1680,94 @@ object TextQueries {
            round(CASE WHEN eraw <= 40.0 AND n_obs < 16
                  THEN 16 * ln(16.0 / (16 - n_obs)) ELSE eraw END, 4) AS est
          FROM e_$src)"""
+
+  /** `mixture_doremi_k`: the iterated DoReMi loop unrolled — per
+    * round, the bigram-KN proxy refits on ppm·k-scaled INTEGER counts
+    * (round 1's uniform scale is exactly 10⁶, making it the unweighted
+    * fit in scaled arithmetic; the absolute discount scales to
+    * 0.5·10⁶), rescores every doc, and the MW state chains through
+    * DECIMAL(18,8) snaps — mirroring CorpusPrep.doremiIterate's snap
+    * points term for term.
+    */
+  private def doremiKOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+       bi AS MATERIALIZED (SELECT doc_id, source,
+              toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+           FROM (SELECT doc_id, source, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM tok WHERE len(toks) >= 2)),
+       c2d AS MATERIALIZED (SELECT source, w1, w2, count(*) AS c2d
+           FROM bi GROUP BY 1, 2, 3),
+       c2 AS MATERIALIZED (SELECT w1, w2, sum(c2d) AS c2 FROM c2d GROUP BY 1, 2),
+       lft AS MATERIALIZED (SELECT w1, sum(c2) AS c1, count(*) AS n1f
+           FROM c2 GROUP BY 1),
+       rgt AS MATERIALIZED (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+       ty AS (SELECT count(*) AS nt FROM c2),
+       refdom AS MATERIALIZED (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(ref AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                  AS ref0
+         FROM (SELECT bi.doc_id, bi.source,
+                 round(CAST(sum(CAST(-ln(c2.c2 * 1.0 / lft.c1)
+                       AS DECIMAL(20,8))) AS DOUBLE) / count(*), 4) AS ref
+               FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                       JOIN lft ON bi.w1 = lft.w1
+               GROUP BY 1, 2)
+         GROUP BY source),
+       kd AS (SELECT CAST(count(*) AS BIGINT) AS k FROM refdom),
+       w0 AS (SELECT source, CAST(1.0 AS DECIMAL(18,8)) AS w,
+              CAST(1000000 AS BIGINT) AS ppmk FROM refdom)""")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+       c2w$r AS MATERIALIZED (SELECT d.w1, d.w2, sum(wp.ppmk * d.c2d) AS c2w
+           FROM c2d d JOIN w$p wp USING (source) GROUP BY 1, 2),
+       c1w$r AS (SELECT w1, sum(c2w) AS c1w FROM c2w$r GROUP BY 1),
+       dom$r AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(kn AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                  AS loss0
+         FROM (SELECT n.doc_id, n.source,
+                 round(CAST(sum(n.nll) AS DOUBLE) / count(*), 4) AS kn
+               FROM (SELECT bi.doc_id, bi.source,
+                       CAST(-ln(greatest(cw.c2w - 500000.0, 0.0) / lw.c1w
+                         + (500000.0 * lft.n1f / lw.c1w)
+                           * (rgt.n1b * 1.0 / ty.nt))
+                         AS DECIMAL(20,8)) AS nll
+                     FROM bi JOIN c2w$r cw ON bi.w1 = cw.w1 AND bi.w2 = cw.w2
+                             JOIN c1w$r lw ON bi.w1 = lw.w1
+                             JOIN lft ON bi.w1 = lft.w1
+                             JOIN rgt ON bi.w2 = rgt.w2
+                             CROSS JOIN ty) n
+               GROUP BY 1, 2)
+         GROUP BY source),
+       st$r AS (SELECT d.source, d.n_docs, d.loss0, rd.ref0,
+                greatest(d.loss0 - rd.ref0, 0.0) AS excess,
+                CAST(CAST(wp.w AS DOUBLE)
+                  * exp(1.0 * greatest(d.loss0 - rd.ref0, 0.0))
+                  AS DECIMAL(18,8)) AS w
+              FROM dom$r d JOIN refdom rd USING (source)
+                   JOIN w$p wp USING (source)),
+       tw$r AS (SELECT sum(w) AS tw FROM st$r),
+       out$r AS (SELECT s.source, s.n_docs, s.loss0, s.ref0, s.excess,
+                 CAST(round(0.9 * (CAST(s.w AS DOUBLE) / CAST(t.tw AS DOUBLE))
+                   * 1000000.0 + 100000.0 / (SELECT k FROM kd), 0)
+                   AS BIGINT) AS ppm
+               FROM st$r s CROSS JOIN tw$r t),
+       w$r AS (SELECT o.source, s.w, o.ppm * (SELECT k FROM kd) AS ppmk
+               FROM out$r o JOIN st$r s USING (source))""")
+    }
+    sb.append((1 to rounds).map { r =>
+      s"""
+       SELECT CAST($r AS BIGINT) AS round, source, n_docs,
+              round(loss0, 4) AS loss, round(ref0, 4) AS ref_loss,
+              round(excess, 4) AS excess, ppm AS weight_ppm FROM out$r"""
+    }.mkString(" UNION ALL "))
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "heavy_hitters_cms" -> CmsHeavyHittersOracle,
@@ -2364,6 +2467,10 @@ object TextQueries {
                 round(CAST(sum(nll) AS DOUBLE) / count(*), 4)
                   AS heldout_score
          FROM nll GROUP BY doc_id""",
+    // the iterated loop: per round, integer-weighted count refit +
+    // rescore + MW step, chained CTEs exactly like the bt_ratings
+    // unroll (see doremiKOracleSql)
+    "mixture_doremi_k" -> doremiKOracleSql(rounds = 3),
     // both NLL variants off one count-table chain, per-source decimal
     // sums, then the multiplicative-weights update replayed verbatim
     "mixture_doremi" ->

@@ -312,6 +312,41 @@ class CorpusPrepSpec extends SparkSpec {
     assert(flat.forall(w => math.abs(w - 333333L) <= 1), flat)
   }
 
+  test("doremiIterate: round 1 equals the single MW update; reweighting feeds back") {
+    import spark.implicits._
+    // domain "hard": every doc all-distinct words -> count-1 bigrams,
+    // large KN-vs-MLE excess; domain "easy": one repeated phrase ->
+    // heavy counts, near-zero excess
+    val docs = (
+      (1L to 5L).map(i => (i, "hard", (0 to 9).map(j => s"h${i}_$j").mkString(" "))) ++
+      (6L to 10L).map(i => (i, "easy", Seq.fill(5)("b0 b1").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val traj = CorpusPrep.doremiIterate(docs, "text", "doc_id", "source",
+      rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Double]("loss"), r.getAs[Long]("weight_ppm"))).toMap
+    assert(traj.size == 6)
+    // every round's ppm simplex sums to ~1e6
+    for (r <- 1L to 3L)
+      assert(math.abs(traj((r, "hard"))._2 + traj((r, "easy"))._2 - 1000000L) <= 2)
+    // round 1 IS mixture_doremi's single update (uniform scale 10^6
+    // makes the weighted fit the unweighted fit in exact arithmetic)
+    val single = CorpusPrep.doremiWeights(
+      CorpusLm.bigramBothNll(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+      "source", "kn_score", "lm_score")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("weight_ppm")).toMap
+    assert(traj((1L, "hard"))._2 == single("hard"), (traj, single))
+    assert(traj((1L, "easy"))._2 == single("easy"))
+    // the hard domain carries the excess and gets upweighted
+    assert(traj((1L, "hard"))._2 > traj((1L, "easy"))._2)
+    // feedback: upweighting hard's counts supports its bigrams better,
+    // so its refitted KN loss is non-increasing round over round
+    assert(traj((2L, "hard"))._1 <= traj((1L, "hard"))._1)
+    assert(traj((3L, "hard"))._1 <= traj((2L, "hard"))._1)
+  }
+
   test("contrastiveBatches: no batch ever holds two members of one cluster") {
     import spark.implicits._
     // skewed clusters: one of 40, several small, many singletons
