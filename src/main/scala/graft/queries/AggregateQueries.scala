@@ -218,7 +218,9 @@ object AggregateQueries {
     // exact answer in the same row. Exact percentile buffers every value
     // of a group; the sketch holds O(1/ε) — the swap A14 documents.
     // Sketch values are engine-specific → rows-only (SketchSpec bounds
-    // the error against exact).
+    // the error against exact); `a18_quantiles_own` below is the
+    // hash-gated sibling answering the same query shape with the OWN
+    // mergeable sketch.
     "a18_approx_quantiles" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -229,6 +231,29 @@ object AggregateQueries {
           round(expr("approx_percentile(l_extendedprice, 0.9, 1000)"), 4)
             .as("p90_approx"),
           count(lit(1)).as("n"))
+    }),
+
+    // A18-own — the SAME grouped approx-quantile question answered by
+    // the engine's OWN mergeable bottom-k-by-hash sketch
+    // (QuantileSketch, the sketch_quantiles_kmv kernel) instead of
+    // Spark's internal approx_percentile blob: per returnflag, the
+    // k=256 row sample's median/p90 of l_extendedprice. Deterministic
+    // md5 draws → the full sketch-then-read replays in SQL, making
+    // this the hash-gated sibling that retires a18's census entry.
+    // The draw keys on l_orderkey*10+l_linenumber (the natural line
+    // key; duplicate keys share a draw, which both engines replay
+    // identically — ties total-order by (h, v)).
+    "a18_quantiles_own" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("__lid"),
+          col("l_extendedprice"))
+      val sk = graft.operators.QuantileSketch.sketch(li,
+        Seq("l_returnflag"), "l_extendedprice", "__lid", k = 256)
+      graft.operators.QuantileSketch.quantiles(sk, Seq("l_returnflag"),
+        Seq(500000L, 900000L))
+        .select(col("l_returnflag"), col("q_ppm"), col("n_sample"),
+          (round(col("est"), 4) + lit(0.0)).as("est"))
     }),
 
     // A19 — per-group winsorization: tails of l_extendedprice clamp to
@@ -562,6 +587,28 @@ object AggregateQueries {
               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
               CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1""",
+    // the own-sketch sibling of a18: the global per-flag bottom-256
+    // row sample computed directly — sketch-then-read replayed exactly
+    "a18_quantiles_own" ->
+      """WITH h AS (SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                 AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+             l_extendedprice AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         sk AS (SELECT l_returnflag, h, v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v)
+               AS rk
+           FROM h QUALIFY rk <= 256),
+         ranked AS (SELECT l_returnflag, v, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h)
+               AS vrk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM sk),
+         qs AS (SELECT unnest([500000, 900000]) AS q_ppm)
+         SELECT r.l_returnflag, CAST(q.q_ppm AS BIGINT) AS q_ppm,
+                CAST(r.n AS BIGINT) AS n_sample, round(r.v, 4) AS est
+         FROM ranked r CROSS JOIN qs q
+         WHERE r.vrk = greatest(1, (q.q_ppm * r.n + 999999) // 1000000)""",
     "a19_winsorize" ->
       """SELECT l.l_orderkey, l.l_linenumber,
               round(least(greatest(l.l_extendedprice, s.lo), s.hi), 4) AS price_w
