@@ -81,7 +81,7 @@ object PretrainQueries {
     */
   val chunkFixtureConsumers: Set[String] = Set(
     "dedup_cdc_chunks", "boilerplate_chunks", "strip_boilerplate",
-    "cdc_maintained")
+    "cdc_maintained", "sql_cdc_dedup_stored")
 
   private[graft] def ensureFixtures(s: SparkSession, dir: String): Unit = {
     storedCdcChunks(s, dir).count()

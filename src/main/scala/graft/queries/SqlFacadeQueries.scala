@@ -508,6 +508,24 @@ object SqlFacadeQueries {
                ORDER BY n_copies DESC, chunk_md5 LIMIT 25""")
     }),
 
+    // The SAME dedup report read off the PERSISTED chunk store (the
+    // sql_warm_pagerank discipline applied to chunks): a real
+    // content-addressed store is chunked once at ingest
+    // (ChunkStoreStream / the stored fixture) and every audit after
+    // that rolls up 16-byte fingerprints — the token-linear re-chunk
+    // that made sql_cdc_dedup the suite's worst sf1 ratio (10.5×)
+    // never runs here. Gated by the SAME oracle text: stored ≡
+    // re-chunked is exactly the fixture's bit-identity claim.
+    "sql_cdc_dedup_stored" -> ((s, dir) => {
+      PretrainQueries.storedCdcChunks(s, dir)
+        .createOrReplaceTempView("graft_chunk_store")
+      s.sql("""SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+                 CAST(max(n_tokens) AS BIGINT) AS n_tokens
+               FROM graft_chunk_store GROUP BY chunk_md5
+               HAVING count(*) >= 3
+               ORDER BY n_copies DESC, chunk_md5 LIMIT 25""")
+    }),
+
     // Span-corruption pairs through the facade: the objective-shape
     // census (how many spans per doc, how much noise) a pretrain-data
     // owner reads before committing a corpus build.
@@ -647,6 +665,16 @@ object SqlFacadeQueries {
           FROM (${GraphQueries.oracleSql("pagerank_warmstart")})
           ORDER BY pr_fx DESC, node ASC LIMIT 20""",
     "sql_cdc_dedup" ->
+      s"""${PretrainQueries.chunkCte},
+         per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS chunk_md5,
+                   count(*) AS n_copies, max(fin - st + 1) AS n_tokens
+                 FROM cc GROUP BY 1)
+         SELECT chunk_md5, CAST(n_copies AS BIGINT) AS n_copies,
+                CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM per WHERE n_copies >= 3
+         ORDER BY n_copies DESC, chunk_md5 LIMIT 25""",
+    // stored ≡ re-chunked: ONE oracle text gates both facade rows
+    "sql_cdc_dedup_stored" ->
       s"""${PretrainQueries.chunkCte},
          per AS (SELECT md5(array_to_string(toks[CAST(st AS INT):CAST(fin AS INT)], ' ')) AS chunk_md5,
                    count(*) AS n_copies, max(fin - st + 1) AS n_tokens
