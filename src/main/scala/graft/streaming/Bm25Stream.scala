@@ -32,6 +32,19 @@ object Bm25Stream {
     ()
   }
 
+  /** Start the maintenance stream over a document source. */
+  def maintain(docs: DataFrame, textCol: String, idCol: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          applyBatch(batch.toDF(), textCol, idCol, indexDir, batchId)
+      }
+      .start()
+
   /** The latest maintained postings index. */
   def index(spark: SparkSession, indexDir: String): DataFrame =
     DurableIters.latest(spark, indexDir)

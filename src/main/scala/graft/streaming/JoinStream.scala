@@ -52,6 +52,32 @@ object JoinStream {
     ()
   }
 
+  /** Start the maintenance stream over a TAGGED insert log — one
+    * append stream carrying both sides' inserts with `sideCol` ∈
+    * {"a", "b"}, the shape a CDC changelog actually delivers (one
+    * ordered log, per-table tags). Each micro-batch splits into its
+    * two deltas (`aCols`/`bCols` project each side's columns) and
+    * folds through [[applyBatch]]'s three delta-joins.
+    */
+  def maintain(rows: DataFrame, sideCol: String, aCols: Seq[String],
+      bCols: Seq[String], joinCols: Seq[String],
+      dirs: (String, String, String),
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val b = batch.toDF()
+          applyBatch(
+            b.where(col(sideCol) === "a").select(aCols.map(col): _*),
+            b.where(col(sideCol) === "b").select(bCols.map(col): _*),
+            joinCols, dirs, batchId)
+      }
+      .start()
+  }
+
   /** The latest maintained join view. */
   def view(spark: SparkSession, viewDir: String): DataFrame =
     DurableIters.latest(spark, viewDir)
