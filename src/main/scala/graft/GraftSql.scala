@@ -393,6 +393,13 @@ object GraftSql {
     * `outView(domainCol, n_docs, loss, ref_loss, excess, weight_ppm)` —
     * see [[graft.operators.CorpusPrep.doremiWeights]]: multiplicative
     * weights over per-domain excess loss, smoothed toward uniform.
+    *
+    * EAGER at registration, unlike the other register* helpers:
+    * doremiWeights checkpoints its domain frame, so the full per-doc
+    * scoring pipeline behind `perDocView` EXECUTES here, not at first
+    * query of the view. Deliberate — the view then reads a
+    * domain-count-sized snapshot instead of re-running the scorer per
+    * consumer.
     */
   def registerDoremi(s: SparkSession, perDocView: String,
       domainCol: String, lossCol: String, refCol: String, eta: Double,

@@ -214,14 +214,22 @@ object CorpusLm {
   /** `scored` (from [[bigramNll]]) + `ppl_bucket` (1..k, ANSI-ntile
     * sizes: the first n mod k buckets get one extra row) + `keep`
     * (every bucket but the worst — the CCNet head+middle cut).
+    *
+    * `snapshot = false` skips the internal localCheckpoint — pass it
+    * when the caller's frame is ALREADY materialized (checkpointed or
+    * persisted); the default would otherwise pay a second full copy.
+    * Note the snapshot truncates lineage for the session (blocks are
+    * freed only by the context cleaner once the result is no longer
+    * referenced), and the result reads it lazily — it cannot be freed
+    * inside this call.
     */
-  def pplBuckets(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+  def pplBuckets(scored: DataFrame, idCol: String, k: Int,
+      snapshot: Boolean = true): DataFrame = {
     require(k >= 2, s"need at least 2 buckets, got $k")
     // the count pass and the rank pass both consume `scored`; snapshot
     // the |docs|-sized frame once so an unpersisted caller's scoring
-    // pipeline doesn't execute twice (no-op-cheap when the caller is
-    // bigramNll/bigramKnNll, which already hand over a checkpoint)
-    val snap = scored.localCheckpoint(true)
+    // pipeline doesn't execute twice
+    val snap = if (snapshot) scored.localCheckpoint(true) else scored
     val n = snap.count()
     val ranked = DenseId.withOrderedId(snap, "__rk", "lm_score", idCol)
     // ANSI ntile in closed form over the 0-based global rank r:

@@ -485,7 +485,10 @@ object CorpusPrep {
     * per-doc scoring lineage never executes twice.
     *
     * @return (domainCol, n_docs, loss, ref_loss, excess, weight_ppm);
-    *         weight_ppm sums to ~1e6 over domains
+    *         weight_ppm sums to ~1e6 over domains (each domain rounds
+    *         its ppm independently, so the total can drift from 1e6
+    *         by up to ~k/2 — renormalize downstream if an exact ppm
+    *         simplex is required)
     */
   def doremiWeights(perDoc: DataFrame, domainCol: String, lossCol: String,
       refCol: String, eta: Double = 1.0,

@@ -13,11 +13,11 @@ value-level check.py stayed green).
 
 For every oracle_sql.json entry with a dumped sibling, run the SQL in
 DuckDB, export via .arrow(), and compare each column's Arrow type
-against the Spark parquet schema. Types must match EXACTLY except for
-the known-benign pairs:
-  - string vs large_string (reader block-size choice, same canonical)
-  - timestamp[us] vs timestamp[us, tz=...]: NOT benign — flagged.
-Exit 0 iff no query has a column type mismatch.
+against the Spark parquet schema. norm() first rewrites the benign
+container flavors (large_string -> string, large_list -> list — reader
+block-size choices with identical canonical forms); after that the
+compare is EXACT — e.g. timestamp[us] vs timestamp[us, tz=...] is
+flagged. Exit 0 iff no query has a column type mismatch.
 """
 import glob
 import json
@@ -29,9 +29,6 @@ import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
-
-BENIGN = {("large_string", "string"), ("string", "large_string")}
-
 
 def norm(t):
     s = str(t)
@@ -64,7 +61,7 @@ def main(sf_dir, out_dir):
         st = {f.name: norm(f.type) for f in s}
         for c in sorted(set(dt) | set(st)):
             a, b = st.get(c), dt.get(c)
-            if a != b and (a, b) not in BENIGN:
+            if a != b:
                 bad.append((name, f"column {c}: spark={a} duckdb={b}"))
     if skipped:
         print(f"note: {len(skipped)} oracles had no dump (subset run)")

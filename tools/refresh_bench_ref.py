@@ -35,6 +35,15 @@ merged = {q: min(old[q], new[q]) if q in old else new[q]
 improved = sum(1 for q in new if q in old and new[q] < old[q])
 seeded = sorted(set(new) - set(old))
 pruned = sorted(set(old) - set(new))
+# a SUBSET run (Bench positional args / profiling) must never delete
+# the baselines of unselected queries: refuse to prune unless the
+# caller asserts a full-suite run with --prune
+if pruned and "--prune" not in sys.argv:
+    merged.update({q: old[q] for q in pruned})
+    print(f"kept {len(pruned)} refs absent from this run (partial run? "
+          "re-run with --prune after a FULL-suite bench to drop them):",
+          ", ".join(pruned))
+    pruned = []
 ref["queries"] = merged
 json.dump(ref, open(ref_path, "w"), indent=0, sort_keys=True)
 print(f"merged {len(merged)} refs: {improved} improved, "
