@@ -127,14 +127,26 @@ object Bench {
           (name, dt / refTimes(name))
       }.sortBy(-_._2).map(_._1).sorted.map { name =>
         val fn = selected(name)
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        System.gc()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        System.gc()
+        def soloOnce(): Double = {
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          System.gc()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          System.gc()
+          dt
+        }
+        val first = soloOnce()
+        // an adjudication entry only builds trust if it is itself
+        // clean: a solo number still >1.5× the all-time ref was
+        // measured in a contended window (r17 committed bm25_prf_topk
+        // at 2× its own clean time) — re-measure once and keep the min
+        val dt =
+          if (refTimes.get(name).exists(r => first > 1.5 * r))
+            math.min(first, soloOnce())
+          else first
         (name, dt)
       }
     def jstr(s: String): String = "\"" + s.flatMap {

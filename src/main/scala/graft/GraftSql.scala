@@ -408,6 +408,22 @@ object GraftSql {
         domainCol, lossCol, refCol, eta, smoothPermille)
       .createOrReplaceTempView(outView)
 
+  /** Own deterministic Lloyd k-means over a vector view →
+    * `outView(cell, pos, value)` — the k×d centroid frame of
+    * [[graft.operators.LloydKmeans.fitIvfOwn]] (grid-snapped inputs,
+    * hash-ranked seeds, DECIMAL-snapped rounds: the fit itself
+    * replays in SQL, see KmeansSql). EAGER at registration like
+    * [[registerDoremi]]: the Lloyd rounds are a driver-coordinated
+    * loop, so the fit executes here and the view holds the tiny
+    * centroid frame.
+    */
+  def registerKmeansFit(s: SparkSession, rowsView: String, vecCol: String,
+      idCol: String, k: Int, rounds: Int, outView: String): Unit =
+    graft.queries.VectorQueries.centroidsToDF(s,
+        graft.operators.LloydKmeans.fitIvfOwn(s.table(rowsView), vecCol,
+          idCol, k, rounds))
+      .createOrReplaceTempView(outView)
+
   /** Bradley-Terry ratings over a (winner, loser) match view →
     * `outView(player, n_wins, rating, rank)` — see
     * [[graft.operators.Preference.bradleyTerry]].

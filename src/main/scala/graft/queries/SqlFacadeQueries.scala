@@ -538,6 +538,22 @@ object SqlFacadeQueries {
                FROM graft_spans GROUP BY n_spans""")
     }),
 
+    // Own deterministic Lloyd k-means through the facade: the fit
+    // sample carved in SQL (the same 1/16 xxhash64 gate the stored
+    // quantizer uses), the fit through the wrapper, the centroid frame
+    // read back in SQL. Gated by the SAME unrolled-Lloyd oracle as
+    // ann_quantizer_ivf8 — facade ≡ direct by the hash gate.
+    "sql_kmeans" -> ((s, dir) => {
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      s.sql("""CREATE OR REPLACE TEMP VIEW kmeans_sample AS
+               SELECT vec_id, embedding FROM embeddings
+               WHERE pmod(xxhash64(vec_id), 16) = 0""")
+      GraftSql.registerKmeansFit(s, "kmeans_sample", "embedding",
+        "vec_id", k = 8, rounds = 3, outView = "graft_centroids")
+      s.sql("""SELECT cell, pos, value FROM graft_centroids
+               ORDER BY cell, pos""")
+    }),
+
     // Deterministic quantile sketch through the facade: p90 per event
     // type read in SQL. Same oracle as sketch_quantiles_kmv, filtered
     // on the integer q_ppm.
@@ -614,6 +630,9 @@ object SqlFacadeQueries {
     "sql_quantiles" ->
       s"""SELECT * FROM (${WarehouseQueries.oracleSql("sketch_quantiles_kmv")})
           WHERE q_ppm = 900000""",
+    // facade ≡ direct: the same unrolled own-Lloyd replay gates both
+    "sql_kmeans" -> KmeansSql.ivfOwnOracleSql(k = 8, rounds = 3,
+      normalized = false),
     "sql_bt" ->
       s"""SELECT player, n_wins, rating, rank
          FROM (${MlPrepQueries.oracleSql("bt_ratings")})
