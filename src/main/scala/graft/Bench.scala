@@ -127,6 +127,8 @@ object Bench {
           (name, dt / refTimes(name))
       }.sortBy(-_._2).map(_._1).sorted.map { name =>
         val fn = selected(name)
+        val inSuite = results.collectFirst {
+          case (`name`, dt, _) => dt }.getOrElse(Double.MaxValue)
         def soloOnce(): Double = {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -140,11 +142,13 @@ object Bench {
         }
         val first = soloOnce()
         // an adjudication entry only builds trust if it is itself
-        // clean: a solo number still >1.5× the all-time ref was
+        // clean: a solo number still >1.5× the all-time ref — or worse
+        // than the very in-suite time it is meant to adjudicate — was
         // measured in a contended window (r17 committed bm25_prf_topk
         // at 2× its own clean time) — re-measure once and keep the min
         val dt =
-          if (refTimes.get(name).exists(r => first > 1.5 * r))
+          if (refTimes.get(name).exists(r => first > 1.5 * r)
+              || first > inSuite)
             math.min(first, soloOnce())
           else first
         (name, dt)
