@@ -79,6 +79,20 @@ private[queries] object KmeansSql {
               FROM samp),
        c0 AS MATERIALIZED (SELECT r.r - 1 AS cell, se.i - 1 AS pos, se.v AS value
               FROM rk r JOIN se ON se.vec_id = r.vec_id WHERE r.r <= $k)""")
+    val (roundsSql, last) = lloydRoundsSql(rounds)
+    sb.append(roundsSql)
+    sb.append(s"""
+       SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
+       FROM $last""")
+    sb.toString
+  }
+
+  /** The unrolled Lloyd round CTEs shared by both generators: reads the
+    * `se(vec_id, i, v)` sample elements and the `c0(cell, pos, value)`
+    * init; returns (sql, finalCentroidCte).
+    */
+  private def lloydRoundsSql(rounds: Int): (String, String) = {
+    val sb = new StringBuilder
     var prev = "c0"
     for (t <- 1 to rounds) {
       sb.append(s""",
@@ -99,9 +113,49 @@ private[queries] object KmeansSql {
                   ON m.cell = c.cell AND m.pos = c.pos)""")
       prev = s"c$t"
     }
-    sb.append(s"""
-       SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, value
-       FROM $prev""")
+    (sb.toString, prev)
+  }
+
+  /** Generic fit-then-ASSIGN replay over caller-provided feature
+    * vectors: `elemsSql` is a WITH-body fragment (no leading WITH)
+    * whose last CTE is `elems(vec_id BIGINT, i INT 1-based, v DOUBLE
+    * grid-snapped)`. The fit trains on ALL ids (no sample filter —
+    * callers cluster bounded feature frames), seeds rank by the same
+    * xxhash64 chain, and the output is every row's final-round cluster
+    * — `(idOut, cluster)`, matching LloydKmeans.fitIvfOwn +
+    * assignToCentroids on the same snapped vectors.
+    */
+  def ivfOwnAssignOracleSql(k: Int, rounds: Int, elemsSql: String,
+      idOut: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $elemsSql,
+       hb AS (SELECT vec_id, ${XxSql.u64("vec_id")} AS uid
+              FROM (SELECT DISTINCT vec_id FROM elems))""")
+    val (hash, last) = XxSql.chain("hb",
+      XxSql.xx64Steps("uid", "42", "km_h", "kma"), "kmx")
+    sb.append(hash)
+    sb.append(s""",
+       samp AS MATERIALIZED (SELECT vec_id, ${XxSql.toSigned("km_h")} AS h
+         FROM $last),
+       se AS MATERIALIZED (SELECT e.vec_id, e.i, e.v
+         FROM elems e JOIN samp USING (vec_id)),
+       rk AS (SELECT vec_id, row_number() OVER (ORDER BY h ASC, vec_id ASC) AS r
+              FROM samp),
+       c0 AS MATERIALIZED (SELECT r.r - 1 AS cell, se.i - 1 AS pos, se.v AS value
+              FROM rk r JOIN se ON se.vec_id = r.vec_id WHERE r.r <= $k)""")
+    val (roundsSql, fin) = lloydRoundsSql(rounds)
+    sb.append(roundsSql)
+    sb.append(s""",
+       fcn AS (SELECT cell, sum(value * value) AS n2 FROM $fin GROUP BY cell),
+       fvd AS (SELECT s.vec_id, c.cell, sum(s.v * c.value) AS dp
+               FROM se s JOIN $fin c ON c.pos + 1 = s.i
+               GROUP BY s.vec_id, c.cell),
+       fasg AS (SELECT vec_id, cell FROM (
+                SELECT vd.vec_id, vd.cell,
+                  row_number() OVER (PARTITION BY vd.vec_id
+                    ORDER BY cn.n2 - 2 * vd.dp ASC, vd.cell ASC) AS rk2
+                FROM fvd vd JOIN fcn cn USING (cell)) WHERE rk2 = 1)
+       SELECT vec_id AS $idOut, CAST(cell AS BIGINT) AS cluster FROM fasg""")
     sb.toString
   }
 

@@ -1521,6 +1521,44 @@ object TextQueries {
         perDoc, "source", lossCol = "kn_score", refCol = "lm_score")
     }),
 
+    // Document clustering by own deterministic k-means — the
+    // cluster-then-X primitive (SemDeDup's first stage, topic-balanced
+    // sampling, per-cluster quota curation): each doc becomes a 16-dim
+    // hashed term-frequency vector (md5-bucket counts / doc length,
+    // the feature_hash trick — d fixed however large the vocab),
+    // grid-snapped, fit with LloydKmeans (k=4, 2 rounds) and every doc
+    // assigned to its final cell. Hash-gated END TO END: featurization,
+    // seeding, both Lloyd rounds, and the final assignment all replay
+    // in SQL (KmeansSql.ivfOwnAssignOracleSql). At 100 TB the fit runs
+    // on a hash sample exactly like the ANN quantizers; assignment
+    // stays one codegen'd argmin scan.
+    "text_clusters_kmeans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val bucket = (conv(substring(md5(col("w")), 1, 4), 16, 10)
+        .cast("int") % 16).as("b")
+      val counts = toks.groupBy(col("doc_id"), bucket)
+        .agg(count(lit(1)).as("c"))
+      val n = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val vecs = counts.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+          .as("m"))
+        .join(n, Seq("doc_id"))
+        .select(col("doc_id"),
+          graft.operators.LloydKmeans.snapVec(
+            transform(sequence(lit(0), lit(15)),
+              i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")
+                / col("n"))).as("fvec"))
+        // consumed by the fit loop AND the final assignment — snapshot
+        // the docs×16 frame once
+        .localCheckpoint(true)
+      val cents = graft.operators.LloydKmeans.fitIvfOwn(vecs, "fvec",
+        "doc_id", k = 4, rounds = 2)
+      graft.operators.SimilaritySearch.assignToCentroids(vecs, "fvec", cents)
+        .select(col("doc_id"), col("cell").cast("long").as("cluster"))
+    }),
+
     // ITERATED DoReMi (the published reweight→retrain→rescore loop,
     // r17 verdict item 5): three unrolled rounds where round k's
     // domain weights REFIT the bigram-KN proxy on ppm·k-scaled integer
@@ -2471,6 +2509,25 @@ object TextQueries {
     // rescore + MW step, chained CTEs exactly like the bt_ratings
     // unroll (see doremiKOracleSql)
     "mixture_doremi_k" -> doremiKOracleSql(rounds = 3),
+    // featurize → seed → 2 Lloyd rounds → assign, all unrolled
+    "text_clusters_kmeans" -> KmeansSql.ivfOwnAssignOracleSql(
+      k = 4, rounds = 2, elemsSql =
+        """tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+         ntc AS (SELECT doc_id, count(*) AS n FROM tokc GROUP BY 1),
+         bcc AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) % 16 AS b,
+             count(*) AS c
+           FROM tokc GROUP BY 1, 2),
+         gridc AS (SELECT doc_id, unnest(generate_series(0, 15)) AS b
+           FROM ntc),
+         elems AS (SELECT g.doc_id AS vec_id, CAST(g.b + 1 AS INT) AS i,
+             CAST(CAST(coalesce(bc.c, 0) * 1.0 / nt.n AS DECIMAL(20,10))
+               AS DOUBLE) AS v
+           FROM gridc g
+           LEFT JOIN bcc bc ON bc.doc_id = g.doc_id AND bc.b = g.b
+           JOIN ntc nt ON nt.doc_id = g.doc_id)""",
+      idOut = "doc_id"),
     // both NLL variants off one count-table chain, per-source decimal
     // sums, then the multiplicative-weights update replayed verbatim
     "mixture_doremi" ->
