@@ -39,6 +39,17 @@ if len(sfs) != 1:
     sys.exit(f"error: candidates ran at different sf dirs: {sfs}")
 
 best_path, best = min(lines, key=lambda pr: pr[1]["value"])
+# The committed number is a min-of-k floor, not a typical run. Record
+# the candidate count and median total alongside it so the headline is
+# auditable as a floor (judge ADVICE r18: one-sided min selection would
+# otherwise bias the recorded headline low without saying so).
+totals = sorted(r["value"] for _, r in lines)
+mid = len(totals) // 2
+median = (totals[mid] if len(totals) % 2 else
+          (totals[mid - 1] + totals[mid]) / 2)
+best = dict(best)
+best["bench_runs"] = len(totals)
+best["bench_median_sec"] = round(median, 3)
 with open("BENCH.json", "w") as f:
     f.write(json.dumps(best, separators=(",", ":")) + "\n")
 others = ", ".join(f"{p}={r['value']:.1f}s" for p, r in lines
