@@ -61,10 +61,16 @@ object TextOps {
     try_divide(vowelCount(text).cast("double"), length(text))
 
   /** Heuristic language ID over vowel-ratio buckets (deterministic). */
-  def langId(text: Column): Column = {
-    val vr = vowelRatio(text)
+  def langId(text: Column): Column =
+    langIdBuckets(vowelRatio(text))
+
+  /** [[langId]] from pre-computed counts (e.g. [[spaceTokenStats]]'
+    * `n_vowels`) — identical buckets without re-scanning the text. */
+  def langIdFromCounts(nVowels: Column, nChars: Column): Column =
+    langIdBuckets(try_divide(nVowels.cast("double"), nChars))
+
+  private def langIdBuckets(vr: Column): Column =
     when(vr < 0.20, "zh").when(vr < 0.26, "de").when(vr < 0.31, "en").otherwise("es")
-  }
 
   /** LLM-corpus text normalization: lowercase, strip tag-like markup,
     * collapse runs of whitespace, trim. Pure codegen'd regexp chain —
@@ -76,6 +82,19 @@ object TextOps {
 
   /** Whole-document fingerprint (content hash). */
   def docFingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** `struct(n_tokens, n_stop, n_vowels)` in one compiled byte scan —
+    * see [[graft.functions.expressions.SpaceTokenStats]]. Field
+    * semantics are exactly `size(split(text, ' '))`, the stopword-segment
+    * count, and the `[aeiou]` occurrence count, so declarative oracles
+    * replay unchanged.
+    */
+  def spaceTokenStats(text: Column,
+      stopwords: Seq[String] = Seq("the", "a")): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.expressions.SpaceTokenStats(
+      ColumnShim.expression(text), stopwords))
+  }
 
   /** Robust-to-local-edit fingerprint: the lexicographic minimum of the
     * md5s of all 8-char shingles (a 1-permutation MinHash over character

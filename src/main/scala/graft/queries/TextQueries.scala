@@ -75,25 +75,44 @@ object TextQueries {
     "pipeline_docs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val stats = docs
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id")).agg(
-          count(lit(1)).as("n_tokens"),
-          sum(col("t").isin("the", "a").cast("long")).as("n_stop"))
-      val gated = docs.join(stats, Seq("doc_id"))
+      // token stats as ONE compiled per-row scan (SpaceTokenStats), not
+      // explode→groupBy→rejoin: the struct fields ≡ the oracle's
+      // unnest-count/stopword-sum exactly, but the engine never shuffles
+      // the token stream (corpus tokens ≫ docs; at 100 TB that explode
+      // shuffle IS the job), never scans documents twice for a
+      // self-join, and never allocates a token array per row. One scan;
+      // the fingerprint window below is the plan's only exchange. The
+      // two-step projection keeps the struct evaluated once per row
+      // (CollapseProject refuses to duplicate the non-cheap producer).
+      val gated = docs
+        .select(col("*"), TextOps.spaceTokenStats(col("text")).as("__st"))
+        .select(col("doc_id"), col("text"),
+          col("__st.n_tokens").as("n_tokens"),
+          col("__st.n_stop").as("n_stop"),
+          col("__st.n_vowels").as("n_vowels"))
         .withColumn("quality",
           least(lit(1.0), col("n_tokens") / lit(100.0))
             * (lit(1.0) - col("n_stop") / col("n_tokens")))
         .where(col("quality") >= 0.5)
         .withColumn("fingerprint",
           TextOps.docFingerprint(TextOps.cleanText(col("text"))))
+        // everything downstream needs COUNTS, not the text: langId is
+        // n_vowels/n_chars (≡ the regex formulation). Project the text
+        // away BEFORE the fingerprint exchange so the window shuffles
+        // and sorts ~60-byte rows, not multi-KB documents — shuffling
+        // the corpus text through a dedup window is the plan's 100 TB
+        // failure mode (and was this row's measured first-run cost).
+        .select(col("doc_id"), col("n_tokens"), col("n_vowels"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("quality"), col("fingerprint"))
       val byFp = Window.partitionBy(col("fingerprint"))
       gated
         .withColumn("rep_id", min(col("doc_id")).over(byFp))
         .withColumn("n_dups", count(lit(1)).over(byFp))
         .where(col("doc_id") === col("rep_id"))
         .select(col("doc_id"),
-          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.langIdFromCounts(
+            col("n_vowels"), col("n_chars")).as("lang_pred"),
           col("n_tokens"),
           round(col("quality"), 4).as("quality_score"),
           col("fingerprint"), col("n_dups"))
