@@ -513,6 +513,53 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q2 shape (min-cost supplier per part): the CORRELATED
+    // SCALAR AGGREGATE plan canary — the remaining classic planning
+    // class after Q1 (scan+agg), Q9 (join order) and Q21 (exists/anti):
+    // `cost = (SELECT min(cost) WHERE partkey = outer.partkey)` must
+    // NEVER execute per outer row. Of the two standard de-correlations
+    // (aggregate + hash rejoin vs min-over-window on the shared build),
+    // this takes the window form: the naive rejoin re-aggregates the
+    // whole lineitem leg per consuming branch (measured: the static
+    // plan duplicated the ps subtree, 6 aggregate execs), while the
+    // window keeps ONE lineitem pass by construction — candidate cost
+    // and per-part minimum live in the same row stream, so there is no
+    // rejoin at all. The testdata has no partsupp, so the cost relation
+    // is derived (min l_extendedprice per (part, supplier)); the
+    // region-0 supplier restriction applies BEFORE the build, like
+    // Q2's inner subquery. At scale: lineitem shuffles once on
+    // (partkey, suppkey), once on partkey for the window;
+    // supplier⋈nation broadcasts; PlanSpec pins one-lineitem-scan +
+    // 2-aggregate-execs + no-nested-loop.
+    "tpch_q2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val region0 = Tables.nation(s, dir)
+        .where(col("n_regionkey") === 0)
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(region0), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(supp.select(col("s_suppkey").as("__sk"))),
+          col("l_suppkey") === col("__sk"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val best = ps
+        .withColumn("__min_cost",
+          min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+        .where(col("cost") === col("__min_cost"))
+      Tables.part(s, dir)
+        .where(col("p_size") === 15)
+        .join(best, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(round(col("s_acctbal"), 4).as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_type"),
+          round(col("cost"), 4).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
     // SQL frontend — the ONE dialect-neutral statement runs verbatim on
     // both engines (spark.sql over temp views here; the oracle map holds
     // the identical text for DuckDB). Catalyst plans it exactly like the
@@ -602,6 +649,29 @@ object RelationalQueries {
                              AND l3.l_returnflag = 'R')
          GROUP BY s.s_name
          ORDER BY numwait DESC, s.s_name ASC LIMIT 100""",
+    // Q2 shape: the oracle states the correlated scalar subquery
+    // DIRECTLY (DuckDB de-correlates it itself) — matching it proves
+    // the engine's aggregate+rejoin formulation computes exactly the
+    // per-part scalar minimum the subquery semantics define.
+    "tpch_q2" ->
+      """WITH supp AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_regionkey = 0),
+         ps AS (SELECT l.l_partkey, l.l_suppkey,
+                  min(l.l_extendedprice) AS cost
+                FROM lineitem l
+                WHERE l.l_suppkey IN (SELECT s_suppkey FROM supp)
+                GROUP BY 1, 2)
+         SELECT round(su.s_acctbal, 4) AS s_acctbal, su.s_name, su.n_name,
+                p.p_partkey, p.p_type, round(ps.cost, 4) AS supplycost
+         FROM part p
+         JOIN ps ON p.p_partkey = ps.l_partkey
+         JOIN supp su ON ps.l_suppkey = su.s_suppkey
+         WHERE p.p_size = 15
+           AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2
+                          WHERE ps2.l_partkey = p.p_partkey)
+         ORDER BY s_acctbal DESC, su.n_name ASC, su.s_name ASC,
+                  p.p_partkey ASC LIMIT 100""",
     "sql_frontend" -> FrontendSql, // the SAME text Spark executes
     "tpch_q3" ->
       """SELECT l.l_orderkey,

@@ -267,6 +267,94 @@ object VectorQueries {
         s, Tables.documents(s, dir), partitions = 32)
     }),
 
+    // pHash near-duplicate image dedup — the multimodal arm of the
+    // dedup family, gating Dedup.hammingPairs64 (the banded Hamming
+    // join behind Multimodal.imageNearDuplicates) end-to-end. The
+    // 64-bit code here is the STUB perceptual hash: base bits from the
+    // md5 of the payload (4 × 16-bit hex segments assembled into the
+    // signed long, so it replays digit-by-digit in SQL) with one
+    // doc-derived bit flipped — exact-duplicate payloads land at
+    // Hamming ∈ {0, 2}, everything else is ~uniform-random-far. The
+    // REAL perceptual path (javax.imageio decode → dHash64 gradient
+    // grid) produces the same (media_id, sig) shape and is pinned by
+    // MultimodalSpec on actual PNG fixtures; only the pixel math is
+    // swapped, never the join. Scale shape: 4 bucket keys per item,
+    // never all-pairs; Hamming ≤ 3 complete by pigeonhole.
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      val hex = md5(col("text").cast("binary"))
+      def seg(k: Int) = {
+        val u = conv(substring(hex, 1 + 4 * k, 4), 16, 10).cast("long")
+        if (k == 0) when(u >= 32768L, u - 65536L).otherwise(u) else u
+      }
+      val base = seg(0) * lit(65536L) * lit(65536L) * lit(65536L) +
+        seg(1) * lit(65536L) * lit(65536L) + seg(2) * lit(65536L) + seg(3)
+      // two encodings per document: media 2·doc_id and 2·doc_id+1 share
+      // the content-derived base but flip DIFFERENT bits (7 ≢ 0 mod 63,
+      // so the pair sits at Hamming exactly 2) — the re-encoded-image
+      // scenario a perceptual dedup exists for, planted deterministically
+      // so the gate result is non-empty at every SF; byte-identical
+      // documents additionally pair ACROSS ids (equal bases)
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), base.as("__b"))
+        .select(explode(array(
+          struct((col("doc_id") * 2).as("media_id"),
+            col("__b").bitwiseXOR(expr(
+              "shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id, 63) AS INT))"))
+              .as("sig")),
+          struct((col("doc_id") * 2 + 1).as("media_id"),
+            col("__b").bitwiseXOR(expr(
+              "shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id + 7, 63) AS INT))"))
+              .as("sig")))).as("m"))
+        .select(col("m.media_id"), col("m.sig"))
+      Dedup.hammingPairs64(media, "media_id", "sig", maxHamming = 3)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
+    // Image↔caption pairing audit: the coverage join a multimodal
+    // training set needs before contrastive pairing — media keyed by
+    // doc_id, captions keyed by vec_id (embeddings with label ≠ 0
+    // stand in for caption rows), per-source match/miss counts. Scale
+    // shape: the caption side projects to BARE KEYS before the join
+    // (never the payload or the vector), so the join shuffles ids
+    // only; the per-source aggregate is map-side partial.
+    "multimodal_pairing_audit" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val captions = Tables.embeddings(s, dir)
+        .where(col("label") =!= 0)
+        .select(col("vec_id").as("doc_id"), lit(1L).as("__cap"))
+      media.join(captions, Seq("doc_id"), "left")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("__cap").isNotNull, 1L).otherwise(0L)).as("n_paired"))
+        .select(col("source"), col("n_media"), col("n_paired"),
+          (col("n_media") - col("n_paired")).as("n_unpaired"),
+          round(col("n_paired") / col("n_media"), 4).as("coverage"))
+    }),
+
+    // Dimensions/metadata quality gate over the decoded features — the
+    // screen a multimodal corpus runs before training (reject tiny or
+    // degenerate-aspect images and truncated payloads). Predicates are
+    // ALL integer (aspect via cross-multiplication, never a float
+    // ratio), so the gate is bit-exact across engines; counts are
+    // independent per reason so the report says WHY items fail, not
+    // just how many. One scan over the features, one partial aggregate.
+    "multimodal_quality_gate" -> ((s, dir) => {
+      val f = graft.multimodal.Multimodal.documentFeatures(
+        s, Tables.documents(s, dir), partitions = 32)
+      val smallDims = col("width") < 64 || col("height") < 64
+      val badAspect = col("width") > col("height") * 3 ||
+        col("height") > col("width") * 3
+      val smallPayload = col("n_bytes") < 200
+      f.groupBy(col("modality")).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(!smallDims && !badAspect && !smallPayload, 1L)
+          .otherwise(0L)).as("n_pass"),
+        sum(when(smallDims, 1L).otherwise(0L)).as("n_small_dims"),
+        sum(when(badAspect, 1L).otherwise(0L)).as("n_bad_aspect"),
+        sum(when(smallPayload, 1L).otherwise(0L)).as("n_small_payload"))
+    }),
+
     // Brute-force exact cosine top-10 for the vector with vec_id = 0 — the
     // ANN correctness baseline: one scan + 1-row broadcast, no shuffle.
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -1148,7 +1236,7 @@ object VectorQueries {
     * are floorMod of the signed sum (DuckDB's % and // are C-truncating
     * like Java's, so the +m)%m fold reproduces floorMod exactly).
     */
-  private def mediaFeaturesOracleSql: String = {
+  private def mediaStubCte: String = {
     val M = "18446744073709551616"
     s"""WITH RECURSIVE pw(k, p) AS (
            SELECT 0, CAST(1 AS HUGEINT)
@@ -1168,17 +1256,91 @@ object VectorQueries {
                 CAST(CASE WHEN coalesce(su.us, 0) >= 9223372036854775808
                      THEN coalesce(su.us, 0) - $M
                      ELSE coalesce(su.us, 0) END AS BIGINT) AS s
-              FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id)
-       SELECT doc_id AS media_id, 'image' AS modality, n AS n_bytes,
-              CAST(((s % 1920) + 1920) % 1920 + 1 AS INT) AS width,
-              CAST((((s // 7) % 1080) + 1080) % 1080 + 1 AS INT) AS height,
-              s AS checksum
-       FROM sg"""
+              FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id),
+       feats AS (SELECT doc_id, n AS n_bytes,
+                CAST(((s % 1920) + 1920) % 1920 + 1 AS INT) AS width,
+                CAST((((s // 7) % 1080) + 1080) % 1080 + 1 AS INT) AS height,
+                s AS checksum
+              FROM sg)"""
+  }
+
+  private def mediaFeaturesOracleSql: String =
+    s"""$mediaStubCte
+       SELECT doc_id AS media_id, 'image' AS modality, n_bytes,
+              width, height, checksum
+       FROM feats"""
+
+  /** multimodal_quality_gate replay: the same stub-feature CTE, then
+    * the all-integer gate predicates (aspect by cross-multiplication).
+    */
+  private def mediaQualityOracleSql: String =
+    s"""$mediaStubCte
+       SELECT 'image' AS modality,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN NOT (width < 64 OR height < 64)
+                    AND NOT (width > height * 3 OR height > width * 3)
+                    AND NOT (n_bytes < 200) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pass,
+              CAST(sum(CASE WHEN width < 64 OR height < 64 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_dims,
+              CAST(sum(CASE WHEN width > height * 3 OR height > width * 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_aspect,
+              CAST(sum(CASE WHEN n_bytes < 200 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_small_payload
+       FROM feats"""
+
+  /** multimodal_phash_dedup replay: md5 hex → 4 × 16-bit segments via a
+    * strpos digit map → the signed-long base (top segment sign-extended
+    * so the BIGINT assembly is exact two's complement), one id-derived
+    * bit flipped, then ALL-PAIRS bit_count(xor) ≤ 3 — the oracle checks
+    * the banded join against the quadratic ground truth, so a banding
+    * bug (a missed bucket) fails the hash, not just a value bug.
+    */
+  private def mediaPhashOracleSql: String = {
+    def seg(k: Int): String = {
+      def d(p: Int, w: Long): String =
+        s"(strpos('0123456789abcdef', substr(h, ${p + 4 * k}, 1)) - 1) * $w"
+      s"(${d(1, 4096)} + ${d(2, 256)} + ${d(3, 16)} + ${d(4, 1)})"
+    }
+    s"""WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+       segs AS (SELECT doc_id,
+                CASE WHEN ${seg(0)} >= 32768 THEN ${seg(0)} - 65536
+                     ELSE ${seg(0)} END AS s0,
+                ${seg(1)} AS s1, ${seg(2)} AS s2, ${seg(3)} AS s3
+              FROM hx),
+       bases AS (SELECT doc_id,
+                CAST(s0 * 281474976710656 + s1 * 4294967296
+                     + s2 * 65536 + s3 AS BIGINT) AS b
+              FROM segs),
+       sig AS (SELECT doc_id * 2 AS media_id,
+                xor(b, CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INT)) AS sig
+              FROM bases
+              UNION ALL
+              SELECT doc_id * 2 + 1 AS media_id,
+                xor(b, CAST(1 AS BIGINT) << CAST((doc_id + 7) % 63 AS INT))
+              FROM bases)
+       SELECT a.media_id AS media_a, b.media_id AS media_b,
+              CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       FROM sig a JOIN sig b ON a.media_id < b.media_id
+       WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
   }
 
   def oracleSql: Map[String, String] = Map(
     // Stub-arm byte-checksum replay — see mediaFeaturesOracleSql.
     "media_features" -> mediaFeaturesOracleSql,
+    "multimodal_phash_dedup" -> mediaPhashOracleSql,
+    "multimodal_quality_gate" -> mediaQualityOracleSql,
+    "multimodal_pairing_audit" ->
+      """WITH cap AS (SELECT vec_id AS doc_id FROM embeddings WHERE label <> 0)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_media,
+                CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_paired,
+                CAST(count(*) - sum(CASE WHEN c.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_unpaired,
+                round(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1.0 / count(*), 4) AS coverage
+         FROM documents d LEFT JOIN cap c USING (doc_id)
+         GROUP BY d.source""",
     // sign bits as a HUGEINT power sum (bit 63 would overflow BIGINT);
     // hamming = bit_count(xor) on the unsigned values — identical to
     // Spark's long xor/popcount on the two's-complement form

@@ -203,6 +203,42 @@ class PlanSpec extends SparkSpec {
     assert(scans.nonEmpty, plan.toString)
   }
 
+  test("tpch_q2 de-correlates the scalar min through ONE ps build + window — no nested loop, no per-row re-execution") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val qe = SparkEntry.queries("tpch_q2")(spark, dir).queryExecution
+    val plan = qe.sparkPlan
+    // the correlated scalar aggregate (min cost per part) de-correlates
+    // through the window over the SINGLE ps build — never a per-outer-row
+    // subquery, a nested-loop/cartesian product, or a duplicated ps leg
+    assert(plan.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j }.isEmpty, plan.toString)
+    val aggs = plan.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    // one partial+final pair for the ps build and nothing else — the
+    // rejoin formulation re-derived the whole ps subtree per branch
+    // (measured: 6 aggregate execs, two lineitem scans)
+    assert(aggs.size == 2, s"expected 2 aggregate execs, got ${aggs.size}\n$plan")
+    assert(plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.size == 1,
+      plan.toString)
+    // lineitem is scanned exactly once, and the part filter is pushed
+    val liScans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("l_extendedprice") => f
+    }
+    assert(liScans.size == 1, plan.toString)
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("PushedFilters")
+          .exists(_.contains("EqualTo(p_size,15)")) => f
+    }
+    assert(scans.nonEmpty, plan.toString)
+  }
+
   test("dsir_weights broadcasts the ratio table — no shuffle of the token stream for the join") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val qe = SparkEntry.queries("dsir_weights")(spark, dir).queryExecution
