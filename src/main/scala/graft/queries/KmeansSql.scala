@@ -28,6 +28,24 @@ private[queries] object KmeansSql {
   /** Shared prologue: grid-snapped per-element values `elems(vec_id,
     * i, v)` (raw or L2-normalized), the xxhash64 chain, and the
     * `samp(vec_id, h)` 1/16 fit sample with its signed hash.
+    *
+    * ACCEPTED CROSS-ENGINE FREEDOM (r18 advice): in the normalized
+    * prologue the L2 norm itself is a plain double sum of squares —
+    * Spark folds the array in element order, DuckDB streams the group
+    * in storage order — so the PRE-snap product `v · (1/nrm)` can
+    * differ in its last ulp between engines. The 1e-10 snap then maps
+    * both to the same grid point unless the true value sits within
+    * ~1 ulp (≈1e-16 at |v|≤1) of a grid MIDPOINT: per element that is
+    * a ~1e-6 event, and the driver's gate runs on the sf0.01 sample
+    * (~31 vectors × d=16 elements), putting the expected failure rate
+    * below 1e-3 per full verify run. The same freedom applies to the
+    * assignment dot products (documented below). If one of the six
+    * quantizer/codebook gates ever hash-fails in isolation while its
+    * raw sibling passes, re-run before diagnosing — see the verify
+    * skill's gotcha note. Snapping per-element SQUARES before the norm
+    * sum would remove the freedom but changes the fitted trajectory on
+    * both engines (every downstream ANN fixture re-baselines), so the
+    * documented-freedom route was chosen deliberately.
     */
   private def prologue(normalized: Boolean): String = {
     val elems =
