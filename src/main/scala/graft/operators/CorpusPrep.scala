@@ -619,8 +619,14 @@ object CorpusPrep {
     val out = Seq.newBuilder[(Long, String, Long, Double, Double, Double, Long)]
     for (r <- 1 to rounds) {
       val wlit = typedLit(ppmk)
+      // DECIMAL(38,0) accumulation: the ppm·k-scaled counts are ~1e6·k
+      // per domain row, and Spark's sum(long) wraps SILENTLY at 2^63
+      // while the DuckDB oracle widens BIGINT sums to HUGEINT — the
+      // engines would diverge before either errors. Order-free and
+      // overflow-safe up to 10^38 (r18 advice).
       val c2w = c2d.select(col("w1"), col("w2"),
-          (element_at(wlit, col("__dom")) * col("c2d")).as("__sc"))
+          (element_at(wlit, col("__dom")) * col("c2d"))
+            .cast("decimal(38,0)").as("__sc"))
         .groupBy(col("w1"), col("w2")).agg(sum(col("__sc")).as("c2w"))
       val leftW = c2w.groupBy(col("w1")).agg(sum(col("c2w")).as("c1w"))
       val domLoss = bi.join(c2w, Seq("w1", "w2"))

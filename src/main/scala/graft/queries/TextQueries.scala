@@ -1746,7 +1746,15 @@ object TextQueries {
     * DECIMAL(18,8) snaps — mirroring CorpusPrep.doremiIterate's snap
     * points term for term.
     */
-  private def doremiKOracleSql(rounds: Int): String = {
+  private def doremiKOracleSql(rounds: Int, eta: Double = 1.0,
+      smoothPermille: Long = 100L, discount: Double = 0.5): String = {
+    // the same derived constants CorpusPrep.doremiIterate computes —
+    // interpolated (not hardcoded) so a query passing non-default
+    // eta/discount/smoothPermille gets a matching oracle, never a
+    // silently divergent one (r18 advice)
+    val dScaled = discount * 1000000.0
+    val keep = (1000L - smoothPermille).toDouble / 1000.0
+    val floorPpm = (smoothPermille * 1000L).toDouble
     val sb = new StringBuilder
     sb.append(
       """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
@@ -1790,8 +1798,8 @@ object TextQueries {
          FROM (SELECT n.doc_id, n.source,
                  round(CAST(sum(n.nll) AS DOUBLE) / count(*), 4) AS kn
                FROM (SELECT bi.doc_id, bi.source,
-                       CAST(-ln(greatest(cw.c2w - 500000.0, 0.0) / lw.c1w
-                         + (500000.0 * lft.n1f / lw.c1w)
+                       CAST(-ln(greatest(cw.c2w - $dScaled, 0.0) / lw.c1w
+                         + ($dScaled * lft.n1f / lw.c1w)
                            * (rgt.n1b * 1.0 / ty.nt))
                          AS DECIMAL(20,8)) AS nll
                      FROM bi JOIN c2w$r cw ON bi.w1 = cw.w1 AND bi.w2 = cw.w2
@@ -1804,14 +1812,14 @@ object TextQueries {
        st$r AS (SELECT d.source, d.n_docs, d.loss0, rd.ref0,
                 greatest(d.loss0 - rd.ref0, 0.0) AS excess,
                 CAST(CAST(wp.w AS DOUBLE)
-                  * exp(1.0 * greatest(d.loss0 - rd.ref0, 0.0))
+                  * exp($eta * greatest(d.loss0 - rd.ref0, 0.0))
                   AS DECIMAL(18,8)) AS w
               FROM dom$r d JOIN refdom rd USING (source)
                    JOIN w$p wp USING (source)),
        tw$r AS (SELECT sum(w) AS tw FROM st$r),
        out$r AS (SELECT s.source, s.n_docs, s.loss0, s.ref0, s.excess,
-                 CAST(round(0.9 * (CAST(s.w AS DOUBLE) / CAST(t.tw AS DOUBLE))
-                   * 1000000.0 + 100000.0 / (SELECT k FROM kd), 0)
+                 CAST(round($keep * (CAST(s.w AS DOUBLE) / CAST(t.tw AS DOUBLE))
+                   * 1000000.0 + $floorPpm / (SELECT k FROM kd), 0)
                    AS BIGINT) AS ppm
                FROM st$r s CROSS JOIN tw$r t),
        w$r AS (SELECT o.source, s.w, o.ppm * (SELECT k FROM kd) AS ppmk
