@@ -85,6 +85,61 @@ object FunctionQueries {
         col("o_orderkey"),
         when(col("o_orderstatus") === "F", col("o_orderdate")).isNotNull
           .cast("long").as("deal_label"))
+    }),
+
+    // The first.py INFERENCE SLICE end-to-end as one gated query
+    // (reference first.py:21-128 dataflow, evaluate.py:69-95 submission
+    // shape): repair (P5 sentinel→null→fill) → F1 dims parse →
+    // F3 date components → A2 z-normalize → a DETERMINISTIC linear
+    // scorer standing in for the learned head (literal weights over
+    // 6dp-snapped z-features — the MLlib fit itself is lib-tested in
+    // LifecyclesSpec; a float model trajectory can never hash-gate) →
+    // A4 denormalize with the SAME label stats → (carid, price)
+    // submission rows. One scan + one broadcast stats row; every stage
+    // is the already-gated component's exact math, composed.
+    "first_submission" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // one row per carid (the synthetic lineitem re-uses (orderkey,
+      // linenumber) pairs) — deterministic min-aggregation picks the
+      // canonical attributes, the submission contract is one price per
+      // car (evaluate.py:69-95 keys the score on carid)
+      val cars = li
+        .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("carid"))
+        .agg(min(col("l_suppkey")).as("__s"), min(col("l_partkey")).as("__p"),
+          min(col("l_linenumber")).as("__ln"),
+          min(col("l_shipdate")).as("tradeTime"),
+          min(col("l_quantity")).as("__q"),
+          min(col("l_extendedprice")).as("price"))
+        .select(col("carid"),
+          concat_ws("*", col("__s"), col("__p"), col("__ln")).as("dims"),
+          col("tradeTime"),
+          // P5 repair on the quantity: the max-domain value plays the
+          // sentinel (X6-as-coded: sentinel → null → fill 0)
+          coalesce(when(col("__q") >= 50.0, lit(null))
+            .otherwise(col("__q")), lit(0.0)).as("qty_r"),
+          col("price"))
+      val p = split(col("dims"), "\\*")
+      val feat = cars.select(col("carid"), col("qty_r"), col("price"),
+        (try_element_at(p, lit(1)).cast("long")
+          * try_element_at(p, lit(2)).cast("long")
+          * try_element_at(p, lit(3)).cast("long")).cast("double").as("volume"),
+        year(col("tradeTime")).cast("double").as("trade_year"),
+        month(col("tradeTime")).cast("double").as("trade_month"))
+      val stats = feat.agg(
+        avg(col("volume")).as("m_v"), stddev_samp(col("volume")).as("s_v"),
+        avg(col("trade_year")).as("m_y"), stddev_samp(col("trade_year")).as("s_y"),
+        avg(col("trade_month")).as("m_m"), stddev_samp(col("trade_month")).as("s_m"),
+        avg(col("qty_r")).as("m_q"), stddev_samp(col("qty_r")).as("s_q"),
+        avg(col("price")).as("m_p"), stddev_samp(col("price")).as("s_p"))
+      def z(x: String, m: String, s: String) =
+        round((col(x) - col(m)) / col(s), 6)
+      feat.crossJoin(broadcast(stats))
+        .select(col("carid"),
+          round((z("volume", "m_v", "s_v") * 0.3
+            + z("trade_year", "m_y", "s_y") * 0.2
+            + z("trade_month", "m_m", "s_m") * 0.1
+            + z("qty_r", "m_q", "s_q") * 0.4) * col("s_p") + col("m_p"), 4)
+            .as("price"))
     })
   )
 
@@ -125,6 +180,31 @@ object FunctionQueries {
            SELECT concat('c_mktsegment:', c_mktsegment) AS key FROM customer
            UNION ALL SELECT concat('c_nationkey:', CAST(c_nationkey AS VARCHAR)) FROM customer)""",
     "f7_label" ->
-      "SELECT o_orderkey, CAST(o_orderstatus = 'F' AS BIGINT) AS deal_label FROM orders"
+      "SELECT o_orderkey, CAST(o_orderstatus = 'F' AS BIGINT) AS deal_label FROM orders",
+    "first_submission" ->
+      """WITH c0 AS (SELECT l_orderkey * 10 + l_linenumber AS carid,
+             min(l_suppkey) AS s, min(l_partkey) AS p,
+             min(l_linenumber) AS ln, min(l_shipdate) AS ship,
+             min(l_quantity) AS q, min(l_extendedprice) AS price
+           FROM lineitem GROUP BY 1),
+         cars AS (SELECT carid,
+             CAST(s AS DOUBLE) * p * ln AS volume,
+             CAST(EXTRACT(year FROM ship) AS DOUBLE) AS trade_year,
+             CAST(EXTRACT(month FROM ship) AS DOUBLE) AS trade_month,
+             coalesce(CASE WHEN q >= 50.0 THEN NULL ELSE q END, 0.0) AS qty_r,
+             price
+           FROM c0),
+         st AS (SELECT avg(volume) AS m_v, stddev_samp(volume) AS s_v,
+                  avg(trade_year) AS m_y, stddev_samp(trade_year) AS s_y,
+                  avg(trade_month) AS m_m, stddev_samp(trade_month) AS s_m,
+                  avg(qty_r) AS m_q, stddev_samp(qty_r) AS s_q,
+                  avg(price) AS m_p, stddev_samp(price) AS s_p
+                FROM cars)
+         SELECT carid,
+           round((round((volume - m_v) / s_v, 6) * 0.3
+             + round((trade_year - m_y) / s_y, 6) * 0.2
+             + round((trade_month - m_m) / s_m, 6) * 0.1
+             + round((qty_r - m_q) / s_q, 6) * 0.4) * s_p + m_p, 4) AS price
+         FROM cars CROSS JOIN st"""
   )
 }

@@ -109,4 +109,27 @@ class LifecyclesSpec extends SparkSpec {
     assert(datePrice.count() > 0)
     assert(datePrice.where(col("dealPricePred").isNull).count() == 0)
   }
+
+  test("golden submission TSV: carid \\t price, no header, one row per car (evaluate.py:69-95)") {
+    import spark.implicits._
+    // the exact on-disk shape the reference's evaluator consumes
+    // (evaluate.py:69-95 reads `carid \t price` with no header row)
+    val sub = Seq((101L, 12345.6789), (102L, 8.5), (103L, 42.0))
+      .toDF("carid", "price")
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_sub").toString
+    CarSources.writeSubmission(sub, out)
+    val lines = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+      .sorted.toSeq
+    assert(lines == Seq("101\t12345.6789", "102\t8.5", "103\t42.0"), lines)
+  }
+
+  test("first_submission query: the deterministic inference slice emits one (carid, price) row per car") {
+    val sub = graft.SparkEntry.queries("first_submission")(spark, sf("sf0.001"))
+    assert(sub.columns.toSeq == Seq("carid", "price"))
+    val n = sub.count()
+    assert(n > 0 && n == sub.select("carid").distinct().count())
+    assert(sub.where(col("price").isNull || isnan(col("price"))).count() == 0)
+  }
 }
