@@ -40,4 +40,49 @@ class AqeSkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a skewed j1-shape join over the testdata (fact ⋈ dim on a hot key)") {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the j1 shape (car ⋈ transaction on carid) with production-style
+      // skew planted on the REAL testdata: 90% of lineitem's join keys
+      // collapse onto one hot order (the one-viral-listing case)
+      // the testdata parquet is a single row group → a 1-task scan → a
+      // 1-mapper shuffle, and AQE splits a skewed partition by MAPPER
+      // ranges — with one mapper there is nothing to split. Widen the
+      // map side first (at 100 TB the scan has thousands of mappers and
+      // this is the natural state).
+      val li = graft.sources.Tables.lineitem(spark, sf("sf0.1")).repartition(8)
+      val fact = li.select(
+        when(col("l_linenumber") =!= 1, lit(7L))
+          .otherwise(pmod(col("l_orderkey"), lit(997))).as("k"),
+        col("l_extendedprice"),
+        // widen the payload so the hot partition's shuffle bytes dwarf
+        // the scaled-down threshold unambiguously
+        concat_ws("|", col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")).as("payload"))
+      // naturally-unique dim keys — an aggregate here would sit between
+      // the shuffle and the join and block OptimizeSkewedJoin (it can
+      // only split a side that reads shuffle output directly)
+      val dim = graft.sources.Tables.orders(spark, sf("sf0.1"))
+        .where(col("o_orderkey") < 997)
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val joined = fact.join(dim, Seq("k"))
+      val n = joined.toLocalIterator().asScala.length
+      assert(n > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"skew join did not engage on the j1 shape:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
