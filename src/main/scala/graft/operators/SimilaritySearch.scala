@@ -163,13 +163,27 @@ object SimilaritySearch {
   def assignToCentroids(df: DataFrame, vecCol: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     // argmin ||v−c||² = argmin (||c||² − 2·v·c): the row's own norm is
     // common to every cell, so each centroid costs ONE codegen'd dot
-    // (||c||² folds to a literal at plan time).
-    val assignments = centroids.map { case (cid, c) =>
-      val cNormSq = c.map(x => x * x).sum
-      struct((lit(cNormSq) - lit(2.0) * VectorOps.dot(col(vecCol), array(c.map(lit): _*))).as("d"),
-        lit(cid).as("cid"))
+    // (||c||² folds to a literal at plan time). Above 64 cells the
+    // literal fold's O(kCells·d) GENERATED SOURCE dominates (measured
+    // 63 s of a 63.1 s inline IVF run at kCells=447 — SCALE.md r19);
+    // the compiled CentroidArgmin kernel computes the IDENTICAL double
+    // sequence (element-order dot, same ||c||² fold, same (d, cid)
+    // tie-break — CentroidArgminSpec pins path equality) in a fixed
+    // ~30-line eval. Both paths stay: the small-k literal form is the
+    // whole-stage-codegen fast path the gate rows run.
+    if (centroids.size > 64) {
+      import org.apache.spark.sql.graftshim.ColumnShim
+      df.withColumn("cell", ColumnShim.column(
+        graft.functions.expressions.CentroidArgmin(
+          ColumnShim.expression(col(vecCol)), centroids)))
+    } else {
+      val assignments = centroids.map { case (cid, c) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) * VectorOps.dot(col(vecCol), array(c.map(lit): _*))).as("d"),
+          lit(cid).as("cid"))
+      }
+      df.withColumn("cell", array_min(array(assignments: _*)).getField("cid"))
     }
-    df.withColumn("cell", array_min(array(assignments: _*)).getField("cid"))
   }
 
   /** The `nprobe` cells nearest to a query vector (driver-side math over
