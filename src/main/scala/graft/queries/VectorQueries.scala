@@ -267,6 +267,39 @@ object VectorQueries {
         s, Tables.documents(s, dir), partitions = 32)
     }),
 
+    // Audio header decode plumbing as a gate query: same stub-arm
+    // discipline as media_features (text payloads take the
+    // deterministic bytes-derived pseudo-features with duration_ms = -1
+    // marking the stub; real WAV/AIFF decode is spec-tested with codec
+    // fixtures in MultimodalSpec). Gates the mapPartitions batch shape
+    // and the stub checksum-derived field math end-to-end.
+    "multimodal_audio_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodeAudio(
+        Multimodal.toMediaRows(Tables.documents(s, dir),
+          idCol = "doc_id", binCol = "text", modality = "audio",
+          sourceCol = "source")
+          .repartition(32, col("media_id"))).toDF()
+    }),
+
+    // Video frame sampling as a gate query: the 1 → N flatMap expansion
+    // a video pipeline runs (evenly-spaced byte offsets stand in for
+    // timestamps; the per-frame checksum reads a 64-byte window at the
+    // offset — the decode stub documented in Multimodal.sampleFrames).
+    // The EXPANSION SHAPE is the real thing: output keyed (media_id,
+    // frame_idx) so a clip's frames co-locate downstream; swap the
+    // window checksum for an FFmpeg grab and nothing else changes. The
+    // windowed 31-polynomial replays in SQL over the per-position
+    // power table (powers ≤ 63 — the window is 64 bytes).
+    "multimodal_frame_samples" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+        Multimodal.toMediaRows(Tables.documents(s, dir),
+          idCol = "doc_id", binCol = "text", modality = "video",
+          sourceCol = "source")
+          .repartition(32, col("media_id")), frames = 4).toDF()
+    }),
+
     // pHash near-duplicate image dedup — the multimodal arm of the
     // dedup family, gating Dedup.hammingPairs64 (the banded Hamming
     // join behind Multimodal.imageNearDuplicates) end-to-end. The
@@ -1289,6 +1322,59 @@ object VectorQueries {
                 AS n_small_payload
        FROM feats"""
 
+  /** multimodal_audio_features replay: the stub arm's floorMod field
+    * derivations off the signed 31-polynomial checksum (Java's `/` and
+    * `%` truncate like DuckDB's `//` and `%`, so the `((x % m) + m) % m`
+    * fold reproduces floorMod exactly; `s / k` truncates identically
+    * on both engines).
+    */
+  private def mediaAudioOracleSql: String =
+    s"""$mediaStubCte
+       SELECT doc_id AS media_id, 'audio' AS modality, n_bytes,
+              CAST(((checksum % 48000) + 48000) % 48000 + 1 AS INT)
+                AS sample_rate,
+              CAST((((checksum // 7) % 2) + 2) % 2 + 1 AS INT) AS channels,
+              CAST((((checksum // 11) % 100000) + 100000) % 100000
+                AS BIGINT) AS n_frames,
+              CAST(-1 AS BIGINT) AS duration_ms,
+              checksum
+       FROM feats"""
+
+  /** multimodal_frame_samples replay: per (doc, frame) the 64-byte
+    * window polynomial `fold(sum·31 + byte)` as a power sum over the
+    * window positions (powers ≤ 63), signed like Java long wraparound;
+    * offsets are the same truncating `(n·i)//4`.
+    */
+  private def mediaFramesOracleSql: String = {
+    val M = "18446744073709551616"
+    s"""WITH RECURSIVE pw(k, p) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL
+           SELECT k + 1, (p * 31) % $M FROM pw WHERE k < 63),
+       d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       fr AS (SELECT doc_id, text, n,
+                unnest(generate_series(0, 3)) AS i FROM d),
+       w AS (SELECT doc_id, text, n, i,
+               CASE WHEN n = 0 THEN 0 ELSE (n * i) // 4 END AS off
+             FROM fr),
+       we AS (SELECT *, least(n, off + 64) AS e FROM w),
+       ch AS (SELECT doc_id, i, off, e,
+                unnest(generate_series(CAST(off + 1 AS BIGINT),
+                  CAST(e AS BIGINT))) AS p, text
+              FROM we WHERE e > off),
+       su AS (SELECT c.doc_id, c.i, any_value(c.off) AS off,
+                sum((CAST(ord(substr(c.text, CAST(c.p AS INT), 1)) AS HUGEINT)
+                  * pw.p) % $M) % $M AS us
+              FROM ch c JOIN pw ON pw.k = c.e - c.p
+              GROUP BY c.doc_id, c.i)
+       SELECT w.doc_id AS media_id, CAST(w.i AS INT) AS frame_idx,
+              CAST(w.off AS BIGINT) AS byte_offset,
+              CAST(CASE WHEN coalesce(su.us, 0) >= 9223372036854775808
+                   THEN coalesce(su.us, 0) - $M
+                   ELSE coalesce(su.us, 0) END AS BIGINT) AS frame_checksum
+       FROM we w LEFT JOIN su ON w.doc_id = su.doc_id AND w.i = su.i"""
+  }
+
   /** multimodal_phash_dedup replay: md5 hex → 4 × 16-bit segments via a
     * strpos digit map → the signed-long base (top segment sign-extended
     * so the BIGINT assembly is exact two's complement), one id-derived
@@ -1329,6 +1415,8 @@ object VectorQueries {
     // Stub-arm byte-checksum replay — see mediaFeaturesOracleSql.
     "media_features" -> mediaFeaturesOracleSql,
     "multimodal_phash_dedup" -> mediaPhashOracleSql,
+    "multimodal_audio_features" -> mediaAudioOracleSql,
+    "multimodal_frame_samples" -> mediaFramesOracleSql,
     "multimodal_quality_gate" -> mediaQualityOracleSql,
     "multimodal_pairing_audit" ->
       """WITH cap AS (SELECT vec_id AS doc_id FROM embeddings WHERE label <> 0)
