@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Janino compile cache (STATIC conf, keyed by generated source).
+      // The default 100 entries is smaller than ONE complex query's
+      // fragment count (sql_components compiles 133 codegen units; its
+      // WARM re-run still recompiled 130 — measured, OPTIMIZATION_r19.md)
+      // so the cache thrashes and every query pays full Janino cost.
+      // Executor task threads serialize behind CodeGenerator.compile's
+      // KeyLock while this happens (sampled stacks). 10k entries ≈ tens
+      // of MB of class metadata, scale-independent (a long-lived
+      // executor JVM wants the same), parameterized for comparability.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional positional args = run only these queries (local profiling);

@@ -20,6 +20,8 @@ object ProfileCold {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
     if (noCodegen) b.config("spark.sql.codegen.wholeStage", "false")
     if (sys.env.get("SPARK_GRAFT_INTERP").contains("1")) {
       b.config("spark.sql.codegen.wholeStage", "false")
@@ -83,13 +85,30 @@ object ProfileCold {
     })
     sampler.setDaemon(true)
     sampler.start()
+    // codegen-compile attribution: Spark's codahale counters record every
+    // Janino compile (count, cumulative ms, bytecode size) JVM-wide
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compileMs(): (Long, Long) = (
+      CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount,
+      CodegenMetrics.METRIC_COMPILATION_TIME.getCount)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(tag: String): Double = {
         println(s"[run] $name $tag begin")
+        val (sz0, n0) = compileMs()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        val tPlan = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimization+planning
+        val tExec = System.nanoTime()
+        df.count()
+        val t1 = System.nanoTime()
+        val (sz1, n1) = compileMs()
+        println(f"[phase] $name $tag build=${(tPlan - t0) / 1e9}%.3f plan=${(tExec - tPlan) / 1e9}%.3f exec=${(t1 - tExec) / 1e9}%.3f compiles=${n1 - n0} srcbytes=${sz1 - sz0}")
+        // same per-query hygiene as Bench: queries are independent
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        (t1 - t0) / 1e9
       }
       sampling.set(true)
       val cold = once("cold")
