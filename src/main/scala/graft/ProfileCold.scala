@@ -71,9 +71,13 @@ object ProfileCold {
     // in-process stack sampler over executor task threads (diagnostic)
     val sampling = new java.util.concurrent.atomic.AtomicBoolean(false)
     val samples = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // stack sampling is opt-in: Thread.getAllStackTraces forces global
+    // safepoints every 10 ms, which inflates the very cold numbers this
+    // tool attributes (measured ~2x on compile-heavy queries)
+    val sampleEnabled = sys.env.get("SPARK_GRAFT_SAMPLE").contains("1")
     val sampler = new Thread(() => {
       while (true) {
-        if (sampling.get()) {
+        if (sampleEnabled && sampling.get()) {
           import scala.jdk.CollectionConverters._
           Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
             if (t.getName.startsWith("Executor task launch worker") && st.nonEmpty)

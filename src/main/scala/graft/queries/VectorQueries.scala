@@ -51,6 +51,33 @@ object VectorQueries {
         Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 3)
     }
 
+  /** The k=10/iters=2 graph over the FULL corpus — the base artifact
+    * `knn_graph_remove` maintains. Same stored-artifact discipline as
+    * [[storedKnnGraph]] (r19): a REMOVE against a corpus-scale index
+    * reads the persisted graph and pays only the prune + refill walk;
+    * rebuilding the index inside the maintenance row's timed body
+    * priced an offline build into an online operation. nnDescent is
+    * deterministic, so stored ≡ inline bit for bit (oracle-gated).
+    */
+  private[graft] def storedKnnGraphI2(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"knn_graph_k10i2_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      graft.operators.KnnGraph.nnDescent(
+        Tables.embeddings(s, dir), "embedding", "vec_id", k = 10, iters = 2)
+    }
+
+  /** The k=10/iters=2 graph over the 90% "old" slice (`vec_id % 10 ≠ 0`)
+    * — the pre-existing index `knn_graph_insert` ingests the fresh 10%
+    * into. Same rationale as [[storedKnnGraphI2]].
+    */
+  private[graft] def storedKnnGraphOldI2(s: SparkSession, dir: String): DataFrame =
+    storedFixture(s,
+      s"knn_graph_old_k10i2_v1_${Tables.contentStamp(dir, "embeddings")}") {
+      graft.operators.KnnGraph.nnDescent(
+        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0),
+        "embedding", "vec_id", k = 10, iters = 2)
+    }
+
   /** Centroid list ⇄ frame: the dumped-quantizer bridge. A fitted
     * quantizer is a tiny driver object; as (cell, pos, value) DOUBLE
     * rows it round-trips through parquet EXACTLY, so a consumer that
@@ -231,6 +258,8 @@ object VectorQueries {
     */
   def ensureFixtures(s: SparkSession, dir: String): Unit = {
     storedKnnGraph(s, dir)
+    storedKnnGraphI2(s, dir)
+    storedKnnGraphOldI2(s, dir)
     storedIvf8Raw(s, dir)
     storedIvf4Norm(s, dir)
     storedIvf8Norm(s, dir)
@@ -246,6 +275,7 @@ object VectorQueries {
     */
   val fixtureConsumers: Set[String] = Set(
     "graph_search_topk", "graph_search_ivf_seeded",
+    "knn_graph_insert", "knn_graph_remove",
     "ann_quantizer_ivf8", "ann_quantizer_ivf4_norm",
     "ann_quantizer_ivf8_norm", "ann_codebook_pq8_raw",
     "ann_codebook_pq16_norm", "ann_codebook_pq64_norm",
@@ -740,9 +770,11 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val old = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
       val fresh = e.where(pmod(col("vec_id"), lit(10)) === 0)
-      val oldGraph = graft.operators.KnnGraph.nnDescent(
-        old, "embedding", "vec_id", k = 10, iters = 2)
-      graft.operators.KnnGraph.insert(oldGraph, old, fresh,
+      // the pre-existing index comes from the stored artifact (r19) —
+      // ingest maintains a persisted graph, it never rebuilds one; the
+      // fixture is bit-identical to the inline build (deterministic
+      // nnDescent, same oracle gates the row)
+      graft.operators.KnnGraph.insert(storedKnnGraphOldI2(s, dir), old, fresh,
         "embedding", "vec_id", k = 10, beam = 10, hops = 2)
     }),
 
@@ -754,9 +786,9 @@ object VectorQueries {
     // + prune + affected-only re-search).
     "knn_graph_remove" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val graph = graft.operators.KnnGraph.nnDescent(
-        e, "embedding", "vec_id", k = 10, iters = 2)
-      graft.operators.KnnGraph.remove(graph, e,
+      // the graph being maintained is the stored artifact (r19) — see
+      // knn_graph_insert; the timed body is the remove operation itself
+      graft.operators.KnnGraph.remove(storedKnnGraphI2(s, dir), e,
         e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
         "embedding", "vec_id", k = 10, beam = 10, hops = 2)
     }),
