@@ -40,4 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // extra JVM flags for controlled experiments (GC choice, GC logging,
+  // code-cache sizing) — empty by default so the bench JVM is unchanged
+  // unless a run explicitly opts in (SPARK_GRAFT_JVM_FLAGS="-XX:+UseParallelGC")
+) ++ sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

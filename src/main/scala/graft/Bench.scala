@@ -6,7 +6,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default = core count (the contract since r1); the env override
+      // exists ONLY for the SCALE.md experiments that separate
+      // task-thread contention from partition-count overhead — the
+      // driver never sets it, so committed numbers always use the default
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -21,6 +26,18 @@ object Bench {
       // executor JVM wants the same), parameterized for comparability.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // Generated WSCG classes embed the per-query codegen-stage ID in
+      // the class NAME by default (debuggability aid), so two stages
+      // with IDENTICAL generated bodies — e.g. the 5 shape-identical
+      // rounds of a lazily-stacked PageRank loop, or sibling queries
+      // sharing an operator pipeline — produce different source strings
+      // and MISS the compile cache the maxEntries bump made big enough.
+      // Naming them uniformly turns those misses into hits (measured
+      // r20: pagerank-family compiles 75→~20, subset −20%). Scale-
+      // neutral: a long-lived production executor wants the same
+      // (fewer Janino compiles + less metaspace), not a local[32] trick.
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID_IN_NAME", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional positional args = run only these queries (local profiling);

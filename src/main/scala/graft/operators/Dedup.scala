@@ -717,6 +717,29 @@ object Dedup {
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true))
     var converged = edges.limit(1).isEmpty
+    // Fixed-point test via a set FINGERPRINT instead of count + anti-join
+    // (r20): both sides are DISTINCT (src, dst) sets, so
+    //   fp(S) = (|S|, Σ high32(xxhash64(src,dst)), Σ low32(xxhash64(src,dst)))
+    // with the two 32-bit half-sums kept as exact longs (≤ n·2³² ≤ 2⁶³ —
+    // no overflow under ANSI) satisfies S = T ⇒ fp(S) = fp(T), and for
+    // S ≠ T a collision needs the 64-bit hashes of the differing edges to
+    // cancel exactly in BOTH half-sums: with xxhash64 modeled uniform
+    // that is ~2⁻⁶⁴ per round-comparison — across every star loop in the
+    // suite (~10 rounds × 4 queries) ≪ 10⁻¹⁵ per run, and the downstream
+    // oracle hash-gate would surface a premature stop anyway. The win is
+    // one SCAN-aggregate per round over the just-checkpointed blocks in
+    // place of two counts + a full anti-JOIN of consecutive edge sets
+    // (guide §1.2: fewer passes; the previous round's fingerprint is
+    // remembered, so consecutive rounds never re-touch the old set).
+    def fingerprint(df: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("src"), col("dst"))
+      val r = df.agg(count(lit(1)), sum(shiftrightunsigned(h, 32)),
+        sum(h.bitwiseAND(lit(0xFFFFFFFFL)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var fpEdges = if (converged) (0L, 0L, 0L) else fingerprint(edges)
     var i = resumed.map(_._1).getOrElse(0L)
     while (!converged && i < maxIters) {
       // large-star over the symmetric view; the output (v, m) is
@@ -741,10 +764,9 @@ object Dedup {
         case Some(d) => DurableIters.save(nextPlan, d, i + 1)
         case None => nextPlan.localCheckpoint(true)
       }
-      // both sides are distinct sets: equal counts + empty one-sided
-      // anti-join ⇔ identical edge sets (exact, no hash-sum shortcut)
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("src", "dst"), "left_anti").limit(1).isEmpty
+      val fpNext = fingerprint(next)
+      converged = fpNext == fpEdges
+      fpEdges = fpNext
       CheckpointShim.freeLocalCheckpointIfAny(edges)
       edges = next
       i += 1

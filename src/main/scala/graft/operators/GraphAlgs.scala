@@ -299,11 +299,17 @@ object GraphAlgs {
           """(CAST(sig AS DECIMAL(38,0)) * (1000000 + __wd)) div __wsig"""))
           .as("dppm"))
       // nodes of this level with NO successors below keep delta = 0 but
-      // are still emitted (they carry no dependency)
+      // are still emitted (they carry no dependency). Each `below` is
+      // consumed TWICE — by the next level's successor join AND by the
+      // contribs union — so without the lazy persist the whole deeper
+      // backward subtree re-evaluates once per extra consumer (r20:
+      // level l's plan contained every level > l; measured ~2× backward
+      // work). Same lazy-persist discipline as the forward `levels`.
       below = cur.join(d.select(col("seed"), col("node"), col("dppm")),
           Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sig"),
           coalesce(col("dppm"), lit(0L)).as("dppm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       if (l >= 1) contribs += below.select(col("node"), col("dppm"))
     }
     contribs.reduce(_ unionByName _)
@@ -360,6 +366,10 @@ object GraphAlgs {
       .withColumn("node", col("start"))
     val out = collection.mutable.ArrayBuffer(
       state.select(col("start"), lit(0L).as("step"), col("node")))
+    // per-hop frames stay EAGER checkpoints: lazy persists for `hop`
+    // and/or `state` were measured ADDING jobs (29 → 32–34; AQE runs
+    // extra stage-jobs once the LogicalRDD truncation is gone) at flat
+    // wall time — experiment rejected, r20
     val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to steps) {
       val hop = broadcast(state)

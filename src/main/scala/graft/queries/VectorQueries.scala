@@ -36,10 +36,27 @@ object VectorQueries {
     */
   private[graft] def storedFixture(s: SparkSession, tag: String)(
       build: => DataFrame): DataFrame = {
-    val path = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_fixtures"), tag)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_fixtures")
+    val path = new java.io.File(root, tag)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      build.write.mode("overwrite").parquet(path.toString)
+      // build into a process-private temp sibling and rename into place:
+      // a concurrently-started driver (Bench + Verify racing) can then
+      // never observe — or clobber — a half-written fixture directory
+      // (ADVICE r19). POSIX rename onto an existing non-empty dir fails,
+      // which is exactly the loser-detects-winner semantics needed.
+      val tmp = new java.io.File(root,
+        s".$tag.tmp.${java.lang.ProcessHandle.current().pid()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (!tmp.renameTo(path)) {
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          throw new java.io.IOException(
+            s"could not install fixture $path and no complete copy exists")
+        // a concurrent builder won the race — drop the losing copy
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
     }
     s.read.parquet(path.toString)
   }
@@ -52,12 +69,13 @@ object VectorQueries {
     }
 
   /** The k=10/iters=2 graph over the FULL corpus — the base artifact
-    * `knn_graph_remove` maintains. Same stored-artifact discipline as
-    * [[storedKnnGraph]] (r19): a REMOVE against a corpus-scale index
-    * reads the persisted graph and pays only the prune + refill walk;
-    * rebuilding the index inside the maintenance row's timed body
-    * priced an offline build into an online operation. nnDescent is
-    * deterministic, so stored ≡ inline bit for bit (oracle-gated).
+    * `knn_graph_remove_stored` maintains. Same stored-artifact
+    * discipline as [[storedKnnGraph]]: a REMOVE against a corpus-scale
+    * index reads the persisted graph and pays only the prune + refill
+    * walk. nnDescent is deterministic, so stored ≡ inline bit for bit
+    * (oracle-gated; KnnGraphSpec pins the k10/i2 round-trip). The
+    * inline-priced sibling `knn_graph_remove` keeps the build cost in
+    * its own timed body (r20).
     */
   private[graft] def storedKnnGraphI2(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
@@ -67,8 +85,8 @@ object VectorQueries {
     }
 
   /** The k=10/iters=2 graph over the 90% "old" slice (`vec_id % 10 ≠ 0`)
-    * — the pre-existing index `knn_graph_insert` ingests the fresh 10%
-    * into. Same rationale as [[storedKnnGraphI2]].
+    * — the pre-existing index `knn_graph_insert_stored` ingests the
+    * fresh 10% into. Same rationale as [[storedKnnGraphI2]].
     */
   private[graft] def storedKnnGraphOldI2(s: SparkSession, dir: String): DataFrame =
     storedFixture(s,
@@ -275,7 +293,7 @@ object VectorQueries {
     */
   val fixtureConsumers: Set[String] = Set(
     "graph_search_topk", "graph_search_ivf_seeded",
-    "knn_graph_insert", "knn_graph_remove",
+    "knn_graph_insert_stored", "knn_graph_remove_stored",
     "ann_quantizer_ivf8", "ann_quantizer_ivf4_norm",
     "ann_quantizer_ivf8_norm", "ann_codebook_pq8_raw",
     "ann_codebook_pq16_norm", "ann_codebook_pq64_norm",
@@ -770,10 +788,26 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val old = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
       val fresh = e.where(pmod(col("vec_id"), lit(10)) === 0)
-      // the pre-existing index comes from the stored artifact (r19) —
-      // ingest maintains a persisted graph, it never rebuilds one; the
-      // fixture is bit-identical to the inline build (deterministic
-      // nnDescent, same oracle gates the row)
+      // inline-priced: the base graph is BUILT in the timed body (r20 —
+      // the r19 stored-fixture conversion repriced the row instead of
+      // speeding it up; the stored-index shape lives in the
+      // `knn_graph_insert_stored` sibling, mirroring sql_cdc_dedup /
+      // sql_cdc_dedup_stored)
+      val base = graft.operators.KnnGraph.nnDescent(
+        old, "embedding", "vec_id", k = 10, iters = 2)
+      graft.operators.KnnGraph.insert(base, old, fresh,
+        "embedding", "vec_id", k = 10, beam = 10, hops = 2)
+    }),
+
+    // The SAME insert against the PERSISTED index (the production
+    // maintenance shape: an online ingest reads the offline-built graph,
+    // it never rebuilds it). Gated by the SAME oracle text — stored ≡
+    // inline is the fixture's bit-identity claim (deterministic
+    // nnDescent; KnnGraphSpec pins the k10/i2 round-trip).
+    "knn_graph_insert_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val old = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val fresh = e.where(pmod(col("vec_id"), lit(10)) === 0)
       graft.operators.KnnGraph.insert(storedKnnGraphOldI2(s, dir), old, fresh,
         "embedding", "vec_id", k = 10, beam = 10, hops = 2)
     }),
@@ -786,8 +820,19 @@ object VectorQueries {
     // + prune + affected-only re-search).
     "knn_graph_remove" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // the graph being maintained is the stored artifact (r19) — see
-      // knn_graph_insert; the timed body is the remove operation itself
+      // inline-priced: base graph built in the timed body (r20, see
+      // knn_graph_insert); the stored-index shape is the `_stored` sibling
+      val base = graft.operators.KnnGraph.nnDescent(
+        e, "embedding", "vec_id", k = 10, iters = 2)
+      graft.operators.KnnGraph.remove(base, e,
+        e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
+        "embedding", "vec_id", k = 10, beam = 10, hops = 2)
+    }),
+
+    // REMOVE against the PERSISTED index — same oracle text as
+    // knn_graph_remove (stored ≡ inline, see knn_graph_insert_stored).
+    "knn_graph_remove_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
       graft.operators.KnnGraph.remove(storedKnnGraphI2(s, dir), e,
         e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
         "embedding", "vec_id", k = 10, beam = 10, hops = 2)
@@ -1544,6 +1589,11 @@ object VectorQueries {
       beam = 10, hops = 2, seedsPerQuery = 8, batchMod = 10),
     "knn_graph_remove" -> XxSql.knnGraphRemoveOracleSql(k = 10, iters = 2,
       beam = 10, hops = 2, seedsPerQuery = 8, removeMod = 10),
+    // stored ≡ inline: ONE oracle text gates both maintenance shapes
+    "knn_graph_insert_stored" -> XxSql.knnGraphInsertOracleSql(k = 10,
+      iters = 2, beam = 10, hops = 2, seedsPerQuery = 8, batchMod = 10),
+    "knn_graph_remove_stored" -> XxSql.knnGraphRemoveOracleSql(k = 10,
+      iters = 2, beam = 10, hops = 2, seedsPerQuery = 8, removeMod = 10),
     "embedding_top_pc" -> XxSql.topPcOracleSql(iters = 15),
     "sim_topk_mips" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

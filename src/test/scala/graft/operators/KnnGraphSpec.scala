@@ -152,6 +152,42 @@ class KnnGraphSpec extends SparkSpec {
     assert(stored == inline && stored.nonEmpty)
   }
 
+  test("k10/i2 maintenance fixtures: stored base graph ≡ inline, and the maintenance ops agree") {
+    // the bench's knn_graph_{insert,remove}_stored rows read parquet
+    // fixtures of the k=10/iters=2 nnDescent graphs; this pins the whole
+    // claim chain at spec scale: (1) the graph round-trips parquet bit
+    // for bit, (2) insert/remove run off the stored copy produce the
+    // exact rows the inline-priced siblings produce
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val old = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val fresh = e.where(pmod(col("vec_id"), lit(10)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def roundTrip(g: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_knn_i2").toString
+      g.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val fullInline = KnnGraph.nnDescent(e, "embedding", "vec_id", k = 10, iters = 2)
+    val fullStored = roundTrip(fullInline)
+    assert(rows(fullStored) == rows(fullInline) && rows(fullInline).nonEmpty)
+    val oldInline = KnnGraph.nnDescent(old, "embedding", "vec_id", k = 10, iters = 2)
+    val oldStored = roundTrip(oldInline)
+    assert(rows(oldStored) == rows(oldInline) && rows(oldInline).nonEmpty)
+    val insInline = rows(KnnGraph.insert(oldInline, old, fresh,
+      "embedding", "vec_id", k = 10, beam = 10, hops = 2))
+    val insStored = rows(KnnGraph.insert(oldStored, old, fresh,
+      "embedding", "vec_id", k = 10, beam = 10, hops = 2))
+    assert(insStored == insInline && insInline.nonEmpty)
+    val batch = fresh.select(col("vec_id"))
+    val remInline = rows(KnnGraph.remove(fullInline, e, batch,
+      "embedding", "vec_id", k = 10, beam = 10, hops = 2))
+    val remStored = rows(KnnGraph.remove(fullStored, e, batch,
+      "embedding", "vec_id", k = 10, beam = 10, hops = 2))
+    assert(remStored == remInline && remInline.nonEmpty)
+  }
+
   test("insert: incremental batch insertion tracks the full rebuild; id collisions rejected") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val old = e.where(col("vec_id") < 450)
