@@ -93,17 +93,20 @@ object ProfileCold {
     })
     sampler.setDaemon(true)
     sampler.start()
-    // codegen-compile attribution: Spark's codahale counters record every
-    // Janino compile (count, cumulative ms, bytecode size) JVM-wide
+    // codegen-compile attribution: Spark's codahale HISTOGRAMS record
+    // every Janino compile; getCount on a histogram is the SAMPLE count
+    // (number of compiled units), not a sum — so both numbers here are
+    // unit counts, and byte/ms totals are not recoverable from this API
+    // (ADVICE r19: the old srcbytes/compileMs names implied otherwise)
     import org.apache.spark.metrics.source.CodegenMetrics
-    def compileMs(): (Long, Long) = (
+    def compileCounts(): (Long, Long) = (
       CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount,
       CodegenMetrics.METRIC_COMPILATION_TIME.getCount)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(tag: String): Double = {
         println(s"[run] $name $tag begin")
-        val (sz0, n0) = compileMs()
+        val (sz0, n0) = compileCounts()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val tPlan = System.nanoTime()
@@ -111,8 +114,8 @@ object ProfileCold {
         val tExec = System.nanoTime()
         df.count()
         val t1 = System.nanoTime()
-        val (sz1, n1) = compileMs()
-        println(f"[phase] $name $tag build=${(tPlan - t0) / 1e9}%.3f plan=${(tExec - tPlan) / 1e9}%.3f exec=${(t1 - tExec) / 1e9}%.3f compiles=${n1 - n0} srcbytes=${sz1 - sz0}")
+        val (sz1, n1) = compileCounts()
+        println(f"[phase] $name $tag build=${(tPlan - t0) / 1e9}%.3f plan=${(tExec - tPlan) / 1e9}%.3f exec=${(t1 - tExec) / 1e9}%.3f compiles=${n1 - n0} srcUnits=${sz1 - sz0}")
         // same per-query hygiene as Bench: queries are independent
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()

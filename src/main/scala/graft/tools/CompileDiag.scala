@@ -19,8 +19,10 @@ object CompileDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.metrics.source.CodegenMetrics
+    // histogram getCount = number of compiled units (ADVICE r19: the
+    // deleted ms() accessor read a bytecode-size histogram's sample
+    // count under a name that suggested milliseconds)
     def n() = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    def ms() = CodegenMetrics.METRIC_GENERATED_METHOD_BYTECODE_SIZE.getCount
     graft.queries.GraphQueries.ensureFixtures(spark, dir)
     val se = graft.queries.GraphQueries.storedDegreeEdges(spark, dir)
     val nodes = graft.queries.GraphQueries.storedGraphNodes(spark, dir)
